@@ -1,0 +1,214 @@
+"""Deterministic fixture/table generators.
+
+Dimension tables come from literal rows in ``lexicon_data``; the transcripts
+fact table is generated *inside Spark* from ``spark.range`` + hash
+expressions, so it scales to arbitrary row counts with zero driver memory
+and is bit-for-bit deterministic (xxhash64 with fixed seeds — no
+Date.now/random anywhere). This is the scale path: the same generator that
+makes a 2k-turn test fixture makes a 10^9-turn bench table.
+
+Schema per BASELINE.json input_hint:
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from omop2obo_spark.fixtures import lexicon_data as L
+
+LEXICON_SCHEMA = T.StructType(
+    [
+        T.StructField("ont", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # label|synonym|definition|dbxref
+        T.StructField("norm_string", T.StringType(), False),
+        T.StructField("uri", T.StringType(), False),
+        T.StructField("subtype", T.StringType(), True),
+    ]
+)
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def lexicon_df(spark: SparkSession) -> DataFrame:
+    """Ontology lexicon dimension: one row per (ont, kind, string).
+
+    Replaces the reference's nested pickled dict
+    (/root/reference/omop2obo/ontology_explorer.py:43-72). Strings are
+    lower-cased here, exactly like the reference lexicon's keys; dbxref
+    codes are kept raw (prefix case preserved) because normalization is a
+    pipeline step (clinical_concept_annotator.py:259).
+    """
+    rows = []
+    for ont, sid, label, definition, syns, dbxs, _anc in L.CONCEPTS:
+        uri = L.OBO + sid
+        rows.append((ont, "label", label.lower(), uri, None))
+        rows.append((ont, "definition", definition.lower(), uri, None))
+        for syn, styp in syns:
+            rows.append((ont, "synonym", syn.lower(), uri, styp))
+        for code, dtyp in dbxs:
+            rows.append((ont, "dbxref", code, uri, dtyp))
+    return spark.createDataFrame(rows, LEXICON_SCHEMA)
+
+
+def ancestors_df(spark: SparkSession) -> DataFrame:
+    """Concept→ancestor closure (transitive), one row per (uri, ancestor_uri).
+
+    Drives the ancestor-level annotation tier — the reference explodes
+    pipe-delimited ancestor code lists per clinical row
+    (clinical_concept_annotator.py:348-361); in graph form that is a join
+    through this closure table.
+    """
+    parents = {L.OBO + sid: [L.OBO + a for a in anc] for _, sid, _, _, _, _, anc in L.CONCEPTS}
+    rows = []
+    for uri in parents:
+        seen: list[str] = []
+        stack = list(parents[uri])
+        while stack:
+            a = stack.pop(0)
+            if a not in seen:
+                seen.append(a)
+                stack.extend(parents.get(a, []))
+        for a in seen:
+            rows.append((uri, a))
+    return spark.createDataFrame(rows, "uri string, ancestor_uri string")
+
+
+def mrconso_df(spark: SparkSession) -> DataFrame:
+    """UMLS MRCONSO-shaped table (CUI, LANG, SAB, CODE) — unfiltered, raw."""
+    return spark.createDataFrame(L.MRCONSO_ROWS, "CUI string, LANG string, SAB string, CODE string")
+
+
+def mrsty_df(spark: SparkSession) -> DataFrame:
+    """UMLS MRSTY-shaped table (CUI, STY)."""
+    return spark.createDataFrame(L.MRSTY_ROWS, "CUI string, STY string")
+
+
+def vocab_map_df(spark: SparkSession) -> DataFrame:
+    """Vocabulary alias → canonical prefix map, one row per alias."""
+    rows = [(alias, primary) for primary, aliases in L.VOCAB_MAP_ROWS for alias in aliases]
+    return spark.createDataFrame(rows, "alias string, primary string")
+
+
+def vocab_map_dict() -> dict[str, str]:
+    """The same map as a plain dict (for broadcast into UDFs / driver use)."""
+    return {alias: primary for primary, aliases in L.VOCAB_MAP_ROWS for alias in aliases}
+
+
+# --------------------------------------------------------------------------
+# Synthetic transcripts (Spark-native, deterministic, scalable)
+# --------------------------------------------------------------------------
+
+def _pick(h: Column, values: list[str]) -> Column:
+    """Deterministically pick one literal from ``values`` by hash."""
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.element_at(arr, (F.pmod(h, F.lit(len(values))) + 1).cast("int"))
+
+
+def transcripts_df(
+    spark: SparkSession,
+    n_convs: int = 100,
+    turns_per_conv: int = 20,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generate the transcripts fact table entirely with JVM expressions.
+
+    Text composition per turn (all choices are xxhash64-derived, seeded):
+      * ~40% of term mentions are the single heavy-hitter label ("pain") —
+        a Zipf-like skew that exercises the salted-join path;
+      * mention kinds: exact label / exact synonym / embedded source code
+        (``snomedct_us:190787008``-style) / embedded UMLS CUI / near-miss
+        string (extra token; only the TF-IDF tier can link it) / pure noise.
+    """
+    labels = [c[2].lower() for c in L.CONCEPTS]
+    synonyms = [s.lower() for c in L.CONCEPTS for (s, _t) in c[4]]
+    # embedded code mentions: snomed dbxrefs, raw-prefix variants, CUIs
+    codes = [d.lower() for c in L.CONCEPTS for (d, _t) in c[5]]
+    near_miss = ["severe " + lb + " episode" for lb in labels]
+    heavy = "pain"
+
+    n_rows = n_convs * turns_per_conv
+    base = spark.range(0, n_rows, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+
+    def h(salt: int) -> Column:
+        return F.abs(F.xxhash64(i, F.lit(seed), F.lit(salt)))
+
+    # skewed term choice: 40% heavy hitter, else uniform over labels
+    term = F.when(F.pmod(h(1), F.lit(100)) < 40, F.lit(heavy)).otherwise(_pick(h(2), labels))
+    syn = _pick(h(3), synonyms)
+    code = _pick(h(4), codes)
+    miss = _pick(h(5), near_miss)
+
+    kind = F.pmod(h(6), F.lit(10))
+    phrase = (
+        F.when(kind <= 3, F.concat(F.lit("the patient reported "), term, F.lit(" during the visit")))
+        .when(kind <= 5, F.concat(F.lit("assessment notes "), syn, F.lit(" as the chief complaint")))
+        .when(kind == 6, F.concat(F.lit("coded as "), code, F.lit(" in the source system")))
+        .when(kind == 7, F.concat(F.lit("cross reference "), code, F.lit(" for this encounter")))
+        .when(kind == 8, F.concat(F.lit("records mention "), miss, F.lit(" since last year")))
+        .otherwise(F.lit("no clinical content in this turn"))
+    )
+    noise_a = _pick(h(7), L.NOISE_WORDS)
+    noise_b = _pick(h(8), L.NOISE_WORDS)
+
+    role = _pick(F.pmod(i, F.lit(3)), ["user", "assistant", "tool"])
+    tool = F.when(role == "tool", _pick(h(9), ["search", "calculator", "retrieval"])).otherwise(F.lit(None))
+
+    return base.select(
+        F.format_string("conv_%06d", (i / turns_per_conv).cast("long")).alias("conv_id"),
+        F.pmod(i, F.lit(turns_per_conv)).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat_ws(" ", noise_a, phrase, noise_b).alias("text"),
+        tool.alias("tool"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=i)).alias("ts"),
+    )
+
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a transcripts-shaped table from the driver's documents.parquet.
+
+    Used by bench/entry so the fact-table size tracks the driver's scale
+    factor. Each document becomes one conversation; its text is chunked
+    into turns of ~12 tokens; clinical mentions are injected
+    deterministically by doc_id hash so the linker has real work to do.
+    """
+    labels = [c[2].lower() for c in L.CONCEPTS]
+    codes = [d.lower() for c in L.CONCEPTS for (d, _t) in c[5]]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), r"\s+")
+    n_turns = F.greatest(F.lit(1), (F.size(toks) / 12).cast("int"))
+    turns = docs.select(
+        F.col("doc_id"),
+        toks.alias("toks"),
+        F.posexplode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx", "_t"),
+    )
+    i = F.xxhash64("doc_id", "turn_idx", F.lit(42))
+    h = F.abs(i)
+    mention = (
+        F.when(F.pmod(h, F.lit(10)) <= 2, F.concat(F.lit(" patient reported "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(1))), labels)))
+        .when(F.pmod(h, F.lit(10)) == 3, F.concat(F.lit(" coded as "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(2))), codes)))
+        .otherwise(F.lit(""))
+    )
+    return turns.select(
+        F.format_string("conv_%08d", F.col("doc_id")).alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        _pick(F.pmod(F.col("turn_idx").cast("bigint"), F.lit(3)), ["user", "assistant", "tool"]).alias("role"),
+        F.concat(F.concat_ws(" ", F.slice(F.col("toks"), F.col("turn_idx") * 12 + 1, 12)), mention).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id") * 100 + F.col("turn_idx"))).alias("ts"),
+    )

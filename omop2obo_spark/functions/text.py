@@ -1,0 +1,103 @@
+"""Text preprocessing for the TF-IDF similarity tier.
+
+Reproduces the reference's preprocessing order
+(/root/reference/omop2obo/string_similarity.py:116-147):
+  1. ascii-fold + whitespace collapse
+  2. stopword removal via word-boundary regex (applied *before*
+     lower-casing — uppercase stopwords survive; we keep that quirk)
+  3. lower-case
+  4. ``\\w+`` tokenization
+  5. lemmatization — the reference uses WordNet; this container has no
+     nltk, so we use a small deterministic suffix-rule lemmatizer-lite
+     applied identically on both the Spark side and the driver-side
+     ontology corpus, keeping *internal* consistency exact.
+
+Two implementations that must stay in lock-step:
+  * ``preprocess_tokens_expr`` — native Spark column expressions (runs in
+    whole-stage codegen over the 10^12-turn fact table);
+  * ``py_preprocess`` — plain Python, used on the tiny driver-side
+    ontology corpus when building the broadcast TF-IDF matrix.
+``tests/test_text.py`` asserts they agree on a shared vector set.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The English stopword list hardcoded by the reference
+# (string_similarity.py:29-43) — the standard NLTK english list.
+STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you", "you're", "you've",
+    "you'll", "you'd", "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "she's", "her", "hers", "herself", "it", "it's", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are", "was", "were", "be",
+    "been", "being", "have", "has", "had", "having", "do", "does", "did", "doing", "a",
+    "an", "the", "and", "but", "if", "or", "because", "as", "until", "while", "of", "at",
+    "by", "for", "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down", "in", "out", "on",
+    "off", "over", "under", "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so", "than", "too",
+    "very", "s", "t", "can", "will", "just", "don", "don't", "should", "should've",
+    "now", "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "aren't", "couldn",
+    "couldn't", "didn", "didn't", "doesn", "doesn't", "hadn", "hadn't", "hasn", "hasn't",
+    "haven", "haven't", "isn", "isn't", "ma", "mightn", "mightn't", "mustn", "mustn't",
+    "needn", "needn't", "shan", "shan't", "shouldn", "shouldn't", "wasn", "wasn't",
+    "weren", "weren't", "won", "won't", "wouldn", "wouldn't",
+]
+
+_STOPWORD_PATTERN = r"\b(" + "|".join(STOPWORDS) + r")\b\s*"
+_STOPWORD_RE = re.compile(_STOPWORD_PATTERN)
+_TOKEN_RE = re.compile(r"\w+")
+
+
+def _lemma_lite_py(token: str) -> str:
+    """Deterministic suffix-rule lemmatizer (plural stripping)."""
+    if len(token) > 4 and token.endswith("ies"):
+        return token[:-3] + "y"
+    if len(token) > 3 and token.endswith("es") and token.endswith(("shes", "ches", "xes", "zes", "sses")):
+        return token[:-2]
+    if len(token) > 3 and token.endswith("s") and not token.endswith(("ss", "us", "is")):
+        return token[:-1]
+    return token
+
+
+def py_preprocess(text: str) -> list[str]:
+    """Driver-side mirror of ``preprocess_tokens_expr``."""
+    folded = re.sub(r"\s+", " ", text.encode("ascii", "ignore").decode())
+    no_stop = _STOPWORD_RE.sub("", folded).lower()
+    return [_lemma_lite_py(t) for t in _TOKEN_RE.findall(no_stop)]
+
+
+def _lemma_lite_expr(t: Column) -> Column:
+    return (
+        F.when((F.length(t) > 4) & t.endswith("ies"), F.concat(t.substr(F.lit(1), F.length(t) - 3), F.lit("y")))
+        .when(
+            (F.length(t) > 3)
+            & (t.endswith("shes") | t.endswith("ches") | t.endswith("xes") | t.endswith("zes") | t.endswith("sses")),
+            t.substr(F.lit(1), F.length(t) - 2),
+        )
+        .when(
+            (F.length(t) > 3) & t.endswith("s") & ~(t.endswith("ss") | t.endswith("us") | t.endswith("is")),
+            t.substr(F.lit(1), F.length(t) - 1),
+        )
+        .otherwise(t)
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """ascii-fold + collapse whitespace + stopword-strip + lower (steps 1-3)."""
+    folded = F.regexp_replace(col, "[^\\x00-\\x7F]", "")
+    collapsed = F.regexp_replace(folded, "\\s+", " ")
+    no_stop = F.regexp_replace(collapsed, _STOPWORD_PATTERN, "")
+    return F.lower(no_stop)
+
+
+def preprocess_tokens_expr(col: Column) -> Column:
+    """Full preprocessing → ``array<string>`` of lemmatized tokens (native)."""
+    tokens = F.filter(F.split(normalize_text(col), "\\W+"), lambda x: x != "")
+    return F.transform(tokens, _lemma_lite_expr)
