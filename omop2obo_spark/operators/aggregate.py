@@ -1,0 +1,95 @@
+"""Order-preserving aggregation operators.
+
+The reference's signature aggregation is ``' | '.join(unique_everseen(x))``
+per group (/root/reference/omop2obo/utils/data_utils.py:159-183): concat of
+*first-occurrence-deduped* values in input order. ``collect_list`` order is
+nondeterministic after a shuffle, so every aggregation here carries explicit
+ordering columns: we collect ``struct(<order cols>, value)``, sort the
+array, project the value, and ``array_distinct`` (which keeps first
+occurrence — the exact ``unique_everseen`` semantics).
+
+``grouped_pivot_agg`` replaces the reference's data_frame_grouper
+(data_utils.py:186-233) — a loop of per-group groupbys re-merged with outer
+joins — with a single ``groupBy().pivot().agg()``: one shuffle instead of
+2×#groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ordered_concat_expr(value_col: str, order_cols: list[str], delimiter: str = " | ") -> Column:
+    """Aggregate expression: first-occurrence-dedup concat in explicit order.
+
+    NULL and empty-string values are dropped before collection (the
+    reference operates on ''-filled frames where empties never reach the
+    join output it aggregates).
+    """
+    v = F.col(value_col)
+    pair = F.when(
+        v.isNotNull() & (v != ""),
+        F.struct(*[F.col(c) for c in order_cols], v.alias("__v")),
+    )
+    ordered = F.array_sort(F.collect_list(pair))
+    vals = F.transform(ordered, lambda s: s["__v"])
+    return F.array_join(F.array_distinct(vals), delimiter)
+
+
+def ordered_concat_agg(
+    df: DataFrame,
+    key: str | list[str],
+    agg_cols: list[str],
+    order_cols: list[str],
+    delimiter: str = " | ",
+) -> DataFrame:
+    """GroupBy ``key`` and ordered-concat every column in ``agg_cols``.
+
+    One shuffle for all columns (the reference runs one groupby per column
+    and outer-merges them back, data_utils.py:176-180).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).agg(
+        *[ordered_concat_expr(c, order_cols, delimiter).alias(c) for c in agg_cols]
+    )
+
+
+def grouped_pivot_agg(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    agg_cols: list[str],
+    order_cols: list[str],
+    type_values: list[str] | None = None,
+    delimiter: str = " | ",
+    rename_token: str = "ONT",
+) -> DataFrame:
+    """Pivot by ``type_col`` (e.g. ontology: HP/MONDO) and ordered-concat.
+
+    Output columns follow the reference's naming: for each type value G and
+    input column ``X_ONT_Y``, the output column is ``X_G_Y``
+    (data_utils.py:222: ``x.replace('ONT', grp)``), except Spark pivot
+    yields ``G_X_ONT_Y`` — we rename to the reference layout afterwards.
+
+    Always pass ``type_values`` at scale to skip pivot-value discovery.
+    """
+    pivoted = (
+        df.groupBy(key)
+        .pivot(type_col, type_values)
+        .agg(*[ordered_concat_expr(c, order_cols, delimiter).alias(c) for c in agg_cols])
+    )
+    # pivot emits `<grp>_<aggAlias>` for multi-agg pivots; rename to the
+    # reference's `<col with ONT→grp>` convention.
+    renames: dict[str, str] = {}
+    for c in pivoted.columns:
+        if c == key:
+            continue
+        for a in agg_cols:
+            if c.endswith("_" + a):
+                grp = c[: -(len(a) + 1)]
+                renames[c] = a.replace(rename_token, grp)
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out

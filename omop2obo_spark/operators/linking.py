@@ -1,0 +1,232 @@
+"""Entity-linking tiers: UMLS CUI annotation, DbXRef lookup, exact string
+matching — the Spark re-expression of the reference's ConceptAnnotator
+(/root/reference/omop2obo/clinical_concept_annotator.py).
+
+All functions are DataFrame→DataFrame and generic over the key columns, so
+the same operators serve both the reference-parity path (key=CONCEPT_ID)
+and the transcripts path (key=(conv_id, turn_idx, mention_idx)).
+
+The link-candidate output schema is shared by every tier:
+    <key cols>, CODE, CODE_COLUMN, URI, ONT_TYPE, LABEL, EVIDENCE,
+    src_rank, tier_rank
+``src_rank``/``tier_rank`` are explicit ordering keys replacing pandas'
+implicit concat order (label-pass before synonym-pass, exact-dbxref before
+ananke, etc.) so downstream order-preserving aggregation is deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from omop2obo_spark.functions.normalize import (
+    normalize_source_codes,
+    uri_ont_type,
+    uri_to_code,
+)
+from omop2obo_spark.operators.joins import broadcast_join
+
+LINK_VALUE_COLS = ["CODE", "CODE_COLUMN", "URI", "ONT_TYPE", "LABEL", "EVIDENCE", "src_rank", "tier_rank"]
+
+
+@dataclass
+class LexiconDims:
+    """Pre-derived broadcastable dimension frames from the lexicon table.
+
+    Mirrors the reference's per-kind dict views of the pickled lexicon
+    (ontology_explorer.py:106-138) as columnar dimensions:
+      * dbxref: (CODE normalized, URI) — dbxref_mapper's ont_df
+        (clinical_concept_annotator.py:256-259)
+      * strings: (CODE lower-cased label/synonym, URI, kind) — the two
+        passes of exact_string_mapper (:311-314)
+      * labels: (URI, LABEL) — reversed label dict (:253)
+    All are small (≤ a few 100k rows per ontology) and must be broadcast.
+    """
+
+    dbxref: DataFrame
+    strings: DataFrame
+    labels: DataFrame
+    ont_keys: list[str]
+
+    @classmethod
+    def from_lexicon(cls, lexicon: DataFrame, vocab_map: dict[str, str]) -> "LexiconDims":
+        labels = (
+            lexicon.filter(F.col("kind") == "label")
+            .select(F.col("uri").alias("URI"), F.col("norm_string").alias("LABEL"))
+            .dropDuplicates(["URI"])
+        )
+        dbxref = (
+            lexicon.filter(F.col("kind") == "dbxref")
+            .select(
+                normalize_source_codes(F.col("norm_string"), vocab_map).alias("CODE"),
+                F.col("uri").alias("URI"),
+                F.col("subtype").alias("DBX_TYPE"),
+                F.col("norm_string").alias("RAW_CODE"),
+            )
+            .dropDuplicates(["CODE", "URI"])
+        )
+        strings = (
+            lexicon.filter(F.col("kind").isin("label", "synonym"))
+            .select(
+                F.lower(F.col("norm_string")).alias("CODE"),
+                F.col("uri").alias("URI"),
+                F.col("kind").alias("STR_KIND"),
+                F.col("subtype").alias("SYN_TYPE"),
+            )
+            .dropDuplicates(["CODE", "URI", "STR_KIND"])
+        )
+        ont_keys = [r.ont for r in lexicon.select("ont").distinct().collect()]
+        return cls(dbxref=dbxref, strings=strings, labels=labels, ont_keys=sorted(ont_keys))
+
+
+def prepare_mrconso(mrconso: DataFrame, vocab_map: dict[str, str]) -> DataFrame:
+    """Filter + normalize MRCONSO to the joinable (CUI, SAB, CODE) shape.
+
+    Parity with clinical_concept_annotator.py:158-169: drop NOCODE/non-ENG,
+    CODE := normalize(SAB:code.lower()) with the >2-colon collapse quirk
+    (``HPO:HP:0008181`` → ``hp:0008181``).
+    """
+    df = (
+        mrconso.filter((F.col("CODE") != "NOCODE") & (F.col("LANG") == "ENG"))
+        .select("CUI", "SAB", "CODE")
+        .dropDuplicates()
+    )
+    code = F.concat(F.col("SAB"), F.lit(":"), F.lower(F.col("CODE")))
+    parts = F.split(code, ":")
+    code = F.when(F.size(parts) > 2, F.array_join(F.slice(parts, 2, F.size(parts) - 1), ":")).otherwise(code)
+    return df.withColumn("CODE", normalize_source_codes(code, vocab_map))
+
+
+def umls_annotate(
+    codes: DataFrame,
+    umls: DataFrame,
+    mrsty: DataFrame,
+    key_cols: list[str],
+    code_col: str,
+    double_merge: bool = True,
+) -> DataFrame:
+    """UMLS CUI + semantic-type annotation (J1/J2/J3).
+
+    Parity with umls_cui_annotator (clinical_concept_annotator.py:187-226):
+    merge 1 aligns source codes to UMLS SABs; merge 2 (``double_merge``)
+    re-joins the CUIs of merge 1 against the full MRCONSO, pulling in SABs
+    absent from the input — the CUI cross-reference expansion tier.
+
+    ``umls`` must be pre-processed by :func:`prepare_mrconso`. At
+    production scale MRCONSO is ~10M rows ≈ 300 MB — still broadcastable
+    on 8g executors; if not, this becomes a shuffle join and the skew salt
+    belongs on the fact side (see joins.salted_join).
+    """
+    u = umls.select(
+        F.col("CUI").alias("UMLS_CUI"),
+        F.col("SAB").alias("UMLS_SAB"),
+        F.col("CODE").alias("UMLS_CODE"),
+    )
+    ids = codes.select(*key_cols, code_col).dropDuplicates()
+    m1 = ids.join(F.broadcast(u), ids[code_col] == u["UMLS_CODE"], "inner").select(
+        *key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE"
+    )
+    if double_merge:
+        m2 = m1.select(*key_cols, code_col, "UMLS_CUI").join(
+            F.broadcast(u), on="UMLS_CUI", how="left"
+        )
+        merged = m1.unionByName(m2)
+    else:
+        merged = m1
+    sty = mrsty.select(F.col("CUI").alias("UMLS_CUI"), F.col("STY").alias("UMLS_SEM_TYPE"))
+    return (
+        merged.join(F.broadcast(sty), on="UMLS_CUI", how="left")
+        .select(*key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE", "UMLS_SEM_TYPE")
+        .dropDuplicates()
+    )
+
+
+def dbxref_link(
+    stacked: DataFrame,
+    dims: LexiconDims,
+    key_cols: list[str],
+    level: str,
+    umls: DataFrame | None = None,
+) -> DataFrame:
+    """DbXRef tier (J4) + OHDSI-Ananke UMLS-CUI bridge (J5).
+
+    Parity with dbxref_mapper (clinical_concept_annotator.py:228-277) and
+    ohdsi_ananke (data_utils.py:305-348). ``stacked`` is the long
+    (key, CODE, CODE_COLUMN, src_rank) frame whose CODE values are
+    normalized source codes (or raw CUIs for the ananke branch).
+    """
+    col_lab = level.upper() + "_DBXREF_"
+
+    # branch 1: direct dbxref equality
+    direct = broadcast_join(stacked, dims.dbxref.select("CODE", "URI"), on="CODE").withColumn(
+        "tier_rank", F.lit(0)
+    )
+
+    branches = [direct]
+    if umls is not None:
+        # branch 2 (ananke): stacked.CODE is a UMLS CUI; umls.CODE is an
+        # OBO id rendered `hp:0001901`; ont side keyed by uri_to_code(URI).
+        ont_side = dims.dbxref.select(uri_to_code(F.col("URI")).alias("ONT_CODE"), "URI").dropDuplicates()
+        umls_obo = umls.filter(
+            F.split(F.col("CODE"), ":").getItem(0).isin(dims.ont_keys)
+        ).select(F.col("CUI"), F.col("CODE").alias("ONT_CODE"))
+        ananke = (
+            stacked.join(F.broadcast(umls_obo), stacked["CODE"] == umls_obo["CUI"], "inner")
+            .join(F.broadcast(ont_side), on="ONT_CODE", how="inner")
+            .select(
+                *key_cols,
+                F.concat(F.lit("umls:"), F.col("CUI")).alias("CODE"),
+                "CODE_COLUMN",
+                "src_rank",
+                "URI",
+            )
+            .withColumn("tier_rank", F.lit(1))
+            .dropDuplicates()
+        )
+        branches.append(ananke)
+
+    out = branches[0] if len(branches) == 1 else branches[0].unionByName(branches[1])
+    out = (
+        out.withColumn("ONT_TYPE", uri_ont_type(F.col("URI")))
+        .join(F.broadcast(dims.labels), on="URI", how="left")
+        .withColumn("EVIDENCE", F.concat(F.lit(col_lab), F.col("CODE")))
+        .select(*key_cols, *LINK_VALUE_COLS)
+        .dropDuplicates([*key_cols, "CODE", "CODE_COLUMN", "URI"])
+    )
+    return out
+
+
+def exact_string_link(
+    stacked_strings: DataFrame,
+    dims: LexiconDims,
+    key_cols: list[str],
+    level: str,
+) -> DataFrame:
+    """Exact label/synonym string tier (J6).
+
+    Parity with exact_string_mapper (clinical_concept_annotator.py:279-328):
+    lower-case the clinical string, match labels then synonyms (label pass
+    ranked before synonym pass — the reference concats label results first),
+    evidence ``CODE_COLUMN:string_with_underscores``.
+
+    This is where mention-count skew lives at transcript scale; the dim is
+    broadcast so no shuffle occurs here — skew only matters for the later
+    per-mention aggregation, which keys on (conv, turn, mention) and is
+    therefore skew-free.
+    """
+    lowered = stacked_strings.withColumn("CODE", F.lower(F.col("CODE")))
+    matched = broadcast_join(lowered, dims.strings, on="CODE")
+    out = (
+        matched.withColumn("tier_rank", F.when(F.col("STR_KIND") == "label", F.lit(0)).otherwise(F.lit(1)))
+        .withColumn("ONT_TYPE", uri_ont_type(F.col("URI")))
+        .join(F.broadcast(dims.labels), on="URI", how="left")
+        .withColumn(
+            "EVIDENCE",
+            F.concat(F.col("CODE_COLUMN"), F.lit(":"), F.regexp_replace(F.col("CODE"), " ", "_")),
+        )
+        .select(*key_cols, *LINK_VALUE_COLS)
+        .dropDuplicates([*key_cols, "CODE", "CODE_COLUMN", "URI", "tier_rank"])
+    )
+    return out

@@ -1,0 +1,68 @@
+"""Scalar-function parity tests.
+
+Golden vectors from /root/reference/tests/test_data_utils.py:165-183 and
+string_similarity.py preprocessing semantics.
+"""
+
+from pyspark.sql import functions as F
+
+from omop2obo_spark.functions.normalize import (
+    normalize_source_codes,
+    uri_ont_type,
+    uri_short_id,
+    uri_to_code,
+)
+from omop2obo_spark.functions.text import preprocess_tokens_expr, py_preprocess
+
+
+def test_normalizes_source_codes_reference_vectors(spark):
+    vocab = {"snomedct_us": "snomed", "http://linkedlifedata.com/resource/umls/id": "umls"}
+    df = spark.createDataFrame(
+        [
+            ("reactome:r-hsa-937045",),
+            ("http://linkedlifedata.com/resource/umls/id/C0010323",),
+            ("snomedct_us:111395007",),
+            ("pesticides:derivatives/benazolin-ethyl",),
+        ],
+        "CODE string",
+    )
+    out = [r.n for r in df.select(normalize_source_codes(F.col("CODE"), vocab).alias("n")).collect()]
+    assert "reactome:r-hsa-937045" in out
+    assert "umls:c0010323" in out
+    assert "snomed:111395007" in out
+    assert "pesticides:derivatives:benazolin-ethyl" in out
+
+
+def test_normalizes_source_codes_malformed_yields_null(spark):
+    df = spark.createDataFrame([("",), (":::",)], "CODE string")
+    out = [r.n for r in df.select(normalize_source_codes(F.col("CODE"), {}).alias("n")).collect()]
+    assert out == [None, None]
+
+
+def test_uri_helpers(spark):
+    df = spark.createDataFrame([("http://purl.obolibrary.org/obo/HP_0008181",)], "uri string")
+    row = df.select(
+        uri_short_id(F.col("uri")).alias("s"),
+        uri_ont_type(F.col("uri")).alias("t"),
+        uri_to_code(F.col("uri")).alias("c"),
+    ).collect()[0]
+    assert (row.s, row.t, row.c) == ("HP_0008181", "HP", "hp:0008181")
+
+
+def test_text_preprocessing_spark_python_parity(spark):
+    texts = [
+        "The patient reported Severe Pain in the arm",
+        "Wet Lung  and fever; headaches!!",
+        "café au lait spots are visible",
+        "Myocarditis due to infectious agent (disorder)",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_toks = [r.t for r in df.select(preprocess_tokens_expr(F.col("text")).alias("t")).collect()]
+    assert spark_toks == [py_preprocess(t) for t in texts]
+
+
+def test_stopwords_removed_before_lowercasing():
+    # the reference strips lowercase stopwords BEFORE lower-casing, so
+    # capitalized stopwords survive (string_similarity.py:136)
+    assert py_preprocess("The cat and the dog") == ["the", "cat", "dog"]
