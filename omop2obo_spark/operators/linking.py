@@ -28,7 +28,10 @@ from omop2obo_spark.functions.normalize import (
 )
 from omop2obo_spark.operators.joins import broadcast_join
 
-LINK_VALUE_COLS = ["CODE", "CODE_COLUMN", "URI", "ONT_TYPE", "LABEL", "EVIDENCE", "src_rank", "tier_rank"]
+LINK_VALUE_COLS = [
+    "CODE", "CODE_COLUMN", "URI", "ONT_TYPE", "LABEL", "EVIDENCE",
+    "MATCH_KIND", "MATCH_SUBTYPE", "src_rank", "tier_rank",
+]
 
 
 @dataclass
@@ -160,8 +163,11 @@ def dbxref_link(
     col_lab = level.upper() + "_DBXREF_"
 
     # branch 1: direct dbxref equality
-    direct = broadcast_join(stacked, dims.dbxref.select("CODE", "URI"), on="CODE").withColumn(
-        "tier_rank", F.lit(0)
+    direct = (
+        broadcast_join(stacked, dims.dbxref.select("CODE", "URI", "DBX_TYPE"), on="CODE")
+        .withColumn("tier_rank", F.lit(0))
+        .withColumn("MATCH_SUBTYPE", F.coalesce(F.col("DBX_TYPE"), F.lit("DbXref")))
+        .drop("DBX_TYPE")
     )
 
     branches = [direct]
@@ -183,13 +189,15 @@ def dbxref_link(
                 "URI",
             )
             .withColumn("tier_rank", F.lit(1))
+            .withColumn("MATCH_SUBTYPE", F.lit("DbXref"))
             .dropDuplicates()
         )
         branches.append(ananke)
 
     out = branches[0] if len(branches) == 1 else branches[0].unionByName(branches[1])
     out = (
-        out.withColumn("ONT_TYPE", uri_ont_type(F.col("URI")))
+        out.withColumn("MATCH_KIND", F.lit("dbxref"))
+        .withColumn("ONT_TYPE", uri_ont_type(F.col("URI")))
         .join(F.broadcast(dims.labels), on="URI", how="left")
         .withColumn("EVIDENCE", F.concat(F.lit(col_lab), F.col("CODE")))
         .select(*key_cols, *LINK_VALUE_COLS)
@@ -220,6 +228,8 @@ def exact_string_link(
     matched = broadcast_join(lowered, dims.strings, on="CODE")
     out = (
         matched.withColumn("tier_rank", F.when(F.col("STR_KIND") == "label", F.lit(0)).otherwise(F.lit(1)))
+        .withColumn("MATCH_KIND", F.col("STR_KIND"))
+        .withColumn("MATCH_SUBTYPE", F.coalesce(F.col("SYN_TYPE"), F.lit("LABEL")))
         .withColumn("ONT_TYPE", uri_ont_type(F.col("URI")))
         .join(F.broadcast(dims.labels), on="URI", how="left")
         .withColumn(

@@ -1,0 +1,211 @@
+"""TF-IDF cosine-similarity fuzzy-linking tier.
+
+Reproduces the reference's SimilarStringFinder math
+(/root/reference/omop2obo/string_similarity.py:206-228, 180-204, 321-326):
+sklearn-style TfidfVectorizer semantics — 1–3-gram features over
+pre-lemmatized token lists, smooth idf ``ln((1+n)/(1+df)) + 1``, raw tf,
+l2 row norm — fit over the union corpus (query strings ∪ ontology
+label/definition/synonym strings), cosine = dot product, per-query top-10
+with an absolute 0.25 floor, then per-URI max and an exact 75th-percentile
+cut (np.percentile linear interpolation == Spark's exact ``percentile``).
+
+This container has no sklearn/scipy, so the vectorizer is reimplemented in
+numpy; ``tests/test_similarity.py`` pins the formula with hand-computed
+goldens.
+
+Physical strategy (SURVEY.md §4.3):
+  * the ontology corpus is tiny → vectorized on the driver, broadcast as a
+    dense (rows × vocab) float64 matrix;
+  * document frequencies of the *query* corpus are computed distributively
+    (explode distinct n-grams → groupBy count) and only merged on the
+    driver — at 10^12 turns this is the one driver-side reduce, bounded by
+    vocabulary size, and can be swapped for the precomputed-norm variant
+    (store per-doc l2 norms Spark-side; broadcast only ontology-vocab idf)
+    without touching callers;
+  * scoring runs in ``mapInPandas`` — one numpy matmul per Arrow batch, no
+    per-row Python in the hot loop beyond n-gram counting (which sklearn
+    itself does in Python).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from omop2obo_spark.functions.normalize import uri_short_id
+from omop2obo_spark.functions.text import py_preprocess
+
+
+def ngrams(tokens: list[str], lo: int = 1, hi: int = 3) -> list[str]:
+    """sklearn-compatible word n-grams: space-joined, order of enumeration
+    irrelevant (only counts matter)."""
+    out = []
+    n = len(tokens)
+    for k in range(lo, hi + 1):
+        for i in range(n - k + 1):
+            out.append(" ".join(tokens[i : i + k]))
+    return out
+
+
+class TfidfModel:
+    """Fitted TF-IDF model: vocabulary, idf vector, ontology matrix."""
+
+    def __init__(self, vocab: dict[str, int], idf: np.ndarray, ont_mat: np.ndarray, ont_ids: list[str]):
+        self.vocab = vocab
+        self.idf = idf
+        self.ont_mat = ont_mat  # (n_ont_rows, |vocab|), l2-normalized
+        self.ont_ids = ont_ids  # short ids, e.g. HP_0008181
+
+    def transform(self, token_lists: list[list[str]]) -> np.ndarray:
+        X = np.zeros((len(token_lists), len(self.idf)), dtype=np.float64)
+        vocab = self.vocab
+        for r, toks in enumerate(token_lists):
+            for g in ngrams(toks):
+                c = vocab.get(g)
+                if c is not None:
+                    X[r, c] += 1.0
+        X *= self.idf
+        norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+        np.divide(X, norms, out=X, where=norms > 0)
+        return X
+
+
+def fit_tfidf(
+    ont_corpus: list[tuple[str, list[str]]],
+    query_df_counts: dict[str, int],
+    n_query_docs: int,
+) -> TfidfModel:
+    """Fit the model on ontology corpus + query document frequencies.
+
+    ``ont_corpus``: (short_uri, tokens) rows — labels/definitions/synonyms.
+    ``query_df_counts``: n-gram → #distinct query docs containing it.
+    ``n_query_docs``: number of distinct query docs (md5-deduped, matching
+    the reference's md5-keyed corpus dedup, string_similarity.py:141-146).
+    """
+    df_counts: dict[str, int] = dict(query_df_counts)
+    for _id, toks in ont_corpus:
+        for g in set(ngrams(toks)):
+            df_counts[g] = df_counts.get(g, 0) + 1
+    vocab = {g: i for i, g in enumerate(sorted(df_counts))}
+    n_docs = n_query_docs + len(ont_corpus)
+    idf = np.empty(len(vocab), dtype=np.float64)
+    for g, i in vocab.items():
+        idf[i] = math.log((1 + n_docs) / (1 + df_counts[g])) + 1.0
+
+    model = TfidfModel(vocab, idf, np.empty((0, 0)), [])
+    model.ont_mat = model.transform([toks for _id, toks in ont_corpus])
+    model.ont_ids = [i for i, _t in ont_corpus]
+    return model
+
+
+def build_ont_corpus(lexicon: DataFrame) -> list[tuple[str, list[str]]]:
+    """Driver-side ontology corpus: one (short_uri, tokens) row per lexicon
+    string (label/definition/synonym), preprocessed identically to the
+    Spark side. Mirrors string_similarity.py:313-319."""
+    rows = (
+        lexicon.filter(F.col("kind").isin("label", "definition", "synonym"))
+        .select(uri_short_id(F.col("uri")).alias("sid"), "norm_string")
+        .collect()
+    )
+    return [(r.sid, py_preprocess(r.norm_string)) for r in rows]
+
+
+def query_df_counts(queries: DataFrame, tokens_col: str = "tokens") -> tuple[dict[str, int], int]:
+    """Distributed document-frequency computation over *distinct* query docs.
+
+    Dedup is by the token sequence itself (equivalent to the reference's
+    md5-of-tokens corpus key).
+    """
+    distinct_docs = queries.select(F.col(tokens_col).alias("toks")).where(F.size("toks") > 0).distinct()
+    n_docs = distinct_docs.count()
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _grams(toks: pd.Series) -> pd.Series:  # once per *distinct* doc
+        return toks.apply(lambda t: list(set(ngrams(list(t)))))
+
+    counts = (
+        distinct_docs.select(F.explode(_grams("toks")).alias("g"))
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    return {r.g: int(r["count"]) for r in counts}, n_docs
+
+
+SIM_SCHEMA = T.StructType(
+    [
+        T.StructField("mention_id", T.StringType()),
+        T.StructField("sim_uri", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def similarity_scores(
+    spark: SparkSession,
+    queries: DataFrame,
+    model: TfidfModel,
+    id_col: str = "mention_id",
+    tokens_col: str = "tokens",
+    top_n: int = 10,
+    floor: float = 0.25,
+) -> DataFrame:
+    """Cosine top-``top_n`` per query with absolute ``floor`` — the
+    similarity_search step (string_similarity.py:206-228, :264).
+
+    Returns long rows (mention_id, sim_uri short id, score).
+    """
+    bc = spark.sparkContext.broadcast(model)
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m: TfidfModel = bc.value
+        ont_t = m.ont_mat.T
+        ids = np.array(m.ont_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = m.transform([list(t) for t in pdf[tokens_col]])
+            S = X @ ont_t  # (batch, n_ont_rows)
+            k = min(top_n, S.shape[1])
+            top = np.argpartition(-S, k - 1, axis=1)[:, :k]
+            out_id, out_uri, out_s = [], [], []
+            for r in range(S.shape[0]):
+                cols = top[r]
+                scores = S[r, cols]
+                keep = scores >= floor
+                out_id.extend([pdf[id_col].iloc[r]] * int(keep.sum()))
+                out_uri.extend(ids[cols[keep]].tolist())
+                out_s.extend(scores[keep].tolist())
+            yield pd.DataFrame({"mention_id": out_id, "sim_uri": out_uri, "score": out_s})
+
+    return queries.select(id_col, tokens_col).mapInPandas(score_batches, SIM_SCHEMA)
+
+
+def filter_similarity_matches(scores: DataFrame, percentile: float = 75.0) -> DataFrame:
+    """Per-URI max + exact per-mention percentile cut + round(3) — the
+    filters_matches step (string_similarity.py:180-204), natively.
+
+    Keeps rows with per-URI-max score >= percentile(scores of the mention).
+    Output adds ``rank`` (desc score order — the reference's result order).
+    """
+    per_uri = Window.partitionBy("mention_id", "sim_uri")
+    w_mention = Window.partitionBy("mention_id")
+    deduped = (
+        scores.withColumn("mx", F.max("score").over(per_uri))
+        .filter(F.col("score") == F.col("mx"))
+        .dropDuplicates(["mention_id", "sim_uri"])
+        .drop("mx")
+    )
+    cut = deduped.withColumn("p", F.expr(f"percentile(score, {percentile / 100.0})").over(w_mention))
+    kept = cut.filter(F.col("score") >= F.col("p")).drop("p")
+    return kept.withColumn("score", F.round("score", 3)).withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("mention_id").orderBy(F.desc("score"), F.asc("sim_uri"))),
+    )
