@@ -137,7 +137,12 @@ def transcripts_df(
     synonyms = [s.lower() for c in L.CONCEPTS for (s, _t) in c[4]]
     # embedded code mentions: snomed dbxrefs, raw-prefix variants, CUIs
     codes = [d.lower() for c in L.CONCEPTS for (d, _t) in c[5]]
-    near_miss = ["severe " + lb + " episode" for lb in labels]
+    # near-miss strings must NOT contain any dictionary term as a contiguous
+    # n-gram (else the exact tier links them and the TF-IDF tier never
+    # fires): token-reversed multi-word labels
+    multiword = [lb for lb in labels if " " in lb and not any(
+        w in labels or w in synonyms for w in lb.split())]
+    near_miss = [" ".join(reversed(lb.split())) for lb in multiword]
     heavy = "pain"
 
     n_rows = n_convs * turns_per_conv
@@ -159,11 +164,13 @@ def transcripts_df(
         .when(kind <= 5, F.concat(F.lit("assessment notes "), syn, F.lit(" as the chief complaint")))
         .when(kind == 6, F.concat(F.lit("coded as "), code, F.lit(" in the source system")))
         .when(kind == 7, F.concat(F.lit("cross reference "), code, F.lit(" for this encounter")))
-        .when(kind == 8, F.concat(F.lit("records mention "), miss, F.lit(" since last year")))
+        .when(kind == 8, F.concat(F.lit("patient note "), miss))
         .otherwise(F.lit("no clinical content in this turn"))
     )
-    noise_a = _pick(h(7), L.NOISE_WORDS)
-    noise_b = _pick(h(8), L.NOISE_WORDS)
+    # near-miss turns stay short (no filler) so the TF-IDF tier has signal
+    # above the 0.25 floor, like the reference's short clinical strings
+    noise_a = F.when(kind == 8, F.lit(None)).otherwise(_pick(h(7), L.NOISE_WORDS))
+    noise_b = F.when(kind == 8, F.lit(None)).otherwise(_pick(h(8), L.NOISE_WORDS))
 
     role = _pick(F.pmod(i, F.lit(3)), ["user", "assistant", "tool"])
     tool = F.when(role == "tool", _pick(h(9), ["search", "calculator", "retrieval"])).otherwise(F.lit(None))

@@ -1,0 +1,303 @@
+"""End-to-end KG-construction pipeline:
+
+    transcripts → mention detection → entity linking (exact-string /
+    dbxref / UMLS-CUI / ancestor / TF-IDF tiers) → canonicalization →
+    (subj, pred, obj) triples.
+
+Stage mapping to the reference (SURVEY.md §3.2-3.3):
+  * code normalization + stacking  <-> clinical_concept_mapper steps 0-1
+    (clinical_concept_annotator.py:355-374)
+  * UMLS tier                      <-> umls_cui_annotator (:187-226)
+  * dbxref + ananke tier           <-> dbxref_mapper (:228-277)
+  * exact string tier              <-> exact_string_mapper (:279-328)
+  * ancestor expansion             <-> ancestor-level annotation loop
+    (:348-361), re-expressed as a join through the ancestor closure
+  * TF-IDF tier                    <-> SimilarStringFinder (string_similarity.py)
+  * canonicalization               <-> aggregates_mapping_results
+    (data_utils.py:551-622)
+
+Scale notes: the fact table is touched by exactly one wide operation — the
+final per-mention groupBy in compile (keys are (conv_id, turn_idx,
+mention_id): high-cardinality, skew-free). Every dictionary join is
+broadcast. The TF-IDF tier only sees turns that produced no exact link.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omop2obo_spark.config import (
+    DEFAULT_CONFIG,
+    PRED_CATEGORY,
+    PRED_CONSTRUCTOR,
+    PRED_EVIDENCE,
+    PRED_EXACT,
+    PRED_MENTION_OF,
+    PRED_SEMTYPE,
+    PRED_SIMILARITY,
+    PipelineConfig,
+)
+from omop2obo_spark.functions.normalize import normalize_source_codes, uri_ont_type
+from omop2obo_spark.functions.text import preprocess_tokens_expr
+from omop2obo_spark.operators.aggregate import ordered_concat_agg
+from omop2obo_spark.operators.compile import compile_mappings
+from omop2obo_spark.operators.linking import (
+    LexiconDims,
+    dbxref_link,
+    exact_string_link,
+    prepare_mrconso,
+    umls_annotate,
+)
+from omop2obo_spark.operators.similarity import (
+    build_ont_corpus,
+    filter_similarity_matches,
+    fit_tfidf,
+    query_df_counts,
+    similarity_scores,
+)
+from omop2obo_spark.plans.mention import detect_mentions
+
+KEY_COLS = ["conv_id", "turn_idx", "mention_id"]
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    exact_links: DataFrame
+    sim_matches: DataFrame | None
+    semtypes: DataFrame | None
+    mappings: DataFrame
+    triples: DataFrame
+
+
+def _stack_code_mentions(mentions: DataFrame, vocab_map: dict[str, str]) -> DataFrame:
+    """Code mentions → stacked (key, CODE, CODE_COLUMN, src_rank) rows.
+
+    Each code mention yields its normalized form (src_rank 0); pure-CUI
+    mentions additionally yield the bare upper-cased CUI (src_rank 1) so
+    the ananke bridge can key on it (the reference's stacked UMLS_CUI rows,
+    data_utils.py:44-81).
+    """
+    base = mentions.filter(F.col("kind") == "code").select(
+        *KEY_COLS, F.col("surface"), normalize_source_codes(F.col("surface"), vocab_map).alias("CODE")
+    )
+    norm = base.select(
+        *KEY_COLS, "CODE", F.lit("TURN_CODE").alias("CODE_COLUMN"), F.lit(0).alias("src_rank")
+    ).where(F.col("CODE").isNotNull())
+    cuis = (
+        base.filter(F.col("CODE").startswith("umls:c"))
+        .select(
+            *KEY_COLS,
+            F.upper(F.element_at(F.split(F.col("CODE"), ":"), -1)).alias("CODE"),
+            F.lit("UMLS_CUI").alias("CODE_COLUMN"),
+            F.lit(1).alias("src_rank"),
+        )
+    )
+    return norm.unionByName(cuis)
+
+
+def _expand_ancestors(exact_links: DataFrame, ancestors: DataFrame, labels: DataFrame) -> DataFrame:
+    """Concept-level links → ancestor-level links through the closure table.
+
+    The reference re-runs all tiers on the clinical row's pipe-delimited
+    ancestor codes (clinical_concept_annotator.py:348-361); with a graph
+    lexicon the equivalent is a broadcast join through the (uri,
+    ancestor_uri) closure. Evidence keeps its structure with the level
+    token rewritten CONCEPT→ANCESTOR.
+    """
+    anc = exact_links.join(
+        F.broadcast(ancestors.withColumnRenamed("uri", "URI")), on="URI", how="inner"
+    )
+    anc_labels = labels.select(F.col("URI").alias("ancestor_uri"), F.col("LABEL").alias("__anc_label"))
+    return (
+        anc.join(F.broadcast(anc_labels), on="ancestor_uri", how="left")
+        .withColumn("URI", F.col("ancestor_uri"))
+        .withColumn("LABEL", F.coalesce(F.col("__anc_label"), F.col("LABEL")))
+        .withColumn("ONT_TYPE", uri_ont_type(F.col("URI")))
+        .withColumn("EVIDENCE", F.regexp_replace("EVIDENCE", "^CONCEPT_", "ANCESTOR_"))
+        .withColumn(
+            "CODE_COLUMN", F.regexp_replace("CODE_COLUMN", "^(TURN|MENTION|CONCEPT)_", "ANCESTOR_")
+        )
+        .withColumn("LEVEL", F.lit("ancestor"))
+        .drop("ancestor_uri", "__anc_label")
+        .dropDuplicates([*KEY_COLS, "URI", "EVIDENCE"])
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    lexicon: DataFrame,
+    vocab_map: dict[str, str],
+    mrconso: DataFrame | None = None,
+    mrsty: DataFrame | None = None,
+    ancestors: DataFrame | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_similarity: bool = True,
+    persist: bool = True,
+) -> PipelineResult:
+    """Run the full transcripts→triples pipeline.
+
+    ``persist=True`` (default) persists the two stage boundaries that are
+    consumed by multiple downstream branches — mentions (code stack, term
+    stack, mention triples) and exact links (ancestor expansion, sim-tier
+    anti-join, compile). Without it every action replays the whole DAG,
+    and the TF-IDF driver-side fit would recompute the linking stages.
+    On a cluster these boundaries are exactly where the checkpoint
+    manifests write (plans/checkpoint.py).
+    """
+    dims = LexiconDims.from_lexicon(lexicon, vocab_map)
+    term_dim = dims.strings.select(F.col("CODE").alias("surface"))
+
+    # ---- stage 1: mention detection -------------------------------------
+    mentions = detect_mentions(transcripts, term_dim, cfg.max_term_tokens)
+    if persist:
+        mentions = mentions.persist()
+
+    # ---- stage 2: entity linking ----------------------------------------
+    code_stack = _stack_code_mentions(mentions, vocab_map)
+    umls_prepped = prepare_mrconso(mrconso, vocab_map) if mrconso is not None else None
+
+    semtypes = None
+    if umls_prepped is not None and mrsty is not None:
+        umls_map = umls_annotate(
+            code_stack.filter(F.col("CODE_COLUMN") == "TURN_CODE"),
+            umls_prepped, mrsty, KEY_COLS, "CODE",
+        )
+        # stack UMLS-derived codes back in (the reference's subsetter over
+        # [code, UMLS_CODE, UMLS_CUI])
+        umls_codes = umls_map.select(
+            *KEY_COLS, F.col("UMLS_CODE").alias("CODE"),
+            F.lit("UMLS_CODE").alias("CODE_COLUMN"), F.lit(2).alias("src_rank"),
+        ).where(F.col("CODE").isNotNull())
+        umls_cuis = umls_map.select(
+            *KEY_COLS, F.col("UMLS_CUI").alias("CODE"),
+            F.lit("UMLS_CUI").alias("CODE_COLUMN"), F.lit(3).alias("src_rank"),
+        )
+        code_stack = code_stack.unionByName(umls_codes).unionByName(umls_cuis).dropDuplicates(
+            [*KEY_COLS, "CODE", "CODE_COLUMN"]
+        )
+        semtypes = ordered_concat_agg(
+            umls_map.select(*KEY_COLS, "UMLS_CUI", "UMLS_SEM_TYPE"),
+            KEY_COLS, ["UMLS_CUI", "UMLS_SEM_TYPE"], ["UMLS_CUI"],
+        )
+
+    dbx = dbxref_link(code_stack, dims, KEY_COLS, "concept", umls=umls_prepped)
+
+    term_stack = mentions.filter(F.col("kind") == "term").select(
+        *KEY_COLS, F.col("surface").alias("CODE"),
+        F.lit("MENTION_LABEL").alias("CODE_COLUMN"), F.lit(0).alias("src_rank"),
+    )
+    strs = exact_string_link(term_stack, dims, KEY_COLS, "concept")
+
+    exact = dbx.unionByName(strs).withColumn("LEVEL", F.lit("concept"))
+    if ancestors is not None:
+        exact = exact.unionByName(_expand_ancestors(exact, ancestors, dims.labels))
+    if persist:
+        exact = exact.persist()
+
+    # ---- stage 2e: TF-IDF similarity tier over unlinked turns ----------
+    sim_matches = None
+    if with_similarity:
+        linked_turns = exact.select("conv_id", "turn_idx").distinct()
+        unlinked = transcripts.join(linked_turns, on=["conv_id", "turn_idx"], how="left_anti")
+        queries = unlinked.select(
+            "conv_id", "turn_idx",
+            F.concat_ws(":", "conv_id", "turn_idx", F.lit("sim"), F.lit(0)).alias("mention_id"),
+            preprocess_tokens_expr(F.col("text")).alias("tokens"),
+        ).where(F.size("tokens") > 0)
+        if persist:
+            queries = queries.persist()
+        ont_corpus = build_ont_corpus(lexicon)
+        dfc, n_docs = query_df_counts(queries)
+        model = fit_tfidf(ont_corpus, dfc, n_docs)
+        raw_scores = similarity_scores(
+            spark, queries, model, top_n=cfg.sim_top_n, floor=cfg.sim_floor
+        )
+        keyed = raw_scores.join(
+            queries.select(*KEY_COLS), on="mention_id", how="inner"
+        )
+        sim_matches = filter_similarity_matches(keyed, percentile=cfg.sim_percentile).select(
+            *KEY_COLS, "sim_uri", "score", "rank"
+        )
+
+    # ---- stage 3: canonicalization --------------------------------------
+    mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
+
+    # ---- stage 4: triple materialization ---------------------------------
+    triples = build_triples(mentions, mappings, semtypes)
+
+    return PipelineResult(
+        mentions=mentions,
+        exact_links=exact,
+        sim_matches=sim_matches,
+        semtypes=semtypes,
+        mappings=mappings,
+        triples=triples,
+    )
+
+
+def build_triples(
+    mentions: DataFrame, mappings: DataFrame, semtypes: DataFrame | None
+) -> DataFrame:
+    """Explode canonical mappings into (subj, pred, obj) rows.
+
+    Subjects are stable mention entities ``transcript:<mention_id>``;
+    conv_id/turn_idx ride along as partition/order columns (the north
+    rule's stable (conv_id, turn_idx) ordering).
+    """
+    subj = F.concat(F.lit("transcript:"), F.col("mention_id"))
+
+    def explode_block(df: DataFrame, uri_col: str, cat_col: str, evid_col: str, pred_exact: str) -> DataFrame:
+        pred = (
+            F.when(F.col(cat_col).startswith("Automatic Constructor"), F.lit(PRED_CONSTRUCTOR))
+            .when(F.col(cat_col) == "Manual Exact - Concept Similarity", F.lit(PRED_SIMILARITY))
+            .otherwise(F.lit(pred_exact))
+        )
+        base = df.filter(F.col(uri_col).isNotNull() & (F.col(uri_col) != ""))
+        uri_triples = base.select(
+            "conv_id", "turn_idx", subj.alias("subj"), pred.alias("pred"),
+            F.explode(F.split(F.col(uri_col), r" \| ")).alias("obj"),
+        ).withColumn("obj", F.concat(F.lit("obo:"), F.col("obj")))
+        cat_triples = base.select(
+            "conv_id", "turn_idx", subj.alias("subj"), F.lit(PRED_CATEGORY).alias("pred"),
+            F.col(cat_col).alias("obj"),
+        )
+        evid_triples = base.select(
+            "conv_id", "turn_idx", subj.alias("subj"), F.lit(PRED_EVIDENCE).alias("pred"),
+            F.col(evid_col).alias("obj"),
+        )
+        return uri_triples.unionByName(cat_triples).unionByName(evid_triples)
+
+    parts = []
+    cols = set(mappings.columns)
+    if "AGG_URI" in cols:
+        parts.append(explode_block(mappings, "AGG_URI", "AGG_MAPPING", "AGG_EVIDENCE", PRED_EXACT))
+    if "SIM_URI" in cols:
+        parts.append(explode_block(mappings, "SIM_URI", "SIM_MAPPING", "SIM_EVIDENCE", PRED_SIMILARITY))
+
+    mention_triples = mentions.select(
+        "conv_id", "turn_idx",
+        F.concat(F.lit("transcript:"), F.col("mention_id")).alias("subj"),
+        F.lit(PRED_MENTION_OF).alias("pred"),
+        F.concat(F.lit("transcript:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx")).alias("obj"),
+    )
+    parts.append(mention_triples)
+
+    if semtypes is not None:
+        parts.append(
+            semtypes.filter(F.col("UMLS_SEM_TYPE") != "").select(
+                "conv_id", "turn_idx",
+                F.concat(F.lit("transcript:"), F.col("mention_id")).alias("subj"),
+                F.lit(PRED_SEMTYPE).alias("pred"),
+                F.col("UMLS_SEM_TYPE").alias("obj"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["subj", "pred", "obj"])
