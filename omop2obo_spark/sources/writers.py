@@ -1,0 +1,76 @@
+"""Partitioned graph sink with per-partition lineage manifest.
+
+Production target is an Iceberg table written with
+``df.writeTo("graph.triples").overwritePartitions()``; in this sandbox the
+same contract is implemented on plain parquet with Spark's *dynamic*
+partition-overwrite mode, which rewrites only the partitions present in the
+written DataFrame — the idempotency primitive the checkpoint/resume layer
+needs (SURVEY.md §4.2 "Checkpoint/resume + lineage").
+
+Layout:
+    <root>/triples/part_id=<k>/...parquet
+    <root>/manifest.jsonl      — one record per (run_id, part_id) attempt
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class GraphSink:
+    """Bucketed triple sink + JSONL partition manifest."""
+
+    def __init__(self, root: str, n_buckets: int = 16):
+        self.root = root
+        self.n_buckets = n_buckets
+        self.triples_dir = os.path.join(root, "triples")
+        self.manifest_path = os.path.join(root, "manifest.jsonl")
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- partitioning -------------------------------------------------------
+    def with_part_id(self, df: DataFrame, bucket_col: str = "conv_id") -> DataFrame:
+        """Stable bucket id: pmod(xxhash64(conv_id), k) — same function the
+        resume layer uses to route conversations to partitions."""
+        return df.withColumn(
+            "part_id", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(self.n_buckets)).cast("int")
+        )
+
+    # -- writes -------------------------------------------------------------
+    def write_partitions(self, triples: DataFrame) -> None:
+        """Idempotently (re)write exactly the part_ids present in ``triples``."""
+        (
+            triples.repartition("part_id")
+            .sortWithinPartitions("conv_id", "turn_idx", "subj", "pred")
+            .write.partitionBy("part_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self.triples_dir)
+        )
+
+    def read_triples(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.triples_dir)
+
+    # -- manifest -----------------------------------------------------------
+    def record(self, run_id: str, part_id: int, status: str, **metrics) -> None:
+        rec = {"run_id": run_id, "part_id": part_id, "status": status,
+               "ts": time.time(), **metrics}
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def manifest(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def completed_partitions(self) -> set[int]:
+        """Partitions whose *latest* manifest record is 'done'."""
+        latest: dict[int, str] = {}
+        for rec in self.manifest():
+            latest[rec["part_id"]] = rec["status"]
+        return {p for p, s in latest.items() if s == "done"}

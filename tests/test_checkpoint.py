@@ -1,0 +1,80 @@
+"""Checkpoint/resume: kill mid-run, resume, assert identical output and no
+duplicates — the north rule's resumability gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop2obo_spark import fixtures as FX
+from omop2obo_spark.fixtures.generators import vocab_map_dict
+from omop2obo_spark.plans.checkpoint import run_partitioned
+from omop2obo_spark.plans.pipeline import run_pipeline
+from omop2obo_spark.sources.writers import GraphSink
+
+
+def _builder(spark):
+    lex = FX.lexicon_df(spark)
+    vm = vocab_map_dict()
+
+    def build(transcripts):
+        return run_pipeline(
+            spark, transcripts, lex, vm, with_similarity=False, persist=False
+        ).triples
+
+    return build
+
+
+def test_resume_skips_done_and_is_idempotent(spark, tmp_path):
+    t = FX.transcripts_df(spark, 40, 5)
+    build = _builder(spark)
+
+    # reference output: single-shot run
+    ref_sink = GraphSink(str(tmp_path / "ref"), n_buckets=4)
+    run_partitioned(spark, t, build, ref_sink)
+    expected = sorted(
+        (r.subj, r.pred, r.obj) for r in ref_sink.read_triples(spark).collect()
+    )
+
+    # interrupted run: crash after the first batch of 2 partitions
+    sink = GraphSink(str(tmp_path / "out"), n_buckets=4)
+    calls = {"n": 0}
+
+    def flaky_build(df):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor loss")
+        return build(df)
+
+    with pytest.raises(RuntimeError):
+        run_partitioned(spark, t, flaky_build, sink, batch_partitions=2)
+    done_after_crash = sink.completed_partitions()
+    assert len(done_after_crash) == 2  # first batch committed
+
+    # resume: only pending partitions run; output equals the reference
+    summary = run_partitioned(spark, t, build, sink, batch_partitions=2)
+    assert sorted(summary["skipped"]) == sorted(done_after_crash)
+    assert set(summary["processed"]).isdisjoint(done_after_crash)
+    got = sorted((r.subj, r.pred, r.obj) for r in sink.read_triples(spark).collect())
+    assert got == expected
+
+    # second resume is a no-op (everything done)
+    summary2 = run_partitioned(spark, t, build, sink, batch_partitions=2)
+    assert summary2["processed"] == []
+
+    # manifest carries lineage + metrics
+    recs = sink.manifest()
+    assert all({"run_id", "part_id", "status", "ts"} <= set(r) for r in recs)
+    assert any(r["status"] == "done" and "wall_ms" in r for r in recs)
+
+
+def test_rerun_partition_is_idempotent_overwrite(spark, tmp_path):
+    t = FX.transcripts_df(spark, 20, 4)
+    build = _builder(spark)
+    sink = GraphSink(str(tmp_path / "o2"), n_buckets=2)
+    run_partitioned(spark, t, build, sink)
+    once = sorted((r.subj, r.pred, r.obj) for r in sink.read_triples(spark).collect())
+    # force a full re-run by clearing the manifest (data files stay!)
+    import os
+    os.remove(sink.manifest_path)
+    run_partitioned(spark, t, build, sink)
+    twice = sorted((r.subj, r.pred, r.obj) for r in sink.read_triples(spark).collect())
+    assert once == twice  # overwrite, not append — no duplicates
