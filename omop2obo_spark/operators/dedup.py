@@ -1,0 +1,176 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's row-level ``drop_duplicates`` (SURVEY.md §2.2 P2),
+these are the corpus-level dedup primitives a training-data pipeline needs
+at 100 TB. All are hash-based and engine-portable: every hash is md5 (same
+function in Spark and DuckDB), so each operator has an exact SQL oracle.
+
+  * exact_dedup          — hash-groupBy on normalized text
+  * minhash_signatures / minhash_lsh_pairs — MinHash + banded LSH:
+    shingle → per-seed min(md5(seed||shingle)) → band key → bucket join;
+    only bucket-colliding pairs are verified (the classic scale path —
+    candidate generation never compares all pairs)
+  * simhash              — 64-bit sign-aggregated token-hash fingerprint
+  * ngram_jaccard_pairs  — exact Jaccard over shingle sets for candidate
+    pairs (used standalone at small scale, as LSH verifier at large scale)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def normalized_text(col: Column) -> Column:
+    """Lower + collapse whitespace — the canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Map every doc to its canonical representative (min id per text hash).
+
+    Output: (doc_id, canonical_id, text_hash, group_size). One shuffle on
+    the 32-hex-char hash — never on the text itself.
+    """
+    hashed = docs.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(id_col, "canonical_id", "text_hash", "group_size")
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Distinct token k-gram shingles of the normalized text."""
+    toks = F.filter(F.split(normalized_text(col), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: component h = min(md5(h || shingle)).
+
+    md5-based so the signature is engine-portable and deterministic; min
+    over hex strings is a valid uniform min-hash (lexicographic order on a
+    uniform 128-bit hash).
+    Output: (doc_id, sig array<string>[n_hashes]).
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(h) + "|"), F.col("shingle")))).alias(f"h{h}")
+        for h in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[F.col(f"h{h}") for h in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, bands: int = 4, k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash.
+
+    Signature is split into ``bands`` bands of ``n_hashes/bands`` rows;
+    docs sharing any band hash become a candidate pair. Output:
+    (a, b) with a < b, distinct. Verification (exact Jaccard) is the
+    caller's choice — chain with :func:`ngram_jaccard_pairs`.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    band_arr = F.array(
+        *[
+            F.md5(F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col).alias("doc"), F.posexplode(band_arr).alias("band", "key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame | None = None,
+    id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for (a, b) pairs.
+
+    With ``pairs`` given, verifies only those (LSH candidates); without,
+    generates candidates by shingle co-occurrence (shuffle on shingle —
+    fine at test scale, LSH-prefiltered at 100 TB).
+    Output: (a, b, jaccard) with jaccard >= threshold.
+    """
+    sh = docs.select(F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    if pairs is None:
+        l, r = sh.alias("l"), sh.alias("r")
+        inter = (
+            l.join(r, (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc") < F.col("r.doc")))
+            .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        la = sh.select(F.col("doc").alias("a"), "shingle")
+        lb = sh.select(F.col("doc").alias("b"), "shingle")
+        inter = (
+            pairs.join(la, "a").join(lb, ["b", "shingle"])
+            .groupBy("a", "b").agg(F.count("*").alias("inter"))
+        )
+    na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a").join(nb, "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """Sign-aggregated token-hash fingerprint (``bits`` ≤ 63).
+
+    Token hash = first 15 hex chars of md5 (portable, fits a signed
+    bigint); bit b of the fingerprint is 1 iff the sum over tokens of
+    ±1(bit b set) is positive. One explode + one groupBy with ``bits``
+    conditional sums — no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(normalized_text(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    toks = toks.withColumn("th", h)
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.cast("bigint").alias("simhash"))

@@ -1,0 +1,127 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns
+with typed metadata.
+
+The container ships no image/audio codecs, so the *decode* kernels are
+deterministic fakes (clearly marked) behind the same Arrow-batched
+``mapInPandas`` plumbing a real decoder would use — schema, partitioning,
+UDF signature, and batch shape are the real, tested part. Swapping in a
+real decoder (PIL / torchaudio / pyav) means replacing the body of one
+function per kernel and nothing else.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media assets (binary payload = seeded bytes)."""
+    base = spark.range(n)
+    payload = F.sha2(F.concat(F.lit(str(seed) + ":"), F.col("id").cast("string")), 512)
+    return base.select(
+        F.col("id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(payload, "utf-8").alias("media"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.pmod(F.col("id"), F.lit(10)) * 1000).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """STUB — deterministic fake decoder. A real implementation would be
+    e.g. ``PIL.Image.open(io.BytesIO(payload))``; this derives a stable
+    float vector from the bytes so downstream plumbing is testable."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    Real decoder goes inside ``_fake_decode``; the mapInPandas shape —
+    iterator of pandas batches in, long feature rows out — is production
+    form.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(b), dim).tolist() for b in pdf["media"]]
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "feature": feats})
+
+    return assets.select("asset_id", "media").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """STUB resize: real impl decodes + resamples; fake truncates the
+    payload deterministically to width*height bytes. Plumbing (filter to
+    images, batch transform, typed output) is real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out = pdf.copy()
+            out["media"] = [bytes(b)[:n] for b in pdf["media"]]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    imgs = assets.filter(F.col("media_type") == "image")
+    return imgs.mapInPandas(run, assets.schema)
+
+
+def sample_frames(assets: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """STUB frame sampling for video rows: real impl seeks the container;
+    fake emits deterministic byte slices, one row per sampled frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                n = min(max_frames, max(1, int(row["duration_ms"]) // every_ms))
+                blob = bytes(row["media"])
+                for i in range(n):
+                    ids.append(row["asset_id"])
+                    idxs.append(i)
+                    frames.append(blob[i * 8 : i * 8 + 8])
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
+
+    vids = assets.filter(F.col("media_type") == "video")
+    return vids.select("asset_id", "duration_ms", "media").mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,105 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting — all native column expressions (whole-stage
+codegen over the document/transcript fact tables; zero Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from omop2obo_spark.functions.text import STOPWORDS
+
+# tiny per-language function-word profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pour", "dans", "une", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "para", "con", "una", "por"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda x: x != "")
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Plain whitespace token count."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != ""))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-style proxy: count of word pieces + digits + punctuation runs
+    (the GPT-2 pretokenizer regex family, simplified to RE2-safe classes)."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"), 0)
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: length, token stats, punct/alpha/stopword
+    ratios, plus a composite [0,1] quality score."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS[:60]])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    mean_word = F.when(n_tok > 0, (F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)) / n_tok)).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(0.0)
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.3
+        + alpha_ratio * 0.3
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.round(mean_word, 4).alias("q_mean_word_len"),
+        F.round(alpha_ratio, 4).alias("q_alpha_ratio"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(stop_ratio, 4).alias("q_stopword_ratio"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language function-word hit
+    ratios; 'und' (undetermined) when nothing matches."""
+    toks = tokens(F.col(text_col))
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct(toks), arr))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return docs.withColumn(
+        "lang_pred", F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set (robust to reordering/whitespace), plus a rolling polynomial
+    hash (order-sensitive variant)."""
+    toks = tokens(F.col(text_col))
+    sorted_set = F.array_sort(F.array_distinct(toks))
+    setprint = F.md5(F.array_join(sorted_set, " "))
+    # modulus 2^31-1 keeps acc*1000003 + term < 2^52 — no bigint overflow
+    # under ANSI arithmetic
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(
+            acc * 1000003 + F.pmod(F.abs(F.xxhash64(x)), F.lit(2**31 - 1)),
+            F.lit(2**31 - 1),
+        ),
+    )
+    return docs.select(
+        id_col, setprint.alias("set_fingerprint"), rolling.alias("rolling_fingerprint")
+    )

@@ -1,0 +1,156 @@
+"""Tests for the training-data corpus operators: dedup, ANN, text stats,
+multimodal plumbing — run over the driver's sf0.001 testdata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop2obo_spark.operators.ann import brute_force_topk, cosine, ivf_topk
+from omop2obo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from omop2obo_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthetic_assets,
+)
+from omop2obo_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    whitespace_token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_finds_injected_duplicates(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text"), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.canonical_id, r.group_size) for r in exact_dedup(d).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[4] == (1, 3)
+    assert out[3] == (3, 1)
+
+
+def test_minhash_lsh_catches_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    near = base.replace("dawn", "dusk")
+    far = "completely different content about spark shuffle partitions and joins"
+    d = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(d, n_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # verify with exact jaccard
+    verified = ngram_jaccard_pairs(d, threshold=0.4)
+    got = {(r.a, r.b): r.jaccard for r in verified.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = minhash_signatures(docs.limit(20)).orderBy("doc_id").collect()
+    s2 = minhash_signatures(docs.limit(20).repartition(5)).orderBy("doc_id").collect()
+    assert [r.sig for r in s1] == [r.sig for r in s2]
+
+
+def test_simhash_similar_docs_close(spark):
+    d = spark.createDataFrame(
+        [(1, "spark shuffle partition join broadcast"),
+         (2, "spark shuffle partition join broadcast extra"),
+         (3, "quantum entanglement of bose einstein condensates")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_brute_force_topk_self_similarity(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in rows if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+        assert all(-1.0 <= r.cos <= 1.0 for r in rows if r.query_id == qid)
+
+
+def test_ivf_topk_recall_against_brute_force(spark, emb):
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = brute_force_topk(emb, queries, k=3)
+    ivf = ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4)
+    bf_set = {(r.query_id, r.vec_id) for r in bf.collect()}
+    ivf_set = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_textstats_quality_and_tokens(spark, docs):
+    out = quality_features(docs.limit(50)).collect()
+    assert all(0 <= r.q_score <= 1.0001 for r in out)
+    assert all(r.q_tokens > 0 for r in out)
+    d = spark.createDataFrame([("hello, world! x2 done.",)], "text string")
+    r = d.select(
+        whitespace_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r.ws == 4
+    assert r.bpe == 8  # hello , world ! x 2 done .
+
+
+def test_lang_id(spark):
+    d = spark.createDataFrame(
+        [(1, "the cat is in the house and that is fine"),
+         (2, "der hund ist nicht in das haus und für immer"),
+         (3, "zzz qqq xxx")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(d).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_fingerprint_order_sensitivity(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.set_fingerprint, r.rolling_fingerprint) for r in fingerprint(d).collect()}
+    assert out[1][0] == out[2][0]      # set fingerprint ignores order
+    assert out[1][1] != out[2][1]      # rolling hash is order-sensitive
+    assert out[1][0] != out[3][0]
+
+
+def test_multimodal_plumbing(spark):
+    assets = synthetic_assets(spark, n=30)
+    feats = extract_features(assets, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r.feature) == 16 for r in rows)
+    # deterministic across partitionings
+    feats2 = extract_features(assets.repartition(7), dim=16)
+    a = {r.asset_id: r.feature for r in rows}
+    b = {r.asset_id: r.feature for r in feats2.collect()}
+    assert a == b
+    imgs = resize_images(assets, 8, 8).collect()
+    assert all(len(bytes(r.media)) <= 64 and r.width == 8 for r in imgs)
+    frames = sample_frames(assets).collect()
+    assert frames and all(r.frame_idx >= 0 for r in frames)
