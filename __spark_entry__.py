@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: the full transcripts→triples KG pipeline on
+                     sf0.001 (transcripts derived deterministically from
+                     documents.parquet).
+``queries()``      — one entry per implemented operator family from
+                     SURVEY.md §2 + the corpus operators (dedup / ANN /
+                     text-analysis), each (spark, sf_dir) → DataFrame.
+``oracle_sql()``   — per-query ANSI SQL for DuckDB over the same parquet
+                     views. Column names/aliases match the Spark side
+                     exactly; floats are rounded identically on both sides.
+
+Queries lean on the omop2obo_spark package; oracles are self-contained SQL
+(inline VALUES for the ontology lexicon dimensions).
 """
 
 from __future__ import annotations
@@ -12,27 +19,784 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from omop2obo_spark.fixtures import lexicon_data as LD
+from omop2obo_spark.fixtures.generators import (
+    transcripts_from_documents,
+    vocab_map_dict,
+)
+from omop2obo_spark.functions.normalize import normalize_source_codes
+
+# ---------------------------------------------------------------------------
+# shared inline lexicon literals (tiny, deterministic, embedded in both the
+# Spark plans and the oracle SQL)
+# ---------------------------------------------------------------------------
+
+TERMS = sorted(
+    {(c[2].lower(), LD.OBO + c[1]) for c in LD.CONCEPTS}
+    | {(s.lower(), LD.OBO + c[1]) for c in LD.CONCEPTS for (s, _t) in c[4]}
+)
+DBXREFS = sorted(
+    {
+        (f"{vocab_map_dict().get(code.split(':')[0], code.split(':')[0])}:{code.split(':', 1)[1].lower()}",
+         LD.OBO + c[1])
+        for c in LD.CONCEPTS
+        for (code, _t) in c[5]
+    }
+)
+LABELS = sorted((c[2].lower()) for c in LD.CONCEPTS)
+CODES = sorted({d.lower() for c in LD.CONCEPTS for (d, _t) in c[5]})
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _values(rows, cols):
+    body = ", ".join("(" + ", ".join(_sql_quote(str(v)) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS t({', '.join(cols)})"
+
+
+TERMS_SQL = _values(TERMS, ["surface", "uri"])
+DBX_SQL = _values(DBXREFS, ["code", "uri"])
+LABELS_ARR_SQL = "[" + ", ".join(_sql_quote(x) for x in LABELS) + "]"
+CODES_ARR_SQL = "[" + ", ".join(_sql_quote(x) for x in CODES) + "]"
+
+# injected mention expression shared by the KG queries: pure modular
+# arithmetic on doc_id so Spark and DuckDB generate identical text
+_N_LAB, _N_CODE = len(LABELS), len(CODES)
+
+
+def _injected_text_spark(docs: DataFrame) -> DataFrame:
+    lab = F.array(*[F.lit(x) for x in LABELS])
+    code = F.array(*[F.lit(x) for x in CODES])
+    sel = F.pmod(F.col("doc_id"), F.lit(10))
+    mention = (
+        F.when(sel <= 2, F.concat(F.lit(" patient reported "),
+                                  F.element_at(lab, (F.pmod(F.col("doc_id"), F.lit(_N_LAB)) + 1).cast("int"))))
+        .when(sel == 3, F.concat(F.lit(" coded as "),
+                                 F.element_at(code, (F.pmod(F.col("doc_id"), F.lit(_N_CODE)) + 1).cast("int"))))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), mention).alias("text"))
+
+
+_INJECTED_TEXT_SQL = f"""
+    SELECT doc_id,
+           text || CASE
+             WHEN doc_id % 10 <= 2 THEN ' patient reported ' || ({LABELS_ARR_SQL})[(doc_id % {_N_LAB}) + 1]
+             WHEN doc_id % 10 = 3 THEN ' coded as ' || ({CODES_ARR_SQL})[(doc_id % {_N_CODE}) + 1]
+             ELSE ''
+           END AS text
+    FROM documents
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (all linking tiers incl. TF-IDF) over
+    transcripts derived from sf0.001 documents; returns the triple table."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.plans.pipeline import run_pipeline
+
+    transcripts = transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    res = run_pipeline(
+        spark,
+        transcripts,
+        FX.lexicon_df(spark),
+        vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark),
+        mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark),
+    )
+    return res.triples
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_broadcast_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parity surface: per order, first-occurrence-dedup concat of
+    returnflag in linenumber order (the unique_everseen semantics)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    first_pos = li.groupBy("l_orderkey", "l_returnflag").agg(F.min("l_linenumber").alias("fp"))
+    return (
+        first_pos.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("fp"), F.col("l_returnflag").alias("v")))),
+                    lambda s: s["v"],
+                ),
+                " | ",
+            ).alias("flags")
+        )
+    )
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S/P-family: stack three measure columns into long rows (the
+    data_frame_subsetter shape) and aggregate per source column."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("code_column"), F.col(c).cast("double").alias("v"))
+            for c in ["l_quantity", "l_extendedprice", "l_discount"]
+        ]
+    )
+    return (
+        li.select(F.explode(pairs).alias("p"))
+        .select("p.code_column", "p.v")
+        .groupBy("code_column")
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("total"))
+        .orderBy("code_column")
+    )
+
+
+def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    no_orders = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return (
+        no_orders.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("customers_without_orders"))
+        .orderBy("n_name")
+    )
+
+
+def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .withColumn("hour", F.col("hour").cast("string"))
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle → new session): lag + running
+    sum windows — the streaming-state pattern expressed in batch."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # session tz is UTC
+    gap = epoch - F.lag(epoch, 1).over(w)
+    marked = e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn("session_n", F.sum("new_s").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        sess.groupBy("user_id", "session_n")
+        .agg(F.count("*").alias("events"), F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
+def q_normalize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 surface: normalize synthesized raw codes with the engine's native
+    normalizer; the oracle replicates the same prefix mapping in SQL."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    raw = s.select(
+        F.col("s_suppkey"),
+        F.concat(
+            F.element_at(
+                F.array(F.lit("SNOMEDCT_US"), F.lit("ICD10CM"), F.lit("UMLS"), F.lit("rxnorm")),
+                (F.pmod(F.col("s_suppkey"), F.lit(4)) + 1).cast("int"),
+            ),
+            F.lit(":"),
+            F.col("s_suppkey").cast("string"),
+        ).alias("raw_code"),
+    )
+    return raw.select(
+        "s_suppkey", "raw_code",
+        normalize_source_codes(F.col("raw_code"), vocab_map_dict()).alias("norm_code"),
+    )
+
+
+def q_mention_exact_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG tier A surface: n-gram term mentions joined to the broadcast
+    lexicon; counts per linked class."""
+    from omop2obo_spark.plans.mention import detect_term_mentions
+
+    docs = _injected_text_spark(_docs(spark, sf_dir))
+    t = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    terms = spark.createDataFrame(TERMS, "surface string, uri string")
+    mentions = detect_term_mentions(t, terms.select("surface"), max_term_tokens=4)
+    return (
+        mentions.join(F.broadcast(terms), on="surface")
+        .groupBy("uri")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy("uri")
+    )
+
+
+def q_dbxref_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG tier B surface: extract code mentions, normalize, link to dbxrefs."""
+    docs = _injected_text_spark(_docs(spark, sf_dir))
+    codes = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"([a-z][a-z0-9_.\-]*:[a-z0-9][a-z0-9.\-]*)"), 1)
+        ).alias("raw"),
+    )
+    norm = codes.select("doc_id", normalize_source_codes(F.col("raw"), vocab_map_dict()).alias("code"))
+    dbx = spark.createDataFrame(DBXREFS, "code string, uri string")
+    return (
+        norm.join(F.broadcast(dbx), on="code")
+        .groupBy("uri")
+        .agg(F.count("*").alias("n_links"))
+        .orderBy("uri")
+    )
+
+
+def q_mapping_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 surface: per doc, category by #distinct linked classes
+    (Automatic Exact vs Automatic Constructor)."""
+    docs = _injected_text_spark(_docs(spark, sf_dir))
+    from omop2obo_spark.plans.mention import detect_term_mentions
+
+    t = docs.select(F.col("doc_id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx"), "text")
+    terms = spark.createDataFrame(TERMS, "surface string, uri string")
+    mentions = detect_term_mentions(t, terms.select("surface"), max_term_tokens=4)
+    linked = mentions.join(F.broadcast(terms), on="surface")
+    per_doc = linked.groupBy(F.col("conv_id").cast("long").alias("doc_id")).agg(
+        F.countDistinct("uri").alias("n_uri")
+    )
+    return per_doc.select(
+        "doc_id", "n_uri",
+        F.when(F.col("n_uri") > 1, "Automatic Constructor - Concept")
+        .otherwise("Automatic Exact - Concept").alias("category"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "canonical_id", "group_size")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.dedup import minhash_signatures
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    sig = minhash_signatures(d, n_hashes=4, k=3)
+    return sig.select(
+        "doc_id",
+        *[F.element_at(F.col("sig"), i + 1).alias(f"h{i}") for i in range(4)],
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(d, threshold=0.02)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100), bits=16)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.textstats import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "q_chars", "q_tokens", "q_alpha_ratio", "q_punct_ratio"
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.textstats import bpe_ish_token_count, whitespace_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "set_fingerprint")
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.ann import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries, k=5).select("query_id", "vec_id", F.round("cos", 4).alias("cos"), "rank")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — rows-only check (no SQL oracle): the
+    centroid-probing plan is the point, not SQL-expressibility."""
+    from omop2obo_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline triple emission (exact tiers; similarity off for
+    bounded runtime) — rows-only check; the tierwise queries above carry
+    the SQL-verified semantics."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.plans.pipeline import run_pipeline
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    res = run_pipeline(
+        spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark), with_similarity=False,
+    )
+    return res.triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_pricing_summary": q_pricing_summary,
+        "q_broadcast_join_chain": q_broadcast_join_chain,
+        "q_topk_orders_per_customer": q_topk_orders_per_customer,
+        "q_exact_percentile": q_exact_percentile,
+        "q_ordered_concat": q_ordered_concat,
+        "q_pivot_wide": q_pivot_wide,
+        "q_unpivot_stack": q_unpivot_stack,
+        "q_semi_anti_joins": q_semi_anti_joins,
+        "q_window_events": q_window_events,
+        "q_sessionize": q_sessionize,
+        "q_normalize_codes": q_normalize_codes,
+        "q_mention_exact_link": q_mention_exact_link,
+        "q_dbxref_link": q_dbxref_link,
+        "q_mapping_category": q_mapping_category,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_simhash": q_simhash,
+        "q_text_quality": q_text_quality,
+        "q_token_counts": q_token_counts,
+        "q_fingerprint": q_fingerprint,
+        "q_ann_bruteforce": q_ann_bruteforce,
+        "q_ann_ivf": q_ann_ivf,
+        "q_kg_triples": q_kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, ANSI-leaning)
+# ---------------------------------------------------------------------------
+
+_GRAMS3 = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                           x -> x <> '') AS t
+        FROM {src}
+    ),
+    grams AS (
+        SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                      FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+        FROM toks
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sqls: dict[str, str] = {}
+
+    sqls["q_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sqls["q_broadcast_join_chain"] = """
+        SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """
+
+    sqls["q_topk_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+    """
+
+    sqls["q_exact_percentile"] = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice::DOUBLE, 0.75), 4) AS p75,
+               round(quantile_cont(l_extendedprice::DOUBLE, 0.99), 4) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
+
+    sqls["q_ordered_concat"] = """
+        SELECT l_orderkey,
+               string_agg(l_returnflag, ' | ' ORDER BY fp, l_returnflag) AS flags
+        FROM (
+            SELECT l_orderkey, l_returnflag, min(l_linenumber) AS fp
+            FROM lineitem GROUP BY l_orderkey, l_returnflag
+        )
+        GROUP BY l_orderkey
+    """
+
+    sqls["q_pivot_wide"] = """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
+
+    sqls["q_unpivot_stack"] = """
+        SELECT code_column, count(*) AS n, round(sum(v), 2) AS total
+        FROM (
+            SELECT 'l_quantity' AS code_column, l_quantity::DOUBLE AS v FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount::DOUBLE FROM lineitem
+        )
+        GROUP BY code_column
+        ORDER BY code_column
+    """
+
+    sqls["q_semi_anti_joins"] = """
+        SELECT n_name, count(*) AS customers_without_orders
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY n_name
+        ORDER BY n_name
+    """
+
+    sqls["q_window_events"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """
+
+    sqls["q_sessionize"] = """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_n
+            FROM marked
+        )
+        SELECT user_id, session_n, count(*) AS events,
+               round(sum(value), 2) AS session_value
+        FROM sess
+        GROUP BY user_id, session_n
+    """
+
+    sqls["q_normalize_codes"] = """
+        SELECT s_suppkey, raw_code,
+               CASE split_part(raw_code, ':', 1)
+                   WHEN 'SNOMEDCT_US' THEN 'snomed'
+                   WHEN 'ICD10CM' THEN 'icd10'
+                   WHEN 'UMLS' THEN 'umls'
+                   ELSE split_part(raw_code, ':', 1)
+               END || ':' || lower(split_part(raw_code, ':', 2)) AS norm_code
+        FROM (
+            SELECT s_suppkey,
+                   (['SNOMEDCT_US', 'ICD10CM', 'UMLS', 'rxnorm'])[(s_suppkey % 4) + 1]
+                   || ':' || s_suppkey::VARCHAR AS raw_code
+            FROM supplier
+        )
+    """
+
+    # --- KG queries over injected documents -----------------------------
+    span_branches = "\n            UNION ALL\n".join(
+        f"""
+            SELECT doc_id, i AS pos, {n} AS len, array_to_string(t[i:i+{n - 1}], ' ') AS surface
+            FROM toks, UNNEST(range(1, greatest(len(t) - {n} + 2, 1))) AS u{n}(i)
+            WHERE len(t) >= {n}"""
+        for n in range(1, 5)
+    )
+    mention_spans = f"""
+        WITH docs AS ({_INJECTED_TEXT_SQL}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+            FROM docs
+        ),
+        spans AS ({span_branches}
+        ),
+        matched AS (
+            SELECT s.doc_id, s.pos, s.len, s.surface, terms.uri
+            FROM spans s JOIN {TERMS_SQL.replace('t(', 'terms(')} ON s.surface = terms.surface
+        ),
+        kept AS (
+            SELECT a.* FROM matched a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM matched b
+                WHERE b.doc_id = a.doc_id AND b.pos <= a.pos
+                  AND b.pos + b.len >= a.pos + a.len AND b.len > a.len
+            )
+        )
+    """
+
+    sqls["q_mention_exact_link"] = mention_spans + """
+        SELECT uri, count(*) AS n_mentions
+        FROM kept
+        GROUP BY uri
+        ORDER BY uri
+    """
+
+    sqls["q_mapping_category"] = mention_spans + """
+        SELECT doc_id, count(DISTINCT uri) AS n_uri,
+               CASE WHEN count(DISTINCT uri) > 1 THEN 'Automatic Constructor - Concept'
+                    ELSE 'Automatic Exact - Concept' END AS category
+        FROM kept
+        GROUP BY doc_id
+    """
+
+    sqls["q_dbxref_link"] = f"""
+        WITH docs AS ({_INJECTED_TEXT_SQL}),
+        raw AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                   '\\b([a-z][a-z0-9_.\\-]*:[a-z0-9][a-z0-9.\\-]*)', 1)) AS raw_code
+            FROM docs
+        ),
+        norm AS (
+            SELECT doc_id,
+                   CASE split_part(raw_code, ':', 1)
+                       WHEN 'snomedct_us' THEN 'snomed'
+                       WHEN 'icd10cm' THEN 'icd10'
+                       WHEN 'umls' THEN 'umls'
+                       WHEN 'doid' THEN 'doid'
+                       WHEN 'gard' THEN 'gard'
+                       ELSE split_part(raw_code, ':', 1)
+                   END || ':' || split_part(raw_code, ':', 2) AS code
+            FROM raw
+        )
+        SELECT dbx.uri, count(*) AS n_links
+        FROM norm JOIN {DBX_SQL.replace('t(', 'dbx(')} ON norm.code = dbx.code
+        GROUP BY dbx.uri
+        ORDER BY dbx.uri
+    """
+
+    sqls["q_dedup_exact"] = """
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+               count(*) OVER (PARTITION BY text_hash) AS group_size
+        FROM (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+            FROM documents
+        )
+    """
+
+    grams = _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < {lim})")
+    sqls["q_minhash_signatures"] = grams.format(lim=100) + """
+        SELECT doc_id,
+               min(md5('0|' || g)) AS h0,
+               min(md5('1|' || g)) AS h1,
+               min(md5('2|' || g)) AS h2,
+               min(md5('3|' || g)) AS h3
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+        GROUP BY doc_id
+    """
+
+    sqls["q_ngram_jaccard"] = _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < 60)") + """
+        , sh AS (SELECT doc_id AS doc, unnest(gs) AS shingle FROM grams),
+        sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+            SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+            FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc < r.doc
+            GROUP BY l.doc, r.doc
+        )
+        SELECT a, b, round(inter / (na.n + nb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc = a
+        JOIN sizes nb ON nb.doc = b
+        WHERE inter / (na.n + nb.n - inter) >= 0.02
+    """
+
+    # simhash over 16 bits with md5-hex → bigint tokens
+    bit_sums = ",\n".join(
+        f"sum(CASE WHEN (th // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(16)
+    )
+    fp_expr = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    sqls["q_simhash"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> x <> '')) AS tok
+            FROM documents WHERE doc_id < 100
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+        ),
+        sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, ({fp_expr})::BIGINT AS simhash FROM sums
+    """
+
+    sqls["q_text_quality"] = """
+        SELECT doc_id,
+               length(text) AS q_chars,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS q_tokens,
+               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS q_alpha_ratio,
+               round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text), 4) AS q_punct_ratio
+        FROM documents
+    """
+
+    sqls["q_token_counts"] = """
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+', 0)) AS bpe_tokens
+        FROM documents
+    """
+
+    sqls["q_fingerprint"] = """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))), ' '))
+               AS set_fingerprint
+        FROM documents
+    """
+
+    sqls["q_ann_bruteforce"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 3),
+        scored AS (
+            SELECT q.query_id, v.vec_id,
+                   round(list_dot_product(v.e, q.qv) /
+                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+            FROM v, q WHERE v.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cos, rk AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+            FROM scored
+        )
+        WHERE rk <= 5
+    """
+    # q_ann_ivf, q_kg_triples: intentionally no oracle (rows-only check) —
+    # IVF is approximate by design; the triple pipeline's semantics are
+    # SQL-verified tier-by-tier above.
+    return sqls

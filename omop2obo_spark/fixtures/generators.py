@@ -195,6 +195,7 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     labels = [c[2].lower() for c in L.CONCEPTS]
     codes = [d.lower() for c in L.CONCEPTS for (d, _t) in c[5]]
+    near_miss = [" ".join(reversed(lb.split())) for lb in labels if " " in lb]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.col("text"), r"\s+")
@@ -206,16 +207,24 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     i = F.xxhash64("doc_id", "turn_idx", F.lit(42))
     h = F.abs(i)
+    sel = F.pmod(h, F.lit(10))
     mention = (
-        F.when(F.pmod(h, F.lit(10)) <= 2, F.concat(F.lit(" patient reported "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(1))), labels)))
-        .when(F.pmod(h, F.lit(10)) == 3, F.concat(F.lit(" coded as "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(2))), codes)))
+        F.when(sel <= 2, F.concat(F.lit(" patient reported "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(1))), labels)))
+        .when(sel == 3, F.concat(F.lit(" coded as "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(2))), codes)))
         .otherwise(F.lit(""))
     )
+    chunk = F.concat(F.concat_ws(" ", F.slice(F.col("toks"), F.col("turn_idx") * 12 + 1, 12)), mention)
+    # near-miss turns carry ONLY the scrambled label (short text, like the
+    # reference's clinical strings) so the TF-IDF tier sees signal
+    text = F.when(
+        sel == 4,
+        F.concat(F.lit("patient note "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(3))), near_miss)),
+    ).otherwise(chunk)
     return turns.select(
         F.format_string("conv_%08d", F.col("doc_id")).alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),
         _pick(F.pmod(F.col("turn_idx").cast("bigint"), F.lit(3)), ["user", "assistant", "tool"]).alias("role"),
-        F.concat(F.concat_ws(" ", F.slice(F.col("toks"), F.col("turn_idx") * 12 + 1, 12)), mention).alias("text"),
+        text.alias("text"),
         F.lit(None).cast("string").alias("tool"),
         (F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id") * 100 + F.col("turn_idx"))).alias("ts"),
     )

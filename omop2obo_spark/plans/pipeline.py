@@ -141,13 +141,15 @@ def run_pipeline(
 ) -> PipelineResult:
     """Run the full transcripts→triples pipeline.
 
-    ``persist=True`` (default) persists the two stage boundaries that are
-    consumed by multiple downstream branches — mentions (code stack, term
-    stack, mention triples) and exact links (ancestor expansion, sim-tier
-    anti-join, compile). Without it every action replays the whole DAG,
-    and the TF-IDF driver-side fit would recompute the linking stages.
-    On a cluster these boundaries are exactly where the checkpoint
-    manifests write (plans/checkpoint.py).
+    ``persist=True`` (default) cuts the plan at the stage boundaries that
+    are consumed by multiple downstream branches — mentions, exact links,
+    mappings — via ``localCheckpoint(eager=False)``: this both caches the
+    data AND truncates the logical plan. Truncation matters as much as
+    caching: Catalyst re-analyzes the full accumulated tree on every
+    DataFrame operation, and the compile/triple plans over the untruncated
+    linking tree cost tens of seconds of pure analyzer time. On a cluster
+    these same boundaries are where the checkpoint manifests write durable
+    parquet instead (plans/checkpoint.py), which truncates lineage too.
     """
     dims = LexiconDims.from_lexicon(lexicon, vocab_map)
     term_dim = dims.strings.select(F.col("CODE").alias("surface"))
@@ -155,7 +157,7 @@ def run_pipeline(
     # ---- stage 1: mention detection -------------------------------------
     mentions = detect_mentions(transcripts, term_dim, cfg.max_term_tokens)
     if persist:
-        mentions = mentions.persist()
+        mentions = mentions.localCheckpoint(eager=False)
 
     # ---- stage 2: entity linking ----------------------------------------
     code_stack = _stack_code_mentions(mentions, vocab_map)
@@ -197,28 +199,34 @@ def run_pipeline(
     if ancestors is not None:
         exact = exact.unionByName(_expand_ancestors(exact, ancestors, dims.labels))
     if persist:
-        exact = exact.persist()
+        exact = exact.localCheckpoint(eager=False)
 
-    # ---- stage 2e: TF-IDF similarity tier over unlinked turns ----------
+    # ---- stage 2e: TF-IDF similarity tier -------------------------------
+    # idf is fit over ALL turn strings ∪ ontology strings — the reference
+    # fits on the full clinical corpus (string_similarity.py:321-326), and
+    # fitting on the raw transcripts keeps the (eager, driver-side) fit off
+    # the expensive linking DAG. Scoring runs only over turns with no exact
+    # link — at 10^12 turns the fuzzy tier is the fallback path, not a
+    # second full pass (divergence from the reference, which scores every
+    # row; exact-linked rows don't need fuzzy candidates for the graph).
     sim_matches = None
     if with_similarity:
-        linked_turns = exact.select("conv_id", "turn_idx").distinct()
-        unlinked = transcripts.join(linked_turns, on=["conv_id", "turn_idx"], how="left_anti")
-        queries = unlinked.select(
+        all_queries = transcripts.select(
             "conv_id", "turn_idx",
             F.concat_ws(":", "conv_id", "turn_idx", F.lit("sim"), F.lit(0)).alias("mention_id"),
             preprocess_tokens_expr(F.col("text")).alias("tokens"),
         ).where(F.size("tokens") > 0)
-        if persist:
-            queries = queries.persist()
         ont_corpus = build_ont_corpus(lexicon)
-        dfc, n_docs = query_df_counts(queries)
+        dfc, n_docs = query_df_counts(all_queries)
         model = fit_tfidf(ont_corpus, dfc, n_docs)
+
+        linked_turns = exact.select("conv_id", "turn_idx").distinct()
+        unlinked = all_queries.join(linked_turns, on=["conv_id", "turn_idx"], how="left_anti")
         raw_scores = similarity_scores(
-            spark, queries, model, top_n=cfg.sim_top_n, floor=cfg.sim_floor
+            spark, unlinked, model, top_n=cfg.sim_top_n, floor=cfg.sim_floor
         )
         keyed = raw_scores.join(
-            queries.select(*KEY_COLS), on="mention_id", how="inner"
+            unlinked.select(*KEY_COLS), on="mention_id", how="inner"
         )
         sim_matches = filter_similarity_matches(keyed, percentile=cfg.sim_percentile).select(
             *KEY_COLS, "sim_uri", "score", "rank"
@@ -226,6 +234,8 @@ def run_pipeline(
 
     # ---- stage 3: canonicalization --------------------------------------
     mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
+    if persist:
+        mappings = mappings.localCheckpoint(eager=False)
 
     # ---- stage 4: triple materialization ---------------------------------
     triples = build_triples(mentions, mappings, semtypes)
@@ -251,33 +261,41 @@ def build_triples(
     """
     subj = F.concat(F.lit("transcript:"), F.col("mention_id"))
 
-    def explode_block(df: DataFrame, uri_col: str, cat_col: str, evid_col: str, pred_exact: str) -> DataFrame:
+    # One pass over mappings: build an array<struct<pred,obj>> per row and
+    # explode ONCE. Unioning per-block plan copies instead would make
+    # Catalyst re-analyze the (deep) mapping plan per branch — measured at
+    # ~30 s of pure analyzer time on the sandbox before this rewrite.
+    def block_pairs(uri_col: str, cat_col: str, evid_col: str, pred_exact: str):
         pred = (
             F.when(F.col(cat_col).startswith("Automatic Constructor"), F.lit(PRED_CONSTRUCTOR))
             .when(F.col(cat_col) == "Manual Exact - Concept Similarity", F.lit(PRED_SIMILARITY))
             .otherwise(F.lit(pred_exact))
         )
-        base = df.filter(F.col(uri_col).isNotNull() & (F.col(uri_col) != ""))
-        uri_triples = base.select(
-            "conv_id", "turn_idx", subj.alias("subj"), pred.alias("pred"),
-            F.explode(F.split(F.col(uri_col), r" \| ")).alias("obj"),
-        ).withColumn("obj", F.concat(F.lit("obo:"), F.col("obj")))
-        cat_triples = base.select(
-            "conv_id", "turn_idx", subj.alias("subj"), F.lit(PRED_CATEGORY).alias("pred"),
-            F.col(cat_col).alias("obj"),
+        present = F.col(uri_col).isNotNull() & (F.col(uri_col) != "")
+        uri_pairs = F.transform(
+            F.split(F.col(uri_col), r" \| "),
+            lambda u: F.struct(pred.alias("pred"), F.concat(F.lit("obo:"), u).alias("obj")),
         )
-        evid_triples = base.select(
-            "conv_id", "turn_idx", subj.alias("subj"), F.lit(PRED_EVIDENCE).alias("pred"),
-            F.col(evid_col).alias("obj"),
+        meta_pairs = F.array(
+            F.struct(F.lit(PRED_CATEGORY).alias("pred"), F.col(cat_col).alias("obj")),
+            F.struct(F.lit(PRED_EVIDENCE).alias("pred"), F.col(evid_col).alias("obj")),
         )
-        return uri_triples.unionByName(cat_triples).unionByName(evid_triples)
+        return F.when(present, F.concat(uri_pairs, meta_pairs)).otherwise(
+            F.array().cast("array<struct<pred:string,obj:string>>")
+        )
 
-    parts = []
     cols = set(mappings.columns)
+    pair_arrays = []
     if "AGG_URI" in cols:
-        parts.append(explode_block(mappings, "AGG_URI", "AGG_MAPPING", "AGG_EVIDENCE", PRED_EXACT))
+        pair_arrays.append(block_pairs("AGG_URI", "AGG_MAPPING", "AGG_EVIDENCE", PRED_EXACT))
     if "SIM_URI" in cols:
-        parts.append(explode_block(mappings, "SIM_URI", "SIM_MAPPING", "SIM_EVIDENCE", PRED_SIMILARITY))
+        pair_arrays.append(block_pairs("SIM_URI", "SIM_MAPPING", "SIM_EVIDENCE", PRED_SIMILARITY))
+    all_pairs = pair_arrays[0] if len(pair_arrays) == 1 else F.concat(*pair_arrays)
+    parts = [
+        mappings.select(
+            "conv_id", "turn_idx", subj.alias("subj"), F.explode(all_pairs).alias("p")
+        ).select("conv_id", "turn_idx", "subj", "p.pred", "p.obj")
+    ]
 
     mention_triples = mentions.select(
         "conv_id", "turn_idx",
