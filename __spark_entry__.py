@@ -404,6 +404,12 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from omop2obo_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.textstats import fingerprint
 
@@ -469,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_simhash": q_simhash,
         "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
         "q_ann_bruteforce": q_ann_bruteforce,
@@ -763,6 +770,29 @@ def oracle_sql() -> dict[str, str]:
                round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS q_alpha_ratio,
                round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text), 4) AS q_punct_ratio
         FROM documents
+    """
+
+    from omop2obo_spark.operators.textstats import LANG_PROFILES
+
+    hit_cols = ",\n               ".join(
+        f"len(list_intersect(toks, [{', '.join(_sql_quote(w) for w in words)}])) AS {lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs_desc = sorted(LANG_PROFILES, reverse=True)  # ties → later alphabet wins
+    case_chain = " ".join(
+        f"WHEN {lang} >= greatest({', '.join(o for o in LANG_PROFILES if o != lang)}) THEN '{lang}'"
+        for lang in langs_desc
+    )
+    sqls["q_lang_id"] = f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS toks
+            FROM documents
+        ),
+        h AS (SELECT doc_id, {hit_cols} FROM t)
+        SELECT doc_id,
+               CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {case_chain} END AS lang_pred
+        FROM h
     """
 
     sqls["q_token_counts"] = """

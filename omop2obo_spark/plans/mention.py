@@ -80,18 +80,27 @@ def detect_term_mentions(
     )
     matched = spans.join(F.broadcast(term_dim.select("surface").distinct()), on="surface", how="leftsemi")
 
-    # longest-match-wins within a turn: drop spans strictly contained in a
-    # longer matched span — one anti-join, equi-keyed on (conv, turn) so it
-    # stays key-local (matched spans per turn are few)
-    kept = matched.alias("a").join(
-        matched.alias("b"),
-        (F.col("a.conv_id") == F.col("b.conv_id"))
-        & (F.col("a.turn_idx") == F.col("b.turn_idx"))
-        & (F.col("b.pos") <= F.col("a.pos"))
-        & (F.col("b.pos") + F.col("b.len") >= F.col("a.pos") + F.col("a.len"))
-        & (F.col("b.len") > F.col("a.len")),
-        "left_anti",
+    # longest-match-wins within a turn, via per-turn collect + higher-order
+    # filter: a span survives unless another matched span of the same turn
+    # strictly contains it. A self-anti-join here would broadcast the whole
+    # matched-span set (driver-serial, unbounded with data) and recompute
+    # the span-generation DAG twice; this is one small shuffle of matched
+    # mentions only, with O(k²) work per turn for tiny k.
+    per_turn = matched.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(F.struct("pos", "len", "surface")).alias("ss")
     )
+    survives = F.filter(
+        F.col("ss"),
+        lambda a: ~F.exists(
+            F.col("ss"),
+            lambda b: (b["pos"] <= a["pos"])
+            & (b["pos"] + b["len"] >= a["pos"] + a["len"])
+            & (b["len"] > a["len"]),
+        ),
+    )
+    kept = per_turn.select(
+        "conv_id", "turn_idx", F.explode(survives).alias("g")
+    ).select("conv_id", "turn_idx", "g.pos", "g.len", "g.surface")
     return (
         kept.withColumn("kind", F.lit("term"))
         .withColumn("mention_id", _mention_id("term"))

@@ -138,6 +138,7 @@ def run_pipeline(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     with_similarity: bool = True,
     persist: bool = True,
+    dims: LexiconDims | None = None,
 ) -> PipelineResult:
     """Run the full transcripts→triples pipeline.
 
@@ -151,13 +152,20 @@ def run_pipeline(
     these same boundaries are where the checkpoint manifests write durable
     parquet instead (plans/checkpoint.py), which truncates lineage too.
     """
-    dims = LexiconDims.from_lexicon(lexicon, vocab_map)
+    dims = dims or LexiconDims.from_lexicon(lexicon, vocab_map)
     term_dim = dims.strings.select(F.col("CODE").alias("surface"))
 
     # ---- stage 1: mention detection -------------------------------------
     mentions = detect_mentions(transcripts, term_dim, cfg.max_term_tokens)
     if persist:
-        mentions = mentions.localCheckpoint(eager=False)
+        # EAGER stage-boundary checkpoint. Lineage truncation must happen
+        # before downstream plans are *constructed*, not just executed:
+        # Catalyst re-analyzes the full subtree on every DataFrame call,
+        # and with lazy truncation that analysis is single-threaded driver
+        # time (measured ~47 s at 1M turns — it was the scaling-efficiency
+        # killer, since it doesn't shrink with more cores). Eager
+        # materialization converts it into parallel cluster work.
+        mentions = mentions.localCheckpoint(eager=True)
 
     # ---- stage 2: entity linking ----------------------------------------
     code_stack = _stack_code_mentions(mentions, vocab_map)
@@ -198,8 +206,11 @@ def run_pipeline(
     exact = dbx.unionByName(strs).withColumn("LEVEL", F.lit("concept"))
     if ancestors is not None:
         exact = exact.unionByName(_expand_ancestors(exact, ancestors, dims.labels))
-    if persist:
-        exact = exact.localCheckpoint(eager=False)
+    if persist and with_similarity:
+        # exact feeds two consumers only when the sim tier runs (compile +
+        # the unlinked anti-join); with sim off it has a single consumer
+        # and staying lazy lets Catalyst fuse the whole tail into one job.
+        exact = exact.localCheckpoint(eager=True)
 
     # ---- stage 2e: TF-IDF similarity tier -------------------------------
     # idf is fit over ALL turn strings ∪ ontology strings — the reference
@@ -234,8 +245,8 @@ def run_pipeline(
 
     # ---- stage 3: canonicalization --------------------------------------
     mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
-    if persist:
-        mappings = mappings.localCheckpoint(eager=False)
+    if persist and with_similarity:
+        mappings = mappings.localCheckpoint(eager=True)
 
     # ---- stage 4: triple materialization ---------------------------------
     triples = build_triples(mentions, mappings, semtypes)
