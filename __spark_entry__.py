@@ -438,6 +438,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
 
 
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact mode (oracle
+    baseline); the LSH-bucketed scale path is exercised by
+    tests/test_corpus_ops.py recall checks."""
+    from omop2obo_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_cosine_pairs(emb, threshold=0.4, bucketed=False)
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline triple emission (exact tiers; similarity off for
     bounded runtime) — rows-only check; the tierwise queries above carry
@@ -479,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
         "q_ann_bruteforce": q_ann_bruteforce,
+        "q_embedding_dedup": q_embedding_dedup,
         "q_ann_ivf": q_ann_ivf,
         "q_kg_triples": q_kg_triples,
     }
@@ -826,6 +839,17 @@ def oracle_sql() -> dict[str, str]:
         )
         WHERE rk <= 5
     """
+    sqls["q_embedding_dedup"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (
+            SELECT va.vec_id AS a, vb.vec_id AS b,
+                   round(list_dot_product(va.e, vb.e) /
+                         (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos
+            FROM v va JOIN v vb ON va.vec_id < vb.vec_id
+        )
+        SELECT a, b, cos FROM p WHERE cos >= 0.4
+    """
+
     # q_ann_ivf, q_kg_triples: intentionally no oracle (rows-only check) —
     # IVF is approximate by design; the triple pipeline's semantics are
     # SQL-verified tier-by-tier above.

@@ -174,3 +174,102 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def _hyperplane_signs(bit: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane components from md5 — no RNG state, so
+    the same (bit, dim) always yields the same plane on every executor and
+    across runs (resume-safe)."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{bit}:{j}".encode()).digest()[0] % 2 == 0 else -1
+        for j in range(dim)
+    ]
+
+
+def embedding_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_bits: int = 8,
+    band_bits: int = 4,
+    bucketed: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    cosine ≥ ``threshold``.
+
+    ``bucketed=False`` — exact all-pairs self-join (the oracle baseline;
+    O(n²), only for verification scale).
+
+    ``bucketed=True`` — the 100 TB path: random-hyperplane LSH. Each
+    vector gets ``n_bits`` sign bits (dot product against deterministic
+    ±1 hyperplanes, built once at plan time — native ``zip_with`` +
+    ``aggregate``, no UDF); bits are split into bands of ``band_bits``;
+    candidate pairs are vectors sharing any band value (shuffle keyed on
+    the 2^band_bits-ary band bucket, never all-pairs), then verified with
+    the exact cosine. Complements MinHash-LSH (token space) with the same
+    band/bucket shape in embedding space. High-cosine pairs agree on most
+    sign bits, so per-band collision probability rises with similarity;
+    recall tunes via n_bits/band_bits exactly like MinHash bands.
+    """
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cos = F.round(
+        F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+        / (
+            F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, v: acc + v * v))
+            * F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, v: acc + v * v))
+        ),
+        6,
+    )
+
+    if not bucketed:
+        return (
+            a.join(b, on=F.col("a") < F.col("b"))
+            .select("a", "b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+
+    if dim is None:
+        first = vectors.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = [_hyperplane_signs(h, dim) for h in range(n_bits)]
+    sign_bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(s)) for s in planes[h]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0
+        ).cast("int")
+        for h in range(n_bits)
+    ]
+    n_bands = n_bits // band_bits
+    band_keys = [
+        F.concat_ws(
+            "",
+            F.lit(f"{band}_"),
+            *[sign_bits[band * band_bits + i].cast("string") for i in range(band_bits)],
+        )
+        for band in range(n_bands)
+    ]
+    keyed = vectors.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_keys)).alias("band")
+    )
+    ka = keyed.select(F.col("band"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    kb = keyed.select(F.col("band"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    cand = (
+        ka.join(kb, on="band")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return cand.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)

@@ -9,6 +9,7 @@ from omop2obo_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
+    embedding_cosine_pairs,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -154,3 +155,38 @@ def test_multimodal_plumbing(spark):
     assert all(len(bytes(r.media)) <= 64 and r.width == 8 for r in imgs)
     frames = sample_frames(assets).collect()
     assert frames and all(r.frame_idx >= 0 for r in frames)
+
+
+def test_embedding_cosine_pairs_exact_and_bucketed(spark, emb):
+    e = emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_cosine_pairs(e, threshold=0.3, bucketed=False).collect()
+    }
+    assert exact, "threshold 0.3 must yield pairs on sf0.001 embeddings"
+    assert all(a < b for (a, b) in exact)
+    assert all(c >= 0.3 for c in exact.values())
+
+    bucketed = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_cosine_pairs(
+            e, threshold=0.3, bucketed=True, n_bits=8, band_bits=2
+        ).collect()
+    }
+    # every bucketed pair is verified with the exact cosine → precision 1.0
+    for k, v in bucketed.items():
+        assert k in exact and abs(v - exact[k]) < 1e-9
+    # banding with 4 bands of 2 bits keeps recall high at this threshold
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_hyperplane_signs_deterministic():
+    from omop2obo_spark.operators.dedup import _hyperplane_signs
+
+    a = _hyperplane_signs(3, 16)
+    assert a == _hyperplane_signs(3, 16)
+    assert set(a) <= {-1, 1} and len(a) == 16
+    assert a != _hyperplane_signs(4, 16)
