@@ -68,13 +68,17 @@ def run_partitioned(
         # count via the write-side accumulator-free path: persist + count,
         # then write the same persisted data (no recompute)
         triples = triples.persist()
-        n = triples.count()
+        per_part = {
+            r["part_id"]: r["n"]
+            for r in triples.groupBy("part_id").agg(F.count("*").alias("n")).collect()
+        }
+        n = sum(per_part.values())
         sink.write_partitions(triples)
         triples.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
         for p in part_ids:
-            sink.record(run_id, p, "done", triples_out=n, wall_ms=wall_ms,
-                        batch=part_ids)
+            sink.record(run_id, p, "done", triples_out=per_part.get(p, 0),
+                        wall_ms=wall_ms, batch=part_ids)
         processed.extend(part_ids)
         total_rows += n
 
