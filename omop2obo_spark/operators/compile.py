@@ -31,10 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from omop2obo_spark.functions.normalize import uri_short_id
-from omop2obo_spark.operators.aggregate import ordered_concat_expr
 
 
 def format_exact_evidence(links: DataFrame, level_col: str = "LEVEL") -> DataFrame:
@@ -72,35 +70,57 @@ def compile_exact_mappings(links: DataFrame, key_cols: list[str], level_col: str
     fmt = format_exact_evidence(links, level_col)
     grp = [*key_cols, "ONT_TYPE"]
 
-    # concept-over-ancestor preference
-    w = Window.partitionBy(*grp)
-    has_concept = F.max(F.when(F.col(level_col) == "concept", 1).otherwise(0)).over(w)
-    kept = fmt.withColumn("__hc", has_concept).filter(
-        (F.col("__hc") == 0) | (F.col(level_col) == "concept")
+    # ONE aggregation pass: collect each group's links once (sorted by the
+    # block/tier/src/evidence order — dbxref block before string block,
+    # matching the reference's DBXREF-before-STR column iteration), then
+    # derive the concept-over-ancestor preference, the three ordered
+    # concats, and the category from the collected array with higher-order
+    # functions. The previous implementation computed the preference with
+    # a window over (key, ONT_TYPE) followed by a groupBy on the same keys
+    # — two full sort/shuffle passes over the exact-links table where one
+    # suffices (and the object-heavy aggregation is this pipeline's
+    # scaling bottleneck — see BENCH/BASELINE.md).
+    pair = F.struct(
+        F.when(F.col("MATCH_KIND") == "dbxref", F.lit(0)).otherwise(F.lit(1)).alias("blk"),
+        F.col("tier_rank").alias("tier_rank"),
+        F.col("src_rank").alias("src_rank"),
+        F.col("EVIDENCE").alias("ev"),
+        uri_short_id(F.col("URI")).alias("uri_short"),
+        (F.col(level_col) == "concept").alias("is_concept"),
+        F.col("LABEL").alias("label"),
+        F.col("FMT_EVIDENCE").alias("fmt"),
+        F.col("URI").alias("uri"),
     )
+    agg = fmt.groupBy(*grp).agg(F.array_sort(F.collect_list(pair)).alias("__links"))
 
-    # ordering: dbxref block before string block (the reference iterates
-    # DBXREF columns before STR columns), then tier/src ranks, then the
-    # evidence text for a stable total order.
-    kept = kept.withColumn(
-        "__blk", F.when(F.col("MATCH_KIND") == "dbxref", 0).otherwise(1)
-    ).withColumn("__uri_short", uri_short_id(F.col("URI")))
-    order = ["__blk", "tier_rank", "src_rank", "EVIDENCE"]
+    arr = F.col("__links")
+    has_concept = F.exists(arr, lambda x: x["is_concept"])
+    kept_arr = F.when(has_concept, F.filter(arr, lambda x: x["is_concept"])).otherwise(arr)
+    agg = agg.withColumn("__kept", kept_arr)
 
-    agg = kept.groupBy(*grp).agg(
-        ordered_concat_expr("__uri_short", order).alias("AGG_URI"),
-        ordered_concat_expr("LABEL", order).alias("AGG_LABEL"),
-        ordered_concat_expr("FMT_EVIDENCE", order).alias("AGG_EVIDENCE"),
-        F.countDistinct("URI").alias("__n_uri"),
-        F.max(F.when(F.upper(F.col(level_col)) == "ANCESTOR", 1).otherwise(0)).alias("__anc"),
-    )
+    def joined(field: str):
+        vals = F.transform(F.col("__kept"), lambda x: x[field])
+        return F.array_join(
+            F.array_distinct(F.filter(vals, lambda v: v.isNotNull() & (v != ""))), " | "
+        )
+
+    n_uri = F.size(F.array_distinct(F.transform(F.col("__kept"), lambda x: x["uri"])))
+    # levels are only concept/ancestor, and the preference filter keeps
+    # ancestor rows only in ancestor-only groups
+    anc = ~F.exists(F.col("__kept"), lambda x: x["is_concept"])
     category = (
-        F.when((F.col("__anc") == 0) & (F.col("__n_uri") > 1), "Automatic Constructor - Concept")
-        .when(F.col("__anc") == 0, "Automatic Exact - Concept")
-        .when(F.col("__n_uri") > 1, "Automatic Constructor - Ancestor")
+        F.when(~anc & (n_uri > 1), "Automatic Constructor - Concept")
+        .when(~anc, "Automatic Exact - Concept")
+        .when(n_uri > 1, "Automatic Constructor - Ancestor")
         .otherwise("Automatic Exact - Ancestor")
     )
-    return agg.withColumn("AGG_MAPPING", category).drop("__n_uri", "__anc")
+    return agg.select(
+        *grp,
+        joined("uri_short").alias("AGG_URI"),
+        joined("label").alias("AGG_LABEL"),
+        joined("fmt").alias("AGG_EVIDENCE"),
+        category.alias("AGG_MAPPING"),
+    )
 
 
 def compile_similarity_mappings(
@@ -118,18 +138,10 @@ def compile_similarity_mappings(
     """
     with_ont = sim.withColumn("ONT_TYPE", F.element_at(F.split(F.col("sim_uri"), "_"), 1))
     grp = [*key_cols, "ONT_TYPE"]
-    w = Window.partitionBy(*grp)
 
-    # 1.0 short-circuit / threshold keep / keep-all
-    mx = F.max("score").over(w)
-    kept = with_ont.withColumn("__mx", mx).filter(
-        F.when(F.col("__mx") == 1.0, F.col("score") == 1.0)
-        .when(F.col("__mx") >= threshold, F.col("score") >= threshold)
-        .otherwise(F.lit(True))
-    )
     short_labels = labels.select(uri_short_id(F.col("URI")).alias("sim_uri"), F.col("LABEL"))
-    kept = (
-        kept.join(F.broadcast(short_labels), on="sim_uri", how="left")
+    labeled = (
+        with_ont.join(F.broadcast(short_labels), on="sim_uri", how="left")
         .withColumn("LABEL", F.coalesce(F.col("LABEL"), F.col("sim_uri")))
         .withColumn(
             "__evid",
@@ -137,17 +149,42 @@ def compile_similarity_mappings(
                      F.round(F.col("score"), 3).cast("string")),
         )
     )
-    order = ["rank", "sim_uri"]
-    agg = kept.groupBy(*grp).agg(
-        ordered_concat_expr("sim_uri", order).alias("SIM_URI"),
-        ordered_concat_expr("LABEL", order).alias("SIM_LABEL"),
-        ordered_concat_expr("__evid", order).alias("SIM_EVIDENCE"),
-        F.count("*").alias("__n"),
+    # ONE aggregation pass (same fusion as compile_exact_mappings): collect
+    # each group's matches sorted by (rank, sim_uri), then apply the 1.0
+    # short-circuit / threshold-keep / keep-all rule to the collected array
+    # instead of a window pass before the groupBy.
+    pair = F.struct(
+        F.col("rank").alias("rank"),
+        F.col("sim_uri").alias("sim_uri"),
+        F.col("score").alias("score"),
+        F.col("LABEL").alias("label"),
+        F.col("__evid").alias("evid"),
     )
-    category = F.when(F.col("__n") > 1, "Automatic Constructor - Concept").otherwise(
+    agg = labeled.groupBy(*grp).agg(F.array_sort(F.collect_list(pair)).alias("__m"))
+    mx = F.array_max(F.transform(F.col("__m"), lambda x: x["score"]))
+    kept_arr = (
+        F.when(mx == 1.0, F.filter(F.col("__m"), lambda x: x["score"] == 1.0))
+        .when(mx >= threshold, F.filter(F.col("__m"), lambda x: x["score"] >= threshold))
+        .otherwise(F.col("__m"))
+    )
+    agg = agg.withColumn("__kept", kept_arr)
+
+    def joined(field: str):
+        vals = F.transform(F.col("__kept"), lambda x: x[field])
+        return F.array_join(
+            F.array_distinct(F.filter(vals, lambda v: v.isNotNull() & (v != ""))), " | "
+        )
+
+    category = F.when(F.size(F.col("__kept")) > 1, "Automatic Constructor - Concept").otherwise(
         "Manual Exact - Concept Similarity"
     )
-    return agg.withColumn("SIM_MAPPING", category).drop("__n")
+    return agg.select(
+        *grp,
+        joined("sim_uri").alias("SIM_URI"),
+        joined("label").alias("SIM_LABEL"),
+        joined("evid").alias("SIM_EVIDENCE"),
+        category.alias("SIM_MAPPING"),
+    )
 
 
 def compile_mappings(

