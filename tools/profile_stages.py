@@ -31,14 +31,20 @@ def main() -> None:
     from omop2obo_spark.plans.pipeline import run_pipeline
     from omop2obo_spark.session import get_spark
 
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if master.startswith("local-cluster"):
+        import pyspark
+
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
     spark = get_spark(
         app_name=f"stageprof-{cpus}",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=2 * cpus,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             "spark.ui.enabled": "true",
-            "spark.driver.memory": f"{max(8, 4 * cpus)}g",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "spark.executor.memory": "6g","spark.executor.extraJavaOptions":"-XX:+UseParallelGC -XX:ParallelGCThreads=2",
         },
     )
 
