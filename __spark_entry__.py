@@ -262,9 +262,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum windows — the streaming-state pattern expressed in batch."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # session tz is UTC
+    # microsecond epoch on BOTH sides (oracle uses epoch_us): events.ts
+    # carries sub-second precision, and second-truncated gaps flip the
+    # 30-min boundary test on fractional-second differences
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # session tz is UTC
     gap = epoch - F.lag(epoch, 1).over(w)
-    marked = e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    marked = e.withColumn("new_s", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
     sess = marked.withColumn("session_n", F.sum("new_s").over(
         Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -427,8 +430,9 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k — rows-only check (no SQL oracle): the
-    centroid-probing plan is the point, not SQL-expressibility."""
+    """IVF approximate top-k. Fully deterministic (centroids = the
+    n_centroids lowest-id vectors, ties broken by id), so the
+    centroid-assignment + probe plan has an exact SQL oracle."""
     from omop2obo_spark.operators.ann import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -439,21 +443,34 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact mode (oracle
-    baseline); the LSH-bucketed scale path is exercised by
-    tests/test_corpus_ops.py recall checks."""
+    """Embedding-cosine near-duplicate pairs, exact all-pairs mode on a
+    bounded slice (vec_id < 500): the O(n²) oracle baseline stays at
+    verification scale; the full-sf scale path is q_embedding_dedup_lsh."""
     from omop2obo_spark.operators.dedup import embedding_cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 500).select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
     )
     return embedding_cosine_pairs(emb, threshold=0.4, bucketed=False)
 
 
+def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH at FULL
+    sf — the 100 TB path the bench measures. The hyperplanes are
+    deterministic (md5-derived ±1), so the oracle replicates the exact
+    band/bucket/verify computation in SQL."""
+    from omop2obo_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_cosine_pairs(emb, threshold=0.4, bucketed=True, dim=64, n_bits=8, band_bits=4)
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline triple emission (exact tiers; similarity off for
-    bounded runtime) — rows-only check; the tierwise queries above carry
-    the SQL-verified semantics."""
+    bounded runtime). The DuckDB oracle replays every stage in SQL —
+    see omop2obo_spark/fixtures/kg_oracle.py."""
     from omop2obo_spark import fixtures as FX
     from omop2obo_spark.plans.pipeline import run_pipeline
 
@@ -492,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_embedding_dedup": q_embedding_dedup,
+        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_kg_triples": q_kg_triples,
     }
@@ -616,7 +634,7 @@ def oracle_sql() -> dict[str, str]:
         WITH marked AS (
             SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_s
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -840,7 +858,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE rk <= 5
     """
     sqls["q_embedding_dedup"] = """
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 500),
         p AS (
             SELECT va.vec_id AS a, vb.vec_id AS b,
                    round(list_dot_product(va.e, vb.e) /
@@ -850,7 +868,86 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, cos FROM p WHERE cos >= 0.4
     """
 
-    # q_ann_ivf, q_kg_triples: intentionally no oracle (rows-only check) —
-    # IVF is approximate by design; the triple pipeline's semantics are
-    # SQL-verified tier-by-tier above.
+    # LSH mode: hyperplanes are deterministic md5-derived ±1 vectors built
+    # in Python on BOTH sides (same helper), inlined as SQL literals.
+    from omop2obo_spark.operators.dedup import _hyperplane_signs
+
+    n_bits, band_bits, dim = 8, 4, 64
+    planes = [_hyperplane_signs(h, dim) for h in range(n_bits)]
+    bit_cols = ",\n                   ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(f'{s:.1f}' for s in planes[h])}]) >= 0"
+        f" THEN 1 ELSE 0 END) AS bit{h}"
+        for h in range(n_bits)
+    )
+    band_selects = "\n            UNION ALL\n".join(
+        "            SELECT vec_id, e, '"
+        + f"{band}_' || "
+        + " || ".join(f"bit{band * band_bits + i}::VARCHAR" for i in range(band_bits))
+        + " AS band FROM sb"
+        for band in range(n_bits // band_bits)
+    )
+    sqls["q_embedding_dedup_lsh"] = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sb AS (
+            SELECT vec_id, e,
+                   {bit_cols}
+            FROM v
+        ),
+        banded AS (
+{band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT l.vec_id AS a, l.e AS ea, r.vec_id AS b, r.e AS eb
+            FROM banded l JOIN banded r ON l.band = r.band AND l.vec_id < r.vec_id
+        )
+        SELECT a, b, cos FROM (
+            SELECT a, b,
+                   round(list_dot_product(ea, eb) /
+                         (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb))), 6) AS cos
+            FROM cand
+        ) WHERE cos >= 0.4
+    """
+
+    sqls["q_ann_ivf"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+        assign AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.e, c.cv) /
+                                    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.centroid_id ASC) AS r
+                FROM v CROSS JOIN c
+            ) WHERE r = 1
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+        probes AS (
+            SELECT query_id, centroid_id, qv FROM (
+                SELECT q.query_id, c.centroid_id, q.qv,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qv, c.cv) /
+                                    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                    c.centroid_id ASC) AS r
+                FROM q CROSS JOIN c
+            ) WHERE r <= 2
+        ),
+        scored AS (
+            SELECT p.query_id, v.vec_id,
+                   round(list_dot_product(v.e, p.qv) /
+                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+            FROM v JOIN assign USING (vec_id)
+            JOIN probes p ON assign.centroid_id = p.centroid_id AND v.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, cos, rk AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+              FROM scored)
+        WHERE rk <= 3
+    """
+
+    from omop2obo_spark.fixtures.kg_oracle import kg_triples_sql
+
+    sqls["q_kg_triples"] = kg_triples_sql()
     return sqls

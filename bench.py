@@ -242,13 +242,19 @@ def main_scaling() -> None:
         cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only", "--execs", str(execs)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"{cpu_lo}-{cpu_lo + width - 1}"] + cmd
-        return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                                 text=True, env={**os.environ})
 
     def collect(proc: subprocess.Popen) -> dict:
-        out, _ = proc.communicate()
-        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
-        return json.loads(line)
+        out, err = proc.communicate()
+        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            tail = "\n".join(err.splitlines()[-15:])
+            raise RuntimeError(
+                f"scaling child {proc.args} exited rc={proc.returncode} "
+                f"with no JSON result; stderr tail:\n{tail}"
+            )
+        return json.loads(lines[-1])
 
     # The host is a shared VM whose effective per-core speed drifts >50%
     # over tens of minutes (see BENCH/BASELINE.md), so any A-then-B

@@ -185,13 +185,32 @@ def transcripts_df(
     )
 
 
+def portable_hash(doc_id: Column, turn_idx: Column, salt: int) -> Column:
+    """Deterministic engine-portable mixer: plain modular arithmetic, so a
+    DuckDB oracle can reproduce the exact same value (xxhash64 is
+    Spark-only). Multipliers keep products far below bigint overflow."""
+    return F.pmod(
+        doc_id.cast("bigint") * 1000003 + turn_idx.cast("bigint") * 7919 + F.lit(salt) * 104729,
+        F.lit(2147483647),
+    )
+
+
+def portable_hash_sql(doc_id: str, turn_idx: str, salt: int) -> str:
+    """The same mixer as ANSI/DuckDB SQL text (operands are non-negative, so
+    ``%`` and Spark's ``pmod`` agree)."""
+    return f"(({doc_id}) * 1000003 + ({turn_idx}) * 7919 + {salt} * 104729) % 2147483647"
+
+
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a transcripts-shaped table from the driver's documents.parquet.
 
     Used by bench/entry so the fact-table size tracks the driver's scale
     factor. Each document becomes one conversation; its text is chunked
     into turns of ~12 tokens; clinical mentions are injected
-    deterministically by doc_id hash so the linker has real work to do.
+    deterministically by (doc_id, turn_idx) hash so the linker has real
+    work to do. All selection hashes are :func:`portable_hash` so the
+    driver's DuckDB oracle can rebuild identical text (see
+    ``__spark_entry__.oracle_sql()['q_kg_triples']``).
     """
     labels = [c[2].lower() for c in L.CONCEPTS]
     codes = [d.lower() for c in L.CONCEPTS for (d, _t) in c[5]]
@@ -205,12 +224,14 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("toks"),
         F.posexplode(F.sequence(F.lit(0), n_turns - 1)).alias("turn_idx", "_t"),
     )
-    i = F.xxhash64("doc_id", "turn_idx", F.lit(42))
-    h = F.abs(i)
-    sel = F.pmod(h, F.lit(10))
+
+    def h(salt: int) -> Column:
+        return portable_hash(F.col("doc_id"), F.col("turn_idx"), salt)
+
+    sel = F.pmod(h(42), F.lit(10))
     mention = (
-        F.when(sel <= 2, F.concat(F.lit(" patient reported "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(1))), labels)))
-        .when(sel == 3, F.concat(F.lit(" coded as "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(2))), codes)))
+        F.when(sel <= 2, F.concat(F.lit(" patient reported "), _pick(h(1), labels)))
+        .when(sel == 3, F.concat(F.lit(" coded as "), _pick(h(2), codes)))
         .otherwise(F.lit(""))
     )
     chunk = F.concat(F.concat_ws(" ", F.slice(F.col("toks"), F.col("turn_idx") * 12 + 1, 12)), mention)
@@ -218,7 +239,7 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference's clinical strings) so the TF-IDF tier sees signal
     text = F.when(
         sel == 4,
-        F.concat(F.lit("patient note "), _pick(F.abs(F.xxhash64("doc_id", "turn_idx", F.lit(3))), near_miss)),
+        F.concat(F.lit("patient note "), _pick(h(3), near_miss)),
     ).otherwise(chunk)
     return turns.select(
         F.format_string("conv_%08d", F.col("doc_id")).alias("conv_id"),

@@ -1,0 +1,474 @@
+"""DuckDB-SQL mirror of the full transcripts→triples pipeline.
+
+Builds ONE self-contained SQL string that reproduces, stage by stage, what
+``plans.pipeline.run_pipeline(..., with_similarity=False)`` emits over
+``transcripts_from_documents``:
+
+    documents → deterministic transcripts → code/term mention detection →
+    code normalization → UMLS double-merge annotate → dbxref + ananke +
+    exact-string linking → ancestor expansion → canonicalization (ordered
+    first-occurrence concat, category, formatted evidence) → triples.
+
+Dimension tables (lexicon strings/dbxrefs/labels, ancestor closure,
+prepared MRCONSO, MRSTY) are tiny and deterministic, so they are
+precomputed HERE in Python — with the same semantics as the Spark
+operators (`operators/linking.py`) — and inlined as VALUES. Fact-side
+transforms (tokenization, span generation, source-code normalization)
+are expressed in portable SQL.
+
+This is the correctness oracle for the flagship `q_kg_triples` query: the
+driver executes it in DuckDB and hash-compares against the Spark result.
+Reference semantics mirrored throughout are cited in the Spark operators;
+this module only re-states them in SQL.
+"""
+
+from __future__ import annotations
+
+import re
+
+from omop2obo_spark.fixtures import lexicon_data as L
+from omop2obo_spark.fixtures.generators import portable_hash_sql, vocab_map_dict
+
+# ---------------------------------------------------------------------------
+# Python replicas of the dimension-side transforms (dims are literal and
+# tiny — the reference also preprocesses its lexicons offline)
+# ---------------------------------------------------------------------------
+
+
+def py_normalize_code(code: str, vm: dict[str, str]) -> str | None:
+    """Python replica of functions.normalize.normalize_source_codes
+    (reference: data_utils.py:236-275) for dimension prep."""
+    pat = "[_:|/]" if ("http" in code and "_" in code) else "[:|/]"
+    segs = [x for x in re.split(pat, code) if x != ""]
+    if not segs:
+        return None
+    seg = segs[-1]
+    stripped = code.rstrip(seg)  # char-set strip, same as the Spark regex
+    prefix = stripped[:-1] if stripped else ""
+    prefix = vm.get(prefix, prefix)
+    return f"{prefix}:{seg.lower()}"
+
+
+def prepared_mrconso() -> list[tuple[str, str, str]]:
+    """Replica of operators.linking.prepare_mrconso over the fixture rows:
+    (CUI, SAB, normalized CODE)."""
+    vm = vocab_map_dict()
+    seen = set()
+    out = []
+    for cui, lang, sab, code in L.MRCONSO_ROWS:
+        if code == "NOCODE" or lang != "ENG" or (cui, sab, code) in seen:
+            continue
+        seen.add((cui, sab, code))
+        c = f"{sab}:{code.lower()}"
+        parts = c.split(":")
+        if len(parts) > 2:
+            c = ":".join(parts[1:])
+        out.append((cui, sab, py_normalize_code(c, vm)))
+    return out
+
+
+def dim_rows() -> dict[str, list[tuple]]:
+    """All inline dimensions, with LexiconDims' deterministic resolution."""
+    vm = vocab_map_dict()
+    labels: dict[str, str] = {}
+    strings: dict[tuple[str, str, str], str | None] = {}
+    dbxref: dict[tuple[str, str], tuple[str, str]] = {}
+    for ont, sid, label, _definition, syns, dbxs, _anc in L.CONCEPTS:
+        uri = L.OBO + sid
+        lab = label.lower()
+        labels[uri] = max(labels.get(uri, lab), lab)
+        k = (lab, uri, "label")
+        strings.setdefault(k, None)
+        for syn, styp in syns:
+            k = (syn.lower(), uri, "synonym")
+            prev = strings.get(k)
+            strings[k] = styp if prev is None else max(prev, styp)
+        for code, dtyp in dbxs:
+            nk = (py_normalize_code(code, vm), uri)
+            prev = dbxref.get(nk)
+            cand = (dtyp, code)
+            dbxref[nk] = cand if prev is None else max(prev, cand)
+
+    # transitive ancestor closure (BFS, same as fixtures.generators)
+    parents = {L.OBO + sid: [L.OBO + a for a in anc] for _, sid, _, _, _, _, anc in L.CONCEPTS}
+    closure = []
+    for uri in parents:
+        seen: list[str] = []
+        stack = list(parents[uri])
+        while stack:
+            a = stack.pop(0)
+            if a not in seen:
+                seen.append(a)
+                stack.extend(parents.get(a, []))
+        closure.extend((uri, a) for a in seen)
+
+    return {
+        "labels": sorted(labels.items()),
+        "strings": sorted((c, u, k, t) for (c, u, k), t in strings.items()),
+        "dbxref": sorted((c, u, t) for (c, u), (t, _raw) in dbxref.items()),
+        "closure": sorted(closure),
+        "mrconso": prepared_mrconso(),
+        "mrsty": list(L.MRSTY_ROWS),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SQL assembly
+# ---------------------------------------------------------------------------
+
+
+def _q(v) -> str:
+    if v is None:
+        return "NULL"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values(rows, alias: str, cols: list[str]) -> str:
+    body = ", ".join("(" + ", ".join(_q(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS {alias}({', '.join(cols)})"
+
+
+def _vocab_case(expr: str) -> str:
+    """CASE mapping a prefix through the vocab map (alias → canonical)."""
+    vm = vocab_map_dict()
+    whens = " ".join(f"WHEN {_q(a)} THEN {_q(p)}" for a, p in sorted(vm.items()))
+    return f"(CASE {expr} {whens} ELSE {expr} END)"
+
+
+def _arr(values: list[str]) -> str:
+    return "[" + ", ".join(_q(v) for v in values) + "]"
+
+
+def _normalize_sql(raw: str) -> str:
+    """SQL replica of normalize_source_codes over column expr ``raw``
+    (expects the caller to wrap in a subquery exposing ``{raw}`` once)."""
+    seg = (
+        f"CASE WHEN contains({raw}, 'http') AND contains({raw}, '_') "
+        f"THEN list_filter(string_split_regex({raw}, '[_:|/]'), x -> x <> '')[-1] "
+        f"ELSE list_filter(string_split_regex({raw}, '[:|/]'), x -> x <> '')[-1] END"
+    )
+    return seg
+
+
+def kg_triples_sql() -> str:
+    """The full pipeline oracle: DuckDB SQL producing
+    (conv_id, turn_idx, subj, pred, obj) — same rows as
+    run_pipeline(...).triples over transcripts_from_documents."""
+    dims = dim_rows()
+    labels_v = _values(dims["labels"], "labdim", ["uri", "label"])
+    strings_v = _values(dims["strings"], "strdim", ["code", "uri", "kind", "syn_type"])
+    dbx_v = _values(dims["dbxref"], "dbxdim", ["code", "uri", "dbx_type"])
+    closure_v = _values(dims["closure"], "closure", ["curi", "ancestor_uri"])
+    mrconso_v = _values(dims["mrconso"], "mr", ["cui", "sab", "ucode"])
+    mrsty_v = _values(dims["mrsty"], "styv", ["cui", "sty"])
+
+    labels_arr = _arr([c[2].lower() for c in L.CONCEPTS])
+    codes_arr = _arr([d.lower() for c in L.CONCEPTS for (d, _t) in c[5]])
+    near_arr = _arr(
+        [" ".join(reversed(lb.split())) for lb in (c[2].lower() for c in L.CONCEPTS) if " " in lb]
+    )
+    n_lab = len(L.CONCEPTS)
+    n_code = sum(len(c[5]) for c in L.CONCEPTS)
+    n_near = sum(1 for c in L.CONCEPTS if " " in c[2])
+    ont_keys = sorted({c[0] for c in L.CONCEPTS})
+    ont_in = ", ".join(_q(o) for o in ont_keys)
+
+    ph42 = portable_hash_sql("doc_id", "i", 42)
+    ph1 = portable_hash_sql("doc_id", "i", 1)
+    ph2 = portable_hash_sql("doc_id", "i", 2)
+    ph3 = portable_hash_sql("doc_id", "i", 3)
+
+    # term-mention n-gram spans, n = 1..4 (cfg.max_term_tokens)
+    span_branches = "\n        UNION ALL\n".join(
+        f"""        SELECT conv_id, turn_idx, i - 1 AS pos, {n} AS len,
+               array_to_string(t[i:i+{n - 1}], ' ') AS surface
+        FROM ttoks, UNNEST(range(1, greatest(len(t) - {n} + 2, 1))) AS u{n}(i)
+        WHERE len(t) >= {n}"""
+        for n in range(1, 5)
+    )
+
+    norm_seg = _normalize_sql("surface")
+    uri_short = "string_split(uri, '/')[-1]"
+
+    def ont_type_of(col: str) -> str:
+        return f"string_split(string_split({col}, '/')[-1], '_')[1]"
+
+    return f"""
+WITH
+-- stage 0: deterministic transcripts from documents (generators.transcripts_from_documents)
+doctoks AS (
+    SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+),
+tr AS (
+    SELECT printf('conv_%08d', doc_id) AS conv_id,
+           i::INT AS turn_idx,
+           CASE WHEN ({ph42}) % 10 = 4
+                THEN 'patient note ' || ({near_arr})[(({ph3}) % {n_near}) + 1]
+                ELSE array_to_string(t[i*12+1 : i*12+12], ' ') ||
+                     CASE WHEN ({ph42}) % 10 <= 2
+                          THEN ' patient reported ' || ({labels_arr})[(({ph1}) % {n_lab}) + 1]
+                          WHEN ({ph42}) % 10 = 3
+                          THEN ' coded as ' || ({codes_arr})[(({ph2}) % {n_code}) + 1]
+                          ELSE '' END
+           END AS text
+    FROM doctoks, UNNEST(range(0, greatest(len(t) // 12, 1))) AS u(i)
+),
+-- stage 1a: code mentions (plans.mention.detect_code_mentions)
+code_mentions AS (
+    SELECT conv_id, turn_idx,
+           conv_id || ':' || turn_idx::VARCHAR || ':code:' || (i - 1)::VARCHAR AS mention_id,
+           arr[i] AS surface
+    FROM (
+        SELECT conv_id, turn_idx,
+               regexp_extract_all(lower(text), '\\b([a-z][a-z0-9_.\\-]*:[a-z0-9][a-z0-9.\\-]*)', 1) AS arr
+        FROM tr
+    ), UNNEST(range(1, len(arr) + 1)) AS uc(i)
+),
+-- stage 1b: term mentions (detect_term_mentions: spans + dict join + longest-match-wins)
+ttoks AS (
+    SELECT conv_id, turn_idx,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+    FROM tr
+),
+spans AS (
+{span_branches}
+),
+tmatched AS (
+    SELECT s.conv_id, s.turn_idx, s.pos, s.len, s.surface
+    FROM spans s JOIN (SELECT DISTINCT code AS surface FROM {strings_v}) d
+      ON s.surface = d.surface
+),
+tkept AS (
+    SELECT a.* FROM tmatched a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM tmatched b
+        WHERE b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx
+          AND b.pos <= a.pos AND b.pos + b.len >= a.pos + a.len AND b.len > a.len
+    )
+),
+term_mentions AS (
+    SELECT conv_id, turn_idx,
+           conv_id || ':' || turn_idx::VARCHAR || ':term:' || pos::VARCHAR AS mention_id,
+           surface
+    FROM tkept
+),
+-- stage 2a: stack code mentions + normalize (pipeline._stack_code_mentions)
+codenorm AS (
+    SELECT conv_id, turn_idx, mention_id, surface,
+           CASE WHEN seg IS NULL THEN NULL
+                ELSE {_vocab_case("substr(rtrim(surface, seg), 1, greatest(length(rtrim(surface, seg)) - 1, 0))")}
+                     || ':' || lower(seg) END AS code
+    FROM (SELECT *, {norm_seg} AS seg FROM code_mentions)
+),
+stack0 AS (
+    SELECT conv_id, turn_idx, mention_id, code, 'TURN_CODE' AS code_column, 0 AS src_rank
+    FROM codenorm WHERE code IS NOT NULL
+    UNION ALL
+    SELECT conv_id, turn_idx, mention_id, upper(string_split(code, ':')[-1]), 'UMLS_CUI', 1
+    FROM codenorm WHERE code LIKE 'umls:c%'
+),
+-- stage 2b: UMLS double-merge annotate (operators.linking.umls_annotate)
+ids AS (
+    SELECT DISTINCT conv_id, turn_idx, mention_id, code
+    FROM stack0 WHERE code_column = 'TURN_CODE'
+),
+m1 AS (
+    SELECT ids.conv_id, ids.turn_idx, ids.mention_id, ids.code, mr.cui, mr.sab, mr.ucode
+    FROM ids JOIN {mrconso_v} ON ids.code = mr.ucode
+),
+m2 AS (
+    SELECT m1.conv_id, m1.turn_idx, m1.mention_id, m1.code, mr.cui, mr.sab, mr.ucode
+    FROM m1 JOIN {mrconso_v} ON m1.cui = mr.cui
+),
+umls_map AS (
+    SELECT DISTINCT m.conv_id, m.turn_idx, m.mention_id, m.code, m.cui, m.sab, m.ucode, styv.sty AS sem
+    FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2) m
+    LEFT JOIN {mrsty_v} ON m.cui = styv.cui
+),
+stack AS (
+    SELECT conv_id, turn_idx, mention_id, code, code_column, min(src_rank) AS src_rank
+    FROM (
+        SELECT * FROM stack0
+        UNION ALL
+        SELECT conv_id, turn_idx, mention_id, ucode, 'UMLS_CODE', 2 FROM umls_map WHERE ucode IS NOT NULL
+        UNION ALL
+        SELECT conv_id, turn_idx, mention_id, cui, 'UMLS_CUI', 3 FROM umls_map
+    )
+    GROUP BY 1, 2, 3, 4, 5
+),
+-- semantic-type ordered first-occurrence concat (ordered_concat_agg)
+sem_rows AS (
+    SELECT DISTINCT conv_id, turn_idx, mention_id, cui, sem
+    FROM umls_map WHERE sem IS NOT NULL AND sem <> ''
+),
+sem_rn AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, mention_id ORDER BY cui, sem) AS rn
+    FROM sem_rows
+),
+semagg AS (
+    SELECT conv_id, turn_idx, mention_id, string_agg(sem, ' | ' ORDER BY fo) AS semstr
+    FROM (
+        SELECT conv_id, turn_idx, mention_id, sem, min(rn) AS fo
+        FROM sem_rn GROUP BY 1, 2, 3, 4
+    )
+    GROUP BY 1, 2, 3
+),
+-- stage 2c: dbxref tier (direct + ananke) — operators.linking.dbxref_link
+dbx_direct AS (
+    SELECT s.conv_id, s.turn_idx, s.mention_id, s.code, s.code_column, s.src_rank,
+           0 AS tier_rank, dbxdim.uri, coalesce(dbxdim.dbx_type, 'DbXref') AS match_subtype
+    FROM stack s JOIN {dbx_v} ON s.code = dbxdim.code
+),
+ontside AS (
+    SELECT DISTINCT lower(replace(string_split(uri, '/')[-1], '_', ':')) AS ont_code, uri
+    FROM (SELECT dbxdim.uri AS uri FROM {dbx_v})
+),
+ananke AS (
+    SELECT DISTINCT s.conv_id, s.turn_idx, s.mention_id,
+           'umls:' || uo.cui AS code, s.code_column, s.src_rank,
+           1 AS tier_rank, os.uri, 'DbXref' AS match_subtype
+    FROM stack s
+    JOIN (SELECT cui, ucode FROM {mrconso_v} WHERE string_split(ucode, ':')[1] IN ({ont_in})) uo
+      ON s.code = uo.cui
+    JOIN ontside os ON uo.ucode = os.ont_code
+),
+dbx_links AS (
+    SELECT DISTINCT b.conv_id, b.turn_idx, b.mention_id, b.code, b.code_column,
+           b.uri, {ont_type_of("b.uri")} AS ont_type, labdim.label,
+           'CONCEPT_DBXREF_' || b.code AS evidence,
+           'dbxref' AS match_kind, b.match_subtype, b.src_rank, b.tier_rank
+    FROM (SELECT * FROM dbx_direct UNION ALL SELECT * FROM ananke) b
+    LEFT JOIN {labels_v} ON b.uri = labdim.uri
+),
+-- stage 2d: exact string tier — operators.linking.exact_string_link
+str_links AS (
+    SELECT DISTINCT m.conv_id, m.turn_idx, m.mention_id, m.surface AS code,
+           'MENTION_LABEL' AS code_column, sd.uri, {ont_type_of("sd.uri")} AS ont_type, labdim.label,
+           'MENTION_LABEL:' || replace(m.surface, ' ', '_') AS evidence,
+           sd.kind AS match_kind, coalesce(sd.syn_type, 'LABEL') AS match_subtype,
+           0 AS src_rank, CASE WHEN sd.kind = 'label' THEN 0 ELSE 1 END AS tier_rank
+    FROM term_mentions m
+    JOIN (SELECT code, uri, kind, syn_type FROM {strings_v}) sd ON m.surface = sd.code
+    LEFT JOIN {labels_v} ON sd.uri = labdim.uri
+),
+concept_links AS (
+    SELECT *, 'concept' AS level FROM dbx_links
+    UNION ALL
+    SELECT *, 'concept' AS level FROM str_links
+),
+-- stage 2e: ancestor expansion — pipeline._expand_ancestors
+anc_links AS (
+    SELECT DISTINCT l.conv_id, l.turn_idx, l.mention_id, l.code,
+           regexp_replace(l.code_column, '^(TURN|MENTION|CONCEPT)_', 'ANCESTOR_') AS code_column,
+           closure.ancestor_uri AS uri,
+           string_split(string_split(closure.ancestor_uri, '/')[-1], '_')[1] AS ont_type,
+           coalesce(al.label, l.label) AS label,
+           regexp_replace(l.evidence, '^CONCEPT_', 'ANCESTOR_') AS evidence,
+           l.match_kind, l.match_subtype, l.src_rank, l.tier_rank, 'ancestor' AS level
+    FROM concept_links l
+    JOIN {closure_v} ON l.uri = closure.curi
+    LEFT JOIN (SELECT uri AS auri, label FROM {labels_v}) al ON closure.ancestor_uri = al.auri
+),
+all_links AS (
+    SELECT * FROM concept_links UNION ALL SELECT * FROM anc_links
+),
+-- stage 3: canonicalization — operators.compile.compile_exact_mappings
+fmtlinks AS (
+    SELECT *,
+           CASE WHEN match_kind = 'dbxref' THEN
+               'OBO_' || match_subtype || '-OMOP_' || upper(level) || '_CODE:' ||
+               string_split(string_split(evidence, '_')[-1], ':')[1] || '_' ||
+               string_split(evidence, ':')[-1]
+           ELSE
+               'OBO_' || (CASE WHEN match_kind = 'label' THEN 'LABEL' ELSE match_subtype END) ||
+               '-OMOP_' || upper(level) || '_' ||
+               (CASE WHEN contains(lower(code_column), 'label') THEN 'LABEL' ELSE 'SYNONYM' END) ||
+               ':' || string_split(evidence, ':')[-1]
+           END AS fmt,
+           CASE WHEN match_kind = 'dbxref' THEN 0 ELSE 1 END AS blk,
+           {uri_short} AS uri_short,
+           (level = 'concept') AS is_concept
+    FROM all_links
+),
+srt AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY conv_id, turn_idx, mention_id, ont_type
+               ORDER BY blk, tier_rank, src_rank, evidence, uri_short, is_concept, label, fmt, uri) AS rn,
+           bool_or(is_concept) OVER (PARTITION BY conv_id, turn_idx, mention_id, ont_type) AS has_c
+    FROM fmtlinks
+),
+kept AS (SELECT * FROM srt WHERE is_concept OR NOT has_c),
+agg_uri AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type, string_agg(v, ' | ' ORDER BY fo) AS agg_uri
+    FROM (SELECT conv_id, turn_idx, mention_id, ont_type, uri_short AS v, min(rn) AS fo
+          FROM kept WHERE uri_short IS NOT NULL AND uri_short <> '' GROUP BY 1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3, 4
+),
+agg_label AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type, string_agg(v, ' | ' ORDER BY fo) AS agg_label
+    FROM (SELECT conv_id, turn_idx, mention_id, ont_type, label AS v, min(rn) AS fo
+          FROM kept WHERE label IS NOT NULL AND label <> '' GROUP BY 1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3, 4
+),
+agg_ev AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type, string_agg(v, ' | ' ORDER BY fo) AS agg_evidence
+    FROM (SELECT conv_id, turn_idx, mention_id, ont_type, fmt AS v, min(rn) AS fo
+          FROM kept WHERE fmt IS NOT NULL AND fmt <> '' GROUP BY 1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3, 4
+),
+meta AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type,
+           count(DISTINCT uri) AS n_uri, NOT bool_or(is_concept) AS anc
+    FROM kept GROUP BY 1, 2, 3, 4
+),
+mappings AS (
+    SELECT meta.conv_id, meta.turn_idx, meta.mention_id, meta.ont_type,
+           agg_uri.agg_uri, agg_label.agg_label, agg_ev.agg_evidence,
+           CASE WHEN NOT anc AND n_uri > 1 THEN 'Automatic Constructor - Concept'
+                WHEN NOT anc THEN 'Automatic Exact - Concept'
+                WHEN n_uri > 1 THEN 'Automatic Constructor - Ancestor'
+                ELSE 'Automatic Exact - Ancestor' END AS category
+    FROM meta
+    JOIN agg_uri USING (conv_id, turn_idx, mention_id, ont_type)
+    LEFT JOIN agg_label USING (conv_id, turn_idx, mention_id, ont_type)
+    LEFT JOIN agg_ev USING (conv_id, turn_idx, mention_id, ont_type)
+),
+-- stage 4: triples — plans.pipeline.build_triples
+uri_triples AS (
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id AS subj,
+           CASE WHEN starts_with(category, 'Automatic Constructor') THEN 'omop2obo:hasConstructorMapping'
+                WHEN category = 'Manual Exact - Concept Similarity' THEN 'omop2obo:hasSimilarityMapping'
+                ELSE 'omop2obo:hasExactMapping' END AS pred,
+           'obo:' || u AS obj
+    FROM mappings, UNNEST(string_split(agg_uri, ' | ')) AS tu(u)
+    WHERE agg_uri IS NOT NULL AND agg_uri <> ''
+),
+meta_triples AS (
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id AS subj,
+           'omop2obo:hasMappingCategory' AS pred, category AS obj
+    FROM mappings WHERE agg_uri IS NOT NULL AND agg_uri <> ''
+    UNION ALL
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id,
+           'omop2obo:hasEvidence', agg_evidence
+    FROM mappings WHERE agg_uri IS NOT NULL AND agg_uri <> ''
+),
+mention_triples AS (
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id AS subj,
+           'omop2obo:mentionOf' AS pred,
+           'transcript:' || conv_id || ':' || turn_idx::VARCHAR AS obj
+    FROM (SELECT conv_id, turn_idx, mention_id FROM code_mentions
+          UNION ALL SELECT conv_id, turn_idx, mention_id FROM term_mentions)
+),
+sem_triples AS (
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id AS subj,
+           'omop2obo:hasSemanticType' AS pred, semstr AS obj
+    FROM semagg WHERE semstr <> ''
+)
+SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
+FROM (
+    SELECT * FROM uri_triples
+    UNION ALL SELECT * FROM meta_triples
+    UNION ALL SELECT * FROM mention_triples
+    UNION ALL SELECT * FROM sem_triples
+)
+"""

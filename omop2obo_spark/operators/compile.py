@@ -104,7 +104,14 @@ def compile_exact_mappings(links: DataFrame, key_cols: list[str], level_col: str
             F.array_distinct(F.filter(vals, lambda v: v.isNotNull() & (v != ""))), " | "
         )
 
-    n_uri = F.size(F.array_distinct(F.transform(F.col("__kept"), lambda x: x["uri"])))
+    # filter nulls BEFORE array_distinct: countDistinct semantics ignore
+    # null, but array_distinct counts null as a distinct value — a group
+    # with one real URI plus a null-URI link must stay 'Automatic Exact'
+    n_uri = F.size(
+        F.array_distinct(
+            F.filter(F.transform(F.col("__kept"), lambda x: x["uri"]), lambda v: v.isNotNull())
+        )
+    )
     # levels are only concept/ancestor, and the preference filter keeps
     # ancestor rows only in ancestor-only groups
     anc = ~F.exists(F.col("__kept"), lambda x: x["is_concept"])
@@ -185,6 +192,56 @@ def compile_similarity_mappings(
         joined("evid").alias("SIM_EVIDENCE"),
         category.alias("SIM_MAPPING"),
     )
+
+
+def wide_mapping_layout(
+    mappings: DataFrame,
+    key_cols: list[str],
+    onts: list[str],
+    base: DataFrame | None = None,
+) -> DataFrame:
+    """Pivot compile output into the reference's wide per-ontology block
+    layout: 8 columns per ontology —
+    ``AGGREGATED_<ONT>_{URI,LABEL,MAPPING,EVIDENCE}`` then
+    ``SIMILARITY_<ONT>_{URI,LABEL,MAPPING,EVIDENCE}``
+    (/root/reference/main.py:100-145, data_utils.py:608-615).
+
+    ``mappings`` is :func:`compile_mappings` output (one row per key ×
+    ONT_TYPE). ``base`` (optional) is the original entity table to re-attach
+    (the reference's J8 left-join back to the clinical frame); pass e.g. the
+    mention table. Missing blocks stay null, like the reference's
+    ``[None] * 4`` rows. One shuffle (the pivot groupBy); block columns are
+    ordered exact-before-similarity per ontology, matching the reference's
+    column construction order.
+    """
+    ont_vals = [o.upper() for o in onts]
+    has_sim = "SIM_URI" in mappings.columns
+    aggs = [
+        F.first("AGG_URI").alias("AGGREGATED__URI"),
+        F.first("AGG_LABEL").alias("AGGREGATED__LABEL"),
+        F.first("AGG_MAPPING").alias("AGGREGATED__MAPPING"),
+        F.first("AGG_EVIDENCE").alias("AGGREGATED__EVIDENCE"),
+    ]
+    if has_sim:
+        aggs += [
+            F.first("SIM_URI").alias("SIMILARITY__URI"),
+            F.first("SIM_LABEL").alias("SIMILARITY__LABEL"),
+            F.first("SIM_MAPPING").alias("SIMILARITY__MAPPING"),
+            F.first("SIM_EVIDENCE").alias("SIMILARITY__EVIDENCE"),
+        ]
+    pivoted = mappings.groupBy(*key_cols).pivot("ONT_TYPE", ont_vals).agg(*aggs)
+    # spark names multi-agg pivot columns `<ont>_<alias>`; rewrite to the
+    # reference layout `<BLOCK>_<ONT>_<FIELD>` in deterministic block order
+    ordered = [*key_cols]
+    for ont in ont_vals:
+        for block in ["AGGREGATED", "SIMILARITY"] if has_sim else ["AGGREGATED"]:
+            for field in ["URI", "LABEL", "MAPPING", "EVIDENCE"]:
+                src = f"{ont}_{block}__{field}"
+                ordered.append(F.col(src).alias(f"{block}_{ont}_{field}"))
+    out = pivoted.select(*ordered)
+    if base is not None:
+        out = base.join(out, on=key_cols, how="left")
+    return out
 
 
 def compile_mappings(

@@ -83,6 +83,8 @@ def minhash_lsh_pairs(
     (a, b) with a < b, distinct. Verification (exact Jaccard) is the
     caller's choice — chain with :func:`ngram_jaccard_pairs`.
     """
+    if bands <= 0 or n_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
     band_arr = F.array(
@@ -234,6 +236,10 @@ def embedding_cosine_pairs(
             .filter(F.col("cos") >= threshold)
         )
 
+    if band_bits <= 0 or band_bits > n_bits or n_bits % band_bits != 0:
+        # silent truncation here would drop trailing sign bits (or, with
+        # band_bits > n_bits, produce zero bands → empty result)
+        raise ValueError(f"band_bits ({band_bits}) must divide n_bits ({n_bits})")
     if dim is None:
         first = vectors.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"]) if first else 0

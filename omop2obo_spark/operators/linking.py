@@ -70,30 +70,47 @@ class LexiconDims:
 
     @classmethod
     def from_lexicon(cls, lexicon: DataFrame, vocab_map: dict[str, str]) -> "LexiconDims":
-        labels = (
-            lexicon.filter(F.col("kind") == "label")
-            .select(F.col("uri").alias("URI"), F.col("norm_string").alias("LABEL"))
-            .dropDuplicates(["URI"])
+        # Explicit precedence for duplicate keys: the reference's
+        # merge_dictionaries is last-write-wins over sources merged in order
+        # (data_utils.py:278-302). An optional ``src_rank`` column carries
+        # that source order (higher rank wins); absent, all sources rank 0
+        # and ties resolve by value (max) — deterministic either way, unlike
+        # a bare dropDuplicates whose winner is partition-order-dependent.
+        rank = (
+            F.col("src_rank").cast("long") if "src_rank" in lexicon.columns else F.lit(0)
+        ).alias("__rank")
+
+        def _resolve(df: DataFrame, keys: list[str], vals: list[str]) -> DataFrame:
+            win = F.max(F.struct(F.col("__rank"), *[F.col(v) for v in vals])).alias("__w")
+            return df.groupBy(*keys).agg(win).select(
+                *keys, *[F.col(f"__w.{v}").alias(v) for v in vals]
+            )
+
+        labels = _resolve(
+            lexicon.filter(F.col("kind") == "label").select(
+                F.col("uri").alias("URI"), F.col("norm_string").alias("LABEL"), rank
+            ),
+            ["URI"], ["LABEL"],
         )
-        dbxref = (
-            lexicon.filter(F.col("kind") == "dbxref")
-            .select(
+        dbxref = _resolve(
+            lexicon.filter(F.col("kind") == "dbxref").select(
                 normalize_source_codes(F.col("norm_string"), vocab_map).alias("CODE"),
                 F.col("uri").alias("URI"),
                 F.col("subtype").alias("DBX_TYPE"),
                 F.col("norm_string").alias("RAW_CODE"),
-            )
-            .dropDuplicates(["CODE", "URI"])
+                rank,
+            ),
+            ["CODE", "URI"], ["DBX_TYPE", "RAW_CODE"],
         )
-        strings = (
-            lexicon.filter(F.col("kind").isin("label", "synonym"))
-            .select(
+        strings = _resolve(
+            lexicon.filter(F.col("kind").isin("label", "synonym")).select(
                 F.lower(F.col("norm_string")).alias("CODE"),
                 F.col("uri").alias("URI"),
                 F.col("kind").alias("STR_KIND"),
                 F.col("subtype").alias("SYN_TYPE"),
-            )
-            .dropDuplicates(["CODE", "URI", "STR_KIND"])
+                rank,
+            ),
+            ["CODE", "URI", "STR_KIND"], ["SYN_TYPE"],
         )
         ont_keys = [r.ont for r in lexicon.select("ont").distinct().collect()]
         # Materialize each dimension as a driver-local literal relation.
@@ -227,7 +244,9 @@ def dbxref_link(
         .join(F.broadcast(dims.labels), on="URI", how="left")
         .withColumn("EVIDENCE", F.concat(F.lit(col_lab), F.col("CODE")))
         .select(*key_cols, *LINK_VALUE_COLS)
-        .dropDuplicates([*key_cols, "CODE", "CODE_COLUMN", "URI"])
+        # full-row distinct: deterministic set semantics (a subset dedup
+        # over rows differing in rank columns picks an arbitrary winner)
+        .dropDuplicates()
     )
     return out
 
@@ -263,6 +282,7 @@ def exact_string_link(
             F.concat(F.col("CODE_COLUMN"), F.lit(":"), F.regexp_replace(F.col("CODE"), " ", "_")),
         )
         .select(*key_cols, *LINK_VALUE_COLS)
-        .dropDuplicates([*key_cols, "CODE", "CODE_COLUMN", "URI", "tier_rank"])
+        # full-row distinct — see dbxref_link
+        .dropDuplicates()
     )
     return out

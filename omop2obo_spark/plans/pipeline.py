@@ -123,7 +123,11 @@ def _expand_ancestors(exact_links: DataFrame, ancestors: DataFrame, labels: Data
         )
         .withColumn("LEVEL", F.lit("ancestor"))
         .drop("ancestor_uri", "__anc_label")
-        .dropDuplicates([*KEY_COLS, "URI", "EVIDENCE"])
+        # full-row distinct (not a subset dedup): subset keys with differing
+        # rank columns would pick an arbitrary winner and leak
+        # nondeterminism into the compile sort; the compile stage's
+        # array_distinct collapses value-identical rows anyway
+        .dropDuplicates()
     )
 
 
@@ -139,6 +143,8 @@ def run_pipeline(
     with_similarity: bool = True,
     persist: bool = True,
     dims: LexiconDims | None = None,
+    timings: dict[str, float] | None = None,
+    double_merge: bool = True,
 ) -> PipelineResult:
     """Run the full transcripts→triples pipeline.
 
@@ -152,8 +158,17 @@ def run_pipeline(
     these same boundaries are where the checkpoint manifests write durable
     parquet instead (plans/checkpoint.py), which truncates lineage too.
     """
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _mark(name: str) -> None:
+        if timings is not None:
+            timings[name] = round(_time.time() - _t0, 2)
+
     dims = dims or LexiconDims.from_lexicon(lexicon, vocab_map)
     term_dim = dims.strings.select(F.col("CODE").alias("surface"))
+    _mark("dims_ready")
 
     # ---- stage 1: mention detection -------------------------------------
     mentions = detect_mentions(transcripts, term_dim, cfg.max_term_tokens)
@@ -166,6 +181,7 @@ def run_pipeline(
         # killer, since it doesn't shrink with more cores). Eager
         # materialization converts it into parallel cluster work.
         mentions = mentions.localCheckpoint(eager=True)
+    _mark("mentions_ckpt")
 
     # ---- stage 2: entity linking ----------------------------------------
     code_stack = _stack_code_mentions(mentions, vocab_map)
@@ -181,7 +197,7 @@ def run_pipeline(
     if umls_prepped is not None and mrsty is not None:
         umls_map = umls_annotate(
             code_stack.filter(F.col("CODE_COLUMN") == "TURN_CODE"),
-            umls_prepped, mrsty, KEY_COLS, "CODE",
+            umls_prepped, mrsty, KEY_COLS, "CODE", double_merge=double_merge,
         )
         # stack UMLS-derived codes back in (the reference's subsetter over
         # [code, UMLS_CODE, UMLS_CUI])
@@ -193,8 +209,15 @@ def run_pipeline(
             *KEY_COLS, F.col("UMLS_CUI").alias("CODE"),
             F.lit("UMLS_CUI").alias("CODE_COLUMN"), F.lit(3).alias("src_rank"),
         )
-        code_stack = code_stack.unionByName(umls_codes).unionByName(umls_cuis).dropDuplicates(
-            [*KEY_COLS, "CODE", "CODE_COLUMN"]
+        # deterministic dedup: the same (key, CODE, CODE_COLUMN) can arrive
+        # from several stack sources (e.g. a pure-CUI mention at src_rank 1
+        # AND the UMLS merge at src_rank 3) — keep the lowest rank instead
+        # of dropDuplicates' arbitrary winner, so downstream ordered
+        # aggregation is stable across runs/retries
+        code_stack = (
+            code_stack.unionByName(umls_codes).unionByName(umls_cuis)
+            .groupBy(*KEY_COLS, "CODE", "CODE_COLUMN")
+            .agg(F.min("src_rank").alias("src_rank"))
         )
         semtypes = ordered_concat_agg(
             umls_map.select(*KEY_COLS, "UMLS_CUI", "UMLS_SEM_TYPE"),
@@ -217,6 +240,7 @@ def run_pipeline(
         # the unlinked anti-join); with sim off it has a single consumer
         # and staying lazy lets Catalyst fuse the whole tail into one job.
         exact = exact.localCheckpoint(eager=True)
+    _mark("linking_built")
 
     # ---- stage 2e: TF-IDF similarity tier -------------------------------
     # idf is fit over ALL turn strings ∪ ontology strings — the reference
@@ -256,6 +280,7 @@ def run_pipeline(
 
     # ---- stage 4: triple materialization ---------------------------------
     triples = build_triples(mentions, mappings, semtypes)
+    _mark("plan_built")
 
     return PipelineResult(
         mentions=mentions,

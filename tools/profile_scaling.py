@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Phase-level profiling of the scaling-bench pipeline job.
+
+Runs the same job as ``bench.py --pipeline-only --execs N`` but reports
+per-phase wall times (run_pipeline's ``timings`` marks + execute), to
+isolate the non-scaling (serial) fraction that caps N→4N efficiency:
+
+    taskset -c 0-9 python tools/profile_scaling.py --execs 4 --turns 2000000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    execs = int(sys.argv[sys.argv.index("--execs") + 1]) if "--execs" in sys.argv else 4
+    turns = int(sys.argv[sys.argv.index("--turns") + 1]) if "--turns" in sys.argv else 2_000_000
+    warmup = int(sys.argv[sys.argv.index("--warmup") + 1]) if "--warmup" in sys.argv else 100_000
+
+    from bench import _spark_cluster, run_pipeline_bench
+
+    t0 = time.time()
+    spark = _spark_cluster(execs)
+    out: dict = {"spark_start": round(time.time() - t0, 2), "execs": execs, "turns": turns}
+
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.fixtures.generators import transcripts_df, vocab_map_dict
+    from omop2obo_spark.operators.linking import LexiconDims
+    from omop2obo_spark.plans.pipeline import run_pipeline
+
+    lex = FX.lexicon_df(spark)
+    vm = vocab_map_dict()
+    t = time.time()
+    dims = LexiconDims.from_lexicon(lex, vm)
+    out["dims_build"] = round(time.time() - t, 2)
+
+    if warmup:
+        t = time.time()
+        run_pipeline_bench(spark, "", n_turns=warmup)
+        out["warmup"] = round(time.time() - t, 2)
+
+    tr = transcripts_df(spark, n_convs=turns // 10, turns_per_conv=10).persist()
+    tr.count()
+
+    timings: dict = {}
+    t_all = time.time()
+    res = run_pipeline(
+        spark, tr, lex, vm, mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark), with_similarity=False, dims=dims,
+        timings=timings,
+    )
+    t = time.time()
+    res.triples.write.format("noop").mode("overwrite").save()
+    timings["execute"] = round(time.time() - t, 2)
+    timings["total"] = round(time.time() - t_all, 2)
+    out["phases"] = timings
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
