@@ -26,9 +26,11 @@ class PipelineConfig:
     tfidf_ngram_range: tuple[int, int] = (1, 3)
     # mention detection
     max_term_tokens: int = 4  # longest dictionary term, in tokens
-    # skew handling: surface forms with more than this many mentions are
-    # routed through the salted join path
-    heavy_hitter_threshold: int = 100_000
+    # skew handling: dictionary joins broadcast while the dimension fits
+    # (no shuffle → no skew); above this row count the join shuffles, and
+    # the Zipf-skewed fact keys ("pain"-class codes at 10^12 turns) are
+    # salted across salt_buckets shuffle partitions (operators/joins.py)
+    broadcast_dim_max_rows: int = 500_000
     salt_buckets: int = 32
     # output partitioning (conv_id bucket count on the triple table)
     output_buckets: int = 256

@@ -43,10 +43,18 @@ def localize_dim(df: DataFrame, max_rows: int = 500_000) -> DataFrame:
     ``max_rows`` (e.g. a full production MRCONSO) — then the collect cost
     is paid per broadcast site, but the plan is never recomputed.
     """
+    local, _small = localize_dim_checked(df, max_rows)
+    return local
+
+
+def localize_dim_checked(df: DataFrame, max_rows: int = 500_000) -> tuple[DataFrame, bool]:
+    """Like :func:`localize_dim` but also reports whether the dimension fit
+    (→ broadcast joins) or not (→ shuffle joins, where the caller should
+    salt skewed fact keys — see umls_annotate(strategy='salted'))."""
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
-        return df.persist()
-    return df.sparkSession.createDataFrame(rows, df.schema)
+        return df.persist(), False
+    return df.sparkSession.createDataFrame(rows, df.schema), True
 
 
 @dataclass
@@ -152,6 +160,9 @@ def umls_annotate(
     key_cols: list[str],
     code_col: str,
     double_merge: bool = True,
+    dedup: bool = True,
+    strategy: str = "broadcast",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """UMLS CUI + semantic-type annotation (J1/J2/J3).
 
@@ -160,33 +171,61 @@ def umls_annotate(
     re-joins the CUIs of merge 1 against the full MRCONSO, pulling in SABs
     absent from the input — the CUI cross-reference expansion tier.
 
-    ``umls`` must be pre-processed by :func:`prepare_mrconso`. At
-    production scale MRCONSO is ~10M rows ≈ 300 MB — still broadcastable
-    on 8g executors; if not, this becomes a shuffle join and the skew salt
-    belongs on the fact side (see joins.salted_join).
+    ``umls`` must be pre-processed by :func:`prepare_mrconso`.
+    ``strategy='broadcast'`` while MRCONSO fits executor memory (~10M rows
+    ≈ 300 MB is still broadcastable on 8g executors). When it does not —
+    ``strategy='salted'`` — both merges become shuffle joins, and the fact
+    side's Zipf-skewed keys ("pain"-class codes dominate mention counts at
+    10^12 turns) are salted across ``salt_buckets`` shuffle partitions so
+    no single reducer owns a hot key (joins.salted_join; the north rule's
+    salted hash join for skewed high-frequency terms). Results are
+    identical either way (tests/test_operators.py).
     """
     u = umls.select(
         F.col("CUI").alias("UMLS_CUI"),
         F.col("SAB").alias("UMLS_SAB"),
         F.col("CODE").alias("UMLS_CODE"),
     )
-    ids = codes.select(*key_cols, code_col).dropDuplicates()
-    m1 = ids.join(F.broadcast(u), ids[code_col] == u["UMLS_CODE"], "inner").select(
-        *key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE"
-    )
-    if double_merge:
-        m2 = m1.select(*key_cols, code_col, "UMLS_CUI").join(
-            F.broadcast(u), on="UMLS_CUI", how="left"
+    ids = codes.select(*key_cols, code_col)
+    if dedup:
+        # pipeline input is already unique per (key, code) — mention_id is
+        # part of the key — so the hot path skips this shuffle too
+        ids = ids.dropDuplicates()
+    if strategy == "salted":
+        from omop2obo_spark.operators.joins import salted_join
+
+        m1 = salted_join(
+            ids.withColumn("UMLS_CODE", F.col(code_col)),
+            u, on="UMLS_CODE", salt_buckets=salt_buckets,
+            fact_salt_cols=key_cols,
+        ).select(*key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE")
+    else:
+        m1 = ids.join(F.broadcast(u), ids[code_col] == u["UMLS_CODE"], "inner").select(
+            *key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE"
         )
+    if double_merge:
+        m2_left = m1.select(*key_cols, code_col, "UMLS_CUI")
+        if strategy == "salted":
+            from omop2obo_spark.operators.joins import salted_join
+
+            m2 = salted_join(
+                m2_left, u, on="UMLS_CUI", salt_buckets=salt_buckets,
+                fact_salt_cols=key_cols, how="left",
+            )
+        else:
+            m2 = m2_left.join(F.broadcast(u), on="UMLS_CUI", how="left")
         merged = m1.unionByName(m2)
     else:
         merged = m1
     sty = mrsty.select(F.col("CUI").alias("UMLS_CUI"), F.col("STY").alias("UMLS_SEM_TYPE"))
-    return (
-        merged.join(F.broadcast(sty), on="UMLS_CUI", how="left")
-        .select(*key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE", "UMLS_SEM_TYPE")
-        .dropDuplicates()
+    out = merged.join(F.broadcast(sty), on="UMLS_CUI", how="left").select(
+        *key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE", "UMLS_SEM_TYPE"
     )
+    # ``dedup=False`` skips the distinct SHUFFLE: every consumer downstream
+    # (stack min-rank groupBy, ordered-concat semtypes, compile's
+    # array_distinct) is invariant to duplicate rows, so the pipeline defers
+    # dedup off the hot path (see plans/pipeline.py).
+    return out.dropDuplicates() if dedup else out
 
 
 def dbxref_link(
@@ -195,6 +234,7 @@ def dbxref_link(
     key_cols: list[str],
     level: str,
     umls: DataFrame | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """DbXRef tier (J4) + OHDSI-Ananke UMLS-CUI bridge (J5).
 
@@ -233,8 +273,9 @@ def dbxref_link(
             )
             .withColumn("tier_rank", F.lit(1))
             .withColumn("MATCH_SUBTYPE", F.lit("DbXref"))
-            .dropDuplicates()
         )
+        if dedup:
+            ananke = ananke.dropDuplicates()
         branches.append(ananke)
 
     out = branches[0] if len(branches) == 1 else branches[0].unionByName(branches[1])
@@ -244,11 +285,11 @@ def dbxref_link(
         .join(F.broadcast(dims.labels), on="URI", how="left")
         .withColumn("EVIDENCE", F.concat(F.lit(col_lab), F.col("CODE")))
         .select(*key_cols, *LINK_VALUE_COLS)
-        # full-row distinct: deterministic set semantics (a subset dedup
-        # over rows differing in rank columns picks an arbitrary winner)
-        .dropDuplicates()
     )
-    return out
+    # full-row distinct: deterministic set semantics (a subset dedup over
+    # rows differing in rank columns would pick an arbitrary winner).
+    # dedup=False defers the shuffle — compile output is invariant to dups.
+    return out.dropDuplicates() if dedup else out
 
 
 def exact_string_link(
@@ -256,6 +297,7 @@ def exact_string_link(
     dims: LexiconDims,
     key_cols: list[str],
     level: str,
+    dedup: bool = True,
 ) -> DataFrame:
     """Exact label/synonym string tier (J6).
 
@@ -282,7 +324,6 @@ def exact_string_link(
             F.concat(F.col("CODE_COLUMN"), F.lit(":"), F.regexp_replace(F.col("CODE"), " ", "_")),
         )
         .select(*key_cols, *LINK_VALUE_COLS)
-        # full-row distinct — see dbxref_link
-        .dropDuplicates()
     )
-    return out
+    # full-row distinct — see dbxref_link
+    return out.dropDuplicates() if dedup else out

@@ -63,7 +63,8 @@ class TfidfModel:
         self.ont_mat = ont_mat  # (n_ont_rows, |vocab|), l2-normalized
         self.ont_ids = ont_ids  # short ids, e.g. HP_0008181
 
-    def transform(self, token_lists: list[list[str]]) -> np.ndarray:
+    def transform_raw(self, token_lists: list[list[str]]) -> np.ndarray:
+        """tf·idf rows over this model's vocabulary, NOT l2-normalized."""
         X = np.zeros((len(token_lists), len(self.idf)), dtype=np.float64)
         vocab = self.vocab
         for r, toks in enumerate(token_lists):
@@ -72,6 +73,10 @@ class TfidfModel:
                 if c is not None:
                     X[r, c] += 1.0
         X *= self.idf
+        return X
+
+    def transform(self, token_lists: list[list[str]]) -> np.ndarray:
+        X = self.transform_raw(token_lists)
         norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
         np.divide(X, norms, out=X, where=norms > 0)
         return X
@@ -139,6 +144,98 @@ def query_df_counts(queries: DataFrame, tokens_col: str = "tokens") -> tuple[dic
     return {r.g: int(r["count"]) for r in counts}, n_docs
 
 
+def distributed_query_stats(
+    queries: DataFrame,
+    ont_corpus: list[tuple[str, list[str]]],
+    tokens_col: str = "tokens",
+) -> tuple[DataFrame, dict[str, int], int]:
+    """Scale-path replacement for :func:`query_df_counts`: NOTHING
+    unbounded is collected to the driver.
+
+    The full union-corpus TF-IDF math (idf fit over query ∪ ontology
+    corpus, string_similarity.py:321-326) factors into
+      * the per-query l2 norm |x| — needs the idf of EVERY query n-gram,
+        computed HERE Spark-side (explode → tf → distributed df join →
+        Σ(tf·idf)²) and returned as a (doc_key, norm) DataFrame;
+      * the dot products x·o — only n-grams inside the ontology vocabulary
+        contribute, so only THOSE document frequencies (bounded by the
+        ontology vocab size, not the corpus) are collected for the
+        broadcast model.
+
+    cosine(x, o) = (x·o)/(|x|·|o|) is then exactly the reference's score.
+
+    Returns (norms_df(doc_key, norm), ont_vocab_query_df, n_query_docs)
+    where doc_key = md5 of the joined token list.
+    """
+    spark = queries.sparkSession
+    distinct_docs = (
+        queries.select(F.col(tokens_col).alias("toks")).where(F.size("toks") > 0).distinct()
+    )
+    n_docs = distinct_docs.count()
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _all_grams(toks: pd.Series) -> pd.Series:  # with duplicates → tf
+        return toks.apply(lambda t: ngrams(list(t)))
+
+    key = F.md5(F.concat_ws("\x01", F.col("toks")))
+    tf = (
+        distinct_docs.select(key.alias("k"), F.explode(_all_grams("toks")).alias("g"))
+        .groupBy("k", "g")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("g").agg(F.count("*").alias("dfq"))  # docs-per-gram
+
+    # ontology-side dfs (driver-side: ont corpus is small by construction)
+    ont_df_counts: dict[str, int] = {}
+    for _id, toks in ont_corpus:
+        for g in set(ngrams(toks)):
+            ont_df_counts[g] = ont_df_counts.get(g, 0) + 1
+    ont_df_df = spark.createDataFrame(
+        list(ont_df_counts.items()) or [("", 0)], "g string, dfo long"
+    )
+
+    n_total = n_docs + len(ont_corpus)
+    idf = F.log((1.0 + n_total) / (1.0 + F.col("dfq") + F.coalesce(F.col("dfo"), F.lit(0)))) + 1.0
+    norms = (
+        tf.join(dfq, on="g")
+        .join(F.broadcast(ont_df_df), on="g", how="left")
+        .withColumn("w", F.col("tf") * idf)
+        .groupBy("k")
+        .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    )
+
+    # query dfs for the (bounded) ontology vocabulary only
+    ont_vocab_rows = dfq.join(
+        F.broadcast(ont_df_df.select("g")), on="g", how="leftsemi"
+    ).collect()
+    ont_vocab_query_df = {r.g: int(r.dfq) for r in ont_vocab_rows}
+    return norms, ont_vocab_query_df, n_docs
+
+
+def fit_tfidf_ont_vocab(
+    ont_corpus: list[tuple[str, list[str]]],
+    ont_vocab_query_df: dict[str, int],
+    n_query_docs: int,
+) -> TfidfModel:
+    """Fit a model restricted to the ontology vocabulary (the only grams
+    that contribute to x·o), with idf still computed over the FULL union
+    corpus (query dfs from :func:`distributed_query_stats`). Pairs with
+    per-doc norms for exact cosine parity with :func:`fit_tfidf`."""
+    df_counts: dict[str, int] = {}
+    for _id, toks in ont_corpus:
+        for g in set(ngrams(toks)):
+            df_counts[g] = df_counts.get(g, 0) + 1
+    vocab = {g: i for i, g in enumerate(sorted(df_counts))}
+    n_docs = n_query_docs + len(ont_corpus)
+    idf = np.empty(len(vocab), dtype=np.float64)
+    for g, i in vocab.items():
+        idf[i] = math.log((1 + n_docs) / (1 + df_counts[g] + ont_vocab_query_df.get(g, 0))) + 1.0
+    model = TfidfModel(vocab, idf, np.empty((0, 0)), [])
+    model.ont_mat = model.transform([toks for _id, toks in ont_corpus])
+    model.ont_ids = [i for i, _t in ont_corpus]
+    return model
+
+
 SIM_SCHEMA = T.StructType(
     [
         T.StructField("mention_id", T.StringType()),
@@ -156,10 +253,15 @@ def similarity_scores(
     tokens_col: str = "tokens",
     top_n: int = 10,
     floor: float = 0.25,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Cosine top-``top_n`` per query with absolute ``floor`` — the
     similarity_search step (string_similarity.py:206-228, :264).
 
+    With ``norm_col`` set, ``queries`` carries a precomputed full-vocab l2
+    norm per row (the :func:`distributed_query_stats` scale path) and the
+    model only spans the ontology vocabulary: rows are scored as
+    (x_raw·o)/|x| instead of normalizing inside the batch.
     Returns long rows (mention_id, sim_uri short id, score).
     """
     bc = spark.sparkContext.broadcast(model)
@@ -171,7 +273,12 @@ def similarity_scores(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = m.transform([list(t) for t in pdf[tokens_col]])
+            if norm_col is not None:
+                X = m.transform_raw([list(t) for t in pdf[tokens_col]])
+                norms = pdf[norm_col].to_numpy(dtype=np.float64)[:, None]
+                np.divide(X, norms, out=X, where=norms > 0)
+            else:
+                X = m.transform([list(t) for t in pdf[tokens_col]])
             S = X @ ont_t  # (batch, n_ont_rows)
             k = min(top_n, S.shape[1])
             top = np.argpartition(-S, k - 1, axis=1)[:, :k]
@@ -185,7 +292,8 @@ def similarity_scores(
                 out_s.extend(scores[keep].tolist())
             yield pd.DataFrame({"mention_id": out_id, "sim_uri": out_uri, "score": out_s})
 
-    return queries.select(id_col, tokens_col).mapInPandas(score_batches, SIM_SCHEMA)
+    sel = [id_col, tokens_col] + ([norm_col] if norm_col else [])
+    return queries.select(*sel).mapInPandas(score_batches, SIM_SCHEMA)
 
 
 def filter_similarity_matches(scores: DataFrame, percentile: float = 75.0) -> DataFrame:

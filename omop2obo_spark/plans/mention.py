@@ -108,10 +108,107 @@ def detect_term_mentions(
     )
 
 
-def detect_mentions(
+def detect_mentions_arrow(
     transcripts: DataFrame, term_dim: DataFrame, max_term_tokens: int = 4
 ) -> DataFrame:
-    """Union of code and term mentions."""
+    """Single-pass Arrow-batched mention detector — the scale engine.
+
+    Semantics are IDENTICAL to ``detect_code_mentions ∪
+    detect_term_mentions`` (tested by tests/test_operators.py parity), but
+    the physical plan is one ``mapInPandas`` scan:
+
+      * no 16× n-gram row explode — candidate spans are checked in-place
+        against a broadcast first-token index (Aho-Corasick-lite), so the
+        dictionary probe is one dict lookup per token plus rare tuple
+        compares, not a string build + hash join per n-gram;
+      * no shuffle — longest-match-wins runs per turn inside the batch
+        (the declarative engine needs a groupBy(conv, turn) over all
+        matched spans);
+      * no collect_list struct churn — the JVM explode/agg path allocates
+        per-span structs that dominate GC at cluster scale (measured: the
+        mention stage scaled 2.05× on 4× cores; GC/shuffle slack was the
+        gap — see BENCH/BASELINE.md).
+
+    The fact table crosses into Python once, Arrow-batched — the pattern
+    the north rule prescribes (vectorized pandas/Arrow UDFs, no per-row
+    Python UDF calls).
+    """
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # broadcast first-token index: tok0 -> list of token tuples
+    terms = [r.surface for r in term_dim.select("surface").distinct().collect()]
+    index: dict[str, list[tuple[str, ...]]] = {}
+    for t in terms:
+        tt = tuple(t.split(" "))
+        if 0 < len(tt) <= max_term_tokens:
+            index.setdefault(tt[0], []).append(tt)
+    bc = transcripts.sparkSession.sparkContext.broadcast(index)
+
+    tok_re = re.compile(r"[^a-z0-9']+")
+    code_re = re.compile(CODE_PATTERN)
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("mention_id", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("surface", T.StringType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        for pdf in batches:
+            conv_o, turn_o, mid_o, pos_o, kind_o, surf_o = [], [], [], [], [], []
+            for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                low = text.lower()
+                # code mentions: regex match ordinal is the position
+                for p, m in enumerate(code_re.findall(low)):
+                    conv_o.append(conv); turn_o.append(turn)
+                    mid_o.append(f"{conv}:{turn}:code:{p}")
+                    pos_o.append(p); kind_o.append("code"); surf_o.append(m)
+                # term mentions: first-token index probe per start position
+                toks = [t for t in tok_re.split(low) if t]
+                spans = []
+                for i, tok in enumerate(toks):
+                    for tt in idx.get(tok, ()):
+                        n = len(tt)
+                        if tuple(toks[i:i + n]) == tt:
+                            spans.append((i, n, " ".join(tt)))
+                for a in spans:
+                    if any(b[0] <= a[0] and b[0] + b[1] >= a[0] + a[1] and b[1] > a[1]
+                           for b in spans):
+                        continue  # strictly contained in a longer match
+                    conv_o.append(conv); turn_o.append(turn)
+                    mid_o.append(f"{conv}:{turn}:term:{a[0]}")
+                    pos_o.append(a[0]); kind_o.append("term"); surf_o.append(a[2])
+            yield pd.DataFrame(
+                {"conv_id": conv_o, "turn_idx": turn_o, "mention_id": mid_o,
+                 "pos": pos_o, "kind": kind_o, "surface": surf_o}
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(scan, schema)
+
+
+def detect_mentions(
+    transcripts: DataFrame, term_dim: DataFrame, max_term_tokens: int = 4,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Union of code and term mentions.
+
+    ``engine='arrow'`` (default): single-pass mapInPandas scan — no explode,
+    no shuffle (see :func:`detect_mentions_arrow`). ``engine='sql'``: the
+    fully declarative explode + broadcast-join + groupBy plan. Identical
+    output either way.
+    """
+    if engine == "arrow":
+        return detect_mentions_arrow(transcripts, term_dim, max_term_tokens)
     return detect_code_mentions(transcripts).unionByName(
         detect_term_mentions(transcripts, term_dim, max_term_tokens)
     )

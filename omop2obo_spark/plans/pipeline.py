@@ -53,9 +53,9 @@ from omop2obo_spark.operators.linking import (
 )
 from omop2obo_spark.operators.similarity import (
     build_ont_corpus,
+    distributed_query_stats,
     filter_similarity_matches,
-    fit_tfidf,
-    query_df_counts,
+    fit_tfidf_ont_vocab,
     similarity_scores,
 )
 from omop2obo_spark.plans.mention import detect_mentions
@@ -123,11 +123,9 @@ def _expand_ancestors(exact_links: DataFrame, ancestors: DataFrame, labels: Data
         )
         .withColumn("LEVEL", F.lit("ancestor"))
         .drop("ancestor_uri", "__anc_label")
-        # full-row distinct (not a subset dedup): subset keys with differing
-        # rank columns would pick an arbitrary winner and leak
-        # nondeterminism into the compile sort; the compile stage's
-        # array_distinct collapses value-identical rows anyway
-        .dropDuplicates()
+        # no distinct here: the compile stage's sorted first-occurrence
+        # aggregation is invariant to duplicate link rows, and the deduped
+        # artifact is derived lazily on PipelineResult.exact_links
     )
 
 
@@ -186,18 +184,27 @@ def run_pipeline(
     # ---- stage 2: entity linking ----------------------------------------
     code_stack = _stack_code_mentions(mentions, vocab_map)
     umls_prepped = prepare_mrconso(mrconso, vocab_map) if mrconso is not None else None
+    umls_strategy = "broadcast"
     if umls_prepped is not None and persist:
         # broadcast 3x (merge-1, merge-2, ananke) — localize once so those
-        # broadcast builds need no cluster job (see linking.localize_dim)
-        from omop2obo_spark.operators.linking import localize_dim
+        # broadcast builds need no cluster job (see linking.localize_dim).
+        # A production-scale MRCONSO that exceeds the broadcast budget
+        # falls back to persist() + SALTED shuffle joins: the fact side's
+        # Zipf-skewed codes are spread over cfg.salt_buckets partitions.
+        from omop2obo_spark.operators.linking import localize_dim_checked
 
-        umls_prepped = localize_dim(umls_prepped)
+        umls_prepped, fits = localize_dim_checked(
+            umls_prepped, cfg.broadcast_dim_max_rows
+        )
+        if not fits:
+            umls_strategy = "salted"
 
     semtypes = None
     if umls_prepped is not None and mrsty is not None:
         umls_map = umls_annotate(
             code_stack.filter(F.col("CODE_COLUMN") == "TURN_CODE"),
             umls_prepped, mrsty, KEY_COLS, "CODE", double_merge=double_merge,
+            dedup=False, strategy=umls_strategy, salt_buckets=cfg.salt_buckets,
         )
         # stack UMLS-derived codes back in (the reference's subsetter over
         # [code, UMLS_CODE, UMLS_CUI])
@@ -209,28 +216,32 @@ def run_pipeline(
             *KEY_COLS, F.col("UMLS_CUI").alias("CODE"),
             F.lit("UMLS_CUI").alias("CODE_COLUMN"), F.lit(3).alias("src_rank"),
         )
-        # deterministic dedup: the same (key, CODE, CODE_COLUMN) can arrive
-        # from several stack sources (e.g. a pure-CUI mention at src_rank 1
-        # AND the UMLS merge at src_rank 3) — keep the lowest rank instead
-        # of dropDuplicates' arbitrary winner, so downstream ordered
-        # aggregation is stable across runs/retries
-        code_stack = (
-            code_stack.unionByName(umls_codes).unionByName(umls_cuis)
-            .groupBy(*KEY_COLS, "CODE", "CODE_COLUMN")
-            .agg(F.min("src_rank").alias("src_rank"))
-        )
+        # The same (key, CODE, CODE_COLUMN) can arrive from several stack
+        # sources (e.g. a pure-CUI mention at src_rank 1 AND the UMLS merge
+        # at src_rank 3). No dedup shuffle here: compile's sorted
+        # first-occurrence concat makes duplicate rows land exactly where a
+        # min-src_rank winner would (value-identical rows collapse in
+        # array_distinct at the position of the lowest sort key) — so the
+        # plan stays shuffle-free through this union, deterministically.
+        code_stack = code_stack.unionByName(umls_codes).unionByName(umls_cuis)
         semtypes = ordered_concat_agg(
             umls_map.select(*KEY_COLS, "UMLS_CUI", "UMLS_SEM_TYPE"),
             KEY_COLS, ["UMLS_CUI", "UMLS_SEM_TYPE"], ["UMLS_CUI"],
         )
 
-    dbx = dbxref_link(code_stack, dims, KEY_COLS, "concept", umls=umls_prepped)
+    # dedup=False throughout the hot path: every intermediate distinct here
+    # is a fact-scale SHUFFLE whose effect the compile stage reproduces for
+    # free (sorted first-occurrence concat + array_distinct + countDistinct
+    # are all invariant to duplicate link rows). The deduplicated artifact
+    # is still exposed on PipelineResult.exact_links below — lazily, so a
+    # triples-only run never pays for it.
+    dbx = dbxref_link(code_stack, dims, KEY_COLS, "concept", umls=umls_prepped, dedup=False)
 
     term_stack = mentions.filter(F.col("kind") == "term").select(
         *KEY_COLS, F.col("surface").alias("CODE"),
         F.lit("MENTION_LABEL").alias("CODE_COLUMN"), F.lit(0).alias("src_rank"),
     )
-    strs = exact_string_link(term_stack, dims, KEY_COLS, "concept")
+    strs = exact_string_link(term_stack, dims, KEY_COLS, "concept", dedup=False)
 
     exact = dbx.unionByName(strs).withColumn("LEVEL", F.lit("concept"))
     if ancestors is not None:
@@ -250,6 +261,10 @@ def run_pipeline(
     # link — at 10^12 turns the fuzzy tier is the fallback path, not a
     # second full pass (divergence from the reference, which scores every
     # row; exact-linked rows don't need fuzzy candidates for the graph).
+    # Corpus statistics are fully distributed (distributed_query_stats):
+    # the driver only collects document frequencies for the BOUNDED
+    # ontology vocabulary; per-query l2 norms over the unbounded query
+    # vocabulary stay Spark-side as a (doc_key, norm) table.
     sim_matches = None
     if with_similarity:
         all_queries = transcripts.select(
@@ -258,13 +273,17 @@ def run_pipeline(
             preprocess_tokens_expr(F.col("text")).alias("tokens"),
         ).where(F.size("tokens") > 0)
         ont_corpus = build_ont_corpus(lexicon)
-        dfc, n_docs = query_df_counts(all_queries)
-        model = fit_tfidf(ont_corpus, dfc, n_docs)
+        norms, ont_vocab_df, n_docs = distributed_query_stats(all_queries, ont_corpus)
+        model = fit_tfidf_ont_vocab(ont_corpus, ont_vocab_df, n_docs)
 
         linked_turns = exact.select("conv_id", "turn_idx").distinct()
         unlinked = all_queries.join(linked_turns, on=["conv_id", "turn_idx"], how="left_anti")
+        unlinked = unlinked.withColumn(
+            "__k", F.md5(F.concat_ws("\x01", F.col("tokens")))
+        ).join(norms.withColumnRenamed("k", "__k"), on="__k", how="left").drop("__k")
         raw_scores = similarity_scores(
-            spark, unlinked, model, top_n=cfg.sim_top_n, floor=cfg.sim_floor
+            spark, unlinked, model, top_n=cfg.sim_top_n, floor=cfg.sim_floor,
+            norm_col="norm",
         )
         keyed = raw_scores.join(
             unlinked.select(*KEY_COLS), on="mention_id", how="inner"
@@ -284,7 +303,9 @@ def run_pipeline(
 
     return PipelineResult(
         mentions=mentions,
-        exact_links=exact,
+        # the deduplicated stage artifact (reference P2 boundary semantics);
+        # lazy — only executed if a consumer actually reads exact_links
+        exact_links=exact.dropDuplicates(),
         sim_matches=sim_matches,
         semtypes=semtypes,
         mappings=mappings,

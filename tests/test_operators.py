@@ -190,3 +190,73 @@ def test_salted_join_matches_plain_join(spark):
     plain = fact.join(dim, "k").select("id", "v")
     salted = salted_join(fact, dim, "k", salt_buckets=8, fact_salt_cols=["id"]).select("id", "v")
     assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_mention_engines_identical(spark):
+    """Arrow single-pass detector == declarative explode/join/groupBy plan,
+    row for row, over skewed synthetic transcripts."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.fixtures.generators import transcripts_df, vocab_map_dict
+    from omop2obo_spark.operators.linking import LexiconDims
+    from omop2obo_spark.plans.mention import detect_mentions
+
+    tr = transcripts_df(spark, n_convs=80, turns_per_conv=5)
+    dims = LexiconDims.from_lexicon(FX.lexicon_df(spark), vocab_map_dict())
+    from pyspark.sql import functions as F
+
+    term_dim = dims.strings.select(F.col("CODE").alias("surface"))
+    a = detect_mentions(tr, term_dim, 4, engine="arrow")
+    b = detect_mentions(tr, term_dim, 4, engine="sql")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+
+
+def test_umls_annotate_salted_matches_broadcast_on_zipf_skew(spark):
+    """The salted shuffle-join strategy (big-MRCONSO path) returns exactly
+    the broadcast result on a Zipf-skewed fact table, and no single
+    shuffle partition owns the hot key after salting."""
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.operators.joins import salted_join
+    from omop2obo_spark.operators.linking import prepare_mrconso, umls_annotate
+    from omop2obo_spark.fixtures import mrconso_df, mrsty_df
+    from omop2obo_spark.fixtures.generators import vocab_map_dict
+
+    # Zipf fixture: 5k code mentions, 80% of them the single hot code
+    n = 5000
+    fact = spark.range(n).select(
+        F.concat(F.lit("c"), (F.col("id") / 50).cast("long")).alias("conv_id"),
+        F.pmod(F.col("id"), F.lit(50)).cast("int").alias("turn_idx"),
+        F.concat(F.lit("m"), F.col("id")).alias("mention_id"),
+        F.when(F.pmod(F.col("id"), F.lit(10)) < 8, F.lit("snomed:22253000"))  # 'pain'
+        .otherwise(F.lit("snomed:386661006")).alias("CODE"),
+    )
+    umls = prepare_mrconso(mrconso_df(spark), vocab_map_dict())
+    keys = ["conv_id", "turn_idx", "mention_id"]
+    bcast = umls_annotate(fact, umls, mrsty_df(spark), keys, "CODE")
+    salted = umls_annotate(fact, umls, mrsty_df(spark), keys, "CODE", strategy="salted",
+                           salt_buckets=8)
+    a = sorted(map(tuple, bcast.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) > 0
+
+    # partition-balance evidence: the shuffle a plain equi-join induces
+    # hashes the fact on CODE alone — the hot key lands on ONE reducer;
+    # salted_join's shuffle hashes on (CODE, __salt) — same rows spread
+    # over salt_buckets reducers. Reproduce both shuffle keyings exactly.
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(8)).cast("int")
+    )
+
+    def max_partition_share(df):
+        sizes = (
+            df.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+        )
+        total = sum(r["count"] for r in sizes)
+        return max(r["count"] for r in sizes) / total
+
+    plain_share = max_partition_share(fact.repartition(8, "CODE"))
+    salted_share = max_partition_share(salted_fact.repartition(8, "CODE", "__salt"))
+    assert plain_share > 0.7          # hot key concentrates on one reducer
+    assert salted_share < 0.35        # salting spreads it near-uniformly

@@ -88,3 +88,48 @@ def test_filter_matches_per_uri_max_and_percentile(spark):
     got = {(r.sim_uri, r.score) for r in out.collect()}
     # deduped scores [0.9, 0.6, 0.4, 0.3]; np.percentile(...,75) = 0.675
     assert got == {("HP_1", 0.9)}
+
+
+def test_distributed_stats_match_driver_fit(spark):
+    """The scale path (distributed_query_stats + fit_tfidf_ont_vocab +
+    precomputed norms) must produce the SAME scores as the driver-side
+    union-corpus fit — cosine factorization equivalence."""
+    from omop2obo_spark.operators.similarity import (
+        distributed_query_stats,
+        fit_tfidf_ont_vocab,
+    )
+
+    lex = lexicon_df(spark)
+    ont_corpus = build_ont_corpus(lex)
+    queries = spark.createDataFrame(
+        [
+            ("m1", py_preprocess("pulmonary edema")),
+            ("m2", py_preprocess("severe pulmonary edema episode with fluid")),
+            ("m3", py_preprocess("edema lung patient wet lung fluid")),
+            ("m4", py_preprocess("color vision disorder suspected")),
+        ],
+        "mention_id string, tokens array<string>",
+    )
+    # old path: full union-vocab fit on the driver
+    dfc, n_docs = query_df_counts(queries)
+    old_model = fit_tfidf(ont_corpus, dfc, n_docs)
+    old = {
+        (r.mention_id, r.sim_uri): r.score
+        for r in similarity_scores(spark, queries, old_model, top_n=50, floor=0.0).collect()
+    }
+    # new path: ont-vocab model + Spark-side norms
+    norms, ont_vocab_df, n_docs2 = distributed_query_stats(queries, ont_corpus)
+    assert n_docs2 == n_docs
+    new_model = fit_tfidf_ont_vocab(ont_corpus, ont_vocab_df, n_docs2)
+    q2 = queries.withColumn("__k", F.md5(F.concat_ws("\x01", F.col("tokens")))).join(
+        norms.withColumnRenamed("k", "__k"), on="__k", how="left"
+    )
+    new = {
+        (r.mention_id, r.sim_uri): r.score
+        for r in similarity_scores(
+            spark, q2, new_model, top_n=50, floor=0.0, norm_col="norm"
+        ).collect()
+    }
+    assert set(old) == set(new)
+    for k in old:
+        assert abs(old[k] - new[k]) < 1e-12, (k, old[k], new[k])
