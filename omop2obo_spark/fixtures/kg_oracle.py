@@ -393,7 +393,7 @@ fmtlinks AS (
 srt AS (
     SELECT *,
            row_number() OVER (PARTITION BY conv_id, turn_idx, mention_id, ont_type
-               ORDER BY blk, tier_rank, src_rank, evidence, uri_short, is_concept, label, fmt, uri) AS rn,
+               ORDER BY blk, tier_rank, src_rank, evidence, uri_short, is_concept, label, fmt) AS rn,
            bool_or(is_concept) OVER (PARTITION BY conv_id, turn_idx, mention_id, ont_type) AS has_c
     FROM fmtlinks
 ),
@@ -418,7 +418,7 @@ agg_ev AS (
 ),
 meta AS (
     SELECT conv_id, turn_idx, mention_id, ont_type,
-           count(DISTINCT uri) AS n_uri, NOT bool_or(is_concept) AS anc
+           count(DISTINCT uri_short) AS n_uri, NOT bool_or(is_concept) AS anc
     FROM kept GROUP BY 1, 2, 3, 4
 ),
 mappings AS (

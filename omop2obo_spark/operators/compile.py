@@ -80,6 +80,10 @@ def compile_exact_mappings(links: DataFrame, key_cols: list[str], level_col: str
     # — two full sort/shuffle passes over the exact-links table where one
     # suffices (and the object-heavy aggregation is this pipeline's
     # scaling bottleneck — see BENCH/BASELINE.md).
+    # Struct fields are exactly what the aggregation consumes — the full
+    # URI is NOT shuffled (uri_short determines it under a single ontology
+    # namespace; n_uri counts distinct short ids). Every byte here is
+    # multiplied by the whole link-table shuffle.
     pair = F.struct(
         F.when(F.col("MATCH_KIND") == "dbxref", F.lit(0)).otherwise(F.lit(1)).alias("blk"),
         F.col("tier_rank").alias("tier_rank"),
@@ -89,7 +93,6 @@ def compile_exact_mappings(links: DataFrame, key_cols: list[str], level_col: str
         (F.col(level_col) == "concept").alias("is_concept"),
         F.col("LABEL").alias("label"),
         F.col("FMT_EVIDENCE").alias("fmt"),
-        F.col("URI").alias("uri"),
     )
     agg = fmt.groupBy(*grp).agg(F.array_sort(F.collect_list(pair)).alias("__links"))
 
@@ -109,7 +112,7 @@ def compile_exact_mappings(links: DataFrame, key_cols: list[str], level_col: str
     # with one real URI plus a null-URI link must stay 'Automatic Exact'
     n_uri = F.size(
         F.array_distinct(
-            F.filter(F.transform(F.col("__kept"), lambda x: x["uri"]), lambda v: v.isNotNull())
+            F.filter(F.transform(F.col("__kept"), lambda x: x["uri_short"]), lambda v: v.isNotNull())
         )
     )
     # levels are only concept/ancestor, and the preference filter keeps

@@ -221,11 +221,11 @@ def umls_annotate(
     out = merged.join(F.broadcast(sty), on="UMLS_CUI", how="left").select(
         *key_cols, code_col, "UMLS_CUI", "UMLS_SAB", "UMLS_CODE", "UMLS_SEM_TYPE"
     )
-    # ``dedup=False`` skips the distinct SHUFFLE: every consumer downstream
-    # (stack min-rank groupBy, ordered-concat semtypes, compile's
-    # array_distinct) is invariant to duplicate rows, so the pipeline defers
-    # dedup off the hot path (see plans/pipeline.py).
-    return out.dropDuplicates() if dedup else out
+    # This distinct is VOLUME-critical, not just semantic: merge 2 produces
+    # |SABs per CUI| rows for EACH merge-1 row of the same CUI — a k×k'
+    # cross product per (key, CUI) that the dedup collapses back to k+k'.
+    # Skipping it (measured) doubled the whole tail job. Never defer.
+    return out.dropDuplicates()
 
 
 def dbxref_link(

@@ -216,14 +216,16 @@ def run_pipeline(
             *KEY_COLS, F.col("UMLS_CUI").alias("CODE"),
             F.lit("UMLS_CUI").alias("CODE_COLUMN"), F.lit(3).alias("src_rank"),
         )
-        # The same (key, CODE, CODE_COLUMN) can arrive from several stack
-        # sources (e.g. a pure-CUI mention at src_rank 1 AND the UMLS merge
-        # at src_rank 3). No dedup shuffle here: compile's sorted
-        # first-occurrence concat makes duplicate rows land exactly where a
-        # min-src_rank winner would (value-identical rows collapse in
-        # array_distinct at the position of the lowest sort key) — so the
-        # plan stays shuffle-free through this union, deterministically.
-        code_stack = code_stack.unionByName(umls_codes).unionByName(umls_cuis)
+        # Deterministic min-rank dedup: the same (key, CODE, CODE_COLUMN)
+        # arrives from several stack sources (a pure-CUI mention at
+        # src_rank 1 AND one row per UMLS SAB at src_rank 3) — this groupBy
+        # both pins the winner deterministically AND collapses the per-SAB
+        # duplication before the dbxref/ananke joins multiply it.
+        code_stack = (
+            code_stack.unionByName(umls_codes).unionByName(umls_cuis)
+            .groupBy(*KEY_COLS, "CODE", "CODE_COLUMN")
+            .agg(F.min("src_rank").alias("src_rank"))
+        )
         semtypes = ordered_concat_agg(
             umls_map.select(*KEY_COLS, "UMLS_CUI", "UMLS_SEM_TYPE"),
             KEY_COLS, ["UMLS_CUI", "UMLS_SEM_TYPE"], ["UMLS_CUI"],
@@ -360,16 +362,30 @@ def build_triples(
         ).select("conv_id", "turn_idx", "subj", "p.pred", "p.obj")
     ]
 
+    # The distinct shuffle covers ONLY the mapping-derived triples (the one
+    # family that can emit duplicates — same category/evidence/constructor
+    # obj across a mention's per-ontology blocks). mentionOf rows are
+    # unique by construction (one per mention; longest-match keeps a single
+    # span per (turn, pos)) and semtype rows are one-per-mention aggregate
+    # output; both use predicates disjoint from the mapping family, so
+    # unioning them AFTER the distinct is set-identical to a global
+    # distinct while keeping ~1/3 of the triple volume out of the shuffle
+    # and fully pipelined from the mention checkpoint.
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.dropDuplicates(["subj", "pred", "obj"])
+
     mention_triples = mentions.select(
         "conv_id", "turn_idx",
         F.concat(F.lit("transcript:"), F.col("mention_id")).alias("subj"),
         F.lit(PRED_MENTION_OF).alias("pred"),
         F.concat(F.lit("transcript:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx")).alias("obj"),
     )
-    parts.append(mention_triples)
+    out = out.unionByName(mention_triples)
 
     if semtypes is not None:
-        parts.append(
+        out = out.unionByName(
             semtypes.filter(F.col("UMLS_SEM_TYPE") != "").select(
                 "conv_id", "turn_idx",
                 F.concat(F.lit("transcript:"), F.col("mention_id")).alias("subj"),
@@ -377,8 +393,4 @@ def build_triples(
                 F.col("UMLS_SEM_TYPE").alias("obj"),
             )
         )
-
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.dropDuplicates(["subj", "pred", "obj"])
+    return out

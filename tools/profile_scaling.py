@@ -60,8 +60,39 @@ def main() -> None:
     timings["execute"] = round(time.time() - t, 2)
     timings["total"] = round(time.time() - t_all, 2)
     out["phases"] = timings
+    out["stages"] = _stage_metrics(spark)
     print(json.dumps(out))
     spark.stop()
+
+
+def _stage_metrics(spark) -> list[dict]:
+    """Per-stage task/GC/shuffle totals from the driver's REST API —
+    pinpoints which stages fail to scale with executor count."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete",
+                                    timeout=10) as r:
+            stages = json.loads(r.read())
+        rows = []
+        for s in stages:
+            rows.append({
+                "id": s["stageId"],
+                "name": s["name"].split("\n")[0][:70],
+                "tasks": s["numCompleteTasks"],
+                "run_ms": s["executorRunTime"],
+                "cpu_ms": round(s.get("executorCpuTime", 0) / 1e6),
+                "gc_ms": s.get("jvmGcTime", 0),
+                "shuf_r_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+                "shuf_w_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                "in_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+            })
+        rows.sort(key=lambda r: -r["run_ms"])
+        return rows[:20]
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return [{"error": str(e)[:200]}]
 
 
 if __name__ == "__main__":
