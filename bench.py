@@ -76,6 +76,18 @@ def _spark_cluster(n_exec: int):
     os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
     from omop2obo_spark.session import get_spark
 
+    # Size each executor JVM's internal thread pools to ITS core budget,
+    # not the host's: a JVM sizes ParallelGC/JIT threads from the visible
+    # CPU count (the whole taskset mask), so 4 executors on a 10-CPU mask
+    # would spawn ~32 GC threads contending on 10 cores while the 1-exec
+    # run enjoys private slack — measured as task core-time inflating 2.4x
+    # (GC 45% of run time) at 4 executors. A real cluster's container
+    # isolation (cgroup cpuset per executor) does exactly this capping.
+    # Cap ONLY the GC pool: capping JIT (CICompilerCount) or the reported
+    # processor count as well starves warmup compilation (measured 183 s
+    # warmups) without improving steady-state fairness.
+    exec_jvm = f"-XX:+UseParallelGC -XX:ParallelGCThreads={EXEC_CORES}"
+    drv_jvm = "-XX:+UseParallelGC -XX:ParallelGCThreads=2"
     return get_spark(
         app_name=f"bench-lc{n_exec}",
         master=f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]",
@@ -84,6 +96,8 @@ def _spark_cluster(n_exec: int):
             "spark.ui.showConsoleProgress": "false",
             "spark.driver.memory": "4g",
             "spark.executor.memory": f"{EXEC_MEM_MB // 1024}g",
+            "spark.executor.extraJavaOptions": exec_jvm,
+            "spark.driver.extraJavaOptions": drv_jvm,
         },
     )
 
@@ -181,7 +195,10 @@ def main_bench() -> None:
     spark.stop()
 
 
-SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "8000000"))
+# Large enough that per-run fixed costs (job scheduling, stage-boundary
+# barriers, plan analysis — ~37 s measured) amortize below the noise of the
+# scalable work; at the 10^12-turn design point they are invisible.
+SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "16000000"))
 SCALE_WARMUP = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "100000"))
 # N vs 4N EXECUTORS (1 vs 4 two-core executor JVMs) — the cluster-faithful
 # reading of the north rule's two-cluster-size criterion. Each child also

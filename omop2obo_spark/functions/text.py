@@ -8,16 +8,19 @@ Reproduces the reference's preprocessing order
   3. lower-case
   4. ``\\w+`` tokenization
   5. lemmatization — the reference uses WordNet; this container has no
-     nltk, so we use a small deterministic suffix-rule lemmatizer-lite
-     applied identically on both the Spark side and the driver-side
-     ontology corpus, keeping *internal* consistency exact.
+     nltk, so we use the WordNet noun-exception table (the cases morphy's
+     lexicon check actually changes for clinical text) plus morphy-style
+     suffix detachment, applied identically on both the Spark side and
+     the driver-side ontology corpus. Internal consistency is exact;
+     drift vs a real WordNetLemmatizer is quantified against hand-labeled
+     WordNet outputs in tests/test_functions.py::test_lemma_wordnet_drift.
 
 Two implementations that must stay in lock-step:
   * ``preprocess_tokens_expr`` — native Spark column expressions (runs in
     whole-stage codegen over the 10^12-turn fact table);
   * ``py_preprocess`` — plain Python, used on the tiny driver-side
     ontology corpus when building the broadcast TF-IDF matrix.
-``tests/test_text.py`` asserts they agree on a shared vector set.
+``tests/test_functions.py`` asserts they agree on a shared vector set.
 """
 
 from __future__ import annotations
@@ -54,9 +57,42 @@ _STOPWORD_PATTERN = r"\b(" + "|".join(STOPWORDS) + r")\b\s*"
 _STOPWORD_RE = re.compile(_STOPWORD_PATTERN)
 _TOKEN_RE = re.compile(r"\w+")
 
+# WordNet-morphy noun exceptions the suffix rules cannot derive — the
+# irregular plurals of WordNet's noun.exc plus invariant (or
+# lexicon-protected) nouns that a blind ``-s`` strip would corrupt.
+# WordNet's morphy only accepts a detachment if the result is a WordNet
+# lemma; without the lexicon in this container, this table carries the
+# cases that check ACTUALLY changes for clinical text. Drift vs the real
+# WordNetLemmatizer is quantified in
+# tests/test_functions.py::test_lemma_wordnet_drift.
+_LEMMA_EXCEPTIONS = {
+    # irregular plurals (noun.exc)
+    "feet": "foot", "teeth": "tooth", "women": "woman", "men": "man",
+    "children": "child", "criteria": "criterion", "phenomena": "phenomenon",
+    "diagnoses": "diagnosis", "metastases": "metastasis",
+    "prostheses": "prosthesis", "analyses": "analysis", "crises": "crisis",
+    "stenoses": "stenosis", "neuroses": "neurosis", "psychoses": "psychosis",
+    "fibroses": "fibrosis", "scleroses": "sclerosis", "thromboses": "thrombosis",
+    "fungi": "fungus", "nuclei": "nucleus", "foci": "focus",
+    "vertebrae": "vertebra", "ganglia": "ganglion", "septa": "septum",
+    "ova": "ovum", "genera": "genus", "indices": "index",
+    "appendices": "appendix", "cortices": "cortex", "matrices": "matrix",
+    # invariant nouns a blind -s/-es strip corrupts (lexicon-protected in
+    # real morphy: the stripped form is not a WordNet lemma)
+    "pancreas": "pancreas", "species": "species", "diabetes": "diabetes",
+    "herpes": "herpes", "scabies": "scabies", "rabies": "rabies",
+    "measles": "measles", "lens": "lens", "biceps": "biceps",
+    "forceps": "forceps", "pelvis": "pelvis", "atlas": "atlas",
+    "pus": "pus", "news": "news",
+}
+
 
 def _lemma_lite_py(token: str) -> str:
-    """Deterministic suffix-rule lemmatizer (plural stripping)."""
+    """Deterministic lemmatizer: WordNet noun exceptions + morphy-style
+    suffix detachment (plural stripping)."""
+    exc = _LEMMA_EXCEPTIONS.get(token)
+    if exc is not None:
+        return exc
     if len(token) > 4 and token.endswith("ies"):
         return token[:-3] + "y"
     if len(token) > 3 and token.endswith("es") and token.endswith(("shes", "ches", "xes", "zes", "sses")):
@@ -73,8 +109,18 @@ def py_preprocess(text: str) -> list[str]:
     return [_lemma_lite_py(t) for t in _TOKEN_RE.findall(no_stop)]
 
 
+_EXC_MAP = None
+
+
+def _exc_map() -> Column:
+    global _EXC_MAP
+    if _EXC_MAP is None:
+        _EXC_MAP = F.create_map(*[F.lit(x) for kv in _LEMMA_EXCEPTIONS.items() for x in kv])
+    return _EXC_MAP
+
+
 def _lemma_lite_expr(t: Column) -> Column:
-    return (
+    rules = (
         F.when((F.length(t) > 4) & t.endswith("ies"), F.concat(t.substr(F.lit(1), F.length(t) - 3), F.lit("y")))
         .when(
             (F.length(t) > 3)
@@ -87,6 +133,7 @@ def _lemma_lite_expr(t: Column) -> Column:
         )
         .otherwise(t)
     )
+    return F.coalesce(_exc_map()[t], rules)
 
 
 def normalize_text(col: Column) -> Column:

@@ -66,3 +66,39 @@ def test_stopwords_removed_before_lowercasing():
     # the reference strips lowercase stopwords BEFORE lower-casing, so
     # capitalized stopwords survive (string_similarity.py:136)
     assert py_preprocess("The cat and the dog") == ["the", "cat", "dog"]
+
+
+def test_lemma_wordnet_drift():
+    """Quantified drift vs the real WordNetLemmatizer (no nltk in this
+    container): hand-labeled `WordNetLemmatizer().lemmatize(w)` outputs for
+    a clinical-leaning vocabulary. The exception table + morphy-style rules
+    must agree on every labeled case; regular inflection and invariant
+    nouns are covered, so residual drift is confined to rare lexicon-check
+    cases outside this vocabulary."""
+    from omop2obo_spark.functions.text import _lemma_lite_py
+
+    wordnet_golden = {
+        # regular detachment
+        "seizures": "seizure", "lungs": "lung", "kidneys": "kidney",
+        "symptoms": "symptom", "disorders": "disorder", "lesions": "lesion",
+        "rashes": "rash", "reflexes": "reflex", "abscesses": "abscess",
+        "allergies": "allergy", "anomalies": "anomaly", "arteries": "artery",
+        # irregular plurals (WordNet noun.exc)
+        "feet": "foot", "teeth": "tooth", "women": "woman", "men": "man",
+        "children": "child", "criteria": "criterion",
+        "diagnoses": "diagnosis", "metastases": "metastasis",
+        "analyses": "analysis", "crises": "crisis", "stenoses": "stenosis",
+        "fungi": "fungus", "nuclei": "nucleus", "vertebrae": "vertebra",
+        "ganglia": "ganglion", "indices": "index", "cortices": "cortex",
+        # invariant nouns morphy's lexicon check protects
+        "pancreas": "pancreas", "species": "species", "diabetes": "diabetes",
+        "herpes": "herpes", "rabies": "rabies", "measles": "measles",
+        "lens": "lens", "pelvis": "pelvis", "biceps": "biceps",
+        # passthroughs (no plural morphology)
+        "abdomen": "abdomen", "fever": "fever", "edema": "edema",
+        "nausea": "nausea", "arthritis": "arthritis", "virus": "virus",
+        "sinus": "sinus", "mellitus": "mellitus", "pain": "pain",
+    }
+    wrong = {w: (_lemma_lite_py(w), want) for w, want in wordnet_golden.items()
+             if _lemma_lite_py(w) != want}
+    assert not wrong, f"lemma drift vs WordNet: {wrong}"

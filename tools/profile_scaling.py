@@ -23,6 +23,7 @@ def main() -> None:
     turns = int(sys.argv[sys.argv.index("--turns") + 1]) if "--turns" in sys.argv else 2_000_000
     warmup = int(sys.argv[sys.argv.index("--warmup") + 1]) if "--warmup" in sys.argv else 100_000
 
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")  # stage metrics need the UI REST API
     from bench import _spark_cluster, run_pipeline_bench
 
     t0 = time.time()
