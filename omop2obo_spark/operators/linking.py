@@ -50,11 +50,32 @@ def localize_dim(df: DataFrame, max_rows: int = 500_000) -> DataFrame:
 def localize_dim_checked(df: DataFrame, max_rows: int = 500_000) -> tuple[DataFrame, bool]:
     """Like :func:`localize_dim` but also reports whether the dimension fit
     (→ broadcast joins) or not (→ shuffle joins, where the caller should
-    salt skewed fact keys — see umls_annotate(strategy='salted'))."""
+    salt skewed fact keys — see umls_annotate(strategy='salted')).
+
+    The local rebuild goes through pandas: ``createDataFrame`` from Python
+    rows yields a ``Scan ExistingRDD`` (parallelized — every broadcast
+    build still launches a small job), while an Arrow-backed pandas input
+    yields a true ``LocalTableScan`` that broadcasts with no job at all
+    (verified via .explain; tests/test_operators.py pins it).
+
+    The ``persist()`` fallback intentionally lives for the application
+    lifetime — it is a dimension cache shared by every downstream join
+    site, exactly like a cluster-wide dim table cache; callers that want
+    it gone must unpersist the returned frame themselves.
+    """
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         return df.persist(), False
-    return df.sparkSession.createDataFrame(rows, df.schema), True
+    spark = df.sparkSession
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=df.columns)
+        return spark.createDataFrame(pdf, df.schema), True
+    except Exception:
+        # fallback: parallelized local rows (still correct, just not a
+        # LocalTableScan)
+        return spark.createDataFrame(rows, df.schema), True, True
 
 
 @dataclass

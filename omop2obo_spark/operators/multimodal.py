@@ -114,11 +114,13 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, max_frames: int = 8) 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                n = min(max_frames, max(1, int(row["duration_ms"]) // every_ms))
-                blob = bytes(row["media"])
+            # zip over columns, not iterrows — iterrows materializes a
+            # Series per row (per-row Python object churn in the hot path)
+            for aid, dur, media in zip(pdf["asset_id"], pdf["duration_ms"], pdf["media"]):
+                n = min(max_frames, max(1, int(dur) // every_ms))
+                blob = bytes(media)
                 for i in range(n):
-                    ids.append(row["asset_id"])
+                    ids.append(aid)
                     idxs.append(i)
                     frames.append(blob[i * 8 : i * 8 + 8])
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})

@@ -263,3 +263,15 @@ def test_umls_annotate_salted_matches_broadcast_on_zipf_skew(spark):
     # spread is not perfectly uniform — but the straggler share must drop
     # by at least 2x vs the unsalted keying
     assert salted_share < 0.5 and salted_share < plain_share / 2
+
+
+def test_localize_dim_produces_local_table_scan(spark):
+    """localize_dim must yield a LocalTableScan (broadcast builds need no
+    cluster job) — the pandas/Arrow path, not a parallelized ExistingRDD."""
+    from omop2obo_spark.operators.linking import localize_dim
+
+    df = spark.createDataFrame([("a", 1), ("b", None)], "k string, v int")
+    local = localize_dim(df)
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan, plan
+    assert sorted(map(tuple, local.collect())) == [("a", 1), ("b", None)]
