@@ -58,26 +58,62 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _nearest_assignments(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    scored = vectors.join(F.broadcast(centroids)).select(
+        id_col, "centroid_id", cosine(F.col(vec_col), F.col("cvec")).alias("ccos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
 def ivf_assign(
-    vectors: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF: centroids = the ``n_centroids`` lowest-id vectors
-    (stable, no RNG/k-means iterations — a production system would run
-    k-means; the bucketing/probing mechanics are identical).
+    """Deterministic IVF bucketing.
+
+    ``kmeans_iters=0``: centroids = the ``n_centroids`` lowest-id vectors
+    (TakeOrdered, no full sort) — fully SQL-expressible, used by the
+    oracle-checked query. ``kmeans_iters>0``: refine those seeds with
+    Lloyd's iterations, distributed — assignment is a broadcast join +
+    window, the centroid update is posexplode → groupBy(centroid, dim
+    position) → avg, and only the (n_centroids × dim) means table is
+    collected per iteration (bounded by index size, never by data).
+    Deterministic: seeds are id-ordered and ties break on centroid_id.
 
     Returns (centroids, assignments(vec_id, centroid_id)).
     """
     centroids = vectors.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
-    scored = vectors.join(F.broadcast(centroids)).select(
-        id_col, "centroid_id", cosine(F.col(vec_col), F.col("cvec")).alias("ccos")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    assignments = (
-        scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
-        .select(id_col, "centroid_id")
-    )
+    for _ in range(kmeans_iters):
+        assign = _nearest_assignments(vectors, centroids, id_col, vec_col)
+        means = (
+            vectors.join(assign, on=id_col)
+            .select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+            )
+        )
+        rows = means.collect()  # n_centroids rows — bounded
+        centroids = vectors.sparkSession.createDataFrame(
+            [(r.centroid_id, list(r.cvec)) for r in rows],
+            "centroid_id long, cvec array<double>",
+        )
+    assignments = _nearest_assignments(vectors, centroids, id_col, vec_col)
     return centroids, assignments
 
 
@@ -90,10 +126,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: probe the ``nprobe`` nearest
-    centroid buckets per query, brute-force inside them."""
-    centroids, assignments = ivf_assign(vectors, n_centroids, id_col, vec_col)
+    centroid buckets per query, brute-force inside them. ``kmeans_iters``
+    refines centroids with distributed Lloyd's (see :func:`ivf_assign`)."""
+    centroids, assignments = ivf_assign(vectors, n_centroids, id_col, vec_col, kmeans_iters)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
     qc = q.join(F.broadcast(centroids)).select(
         query_id_col, "centroid_id", "__qv", cosine(F.col("__qv"), F.col("cvec")).alias("ccos")

@@ -190,3 +190,26 @@ def test_hyperplane_signs_deterministic():
     assert a == _hyperplane_signs(3, 16)
     assert set(a) <= {-1, 1} and len(a) == 16
     assert a != _hyperplane_signs(4, 16)
+
+
+def test_ivf_kmeans_refinement_deterministic_and_competitive(spark, emb):
+    """Lloyd's refinement (distributed assignment + posexplode/avg update,
+    bounded driver collect) must be deterministic across runs and must not
+    lose recall vs the raw lowest-id seeds."""
+    e = emb.select("vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"))
+    queries = e.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = {(r.query_id, r.vec_id) for r in brute_force_topk(e, queries, k=3).collect()}
+
+    def recall(iters):
+        ivf = ivf_topk(e, queries, k=3, n_centroids=8, nprobe=4, kmeans_iters=iters)
+        got = {(r.query_id, r.vec_id) for r in ivf.collect()}
+        return len(bf & got) / len(bf), got
+
+    r0, _ = recall(0)
+    r2a, set_a = recall(2)
+    r2b, set_b = recall(2)
+    assert set_a == set_b           # deterministic across runs
+    # refinement changes bucket shapes; recall stays competitive (individual
+    # queries can shift buckets, so exact dominance over the seeds is not
+    # guaranteed — bucket balance is what k-means buys)
+    assert r0 >= 0.5 and r2a >= 0.6
