@@ -133,8 +133,15 @@ def run_pipeline_bench(spark, sf_dir: str, n_turns: int | None = None,
     # setup too) — excluded from the timed region
     dims = LexiconDims.from_lexicon(lex, vm)
 
+    def _parts(n: int) -> int:
+        # keep persisted blocks bounded (~250k turns ≈ 40 MB each): at 32M
+        # turns on a 2-core cluster the default 2 partitions would make
+        # >2 GB cache blocks and kill the executor
+        return max(spark.sparkContext.defaultParallelism, n // 250_000)
+
     def one_run(n: int) -> float:
-        tr = transcripts_df(spark, n_convs=max(1, n // 10), turns_per_conv=10).persist()
+        tr = transcripts_df(spark, n_convs=max(1, n // 10), turns_per_conv=10,
+                            num_partitions=_parts(n)).persist()
         tr.count()
         t0 = time.time()
         res = run_pipeline(
@@ -151,7 +158,8 @@ def run_pipeline_bench(spark, sf_dir: str, n_turns: int | None = None,
         one_run(warmup_turns)
 
     if n_turns:
-        transcripts = transcripts_df(spark, n_convs=n_turns // 10, turns_per_conv=10).persist()
+        transcripts = transcripts_df(spark, n_convs=n_turns // 10, turns_per_conv=10,
+                                     num_partitions=_parts(n_turns)).persist()
     else:
         transcripts = transcripts_from_documents(spark, sf_dir).persist()
     turns = transcripts.count()

@@ -77,6 +77,56 @@ def stream_code_mentions(
     )
 
 
+def stream_conversation_state(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-conversation running state (total turns seen, max turn index)
+    maintained across micro-batches AND across restarts (state lives in the
+    streaming checkpoint).
+
+    Append-mode-legal: one cumulative row is emitted per conversation per
+    micro-batch that touches it. This is the harness for stateful
+    enrichment that window functions can't express incrementally —
+    per-conversation dedup horizons, running entity tallies, session
+    boundaries — on the transcript stream.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, turns_total long, max_turn_idx int"
+    state_schema = "turns_total long, max_turn_idx int"
+
+    def track(key, pdfs, state: GroupState):
+        n, mx = 0, -1
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, int(pdf["turn_idx"].max()))
+        if state.exists:
+            pn, pmx = state.get
+            n += int(pn)
+            mx = max(mx, int(pmx))
+        state.update((n, mx))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "turns_total": [n], "max_turn_idx": [mx]}
+        )
+
+    stream = spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(input_dir)
+    counted = stream.groupBy("conv_id").applyInPandasWithState(
+        track, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        counted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
 def stream_triples(
     spark: SparkSession,
     input_dir: str,

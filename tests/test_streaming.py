@@ -68,3 +68,37 @@ def test_stream_triples_foreachbatch(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() > n1
     assert after.select("batch_id").distinct().count() >= 2
+
+
+def test_stateful_conversation_tracking_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-conversation state accumulates across
+    separate availableNow runs (state restored from the checkpoint)."""
+    from datetime import datetime
+
+    from omop2obo_spark.fixtures.generators import TRANSCRIPTS_SCHEMA
+    from omop2obo_spark.streaming.incremental import stream_conversation_state
+
+    src = str(tmp_path / "in"); out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    ts = datetime(2026, 1, 1)
+    write_batch([("A", i, "user", f"turn {i}", None, ts) for i in range(3)], "b1")
+    q = stream_conversation_state(spark, src, out, ck).start()
+    q.awaitTermination()
+
+    write_batch([("A", i, "user", f"turn {i}", None, ts) for i in range(3, 5)]
+                + [("B", 0, "user", "hi", None, ts)], "b2")
+    q = stream_conversation_state(spark, src, out, ck).start()
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out).collect()
+    per_conv = {}
+    for r in rows:
+        per_conv.setdefault(r.conv_id, []).append((r.turns_total, r.max_turn_idx))
+    # run 1 emitted (A: 3 turns, max idx 2); run 2 accumulated state → (A: 5, 4)
+    assert (3, 2) in per_conv["A"] and (5, 4) in per_conv["A"]
+    assert per_conv["B"] == [(1, 0)]
