@@ -139,6 +139,11 @@ def run_pipeline_bench(spark, sf_dir: str, n_turns: int | None = None,
         # >2 GB cache blocks and kill the executor
         return max(spark.sparkContext.defaultParallelism, n // 250_000)
 
+    import shutil
+    import tempfile
+
+    ckpt_root = tempfile.mkdtemp(prefix="kg_ckpt_") if n_turns else None
+
     def one_run(n: int) -> float:
         tr = transcripts_df(spark, n_convs=max(1, n // 10), turns_per_conv=10,
                             num_partitions=_parts(n)).persist()
@@ -147,6 +152,7 @@ def run_pipeline_bench(spark, sf_dir: str, n_turns: int | None = None,
         res = run_pipeline(
             spark, tr, lex, vm, mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
             ancestors=FX.ancestors_df(spark), with_similarity=False, dims=dims,
+            checkpoint_dir=f"{ckpt_root}/w" if ckpt_root else None,
         )
         _force(res.triples)
         wall = time.time() - t0
@@ -168,10 +174,17 @@ def run_pipeline_bench(spark, sf_dir: str, n_turns: int | None = None,
         spark, transcripts, lex, vm,
         mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
         ancestors=FX.ancestors_df(spark), with_similarity=False, dims=dims,
+        # scaling path: durable parquet stage checkpoints (columnar,
+        # compressed) instead of deserialized block-manager storage — at
+        # 16M+ turns the in-memory mention checkpoint pressures executor
+        # heaps and the induced GC does not scale
+        checkpoint_dir=f"{ckpt_root}/m" if ckpt_root else None,
     )
     _force(res.triples)
     wall = time.time() - t0
     transcripts.unpersist()
+    if ckpt_root:
+        shutil.rmtree(ckpt_root, ignore_errors=True)
     return {"turns": turns, "wall_sec": round(wall, 2),
             "turns_per_sec": round(turns / wall, 1)}
 

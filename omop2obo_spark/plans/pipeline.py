@@ -143,6 +143,7 @@ def run_pipeline(
     dims: LexiconDims | None = None,
     timings: dict[str, float] | None = None,
     double_merge: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> PipelineResult:
     """Run the full transcripts→triples pipeline.
 
@@ -168,6 +169,20 @@ def run_pipeline(
     term_dim = dims.strings.select(F.col("CODE").alias("surface"))
     _mark("dims_ready")
 
+    def _checkpoint(df: DataFrame, name: str) -> DataFrame:
+        """Eager stage-boundary materialization + lineage truncation.
+
+        ``checkpoint_dir`` set → durable compressed parquet (the cluster
+        path: columnar, spill-free re-reads, survives executor loss);
+        otherwise localCheckpoint to executor block managers
+        (deserialized, memory-heavy — fine for small/medium inputs).
+        """
+        if checkpoint_dir:
+            path = f"{checkpoint_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
     # ---- stage 1: mention detection -------------------------------------
     mentions = detect_mentions(transcripts, term_dim, cfg.max_term_tokens)
     if persist:
@@ -178,7 +193,7 @@ def run_pipeline(
         # time (measured ~47 s at 1M turns — it was the scaling-efficiency
         # killer, since it doesn't shrink with more cores). Eager
         # materialization converts it into parallel cluster work.
-        mentions = mentions.localCheckpoint(eager=True)
+        mentions = _checkpoint(mentions, "mentions")
     _mark("mentions_ckpt")
 
     # ---- stage 2: entity linking ----------------------------------------
@@ -252,7 +267,7 @@ def run_pipeline(
         # exact feeds two consumers only when the sim tier runs (compile +
         # the unlinked anti-join); with sim off it has a single consumer
         # and staying lazy lets Catalyst fuse the whole tail into one job.
-        exact = exact.localCheckpoint(eager=True)
+        exact = _checkpoint(exact, "exact_links")
     _mark("linking_built")
 
     # ---- stage 2e: TF-IDF similarity tier -------------------------------
@@ -297,7 +312,7 @@ def run_pipeline(
     # ---- stage 3: canonicalization --------------------------------------
     mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
     if persist and with_similarity:
-        mappings = mappings.localCheckpoint(eager=True)
+        mappings = _checkpoint(mappings, "mappings")
 
     # ---- stage 4: triple materialization ---------------------------------
     triples = build_triples(mentions, mappings, semtypes)
