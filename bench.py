@@ -329,7 +329,8 @@ def main_scaling() -> None:
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
-            f"| {best_pair[0]['turns']} | {n1}x{EXEC_CORES}c | {r1} | {n2}x{EXEC_CORES}c | {r2} | {round(eff, 3)} |\n"
+            f"| {best_pair[0]['turns']} | {n1}x{EXEC_CORES}c | {r1} | {n2}x{EXEC_CORES}c | {r2} "
+            f"| {round(eff, 3)} | pairs: {summary['pair_efficiencies']} |\n"
         )
 
 
