@@ -442,6 +442,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2)
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with one distributed Lloyd's refinement iteration —
+    deterministic end-to-end (id-ordered seeds, rounded means), so even the
+    k-means update has an exact SQL oracle."""
+    from omop2obo_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=2, kmeans_iters=1)
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs mode on a
     bounded slice (vec_id < 500): the O(n²) oracle baseline stays at
@@ -511,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dedup": q_embedding_dedup,
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_kg_triples": q_kg_triples,
     }
 
@@ -940,6 +954,57 @@ def oracle_sql() -> dict[str, str]:
                          (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
             FROM v JOIN assign USING (vec_id)
             JOIN probes p ON assign.centroid_id = p.centroid_id AND v.vec_id <> p.query_id
+        )
+        SELECT query_id, vec_id, cos, rk AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+              FROM scored)
+        WHERE rk <= 3
+    """
+
+    # IVF + one Lloyd's iteration: the centroid update (per-dimension avg,
+    # rounded to 9 decimals on both sides) is itself SQL.
+    _cos = ("list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+    sqls["q_ann_ivf_kmeans"] = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+        a0 AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c0.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos.format(a="v.e", b="c0.cv")} DESC, c0.cid ASC) AS r
+                FROM v CROSS JOIN c0
+            ) WHERE r = 1
+        ),
+        c1 AS (
+            SELECT cid, list(m ORDER BY pos) AS cv FROM (
+                SELECT a0.cid AS cid, p.pos AS pos, round(avg(v.e[p.pos]), 9) AS m
+                FROM v JOIN a0 USING (vec_id), UNNEST(range(1, 65)) AS p(pos)
+                GROUP BY a0.cid, p.pos
+            ) GROUP BY cid
+        ),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c1.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_cos.format(a="v.e", b="c1.cv")} DESC, c1.cid ASC) AS r
+                FROM v CROSS JOIN c1
+            ) WHERE r = 1
+        ),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+        probes AS (
+            SELECT query_id, cid, qv FROM (
+                SELECT q.query_id, c1.cid, q.qv,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_cos.format(a="q.qv", b="c1.cv")} DESC, c1.cid ASC) AS r
+                FROM q CROSS JOIN c1
+            ) WHERE r <= 2
+        ),
+        scored AS (
+            SELECT p.query_id, v.vec_id,
+                   round({_cos.format(a="v.e", b="p.qv")}, 6) AS cos
+            FROM v JOIN assign USING (vec_id)
+            JOIN probes p ON assign.cid = p.cid AND v.vec_id <> p.query_id
         )
         SELECT query_id, vec_id, cos, rk AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk

@@ -100,7 +100,12 @@ def ivf_assign(
             vectors.join(assign, on=id_col)
             .select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            # round the mean: float avg depends on partial-aggregation
+            # order (partition layout), so an unrounded centroid is not
+            # bit-stable across runs/retries; 9 decimals is far below any
+            # meaningful cosine difference and far above the ~1e-13
+            # reorder drift
+            .agg(F.round(F.avg("x"), 9).alias("m"))
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
