@@ -419,6 +419,36 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "set_fingerprint")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: typed PII redaction (email/IP/phone/SSN) with
+    per-category counts. PII is injected deterministically (documents have
+    none) so the operator has real work; patterns are RE2-safe, so the
+    oracle replays the identical staged replace chain."""
+    from omop2obo_spark.operators.textstats import redact_pii
+
+    d = F.col("doc_id")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 5 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(F.lit(" from 10.0.0."), (d % 255).cast("string"))).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "n_ssn", "redacted"
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by (count desc, token asc)."""
+    from omop2obo_spark.operators.textstats import top_k_vocabulary
+
+    return top_k_vocabulary(_docs(spark, sf_dir), k=50).select("token", "n", "rank")
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.ann import brute_force_topk
 
@@ -520,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
+        "q_pii_redact": q_pii_redact,
+        "q_vocab_topk": q_vocab_topk,
         "q_ann_bruteforce": q_ann_bruteforce,
         "q_embedding_dedup": q_embedding_dedup,
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -853,6 +885,49 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> ''))), ' '))
                AS set_fingerprint
         FROM documents
+    """
+
+    from omop2obo_spark.operators.textstats import PII_PATTERNS
+
+    stages = ["""
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.' || (doc_id % 255)::VARCHAR ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        FROM documents
+    """]
+    carried: list[str] = []
+    for name, pat, token in PII_PATTERNS:
+        prev = stages[-1]
+        cols = ", ".join(carried) + (", " if carried else "")
+        stages.append(f"""
+        SELECT doc_id, {cols}
+               len(regexp_extract_all(text, {_sql_quote(pat)}, 0)) AS n_{name},
+               regexp_replace(text, {_sql_quote(pat)}, {_sql_quote(token)}, 'g') AS text
+        FROM ({prev})
+        """)
+        carried.append(f"n_{name}")
+    sqls["q_pii_redact"] = f"""
+        SELECT doc_id, n_email, n_ip, n_phone, n_ssn, text AS redacted
+        FROM ({stages[-1]})
+    """
+
+    sqls["q_vocab_topk"] = """
+        SELECT token, n, rank FROM (
+            SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+            FROM (
+                SELECT t AS token, count(*) AS n
+                FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS t
+                    FROM documents
+                )
+                GROUP BY t
+            )
+        )
+        WHERE rank <= 50
     """
 
     sqls["q_ann_bruteforce"] = """

@@ -103,3 +103,51 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(
         id_col, setprint.alias("set_fingerprint"), rolling.alias("rolling_fingerprint")
     )
+
+
+# PII patterns — RE2-safe (no lookaround), so the same pattern runs in the
+# Spark (Java regex) scan and the DuckDB (RE2) oracle. Order matters:
+# emails before IPs (an email's domain may contain digits+dots), IPs
+# before phones.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data hygiene: replace email/IP/phone/SSN spans with typed
+    placeholder tokens and count each category. Pure regexp_replace /
+    regexp_count chain — whole-stage codegen, no UDF, order-deterministic.
+    """
+    t = F.col(text_col)
+    counts = []
+    out = t
+    for name, pat, token in PII_PATTERNS:
+        # count on the PRE-replacement text of this stage so categories
+        # don't see each other's placeholder tokens
+        counts.append(F.size(F.regexp_extract_all(out, F.lit(pat), 0)).alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, token)
+    return docs.select("*", *counts, out.alias("redacted"))
+
+
+def top_k_vocabulary(
+    docs: DataFrame, k: int = 100, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: token → document frequency and total count, top-k
+    by (count desc, token asc). One explode + one groupBy — the standard
+    map-side-combined aggregation; at 100 TB bound the result with k, never
+    collect the full vocabulary."""
+    toks = tokens(F.col(text_col))
+    exploded = docs.select(F.explode(toks).alias("token"))
+    counted = (
+        exploded.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

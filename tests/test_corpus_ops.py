@@ -213,3 +213,32 @@ def test_ivf_kmeans_refinement_deterministic_and_competitive(spark, emb):
     # queries can shift buckets, so exact dominance over the seeds is not
     # guaranteed — bucket balance is what k-means buys)
     assert r0 >= 0.5 and r2a >= 0.6
+
+
+def test_redact_pii_categories_and_order(spark):
+    from omop2obo_spark.operators.textstats import redact_pii
+
+    d = spark.createDataFrame(
+        [(1, "mail a.b-c_d@ex-ample.org and 10.1.2.3 then 555-123-4567 and 123-45-6789"),
+         (2, "no pii here"),
+         (3, "two mails x@y.io z@w.co")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(d).collect()}
+    r1 = rows[1]
+    assert (r1.n_email, r1.n_ip, r1.n_phone, r1.n_ssn) == (1, 1, 1, 1)
+    assert r1.redacted == "mail <EMAIL> and <IP> then <PHONE> and <SSN>"
+    assert rows[2].redacted == "no pii here" and rows[2].n_email == 0
+    assert rows[3].n_email == 2 and rows[3].redacted.count("<EMAIL>") == 2
+
+
+def test_top_k_vocabulary_ranking(spark):
+    from omop2obo_spark.operators.textstats import top_k_vocabulary
+
+    d = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry apple"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    rows = [(r.token, r.n, r.rank) for r in top_k_vocabulary(d, k=2).collect()]
+    # apple and banana tie at 3; tie breaks token-ascending
+    assert rows == [("apple", 3, 1), ("banana", 3, 2)]
