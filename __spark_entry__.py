@@ -419,6 +419,48 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "set_fingerprint")
 
 
+def q_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — the TF-IDF cosine-similarity tier end-to-end: smooth-idf fit
+    over query ∪ ontology corpus, cosine top-10 with 0.25 floor, per-URI
+    max, exact 75th-percentile cut. Fully deterministic (scores rounded to
+    9 decimals before the cut), so the whole tier has an exact SQL oracle
+    (omop2obo_spark/fixtures/sim_oracle.py)."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.functions.text import preprocess_tokens_expr
+    from omop2obo_spark.operators.similarity import (
+        build_ont_corpus,
+        filter_similarity_matches,
+        fit_tfidf,
+        query_df_counts,
+        similarity_scores,
+    )
+
+    near = [" ".join(reversed(lb.split()))
+            for lb in (c[2].lower() for c in LD.CONCEPTS) if " " in lb]
+    near_arr = F.array(*[F.lit(x) for x in near])
+    d = F.col("doc_id")
+    text_q = F.when(
+        d % 3 == 0,
+        F.array_join(F.slice(F.split(F.col("text"), r"\s+"), 1, 8), " "),
+    ).otherwise(
+        F.concat(F.lit("patient note "),
+                 F.element_at(near_arr, (d % len(near) + 1).cast("int")))
+    )
+    queries = (
+        _docs(spark, sf_dir).filter(d < 30)
+        .select(d.cast("string").alias("mention_id"),
+                preprocess_tokens_expr(text_q).alias("tokens"))
+        .where(F.size("tokens") > 0)
+    )
+    ont_corpus = build_ont_corpus(FX.lexicon_df(spark))
+    dfc, n_docs = query_df_counts(queries)
+    model = fit_tfidf(ont_corpus, dfc, n_docs)
+    scores = similarity_scores(spark, queries, model, top_n=10, floor=0.25)
+    return filter_similarity_matches(scores, percentile=75.0).select(
+        "mention_id", "sim_uri", "score", "rank"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data hygiene: typed PII redaction (email/IP/phone/SSN) with
     per-category counts. PII is injected deterministically (documents have
@@ -550,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
+        "q_tfidf_similarity": q_tfidf_similarity,
         "q_pii_redact": q_pii_redact,
         "q_vocab_topk": q_vocab_topk,
         "q_ann_bruteforce": q_ann_bruteforce,
@@ -886,6 +929,10 @@ def oracle_sql() -> dict[str, str]:
                AS set_fingerprint
         FROM documents
     """
+
+    from omop2obo_spark.fixtures.sim_oracle import tfidf_similarity_sql
+
+    sqls["q_tfidf_similarity"] = tfidf_similarity_sql()
 
     from omop2obo_spark.operators.textstats import PII_PATTERNS
 

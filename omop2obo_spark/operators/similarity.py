@@ -280,11 +280,20 @@ def similarity_scores(
             else:
                 X = m.transform([list(t) for t in pdf[tokens_col]])
             S = X @ ont_t  # (batch, n_ont_rows)
+            # round(9) BEFORE the top-k cut: float dot products depend on
+            # summation order (BLAS builds / engines differ in the last
+            # ulp), and an unrounded tie at the top_n boundary would make
+            # the selected candidate set run-dependent. 9 decimals is far
+            # below the 0.25-floor / percentile semantics and far above
+            # the ~1e-15 accumulation drift — scores are bit-stable and
+            # engine-portable (the DuckDB oracle reproduces them exactly).
+            S = np.round(S, 9)
             k = min(top_n, S.shape[1])
-            top = np.argpartition(-S, k - 1, axis=1)[:, :k]
             out_id, out_uri, out_s = [], [], []
             for r in range(S.shape[0]):
-                cols = top[r]
+                # stable argsort: ties at the boundary break by corpus-row
+                # index, deterministically
+                cols = np.argsort(-S[r], kind="stable")[:k]
                 scores = S[r, cols]
                 keep = scores >= floor
                 out_id.extend([pdf[id_col].iloc[r]] * int(keep.sum()))
