@@ -1,0 +1,64 @@
+"""Physical-plan assertions: the shapes that make the pipeline scale are
+pinned here so a regression (a dictionary join degrading to sort-merge, a
+lost parquet filter pushdown) fails loudly instead of silently costing a
+shuffle at 100 TB."""
+
+from pyspark.sql import functions as F
+
+from omop2obo_spark import fixtures as FX
+from omop2obo_spark.fixtures.generators import transcripts_df, vocab_map_dict
+from omop2obo_spark.plans.pipeline import run_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kg_pipeline_joins_all_broadcast(spark):
+    """Every dictionary join in the exact-tier pipeline must be a
+    broadcast-hash join — no sort-merge join may appear anywhere in the
+    triples plan (the fact table shuffles only at the compile groupBy and
+    the triple distinct)."""
+    tr = transcripts_df(spark, n_convs=20, turns_per_conv=5)
+    res = run_pipeline(
+        spark, tr, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark), with_similarity=False, persist=False,
+    )
+    plan = _plan(res.triples)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # dimension builds are LocalTableScans (no job per broadcast site)
+    assert "LocalTableScan" in plan
+
+
+def test_parquet_filter_pushdown(spark):
+    """A doc_id predicate must reach the parquet scan as a pushed filter,
+    not a post-scan Filter over a full read."""
+    df = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 100)
+    plan = _plan(df.select("doc_id"))
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or \
+           "LessThan(doc_id,100)" in plan, plan
+    # column pruning: the text column must not be read for a doc_id-only projection
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_compile_single_shuffle(spark):
+    """The canonicalization stage contributes exactly ONE exchange keyed on
+    the high-cardinality mention key (plus the final distinct) — no window
+    pre-pass, no per-ontology loop shuffles."""
+    from omop2obo_spark.operators.compile import compile_exact_mappings
+
+    links = spark.createDataFrame(
+        [("c1", 0, "m1", "code", "TURN_CODE", "http://purl.obolibrary.org/obo/HP_1",
+          "HP", "lbl", "CONCEPT_DBXREF_x", "dbxref", "DbXref", 0, 0, "concept")],
+        "conv_id string, turn_idx int, mention_id string, CODE string, CODE_COLUMN string, "
+        "URI string, ONT_TYPE string, LABEL string, EVIDENCE string, MATCH_KIND string, "
+        "MATCH_SUBTYPE string, src_rank int, tier_rank int, LEVEL string",
+    )
+    out = compile_exact_mappings(links, ["conv_id", "turn_idx", "mention_id"])
+    plan = _plan(out)
+    # exactly one shuffle exchange in the compile subtree
+    assert plan.count("Exchange") == 1, plan
