@@ -568,6 +568,22 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples
 
 
+def q_kg_triples_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline INCLUDING the TF-IDF similarity tier over unlinked
+    turns — the complete entry() semantics, oracle-checked end to end
+    (fixtures/kg_oracle.py with include_sim)."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.plans.pipeline import run_pipeline
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    res = run_pipeline(
+        spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark), with_similarity=True,
+    )
+    return res.triples
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -601,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_kg_triples": q_kg_triples,
+        "q_kg_triples_sim": q_kg_triples_sim,
     }
 
 
@@ -1137,4 +1154,5 @@ def oracle_sql() -> dict[str, str]:
     from omop2obo_spark.fixtures.kg_oracle import kg_triples_sql
 
     sqls["q_kg_triples"] = kg_triples_sql()
+    sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     return sqls

@@ -150,10 +150,200 @@ def _normalize_sql(raw: str) -> str:
     return seg
 
 
-def kg_triples_sql() -> str:
+def _sim_tier_ctes() -> str:
+    """CTE block replaying the TF-IDF similarity tier over UNLINKED turns
+    (pipeline stage 2e + compile_similarity_mappings), reusing the
+    sim_oracle building blocks: ontology gram tf/df inlined, query-side
+    preprocessing + factorized cosine in SQL. Produces ``s_mappings``
+    (conv_id, turn_idx, mention_id, ont_type, sim_uri, sim_label,
+    sim_evidence, sim_category)."""
+    from omop2obo_spark.fixtures.sim_oracle import (
+        lemma_case_sql,
+        ont_corpus_rows,
+    )
+    from omop2obo_spark.functions.text import _STOPWORD_PATTERN
+    from collections import Counter
+
+    from omop2obo_spark.operators.similarity import ngrams as _ngrams
+
+    corpus = ont_corpus_rows()
+    n_ont = len(corpus)
+    tf_rows, df_counter = [], Counter()
+    for rid, sid, toks in corpus:
+        grams = _ngrams(toks)
+        for g, tf in Counter(grams).items():
+            tf_rows.append((rid, sid, g, tf))
+        for g in set(grams):
+            df_counter[g] += 1
+    ont_tf_v = ", ".join(f"({rid}, {_q(sid)}, {_q(g)}, {tf})" for rid, sid, g, tf in tf_rows)
+    ont_df_v = ", ".join(f"({_q(g)}, {n})" for g, n in sorted(df_counter.items()))
+
+    span_branches = "\n    UNION ALL\n".join(
+        f"""    SELECT toks, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+    FROM s_dd, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS su{n}(i)
+    WHERE len(toks) >= {n}"""
+        for n in range(1, 4)
+    )
+
+    return f""",
+s_q AS (
+    SELECT conv_id, turn_idx,
+           conv_id || ':' || turn_idx::VARCHAR || ':sim:0' AS mention_id,
+           list_transform(
+               list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(
+                           regexp_replace(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'),
+                                          '\\s+', ' ', 'g'),
+                           {_q(_STOPWORD_PATTERN)}, '', 'g')),
+                       '\\W+'),
+                   x -> x <> ''),
+               t -> {lemma_case_sql("t")}) AS toks
+    FROM tr
+),
+s_q2 AS MATERIALIZED (SELECT * FROM s_q WHERE len(toks) > 0),
+s_dd AS MATERIALIZED (SELECT DISTINCT toks FROM s_q2),
+s_nq AS (SELECT count(*) AS n FROM s_dd),
+s_spans AS (
+{span_branches}
+),
+s_dgrams AS MATERIALIZED (SELECT toks, gram, count(*) AS tf FROM s_spans GROUP BY toks, gram),
+s_qdf AS (
+    SELECT gram, count(*) AS dfq
+    FROM (SELECT DISTINCT toks, gram FROM s_dgrams) GROUP BY gram
+),
+s_ont_tf AS (SELECT * FROM (VALUES {ont_tf_v}) AS t(rid, sid, gram, tf)),
+s_ont_df AS (SELECT * FROM (VALUES {ont_df_v}) AS t(gram, dfo)),
+s_alldf AS (
+    SELECT coalesce(q.gram, o.gram) AS gram,
+           coalesce(q.dfq, 0) + coalesce(o.dfo, 0) AS df
+    FROM s_qdf q FULL OUTER JOIN s_ont_df o ON q.gram = o.gram
+),
+s_idf AS MATERIALIZED (
+    SELECT gram, ln((1.0 + s_nq.n + {n_ont}) / (1.0 + df)) + 1.0 AS idf
+    FROM s_alldf, s_nq
+),
+s_ovec AS MATERIALIZED (
+    SELECT o.rid, o.sid, o.gram, o.tf * s_idf.idf AS w
+    FROM s_ont_tf o JOIN s_idf USING (gram)
+),
+s_onorm AS (SELECT rid, sqrt(sum(w * w)) AS nrm FROM s_ovec GROUP BY rid),
+s_linked AS (SELECT DISTINCT conv_id, turn_idx FROM all_links),
+s_unl AS (
+    SELECT q.* FROM s_q2 q
+    LEFT JOIN s_linked lt USING (conv_id, turn_idx)
+    WHERE lt.conv_id IS NULL
+),
+s_qvec AS MATERIALIZED (
+    SELECT u.mention_id, g.gram, g.tf * s_idf.idf AS w
+    FROM s_unl u JOIN s_dgrams g USING (toks) JOIN s_idf USING (gram)
+),
+s_qn AS (SELECT mention_id, sqrt(sum(w * w)) AS nrm FROM s_qvec GROUP BY mention_id),
+s_dots AS (
+    SELECT q.mention_id, o.rid, o.sid, sum(q.w * o.w) AS dp
+    FROM s_qvec q JOIN s_ovec o USING (gram)
+    GROUP BY q.mention_id, o.rid, o.sid
+),
+s_scored AS MATERIALIZED (
+    SELECT d.mention_id, d.rid, d.sid,
+           round(d.dp / (s_qn.nrm * s_onorm.nrm), 9) AS score
+    FROM s_dots d JOIN s_qn USING (mention_id) JOIN s_onorm USING (rid)
+),
+s_topk AS (
+    SELECT mention_id, sid, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY mention_id
+                       ORDER BY score DESC, rid ASC) AS rk
+        FROM s_scored
+    ) WHERE rk <= 10 AND score >= 0.25
+),
+s_peruri AS MATERIALIZED (
+    SELECT mention_id, sid, max(score) AS score
+    FROM s_topk GROUP BY mention_id, sid
+),
+s_pct AS (
+    SELECT mention_id, quantile_cont(score, 0.75) AS p
+    FROM s_peruri GROUP BY mention_id
+),
+s_kept AS (
+    SELECT u.mention_id, u.sid, round(u.score, 3) AS score
+    FROM s_peruri u JOIN s_pct USING (mention_id)
+    WHERE u.score >= s_pct.p
+),
+s_ranked AS MATERIALIZED (
+    SELECT mention_id, sid, score,
+           row_number() OVER (PARTITION BY mention_id
+                              ORDER BY score DESC, sid ASC) AS rank
+    FROM s_kept
+),
+-- compile_similarity_mappings: group by (mention, ont), 1.0 short-circuit,
+-- ordered first-occurrence concat, category
+s_rows AS (
+    SELECT string_split(mention_id, ':')[1] AS conv_id,
+           string_split(mention_id, ':')[2]::INT AS turn_idx,
+           mention_id,
+           string_split(sid, '_')[1] AS ont_type,
+           sid, score, rank,
+           coalesce(lab.label, sid) AS label,
+           'CONCEPT_SIMILARITY:' || sid || '_' || round(score, 3)::VARCHAR AS evid
+    FROM s_ranked
+    LEFT JOIN (SELECT string_split(uri, '/')[-1] AS lsid, label FROM {{LABELS_V}}) lab
+      ON s_ranked.sid = lab.lsid
+),
+s_grp AS (
+    SELECT *, max(score) OVER (PARTITION BY mention_id, ont_type) AS mx,
+           row_number() OVER (PARTITION BY mention_id, ont_type
+                              ORDER BY rank, sid) AS rn
+    FROM s_rows
+),
+s_keptg AS MATERIALIZED (
+    SELECT * FROM s_grp
+    WHERE CASE WHEN mx = 1.0 THEN score = 1.0
+               WHEN mx >= 0.25 THEN score >= 0.25
+               ELSE TRUE END
+),
+s_agg_uri AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type,
+           string_agg(v, ' | ' ORDER BY fo) AS sim_uri
+    FROM (SELECT conv_id, turn_idx, mention_id, ont_type, sid AS v, min(rn) AS fo
+          FROM s_keptg WHERE sid IS NOT NULL AND sid <> '' GROUP BY 1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3, 4
+),
+s_agg_label AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type,
+           string_agg(v, ' | ' ORDER BY fo) AS sim_label
+    FROM (SELECT conv_id, turn_idx, mention_id, ont_type, label AS v, min(rn) AS fo
+          FROM s_keptg WHERE label IS NOT NULL AND label <> '' GROUP BY 1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3, 4
+),
+s_agg_ev AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type,
+           string_agg(v, ' | ' ORDER BY fo) AS sim_evidence
+    FROM (SELECT conv_id, turn_idx, mention_id, ont_type, evid AS v, min(rn) AS fo
+          FROM s_keptg WHERE evid IS NOT NULL AND evid <> '' GROUP BY 1, 2, 3, 4, 5)
+    GROUP BY 1, 2, 3, 4
+),
+s_meta AS (
+    SELECT conv_id, turn_idx, mention_id, ont_type, count(*) AS n_kept
+    FROM s_keptg GROUP BY 1, 2, 3, 4
+),
+s_mappings AS MATERIALIZED (
+    SELECT m.conv_id, m.turn_idx, m.mention_id, m.ont_type,
+           u.sim_uri, l.sim_label, e.sim_evidence,
+           CASE WHEN m.n_kept > 1 THEN 'Automatic Constructor - Concept'
+                ELSE 'Manual Exact - Concept Similarity' END AS sim_category
+    FROM s_meta m
+    JOIN s_agg_uri u USING (conv_id, turn_idx, mention_id, ont_type)
+    LEFT JOIN s_agg_label l USING (conv_id, turn_idx, mention_id, ont_type)
+    LEFT JOIN s_agg_ev e USING (conv_id, turn_idx, mention_id, ont_type)
+)"""
+
+
+def kg_triples_sql(include_sim: bool = False) -> str:
     """The full pipeline oracle: DuckDB SQL producing
     (conv_id, turn_idx, subj, pred, obj) — same rows as
-    run_pipeline(...).triples over transcripts_from_documents."""
+    run_pipeline(...).triples over transcripts_from_documents.
+    ``include_sim=True`` adds the TF-IDF similarity tier over unlinked
+    turns (with_similarity=True semantics)."""
     dims = dim_rows()
     labels_v = _values(dims["labels"], "labdim", ["uri", "label"])
     strings_v = _values(dims["strings"], "strdim", ["code", "uri", "kind", "syn_type"])
@@ -178,6 +368,34 @@ def kg_triples_sql() -> str:
     ph2 = portable_hash_sql("doc_id", "i", 2)
     ph3 = portable_hash_sql("doc_id", "i", 3)
 
+    if include_sim:
+        sim_triple_ctes = _sim_tier_ctes().replace("{LABELS_V}", labels_v) + """,
+s_uri_triples AS (
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id AS subj,
+           CASE WHEN starts_with(sim_category, 'Automatic Constructor')
+                THEN 'omop2obo:hasConstructorMapping'
+                ELSE 'omop2obo:hasSimilarityMapping' END AS pred,
+           'obo:' || u AS obj
+    FROM s_mappings, UNNEST(string_split(sim_uri, ' | ')) AS stu(u)
+    WHERE sim_uri IS NOT NULL AND sim_uri <> ''
+),
+s_meta_triples AS (
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id AS subj,
+           'omop2obo:hasMappingCategory' AS pred, sim_category AS obj
+    FROM s_mappings WHERE sim_uri IS NOT NULL AND sim_uri <> ''
+    UNION ALL
+    SELECT conv_id, turn_idx, 'transcript:' || mention_id,
+           'omop2obo:hasEvidence', sim_evidence
+    FROM s_mappings WHERE sim_uri IS NOT NULL AND sim_uri <> ''
+)"""
+        sim_triple_parts = (
+            "\n    UNION ALL SELECT * FROM s_uri_triples"
+            "\n    UNION ALL SELECT * FROM s_meta_triples"
+        )
+    else:
+        sim_triple_ctes = ""
+        sim_triple_parts = ""
+
     # term-mention n-gram spans, n = 1..4 (cfg.max_term_tokens)
     span_branches = "\n        UNION ALL\n".join(
         f"""        SELECT conv_id, turn_idx, i - 1 AS pos, {n} AS len,
@@ -199,7 +417,7 @@ WITH
 doctoks AS (
     SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
 ),
-tr AS (
+tr AS MATERIALIZED (
     SELECT printf('conv_%08d', doc_id) AS conv_id,
            i::INT AS turn_idx,
            CASE WHEN ({ph42}) % 10 = 4
@@ -214,7 +432,7 @@ tr AS (
     FROM doctoks, UNNEST(range(0, greatest(len(t) // 12, 1))) AS u(i)
 ),
 -- stage 1a: code mentions (plans.mention.detect_code_mentions)
-code_mentions AS (
+code_mentions AS MATERIALIZED (
     SELECT conv_id, turn_idx,
            conv_id || ':' || turn_idx::VARCHAR || ':code:' || (i - 1)::VARCHAR AS mention_id,
            arr[i] AS surface
@@ -233,7 +451,7 @@ ttoks AS (
 spans AS (
 {span_branches}
 ),
-tmatched AS (
+tmatched AS MATERIALIZED (
     SELECT s.conv_id, s.turn_idx, s.pos, s.len, s.surface
     FROM spans s JOIN (SELECT DISTINCT code AS surface FROM {strings_v}) d
       ON s.surface = d.surface
@@ -246,7 +464,7 @@ tkept AS (
           AND b.pos <= a.pos AND b.pos + b.len >= a.pos + a.len AND b.len > a.len
     )
 ),
-term_mentions AS (
+term_mentions AS MATERIALIZED (
     SELECT conv_id, turn_idx,
            conv_id || ':' || turn_idx::VARCHAR || ':term:' || pos::VARCHAR AS mention_id,
            surface
@@ -280,12 +498,12 @@ m2 AS (
     SELECT m1.conv_id, m1.turn_idx, m1.mention_id, m1.code, mr.cui, mr.sab, mr.ucode
     FROM m1 JOIN {mrconso_v} ON m1.cui = mr.cui
 ),
-umls_map AS (
+umls_map AS MATERIALIZED (
     SELECT DISTINCT m.conv_id, m.turn_idx, m.mention_id, m.code, m.cui, m.sab, m.ucode, styv.sty AS sem
     FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2) m
     LEFT JOIN {mrsty_v} ON m.cui = styv.cui
 ),
-stack AS (
+stack AS MATERIALIZED (
     SELECT conv_id, turn_idx, mention_id, code, code_column, min(src_rank) AS src_rank
     FROM (
         SELECT * FROM stack0
@@ -351,7 +569,7 @@ str_links AS (
     JOIN (SELECT code, uri, kind, syn_type FROM {strings_v}) sd ON m.surface = sd.code
     LEFT JOIN {labels_v} ON sd.uri = labdim.uri
 ),
-concept_links AS (
+concept_links AS MATERIALIZED (
     SELECT *, 'concept' AS level FROM dbx_links
     UNION ALL
     SELECT *, 'concept' AS level FROM str_links
@@ -369,7 +587,7 @@ anc_links AS (
     JOIN {closure_v} ON l.uri = closure.curi
     LEFT JOIN (SELECT uri AS auri, label FROM {labels_v}) al ON closure.ancestor_uri = al.auri
 ),
-all_links AS (
+all_links AS MATERIALIZED (
     SELECT * FROM concept_links UNION ALL SELECT * FROM anc_links
 ),
 -- stage 3: canonicalization — operators.compile.compile_exact_mappings
@@ -390,14 +608,14 @@ fmtlinks AS (
            (level = 'concept') AS is_concept
     FROM all_links
 ),
-srt AS (
+srt AS MATERIALIZED (
     SELECT *,
            row_number() OVER (PARTITION BY conv_id, turn_idx, mention_id, ont_type
                ORDER BY blk, tier_rank, src_rank, evidence, uri_short, is_concept, label, fmt) AS rn,
            bool_or(is_concept) OVER (PARTITION BY conv_id, turn_idx, mention_id, ont_type) AS has_c
     FROM fmtlinks
 ),
-kept AS (SELECT * FROM srt WHERE is_concept OR NOT has_c),
+kept AS MATERIALIZED (SELECT * FROM srt WHERE is_concept OR NOT has_c),
 agg_uri AS (
     SELECT conv_id, turn_idx, mention_id, ont_type, string_agg(v, ' | ' ORDER BY fo) AS agg_uri
     FROM (SELECT conv_id, turn_idx, mention_id, ont_type, uri_short AS v, min(rn) AS fo
@@ -421,7 +639,7 @@ meta AS (
            count(DISTINCT uri_short) AS n_uri, NOT bool_or(is_concept) AS anc
     FROM kept GROUP BY 1, 2, 3, 4
 ),
-mappings AS (
+mappings AS MATERIALIZED (
     SELECT meta.conv_id, meta.turn_idx, meta.mention_id, meta.ont_type,
            agg_uri.agg_uri, agg_label.agg_label, agg_ev.agg_evidence,
            CASE WHEN NOT anc AND n_uri > 1 THEN 'Automatic Constructor - Concept'
@@ -463,12 +681,12 @@ sem_triples AS (
     SELECT conv_id, turn_idx, 'transcript:' || mention_id AS subj,
            'omop2obo:hasSemanticType' AS pred, semstr AS obj
     FROM semagg WHERE semstr <> ''
-)
+){sim_triple_ctes}
 SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
 FROM (
     SELECT * FROM uri_triples
     UNION ALL SELECT * FROM meta_triples
     UNION ALL SELECT * FROM mention_triples
-    UNION ALL SELECT * FROM sem_triples
+    UNION ALL SELECT * FROM sem_triples{sim_triple_parts}
 )
 """
