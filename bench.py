@@ -194,6 +194,10 @@ def main_bench() -> None:
     import __spark_entry__ as entry
 
     spark = _spark(CPUS)
+    # one-time JVM/codegen/scan warmup so the first measured query doesn't
+    # absorb session initialization (it was paying ~5 s of the total)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     per_query: dict[str, float] = {}
     total = 0.0
     for name, fn in entry.queries().items():

@@ -37,6 +37,9 @@ def test_kg_pipeline_joins_all_broadcast(spark):
 def test_parquet_filter_pushdown(spark):
     """A doc_id predicate must reach the parquet scan as a pushed filter,
     not a post-scan Filter over a full read."""
+    # earlier test modules cache this path; a cached plan resolves to an
+    # InMemoryRelation and hides the scan-level pushdown being asserted
+    spark.catalog.clearCache()
     df = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 100)
     plan = _plan(df.select("doc_id"))
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or \
