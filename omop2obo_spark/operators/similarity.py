@@ -166,12 +166,20 @@ def distributed_query_stats(
 
     Returns (norms_df(doc_key, norm), ont_vocab_query_df, n_query_docs)
     where doc_key = md5 of the joined token list.
+
+    The (doc_key, gram, tf) table feeds three consumers — the per-gram
+    document frequencies, the ontology-vocab collect, and the norms join —
+    so it is ``persist()``-ed (MEMORY_AND_DISK, spillable) to run the
+    distinct+explode lineage exactly once instead of once per consumer.
+    The cached frames are attached to the returned norms DataFrame as
+    ``norms.cached_inputs``; callers that know when scoring has fully
+    executed (e.g. the pipeline's mappings checkpoint) should unpersist
+    them.
     """
     spark = queries.sparkSession
     distinct_docs = (
         queries.select(F.col(tokens_col).alias("toks")).where(F.size("toks") > 0).distinct()
     )
-    n_docs = distinct_docs.count()
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _all_grams(toks: pd.Series) -> pd.Series:  # with duplicates → tf
@@ -182,8 +190,9 @@ def distributed_query_stats(
         distinct_docs.select(key.alias("k"), F.explode(_all_grams("toks")).alias("g"))
         .groupBy("k", "g")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
-    dfq = tf.groupBy("g").agg(F.count("*").alias("dfq"))  # docs-per-gram
+    dfq = tf.groupBy("g").agg(F.count("*").alias("dfq")).persist()  # docs-per-gram
 
     # ontology-side dfs (driver-side: ont corpus is small by construction)
     ont_df_counts: dict[str, int] = {}
@@ -194,6 +203,17 @@ def distributed_query_stats(
         list(ont_df_counts.items()) or [("", 0)], "g string, dfo long"
     )
 
+    # job 1 materializes BOTH caches: query dfs for the (bounded) ontology
+    # vocabulary only
+    ont_vocab_rows = dfq.join(
+        F.broadcast(ont_df_df.select("g")), on="g", how="leftsemi"
+    ).collect()
+    ont_vocab_query_df = {r.g: int(r.dfq) for r in ont_vocab_rows}
+
+    # distinct doc-key count over the cached tf (every kept doc has >=1
+    # unigram, so every doc key appears) — no re-run of the text lineage
+    n_docs = tf.select("k").distinct().count()
+
     n_total = n_docs + len(ont_corpus)
     idf = F.log((1.0 + n_total) / (1.0 + F.col("dfq") + F.coalesce(F.col("dfo"), F.lit(0)))) + 1.0
     norms = (
@@ -203,12 +223,7 @@ def distributed_query_stats(
         .groupBy("k")
         .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     )
-
-    # query dfs for the (bounded) ontology vocabulary only
-    ont_vocab_rows = dfq.join(
-        F.broadcast(ont_df_df.select("g")), on="g", how="leftsemi"
-    ).collect()
-    ont_vocab_query_df = {r.g: int(r.dfq) for r in ont_vocab_rows}
+    norms.cached_inputs = [tf, dfq]
     return norms, ont_vocab_query_df, n_docs
 
 

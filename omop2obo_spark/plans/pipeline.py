@@ -289,6 +289,13 @@ def run_pipeline(
             F.concat_ws(":", "conv_id", "turn_idx", F.lit("sim"), F.lit(0)).alias("mention_id"),
             preprocess_tokens_expr(F.col("text")).alias("tokens"),
         ).where(F.size("tokens") > 0)
+        if persist:
+            # tokenized turns feed two consumers (corpus stats + scoring);
+            # checkpointing computes the preprocessing once AND truncates
+            # its expression tree — the stopword alternation + lemma
+            # exception map are large enough that every plan embedding
+            # them pays seconds of driver-side codegen per plan shape
+            all_queries = _checkpoint(all_queries, "sim_queries")
         ont_corpus = build_ont_corpus(lexicon)
         norms, ont_vocab_df, n_docs = distributed_query_stats(all_queries, ont_corpus)
         model = fit_tfidf_ont_vocab(ont_corpus, ont_vocab_df, n_docs)
@@ -313,6 +320,12 @@ def run_pipeline(
     mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
     if persist and with_similarity:
         mappings = _checkpoint(mappings, "mappings")
+        # the eager checkpoint has fully executed the similarity scoring,
+        # so the corpus-stats caches inside distributed_query_stats are
+        # done serving the hot path; release the executor memory (a later
+        # re-read of PipelineResult.sim_matches just recomputes)
+        for cached in getattr(norms, "cached_inputs", []):
+            cached.unpersist()
 
     # ---- stage 4: triple materialization ---------------------------------
     triples = build_triples(mentions, mappings, semtypes)
