@@ -75,7 +75,7 @@ def localize_dim_checked(df: DataFrame, max_rows: int = 500_000) -> tuple[DataFr
     except Exception:
         # fallback: parallelized local rows (still correct, just not a
         # LocalTableScan)
-        return spark.createDataFrame(rows, df.schema), True, True
+        return spark.createDataFrame(rows, df.schema), True
 
 
 @dataclass
