@@ -564,6 +564,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
         mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
         ancestors=FX.ancestors_df(spark), with_similarity=False,
+        dims=FX.cached_dims(spark),
     )
     return res.triples
 
@@ -580,6 +581,7 @@ def q_kg_triples_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
         mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
         ancestors=FX.ancestors_df(spark), with_similarity=True,
+        dims=FX.cached_dims(spark),
     )
     return res.triples
 

@@ -1,5 +1,6 @@
 from omop2obo_spark.fixtures.generators import (  # noqa: F401
     ancestors_df,
+    cached_dims,
     lexicon_df,
     mrconso_df,
     mrsty_df,

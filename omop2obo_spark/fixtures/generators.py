@@ -107,6 +107,28 @@ def vocab_map_dict() -> dict[str, str]:
     return {alias: primary for primary, aliases in L.VOCAB_MAP_ROWS for alias in aliases}
 
 
+_DIMS_CACHE: dict[int, object] = {}
+
+
+def cached_dims(spark: SparkSession):
+    """Session-scoped prepared :class:`LexiconDims` over the fixture lexicon.
+
+    Dimension preparation (localize + broadcast-shape the lexicon views) is
+    once-per-application work — the reference loads its pickled lexicons a
+    single time at startup (ontology_explorer.py:91-106) and every query
+    reuses them. Benchmarks and multi-query drivers should do the same
+    rather than re-collecting identical dimension tables per query.
+    """
+    from omop2obo_spark.operators.linking import LexiconDims
+
+    key = id(spark.sparkContext)
+    dims = _DIMS_CACHE.get(key)
+    if dims is None:
+        dims = LexiconDims.from_lexicon(lexicon_df(spark), vocab_map_dict())
+        _DIMS_CACHE[key] = dims
+    return dims
+
+
 # --------------------------------------------------------------------------
 # Synthetic transcripts (Spark-native, deterministic, scalable)
 # --------------------------------------------------------------------------

@@ -54,6 +54,29 @@ def ngrams(tokens: list[str], lo: int = 1, hi: int = 3) -> list[str]:
     return out
 
 
+def ngrams_expr(tokens):
+    """Native 1–3-gram generation (same multiset as :func:`ngrams`) as a
+    Catalyst higher-order-function expression — the whole corpus-stats scan
+    stays inside whole-stage codegen with zero Python workers."""
+    n = F.size(tokens)
+    g2 = F.transform(
+        F.slice(tokens, F.lit(1), n - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(tokens, i + 2)),
+    )
+    g3 = F.transform(
+        F.slice(tokens, F.lit(1), n - 2),
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(tokens, i + 2), F.element_at(tokens, i + 3)
+        ),
+    )
+    empty = F.array().cast(T.ArrayType(T.StringType()))
+    return F.concat(
+        tokens,
+        F.when(n >= 2, g2).otherwise(empty),
+        F.when(n >= 3, g3).otherwise(empty),
+    )
+
+
 class TfidfModel:
     """Fitted TF-IDF model: vocabulary, idf vector, ontology matrix."""
 
@@ -167,7 +190,16 @@ def distributed_query_stats(
     Returns (norms_df(doc_key, norm), ont_vocab_query_df, n_query_docs)
     where doc_key = md5 of the joined token list.
 
-    The (doc_key, gram, tf) table feeds three consumers — the per-gram
+    Shuffle budget (the 100 TB concern): gram generation is a native
+    higher-order-function expression (:func:`ngrams_expr`) — the scan
+    stays in whole-stage codegen with no Python workers — and the
+    groupBy(k, g) tf count partial-aggregates map-side, so only
+    (k, g, tf) rows (not raw gram occurrences) ever shuffle. ``repartition
+    ("g")`` then places ONE exchange shared by both per-gram consumers:
+    ``dfq`` aggregates over the existing hash distribution (no second
+    exchange) and the norms join co-locates with it.
+
+    The gram-partitioned table feeds three consumers — the per-gram
     document frequencies, the ontology-vocab collect, and the norms join —
     so it is ``persist()``-ed (MEMORY_AND_DISK, spillable) to run the
     distinct+explode lineage exactly once instead of once per consumer.
@@ -181,17 +213,15 @@ def distributed_query_stats(
         queries.select(F.col(tokens_col).alias("toks")).where(F.size("toks") > 0).distinct()
     )
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def _all_grams(toks: pd.Series) -> pd.Series:  # with duplicates → tf
-        return toks.apply(lambda t: ngrams(list(t)))
-
     key = F.md5(F.concat_ws("\x01", F.col("toks")))
     tf = (
-        distinct_docs.select(key.alias("k"), F.explode(_all_grams("toks")).alias("g"))
+        distinct_docs.select(key.alias("k"), F.explode(ngrams_expr(F.col("toks"))).alias("g"))
         .groupBy("k", "g")
         .agg(F.count("*").alias("tf"))
+        .repartition("g")
         .persist()
     )
+    # groupBy over the existing hash-by-g distribution: no extra exchange
     dfq = tf.groupBy("g").agg(F.count("*").alias("dfq")).persist()  # docs-per-gram
 
     # ontology-side dfs (driver-side: ont corpus is small by construction)
