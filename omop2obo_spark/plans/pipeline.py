@@ -301,20 +301,29 @@ def run_pipeline(
         model = fit_tfidf_ont_vocab(ont_corpus, ont_vocab_df, n_docs)
 
         linked_turns = exact.select("conv_id", "turn_idx").distinct()
-        unlinked = all_queries.join(linked_turns, on=["conv_id", "turn_idx"], how="left_anti")
-        unlinked = unlinked.withColumn(
-            "__k", F.md5(F.concat_ws("\x01", F.col("tokens")))
-        ).join(norms.withColumnRenamed("k", "__k"), on="__k", how="left").drop("__k")
+        unlinked = all_queries.join(
+            linked_turns, on=["conv_id", "turn_idx"], how="left_anti"
+        ).withColumn("__k", F.md5(F.concat_ws("\x01", F.col("tokens"))))
+        # score each DISTINCT unlinked document once, not once per turn:
+        # agent transcripts repeat text heavily (tool banners, templated
+        # turns), and score/top-k/percentile/rank depend only on the token
+        # multiset — so the whole scoring+filter tier runs at distinct-doc
+        # cardinality and the per-turn fan-out is a single key join after.
+        distinct_unl = (
+            unlinked.select("__k", "tokens")
+            .dropDuplicates(["__k"])
+            .join(norms.withColumnRenamed("k", "__k"), on="__k", how="left")
+        )
         raw_scores = similarity_scores(
-            spark, unlinked, model, top_n=cfg.sim_top_n, floor=cfg.sim_floor,
-            norm_col="norm",
+            spark, distinct_unl, model, id_col="__k", top_n=cfg.sim_top_n,
+            floor=cfg.sim_floor, norm_col="norm",
         )
-        keyed = raw_scores.join(
-            unlinked.select(*KEY_COLS), on="mention_id", how="inner"
-        )
-        sim_matches = filter_similarity_matches(keyed, percentile=cfg.sim_percentile).select(
-            *KEY_COLS, "sim_uri", "score", "rank"
-        )
+        key_matches = filter_similarity_matches(
+            raw_scores, percentile=cfg.sim_percentile
+        ).withColumnRenamed("mention_id", "__k")
+        sim_matches = key_matches.join(
+            unlinked.select("__k", *KEY_COLS), on="__k", how="inner"
+        ).select(*KEY_COLS, "sim_uri", "score", "rank")
 
     # ---- stage 3: canonicalization --------------------------------------
     mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
