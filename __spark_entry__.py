@@ -586,6 +586,59 @@ def q_kg_triples_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples
 
 
+def q_salted_umls_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path at the gate: UMLS double-merge annotation with
+    strategy='salted' (joins.salted_join — the north rule's salted hash
+    join for skewed high-frequency terms) over a deliberately Zipf-skewed
+    code stack (~60% of lineitem rows carry ONE hot code). The oracle is
+    the plain unsalted join in SQL: salting must be physically effective
+    and semantically invisible."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.fixtures.kg_oracle import prepared_mrconso
+    from omop2obo_spark.operators.linking import prepare_mrconso, umls_annotate
+
+    codes = sorted({c for _cui, _sab, c in prepared_mrconso() if c})
+    n = len(codes)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_linenumber")
+    h = F.col("l_orderkey") + F.col("l_linenumber")
+    fact = li.withColumn(
+        "CODE",
+        F.when(F.pmod(h, F.lit(10)) < 6, F.lit(codes[0])).otherwise(
+            F.element_at(F.array(*[F.lit(c) for c in codes]), F.pmod(h, F.lit(n)).cast("int") + 1)
+        ),
+    )
+    umls = prepare_mrconso(FX.mrconso_df(spark), vocab_map_dict())
+    ann = umls_annotate(
+        fact, umls, FX.mrsty_df(spark), ["l_orderkey", "l_linenumber"], "CODE",
+        strategy="salted", salt_buckets=8,
+    )
+    return (
+        ann.groupBy("UMLS_CUI", "UMLS_SAB")
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy("UMLS_CUI", "UMLS_SAB")
+    )
+
+
+def q_wide_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary artifact: wide per-ontology mapping blocks
+    AGGREGATED_<ONT>_{URI,LABEL,MAPPING,EVIDENCE} per mention key
+    (/root/reference/main.py:100-145, data_utils.py:608-615), produced by
+    operators.compile.wide_mapping_layout over the exact-tier compile
+    output. Oracle: fixtures/kg_oracle.wide_mappings_sql."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.operators.compile import wide_mapping_layout
+    from omop2obo_spark.plans.pipeline import KEY_COLS, run_pipeline
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    res = run_pipeline(
+        spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark), with_similarity=False,
+        dims=FX.cached_dims(spark),
+    )
+    return wide_mapping_layout(res.mappings, KEY_COLS, ["hp", "mondo"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -620,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
+        "q_wide_mappings": q_wide_mappings,
+        "q_salted_umls_link": q_salted_umls_link,
     }
 
 
@@ -1153,8 +1208,46 @@ def oracle_sql() -> dict[str, str]:
         WHERE rk <= 3
     """
 
-    from omop2obo_spark.fixtures.kg_oracle import kg_triples_sql
+    from omop2obo_spark.fixtures.kg_oracle import (
+        kg_triples_sql,
+        prepared_mrconso,
+        wide_mappings_sql,
+    )
+    from omop2obo_spark.fixtures.lexicon_data import MRSTY_ROWS
 
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
+    sqls["q_wide_mappings"] = wide_mappings_sql()
+
+    _codes = sorted({c for _cui, _sab, c in prepared_mrconso() if c})
+    _mr_vals = ", ".join(f"('{c}', '{s}', '{u}')" for c, s, u in prepared_mrconso())
+    _sty_vals = ", ".join(f"('{c}', '{s}')" for c, s in MRSTY_ROWS)
+    _codes_arr = "[" + ", ".join(f"'{c}'" for c in _codes) + "]"
+    sqls["q_salted_umls_link"] = f"""
+        WITH mr(cui, sab, ucode) AS (VALUES {_mr_vals}),
+        sty(scui, semtype) AS (VALUES {_sty_vals}),
+        fact AS (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN (l_orderkey + l_linenumber) % 10 < 6 THEN '{_codes[0]}'
+                        ELSE ({_codes_arr})[((l_orderkey + l_linenumber) % {len(_codes)})::INT + 1]
+                   END AS code
+            FROM lineitem
+        ),
+        m1 AS (
+            SELECT f.l_orderkey, f.l_linenumber, f.code, mr.cui, mr.sab, mr.ucode
+            FROM fact f JOIN mr ON f.code = mr.ucode
+        ),
+        m2 AS (
+            SELECT m1.l_orderkey, m1.l_linenumber, m1.code, m1.cui, mr.sab, mr.ucode
+            FROM m1 LEFT JOIN mr ON m1.cui = mr.cui
+        ),
+        ann AS (
+            SELECT DISTINCT l_orderkey, l_linenumber, code, cui, sab, ucode, semtype
+            FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2) u
+            LEFT JOIN sty ON u.cui = sty.scui
+        )
+        SELECT cui AS UMLS_CUI, sab AS UMLS_SAB, count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS n_orders
+        FROM ann GROUP BY cui, sab ORDER BY cui, sab
+    """
     return sqls

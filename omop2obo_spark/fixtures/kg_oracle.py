@@ -338,12 +338,14 @@ s_mappings AS MATERIALIZED (
 )"""
 
 
-def kg_triples_sql(include_sim: bool = False) -> str:
+def kg_triples_sql(include_sim: bool = False, final_select: str | None = None) -> str:
     """The full pipeline oracle: DuckDB SQL producing
     (conv_id, turn_idx, subj, pred, obj) — same rows as
     run_pipeline(...).triples over transcripts_from_documents.
     ``include_sim=True`` adds the TF-IDF similarity tier over unlinked
-    turns (with_similarity=True semantics)."""
+    turns (with_similarity=True semantics). ``final_select`` overrides the
+    terminal SELECT (default: the triple union) so other oracles — e.g.
+    the wide mapping layout — can reuse the full CTE pipeline."""
     dims = dim_rows()
     labels_v = _values(dims["labels"], "labdim", ["uri", "label"])
     strings_v = _values(dims["strings"], "strdim", ["code", "uri", "kind", "syn_type"])
@@ -682,11 +684,35 @@ sem_triples AS (
            'omop2obo:hasSemanticType' AS pred, semstr AS obj
     FROM semagg WHERE semstr <> ''
 ){sim_triple_ctes}
-SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
+{final_select or f'''SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
 FROM (
     SELECT * FROM uri_triples
     UNION ALL SELECT * FROM meta_triples
     UNION ALL SELECT * FROM mention_triples
     UNION ALL SELECT * FROM sem_triples{sim_triple_parts}
-)
+)'''}
 """
+
+
+def wide_mappings_sql(onts: tuple[str, ...] = ("HP", "MONDO")) -> str:
+    """Oracle for the reference's wide per-ontology block layout
+    (main.py:100-145, data_utils.py:608-615): one row per mention key,
+    ``AGGREGATED_<ONT>_{URI,LABEL,MAPPING,EVIDENCE}`` conditional-
+    aggregated from the compile output — the SQL dual of
+    operators.compile.wide_mapping_layout over the exact tiers."""
+    blocks = []
+    for ont in onts:
+        for field, src in [("URI", "agg_uri"), ("LABEL", "agg_label"),
+                           ("MAPPING", "category"), ("EVIDENCE", "agg_evidence")]:
+            blocks.append(
+                f"max(CASE WHEN ont_type = '{ont}' THEN {src} END)"
+                f' AS "AGGREGATED_{ont}_{field}"'
+            )
+    cols = ",\n       ".join(blocks)
+    return kg_triples_sql(
+        final_select=(
+            "SELECT conv_id, turn_idx, mention_id,\n       "
+            + cols
+            + "\nFROM mappings GROUP BY conv_id, turn_idx, mention_id"
+        )
+    )
