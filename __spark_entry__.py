@@ -586,6 +586,26 @@ def q_kg_triples_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (nearest-timestamp) join: each event attached to the user's
+    most recent order at or before the event time — operators.temporal.
+    asof_join (union + partitioned-window, one shuffle). Oracle: DuckDB's
+    native ASOF LEFT JOIN over the same tie-deduplicated right side."""
+    from omop2obo_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "ts")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = asof_join(
+        ev, orders, left_on="user_id", right_on="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", right_cols=["last_orderkey"],
+    )
+    return joined.select("event_id", "user_id", "last_orderkey")
+
+
 def q_salted_umls_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew path at the gate: UMLS double-merge annotation with
     strategy='salted' (joins.salted_join — the north rule's salted hash
@@ -675,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
         "q_salted_umls_link": q_salted_umls_link,
+        "q_asof_join": q_asof_join,
     }
 
 
@@ -1218,6 +1239,16 @@ def oracle_sql() -> dict[str, str]:
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
+
+    sqls["q_asof_join"] = """
+        WITH r AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, r.last_orderkey
+        FROM events e
+        ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """
 
     _codes = sorted({c for _cui, _sab, c in prepared_mrconso() if c})
     _mr_vals = ", ".join(f"('{c}', '{s}', '{u}')" for c, s, u in prepared_mrconso())

@@ -275,3 +275,42 @@ def test_localize_dim_produces_local_table_scan(spark):
     plan = local._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan, plan
     assert sorted(map(tuple, local.collect())) == [("a", 1), ("b", None)]
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    """asof_join semantics: backward inclusive, forward inclusive, ties on
+    the right resolved by sort order, tolerance nulls far matches, and
+    null payload FIELDS don't make the carry reach further back (struct
+    semantics)."""
+    from datetime import datetime
+
+    from omop2obo_spark.operators.temporal import asof_join
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", ts("2024-01-01 10:00:00")),
+         (2, "u", ts("2024-01-01 12:00:00")),
+         (3, "u", ts("2024-01-01 09:00:00")),   # before any state
+         (4, "v", ts("2024-01-01 12:00:00"))],  # key with no state rows
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts("2024-01-01 10:00:00"), 100, "a"),
+         ("u", ts("2024-01-01 11:30:00"), 200, None)],  # null payload field
+        "k string, rts timestamp, val int, tag string",
+    )
+
+    back = asof_join(left, right, "k", "k", "ts", "rts", ["val", "tag"])
+    got = {r.event_id: (r.val, r.tag) for r in back.collect()}
+    # event 1: equal-ts state row counts (inclusive); event 2 takes the
+    # 11:30 row whose tag is genuinely null — NOT the earlier 'a'
+    assert got == {1: (100, "a"), 2: (200, None), 3: (None, None), 4: (None, None)}
+
+    fwd = asof_join(left, right, "k", "k", "ts", "rts", ["val"], direction="forward")
+    gotf = {r.event_id: r.val for r in fwd.collect()}
+    assert gotf == {1: 100, 2: None, 3: 100, 4: None}
+
+    tol = asof_join(left, right, "k", "k", "ts", "rts", ["val"], tolerance_sec=600)
+    gott = {r.event_id: r.val for r in tol.collect()}
+    # event 2 is 30 min past the 11:30 state row -> outside 10-min tolerance
+    assert gott == {1: 100, 2: None, 3: None, 4: None}

@@ -31,6 +31,19 @@ def test_ngrams():
     assert ngrams([]) == []
 
 
+def test_ngrams_expr_matches_python(spark):
+    """The native HOF gram generator must produce the same multiset as the
+    Python reference implementation for every boundary length (0..5)."""
+    from omop2obo_spark.operators.similarity import ngrams_expr
+
+    rows = [(["t%d" % i for i in range(n)],) for n in range(6)]
+    rows.append((["repeat", "repeat", "repeat"],))
+    df = spark.createDataFrame(rows, "toks array<string>")
+    got = [sorted(r.g) for r in df.select(ngrams_expr(F.col("toks")).alias("g")).collect()]
+    want = [sorted(ngrams(r[0])) for r in rows]
+    assert got == want
+
+
 def test_tfidf_formula_golden():
     # corpus: two ontology docs, one query doc; compute one idf by hand
     ont = [("HP_1", ["wet", "lung"]), ("HP_2", ["dry", "lung"])]
