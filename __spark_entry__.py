@@ -606,6 +606,39 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "last_orderkey")
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join at the gate: per user, every non-signup event inside
+    a signup event's 2-hour attribution window — operators.temporal.
+    range_join (bucketized equi-join; the non-equi predicate never reaches
+    a nested-loop plan). Oracle: the plain inequality join in SQL."""
+    from omop2obo_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    windows = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("w_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        F.col("event_id").alias("w_id"),
+    )
+    probes = ev.filter(F.col("event_type") != "signup")
+    joined = range_join(
+        probes, windows, left_on="user_id", right_on="w_user",
+        left_ts="ts", right_start="w_start", right_end="w_end",
+        bucket_sec=7_200,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("w_id").alias("n_windows"),
+            F.countDistinct("event_id").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_salted_umls_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew path at the gate: UMLS double-merge annotation with
     strategy='salted' (joins.salted_join — the north rule's salted hash
@@ -696,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wide_mappings": q_wide_mappings,
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
     }
 
 
@@ -1239,6 +1273,23 @@ def oracle_sql() -> dict[str, str]:
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
+
+    sqls["q_range_join"] = """
+        WITH w AS (
+            SELECT user_id AS w_user, ts AS w_start,
+                   ts + INTERVAL 2 HOUR AS w_end, event_id AS w_id
+            FROM events WHERE event_type = 'signup'
+        )
+        SELECT p.event_type, count(*) AS n_pairs,
+               count(DISTINCT w.w_id) AS n_windows,
+               count(DISTINCT p.event_id) AS n_events
+        FROM events p
+        JOIN w ON p.user_id = w.w_user
+              AND p.ts >= w.w_start AND p.ts <= w.w_end
+        WHERE p.event_type <> 'signup'
+        GROUP BY p.event_type
+        ORDER BY p.event_type
+    """
 
     sqls["q_asof_join"] = """
         WITH r AS (

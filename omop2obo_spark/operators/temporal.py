@@ -22,9 +22,53 @@ state row across bucket boundaries; AQE cannot split window skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _micros(c: Column) -> Column:
+    """Epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros
+    rejects NTZ; the cast interprets NTZ in session tz, consistently for
+    every column in one comparison)."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_sec: int = 86_400,
+) -> DataFrame:
+    """Interval join: left rows whose ``left_ts`` falls inside the right
+    row's ``[right_start, right_end]`` (inclusive), matched per key.
+
+    A naive ``l.ts BETWEEN r.start AND r.end`` predicate is a non-equi
+    join — Catalyst can only plan it as a broadcast-nested-loop or a
+    per-key cartesian, both quadratic hot spots at scale. This is the
+    bucketized formulation: each probe hashes to ONE coarse time bucket,
+    each interval explodes to the buckets it overlaps, the join becomes a
+    plain equi-join on (key, bucket) + an exact range filter. Each
+    (probe, interval) pair meets in exactly one bucket (the probe's), so
+    no dedup is needed. Pick ``bucket_sec`` near the typical interval
+    length: replication factor = interval_len/bucket_sec + 1.
+    """
+    lb = F.floor(_micros(F.col(left_ts)) / F.lit(bucket_sec * 1_000_000))
+    l2 = left.withColumn("__b", lb.cast("long"))
+    b0 = F.floor(_micros(F.col(right_start)) / F.lit(bucket_sec * 1_000_000))
+    b1 = F.floor(_micros(F.col(right_end)) / F.lit(bucket_sec * 1_000_000))
+    r2 = right.withColumn("__b", F.explode(F.sequence(b0.cast("long"), b1.cast("long"))))
+    cond = (
+        (l2[left_on] == r2[right_on])
+        & (l2["__b"] == r2["__b"])
+        & (l2[left_ts] >= r2[right_start])
+        & (l2[left_ts] <= r2[right_end])
+    )
+    return l2.join(r2, cond, "inner").drop(l2["__b"]).drop(r2["__b"])
 
 
 def asof_join(
@@ -82,7 +126,7 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-        gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__mts"))
+        gap = _micros(F.col("__ts")) - _micros(F.col("__mts"))
     else:
         # probes sort before right rows at equal ts → inclusive forward
         w = (
@@ -91,7 +135,7 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-        gap = F.unix_micros(F.col("__mts")) - F.unix_micros(F.col("__ts"))
+        gap = _micros(F.col("__mts")) - _micros(F.col("__ts"))
 
     matched = u.withColumn("__mp", pick("__rp")).withColumn("__mts", F.col("__mp.__rts"))
 

@@ -314,3 +314,35 @@ def test_asof_join_backward_forward_tolerance(spark):
     gott = {r.event_id: r.val for r in tol.collect()}
     # event 2 is 30 min past the 11:30 state row -> outside 10-min tolerance
     assert gott == {1: 100, 2: None, 3: None, 4: None}
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """Bucketized range_join must equal the naive non-equi join, including
+    intervals spanning multiple buckets and boundary-inclusive endpoints."""
+    from datetime import datetime, timedelta
+
+    from omop2obo_spark.operators.temporal import range_join
+
+    base = datetime(2024, 1, 1)
+    probes = spark.createDataFrame(
+        [(i, "k%d" % (i % 3), base + timedelta(minutes=7 * i)) for i in range(40)],
+        "pid long, k string, ts timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [(j, "k%d" % (j % 3), base + timedelta(minutes=11 * j),
+          base + timedelta(minutes=11 * j + 90)) for j in range(12)],
+        "iid long, ik string, t0 timestamp, t1 timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(probes, ivals, "k", "ik", "ts", "t0", "t1",
+                            bucket_sec=1200).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in probes.join(
+            ivals,
+            (probes.k == ivals.ik) & (probes.ts >= ivals.t0) & (probes.ts <= ivals.t1),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
