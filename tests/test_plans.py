@@ -65,3 +65,32 @@ def test_compile_single_shuffle(spark):
     plan = _plan(out)
     # exactly one shuffle exchange in the compile subtree
     assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_never_nested_loop(spark):
+    """The bucketized interval join must plan as an equi hash/merge join —
+    a BroadcastNestedLoopJoin or CartesianProduct here is the quadratic
+    plan the operator exists to avoid."""
+    from omop2obo_spark.operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id", "ts", "event_type")
+    w = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("wu"), F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1"),
+    )
+    plan = _plan(range_join(ev, w, "user_id", "wu", "ts", "t0", "t1", bucket_sec=7200))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is one window over the unioned stream: exactly one
+    Exchange (plus AQE reads), no join operator at all."""
+    from omop2obo_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id", "ts")
+    st = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").alias("su"), F.col("ts").alias("sts"), F.col("value").alias("v")
+    )
+    plan = _plan(asof_join(ev, st, "user_id", "su", "ts", "sts", ["v"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
