@@ -586,6 +586,25 @@ def q_kg_triples_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.triples
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup (A5 family): revenue at (brand, returnflag),
+    (brand), and grand-total grains in ONE pass — Spark ``rollup`` ≡ SQL
+    GROUP BY ROLLUP; the part dimension joins broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        j.rollup("p_brand", "l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("p_brand").asc_nulls_first(), F.col("l_returnflag").asc_nulls_first())
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (nearest-timestamp) join: each event attached to the user's
     most recent order at or before the event time — operators.temporal.
@@ -730,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
+        "q_rollup_revenue": q_rollup_revenue,
     }
 
 
@@ -1273,6 +1293,15 @@ def oracle_sql() -> dict[str, str]:
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
+
+    sqls["q_rollup_revenue"] = """
+        SELECT p_brand, l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY ROLLUP (p_brand, l_returnflag)
+        ORDER BY p_brand NULLS FIRST, l_returnflag NULLS FIRST
+    """
 
     sqls["q_range_join"] = """
         WITH w AS (
