@@ -1,0 +1,41 @@
+"""Launch-shape tests: --py-files packaging + cluster entrypoint wiring.
+
+The north rule launches the job via ``spark-submit --py-files`` (reference
+runs as a driver script too: /root/reference/main.py:1-40). The heavy
+spark-submit path itself is exercised out-of-band (README "Cluster
+launch"); here we pin the cheap invariants: the zip is importable-shaped,
+and the entrypoint's argument contract stays stable.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+from tools.package_pyfiles import build
+from tools.submit_job import parse_args
+
+
+def test_pyfiles_zip_contains_package_only(tmp_path):
+    out = build(str(tmp_path / "pkg.zip"))
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+    assert "omop2obo_spark/__init__.py" in names
+    assert all(n.startswith("omop2obo_spark/") for n in names)
+    assert all(n.endswith(".py") for n in names)
+    # executors unpack onto sys.path: no tests, no bytecode, no fixtures data
+    assert not any("__pycache__" in n or n.startswith("tests/") for n in names)
+    # every package subdir made it in
+    pkgs = {n.split("/")[1] for n in names if n.count("/") == 2}
+    assert {"operators", "sources", "functions", "plans", "streaming"} <= pkgs
+
+
+def test_submit_args_defaults_and_resume_contract():
+    a = parse_args(["--transcripts", "db.tbl", "--output", "/tmp/o"])
+    assert a.lexicon == "fixture" and a.buckets == 256
+    assert a.batch_partitions is None and not a.with_similarity
+    b = parse_args([
+        "--transcripts", "db.tbl", "--output", "/tmp/o",
+        "--buckets", "8", "--batch-partitions", "2",
+        "--with-similarity", "--run-id", "r1",
+    ])
+    assert (b.buckets, b.batch_partitions, b.with_similarity, b.run_id) == (8, 2, True, "r1")
