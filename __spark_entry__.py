@@ -711,6 +711,29 @@ def q_wide_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide_mapping_layout(res.mappings, KEY_COLS, ["hp", "mondo"])
 
 
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate statistics over the materialized graph (exact tiers):
+    triple count + distinct subject/object cardinality per predicate —
+    the first query a consumer of the partitioned graph tables runs.
+    One shuffle keyed on 5 predicate values; the two countDistincts run
+    as partial aggregates map-side. Oracle: fixtures/kg_oracle.graph_stats_sql."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.plans.pipeline import run_pipeline
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    res = run_pipeline(
+        spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark), with_similarity=False,
+        dims=FX.cached_dims(spark),
+    )
+    return res.triples.groupBy("pred").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -746,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
+        "q_graph_stats": q_graph_stats,
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -1284,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from omop2obo_spark.fixtures.kg_oracle import (
+        graph_stats_sql,
         kg_triples_sql,
         prepared_mrconso,
         wide_mappings_sql,
@@ -1293,6 +1318,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
+    sqls["q_graph_stats"] = graph_stats_sql()
 
     sqls["q_rollup_revenue"] = """
         SELECT p_brand, l_returnflag,

@@ -694,6 +694,30 @@ FROM (
 """
 
 
+def graph_stats_sql() -> str:
+    """Oracle for per-predicate statistics over the materialized graph
+    (exact tiers): triple count + distinct subject/object cardinality per
+    predicate — the first query a consumer runs against the graph tables.
+    Aggregates over the DISTINCT triple set, exactly the rows the
+    pipeline's triple sink receives."""
+    return kg_triples_sql(
+        final_select="""SELECT pred,
+       count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subj,
+       count(DISTINCT obj) AS n_obj
+FROM (
+    SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
+    FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )
+)
+GROUP BY pred"""
+    )
+
+
 def wide_mappings_sql(onts: tuple[str, ...] = ("HP", "MONDO")) -> str:
     """Oracle for the reference's wide per-ontology block layout
     (main.py:100-145, data_utils.py:608-615): one row per mention key,
