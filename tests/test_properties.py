@@ -1,0 +1,114 @@
+"""Property-based (hypothesis) parity tests.
+
+The package keeps two implementations of every scalar transform in
+lock-step: a native Spark column expression (runs in whole-stage codegen
+over the fact table) and a plain-Python mirror (runs on the tiny
+driver-side ontology corpus).  The golden-vector tests in
+``test_functions.py``/``test_similarity.py`` pin known cases; these
+tests let hypothesis search the input space for divergence — regex
+dialect differences (Java vs Python ``\\s``/``\\w``/alternation order),
+substring arithmetic off-by-ones, quoting edge cases in the per-row
+``\\Q…\\E`` character class of ``normalize_source_codes``.
+
+Each hypothesis example generates a BATCH of rows and runs ONE Spark job
+over the batch, so the search pays Spark's per-job latency once per
+example instead of once per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from omop2obo_spark.functions.normalize import normalize_source_codes
+from omop2obo_spark.functions.text import preprocess_tokens_expr, py_preprocess
+from omop2obo_spark.operators.similarity import ngrams, ngrams_expr
+
+PROP_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# --- text preprocessing parity -------------------------------------------
+
+# The preprocessing domain: clinical-ish prose plus the characters that
+# historically expose regex-dialect drift (non-ASCII to fold, mixed
+# whitespace, apostrophe stopwords, digits/underscores for \w).
+_TEXT_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNOPQRSTUVWXYZ" "0123456789_"
+    " \t\n" "'-;,.!()/" "éàüµ°"
+)
+_texts = st.lists(
+    st.text(alphabet=_TEXT_ALPHABET, max_size=60), min_size=1, max_size=25
+)
+
+
+@PROP_SETTINGS
+@given(texts=_texts)
+def test_preprocess_spark_python_parity_property(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.t for r in df.select(preprocess_tokens_expr(F.col("text")).alias("t")).collect()]
+    assert got == [py_preprocess(t) for t in texts]
+
+
+# --- n-gram generation parity --------------------------------------------
+
+_token_lists = st.lists(
+    st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=4), max_size=8),
+    min_size=1,
+    max_size=20,
+)
+
+
+@PROP_SETTINGS
+@given(token_lists=_token_lists)
+def test_ngrams_expr_matches_python_property(spark, token_lists):
+    df = spark.createDataFrame([(t,) for t in token_lists], "toks array<string>")
+    got = [r.g for r in df.select(ngrams_expr(F.col("toks")).alias("g")).collect()]
+    assert got == [ngrams(t) for t in token_lists]
+
+
+# --- source-code normalization parity ------------------------------------
+
+
+def _py_normalize(code: str, vocab_map: dict[str, str]) -> str | None:
+    """Python model of the reference's prefix normalization
+    (/root/reference/omop2obo/utils/data_utils.py:236-275): split on
+    separators (plus ``_`` for URLs containing one), take the last
+    non-empty segment, ``str.rstrip`` its *character set* off the raw
+    value, drop one separator char, map the remaining prefix through the
+    vocab map, and reattach the lower-cased segment."""
+    pat = r"[_:|/]" if ("http" in code and "_" in code) else r"[:|/]"
+    segs = [s for s in re.split(pat, code) if s]
+    if not segs:
+        return None
+    seg = segs[-1]
+    prefix = code.rstrip(seg)[:-1]
+    prefix = vocab_map.get(prefix, prefix)
+    return f"{prefix}:{seg.lower()}"
+
+
+_seg = st.text(alphabet="abcdefghijklmnopqrstuvwxyzABCDEFG0123456789.-", min_size=1, max_size=10)
+_sep = st.sampled_from([":", "/", "|", "_"])
+
+
+@st.composite
+def _identifier(draw):
+    """prefix(sep segment)+ — the reference's identifier domain, including
+    URL-shaped values (``http`` + ``_`` flips the split pattern)."""
+    head = draw(st.sampled_from(["http", "https", ""])) or draw(_seg)
+    parts = draw(st.lists(st.tuples(_sep, _seg), min_size=1, max_size=4))
+    return head + "".join(s + t for s, t in parts)
+
+
+@PROP_SETTINGS
+@given(codes=st.lists(_identifier(), min_size=1, max_size=25))
+def test_normalize_source_codes_parity_property(spark, codes):
+    vocab = {"snomedct_us": "snomed", "http://linkedlifedata.com/resource/umls/id": "umls"}
+    df = spark.createDataFrame([(c,) for c in codes], "CODE string")
+    got = [r.n for r in df.select(normalize_source_codes(F.col("CODE"), vocab).alias("n")).collect()]
+    assert got == [_py_normalize(c, vocab) for c in codes]
