@@ -383,6 +383,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.02)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → dedup clusters: banded MinHash LSH generates the
+    pair graph, then connected components (min-label propagation +
+    pointer jumping, operators/dedup.py:dedup_clusters) resolves it into
+    canonical groups — the keep/drop decision step of a corpus dedup
+    pipeline. Oracle replays the same md5 MinHash bands in SQL and takes
+    components via a recursive reachability CTE."""
+    from omop2obo_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    pairs = minhash_lsh_pairs(d, n_hashes=8, bands=8, k=3)
+    clusters = dedup_clusters(pairs)
+    size = Window.partitionBy("component")
+    return clusters.select(
+        "doc_id", "component", F.count("*").over(size).alias("cluster_size")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.dedup import simhash
 
@@ -753,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
@@ -1021,6 +1040,46 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
         GROUP BY doc_id
     """
+
+    # MinHash bands (8 hashes, 8 one-row bands) → candidate pairs →
+    # connected components via recursive min-reachability; cluster head =
+    # min doc_id, matching dedup_clusters' label-propagation fixpoint.
+    minhash8 = ", ".join(
+        f"min(md5('{h}|' || g)) AS h{h}" for h in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{b} AS key FROM sigs" for b in range(8)
+    )
+    sqls["q_dedup_clusters"] = (
+        _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < 400)")
+        .replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + f"""
+        , sigs AS (
+            SELECT doc_id, {minhash8}
+            FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+            GROUP BY doc_id
+        ),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        ),
+        comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+        SELECT doc_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp
+    """
+    )
 
     sqls["q_ngram_jaccard"] = _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < 60)") + """
         , sh AS (SELECT doc_id AS doc, unnest(gs) AS shingle FROM grams),

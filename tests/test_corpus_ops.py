@@ -242,3 +242,29 @@ def test_top_k_vocabulary_ranking(spark):
     rows = [(r.token, r.n, r.rank) for r in top_k_vocabulary(d, k=2).collect()]
     # apple and banana tie at 3; tie breaks token-ascending
     assert rows == [("apple", 3, 1), ("banana", 3, 2)]
+
+
+def test_dedup_clusters_chain_and_pointer_jumping(spark):
+    # a 6-node path (worst case for plain propagation — pointer jumping
+    # must still reach the fixpoint inside max_iterations), plus a
+    # separate pair and a triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    from omop2obo_spark.operators.dedup import dedup_clusters
+
+    got = {r.doc_id: r.component for r in dedup_clusters(pairs, max_iterations=5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_keep_canonical_drops_non_heads(spark):
+    from omop2obo_spark.operators.dedup import dedup_clusters, dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 7, 10, 11)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    kept = dedup_keep_canonical(docs, dedup_clusters(pairs))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 7, 10]
