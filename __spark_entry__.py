@@ -383,6 +383,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.02)
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (textstats.hash_sample): ~20% of docs
+    selected by md5-prefix threshold — reproducible across runs, engines,
+    and partitionings, the sampling a resumable 100-TB extract needs."""
+    from omop2obo_spark.operators.textstats import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate=0.2).select("doc_id", "source", "lang")
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation funnel (operators/curate.py):
+    language ID → quality floor → exact dedup → LSH near-dedup with
+    connected-component resolution; returns per-stage survivor counts.
+    Oracle replays every stage in SQL including the recursive-CTE
+    component resolution."""
+    from omop2obo_spark.operators.curate import curate_corpus
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    _, funnel = curate_corpus(d)
+    return funnel
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs → dedup clusters: banded MinHash LSH generates the
     pair graph, then connected components (min-label propagation +
@@ -771,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_hash_sample": q_hash_sample,
+        "q_corpus_curation": q_corpus_curation,
         "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_text_quality": q_text_quality,
@@ -1145,6 +1169,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {case_chain} END AS lang_pred
         FROM h
+    """
+
+    sqls["q_hash_sample"] = f"""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE ('0x' || substr(md5('s0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+              < {int(0.2 * 2**32)}
+    """
+
+    # the whole curation funnel replayed stage-by-stage: lang filter →
+    # quality floor (4dp-rounded ratios, as quality_features emits) →
+    # exact dedup (min id per normalized-text hash) → MinHash-LSH pairs →
+    # recursive-CTE connected components → keep cluster heads.
+    lang_case = f"CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {case_chain} END"
+    sqls["q_corpus_curation"] = f"""
+        WITH RECURSIVE d0 AS (SELECT * FROM documents WHERE doc_id < 400),
+        lt AS (
+            SELECT doc_id, text, list_distinct(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS toks
+            FROM d0
+        ),
+        lh AS (SELECT doc_id, text, {hit_cols} FROM lt),
+        s1 AS (SELECT doc_id, text FROM lh WHERE ({lang_case}) = 'en'),
+        s2 AS (
+            SELECT doc_id, text FROM s1
+            WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) >= 5
+              AND CASE WHEN length(text) > 0 THEN
+                    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4)
+                  ELSE 0 END >= 0.5
+              AND CASE WHEN length(text) > 0 THEN
+                    round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text), 4)
+                  ELSE 0 END <= 0.2
+        ),
+        s3 AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY
+                           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canon
+                FROM s2
+            ) WHERE doc_id = canon
+        ),
+        toks3 AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                               x -> x <> '') AS t
+            FROM s3
+        ),
+        grams AS (
+            SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                                          FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+            FROM toks3
+        ),
+        sigs AS (
+            SELECT doc_id, {minhash8}
+            FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+            GROUP BY doc_id
+        ),
+        bands AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        ),
+        comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+        s4 AS (
+            SELECT doc_id FROM s3
+            WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+        )
+        SELECT 's0_input' AS stage, count(*) AS n_docs FROM d0
+        UNION ALL SELECT 's1_lang', count(*) FROM s1
+        UNION ALL SELECT 's2_quality', count(*) FROM s2
+        UNION ALL SELECT 's3_exact_dedup', count(*) FROM s3
+        UNION ALL SELECT 's4_near_dedup', count(*) FROM s4
     """
 
     sqls["q_token_counts"] = """

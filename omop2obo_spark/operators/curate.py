@@ -1,0 +1,84 @@
+"""Corpus curation plan: the end-to-end training-data filter funnel.
+
+Composes the corpus primitives (language ID, quality scoring, exact
+dedup, MinHash-LSH near-dedup + connected-component resolution) into the
+single keep/drop decision a pretraining-data pipeline runs over raw
+documents, and reports per-stage survivor counts — the funnel metric
+every data-curation run is judged by.
+
+Scale shape: the language and quality stages are pure native column
+expressions (whole-stage codegen, no shuffle); exact dedup shuffles once
+on a 32-char hash; the near-dup stage shuffles only the ~8 band keys per
+surviving doc and resolves components over the pair graph, which is
+orders of magnitude smaller than the corpus.  The corpus text itself is
+never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from omop2obo_spark.operators.dedup import (
+    dedup_clusters,
+    dedup_keep_canonical,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from omop2obo_spark.operators.textstats import lang_id, quality_features
+
+FUNNEL_STAGES = ["s0_input", "s1_lang", "s2_quality", "s3_exact_dedup", "s4_near_dedup"]
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_punct_ratio: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 8,
+    k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the curation funnel and return ``(curated, funnel)``.
+
+    ``curated`` keeps the input schema; ``funnel`` is
+    ``(stage, n_docs)`` — one row per :data:`FUNNEL_STAGES` entry, the
+    survivor count after that stage.  Quality thresholds compare the
+    4-decimal-rounded ratios ``quality_features`` emits, so the decision
+    is engine-portable (same rounding in the SQL oracle).
+    """
+    cols = docs.columns
+
+    s1 = lang_id(docs, text_col).filter(F.col("lang_pred") == lang).select(*cols)
+    s2 = quality_features(s1, text_col).filter(
+        (F.col("q_tokens") >= min_tokens)
+        & (F.col("q_alpha_ratio") >= min_alpha_ratio)
+        & (F.col("q_punct_ratio") <= max_punct_ratio)
+    ).select(*cols)
+
+    keep_exact = exact_dedup(s2, id_col, text_col).filter(
+        F.col(id_col) == F.col("canonical_id")
+    ).select(id_col)
+    # materialize the exact-dedup survivors once: they feed LSH pair
+    # generation, the keep-canonical anti-join, AND the funnel count —
+    # and dedup_clusters below runs eager jobs over them anyway.
+    # localCheckpoint (not persist) so there is no unpersist to forget;
+    # blocks release when the plan is garbage collected.
+    s3 = s2.join(keep_exact, on=id_col, how="left_semi").localCheckpoint(eager=True)
+
+    pairs = minhash_lsh_pairs(s3, id_col, text_col, n_hashes=n_hashes, bands=bands, k=k)
+    clusters = dedup_clusters(pairs)  # eager: iterates to fixpoint
+    s4 = dedup_keep_canonical(s3, clusters, id_col)
+
+    stages = zip(FUNNEL_STAGES, [docs, s1, s2, s3, s4])
+    counts = [
+        df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_docs"))
+        for name, df in stages
+    ]
+    funnel = counts[0]
+    for c in counts[1:]:
+        funnel = funnel.unionByName(c)
+    return s4, funnel

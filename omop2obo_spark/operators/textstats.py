@@ -151,3 +151,24 @@ def top_k_vocabulary(
 
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return counted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hash_sample(
+    docs: DataFrame, rate: float, key_col: str = "doc_id", salt: str = "s0"
+) -> DataFrame:
+    """Deterministic hash-based sampling: keep rows whose
+    ``md5(salt|key)`` prefix falls below ``rate`` of the 32-bit space.
+
+    Unlike ``DataFrame.sample``, the decision is a pure function of the
+    key — reproducible across runs, partitionings, and engines (the
+    oracle replays the same md5 prefix in SQL), and stable under
+    checkpoint/resume: re-running a 100-TB extract samples the same rows.
+    Stratify by running once per stratum or salting with the stratum key.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    return docs.filter(bucket < F.lit(int(rate * 2**32)))

@@ -268,3 +268,32 @@ def test_dedup_keep_canonical_drops_non_heads(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
     kept = dedup_keep_canonical(docs, dedup_clusters(pairs))
     assert sorted(r.doc_id for r in kept.collect()) == [1, 7, 10]
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from omop2obo_spark.operators.textstats import hash_sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r.doc_id for r in hash_sample(docs, 0.25).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs, 0.25).collect())
+    assert a == b  # pure function of the key
+    assert 0.18 < len(a) / 2000 < 0.32  # concentration around the rate
+    # monotone in rate: a lower-rate sample is a subset of a higher-rate one
+    small = set(r.doc_id for r in hash_sample(docs, 0.1).collect())
+    assert small <= set(a)
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_curate_corpus_funnel_monotone(spark, docs):
+    from omop2obo_spark.operators.curate import FUNNEL_STAGES, curate_corpus
+
+    curated, funnel = curate_corpus(docs)
+    rows = {r.stage: r.n_docs for r in funnel.collect()}
+    assert list(rows) == FUNNEL_STAGES  # all stages present
+    counts = [rows[s] for s in FUNNEL_STAGES]
+    assert counts == sorted(counts, reverse=True)  # monotone non-increasing
+    assert curated.count() == counts[-1]
+    assert curated.columns == docs.columns  # schema preserved
