@@ -94,3 +94,31 @@ def test_asof_join_single_shuffle(spark):
     plan = _plan(asof_join(ev, st, "user_id", "su", "ts", "sts", ["v"]))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_curation_filters_native_no_python(spark):
+    """The language/quality/sampling stages of the curation funnel are
+    pure native expressions — any Python eval node here would put a
+    per-row interpreter in the corpus scan path."""
+    from omop2obo_spark.operators.textstats import hash_sample, lang_id, quality_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    staged = quality_features(lang_id(docs)).filter(
+        (F.col("lang_pred") == "en") & (F.col("q_tokens") >= 5)
+    )
+    sampled = hash_sample(staged, 0.5)
+    plan = _plan(sampled)
+    assert "EvalPython" not in plan, plan          # Batch/ArrowEvalPython
+    assert "Exchange" not in plan, plan            # filter chain: zero shuffles
+
+
+def test_keep_canonical_broadcast_anti_join(spark):
+    """dedup_keep_canonical must broadcast the (tiny) non-head set and
+    anti-join — the corpus side must not shuffle."""
+    from omop2obo_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    clusters = spark.createDataFrame([(5, 1), (1, 1)], "doc_id long, component long")
+    plan = _plan(dedup_keep_canonical(docs, clusters))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
