@@ -383,6 +383,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.02)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (operators/pack.py): greedy first-fit of
+    docs into 200-token training sequences, independently per hash
+    bucket. Sequential semantics → applyInPandas per bucket; oracle walks
+    each bucket with a recursive CTE. Result is partitioning-independent."""
+    from omop2obo_spark.operators.pack import pack_sequences
+    from omop2obo_spark.operators.textstats import whitespace_token_count
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, budget=200, n_buckets=8)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (textstats.hash_sample): ~20% of docs
     selected by md5-prefix threshold — reproducible across runs, engines,
@@ -793,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_pack_sequences": q_pack_sequences,
         "q_hash_sample": q_hash_sample,
         "q_corpus_curation": q_corpus_curation,
         "q_dedup_clusters": q_dedup_clusters,
@@ -1169,6 +1184,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {case_chain} END AS lang_pred
         FROM h
+    """
+
+    # greedy first-fit packing replayed per bucket: rows walk in doc_id
+    # order via linear recursion; pack increments whenever the running
+    # remainder would overflow the 200-token budget — the exact sequential
+    # semantics the Spark side runs inside applyInPandas.
+    sqls["q_pack_sequences"] = """
+        WITH RECURSIVE d AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS bucket,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+            FROM documents WHERE doc_id < 500
+        ),
+        r AS (
+            SELECT doc_id, bucket, n_tokens,
+                   row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            FROM d
+        ),
+        walk(bucket, rn, doc_id, n_tokens, acc, pack_idx) AS (
+            SELECT bucket, rn, doc_id, n_tokens, n_tokens, 0::BIGINT FROM r WHERE rn = 1
+            UNION ALL
+            SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+                   CASE WHEN w.acc + r.n_tokens > 200 THEN r.n_tokens ELSE w.acc + r.n_tokens END,
+                   CASE WHEN w.acc + r.n_tokens > 200 THEN w.pack_idx + 1 ELSE w.pack_idx END
+            FROM walk w JOIN r ON r.bucket = w.bucket AND r.rn = w.rn + 1
+        )
+        SELECT doc_id, bucket, pack_idx, n_tokens FROM walk
     """
 
     sqls["q_hash_sample"] = f"""

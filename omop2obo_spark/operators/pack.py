@@ -1,0 +1,102 @@
+"""Context-window sequence packing: assign documents to fixed-token-budget
+training sequences — the step between a curated corpus and an LLM
+pretraining dataloader.
+
+Greedy first-fit packing is inherently sequential (each decision depends
+on the running remainder), so it cannot be expressed as a window
+cumulative sum — ``floor(cumsum/budget)`` lets a pack straddle the budget
+boundary.  The scalable form:
+
+  1. hash-bucket documents (md5-prefix mod — engine-portable and
+     deterministic, the same trick as ``textstats.hash_sample``);
+  2. pack each bucket independently with a sequential greedy pass inside
+     ``applyInPandas`` (the legitimate Pandas-UDF case: semantics the
+     built-in operators genuinely cannot express).
+
+Buckets are embarrassingly parallel and the result is a pure function of
+(doc ids, token counts, budget, n_buckets) — independent of partitioning,
+cluster size, or execution order — so a 100-TB packing run is resumable
+and its oracle is replayable (DuckDB recursive CTE walking each bucket in
+doc-id order).  Size ``n_buckets`` so one bucket's (id, token) pairs fit
+an executor: ``applyInPandas`` materializes the group — at 10^12 docs use
+~10^5 buckets, not 32.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("pack_idx", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+    ]
+)
+
+
+def hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic, engine-portable bucket id: md5-prefix mod."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Greedy first-fit packing of docs into sequences of ≤ ``budget``
+    tokens, per hash bucket, in ``id_col`` order.
+
+    Output: ``(doc_id, bucket, pack_idx, n_tokens)`` — sequence identity
+    is ``(bucket, pack_idx)``.  A doc larger than the budget gets a pack
+    of its own (and overflows it — truncation is the caller's policy).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        packs = []
+        acc = 0
+        idx = -1
+        for t in pdf["n_tokens"]:
+            if idx < 0 or acc + t > budget:
+                idx += 1
+                acc = 0
+            acc += t
+            packs.append(idx)
+        pdf["pack_idx"] = pd.Series(packs, dtype="int64")
+        return pdf[["doc_id", "bucket", "pack_idx", "n_tokens"]]
+
+    return keyed.groupBy("bucket").applyInPandas(pack, PACK_SCHEMA)
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-bucket packing efficiency: sequences, docs, token fill ratio —
+    the metric that tells you whether the budget/corpus combination wastes
+    context window.  One shuffle on (bucket, pack_idx) then on bucket."""
+    per_pack = packed.groupBy("bucket", "pack_idx").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("pack_tokens")
+    )
+    return per_pack.groupBy("bucket").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.avg(F.least(F.col("pack_tokens"), F.lit(budget)) / budget), 6).alias(
+            "fill_ratio"
+        ),
+    )

@@ -297,3 +297,30 @@ def test_curate_corpus_funnel_monotone(spark, docs):
     assert counts == sorted(counts, reverse=True)  # monotone non-increasing
     assert curated.count() == counts[-1]
     assert curated.columns == docs.columns  # schema preserved
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from omop2obo_spark.operators.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 6), (2, 6), (3, 3), (4, 3), (5, 11)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r.pack_idx for r in
+           pack_sequences(docs, budget=10, n_buckets=1).collect()}
+    # greedy first-fit in id order: [6][6,3][3][11]; the oversized doc 5
+    # gets a pack of its own (overflow allowed, caller truncates)
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_pack_sequences_partitioning_independent(spark):
+    from omop2obo_spark.operators.pack import pack_sequences, pack_stats
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    a = pack_sequences(docs, budget=64, n_buckets=4)
+    b = pack_sequences(docs.repartition(13), budget=64, n_buckets=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    stats = {r.bucket: r for r in pack_stats(a, budget=64).collect()}
+    assert sum(r.n_docs for r in stats.values()) == 300
+    assert all(0 < r.fill_ratio <= 1.0 for r in stats.values())
