@@ -606,6 +606,23 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, threshold=0.4, bucketed=True, dim=64, n_bits=8, band_bits=4)
 
 
+def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation content fingerprint: md5 over the turn texts in
+    (turn_idx) order — the north rule's per-turn text-equality invariant
+    made into a checkable query (the hash matches the oracle only if
+    EVERY turn's text is byte-identical under stable ordering), and the
+    conversation-level exact-dedup key for transcript corpora. One
+    shuffle on conv_id."""
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))), lambda x: x["text"]
+    )
+    return transcripts.groupBy("conv_id").agg(
+        F.md5(F.array_join(ordered, "\x1f")).alias("conv_fp"),
+        F.count("*").alias("n_turns"),
+    )
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline triple emission (exact tiers; similarity off for
     bounded runtime). The DuckDB oracle replays every stage in SQL —
@@ -824,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "q_conv_fingerprint": q_conv_fingerprint,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1522,6 +1540,16 @@ def oracle_sql() -> dict[str, str]:
     )
     from omop2obo_spark.fixtures.lexicon_data import MRSTY_ROWS
 
+    # per-turn text equality under stable (conv_id, turn_idx) ordering —
+    # the north-rule invariant: both engines rebuild every turn's text and
+    # hash the ordered concatenation per conversation.
+    sqls["q_conv_fingerprint"] = kg_triples_sql(
+        final_select="""SELECT conv_id,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp,
+       count(*) AS n_turns
+FROM tr
+GROUP BY conv_id"""
+    )
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
