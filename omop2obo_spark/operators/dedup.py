@@ -154,6 +154,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bigint); bit b of the fingerprint is 1 iff the sum over tokens of
     ±1(bit b set) is positive. One explode + one groupBy with ``bits``
     conditional sums — no UDF.
+
+    Docs with no tokens (NULL/empty/whitespace text) emit no output row —
+    there is nothing to fingerprint; join back to the corpus if you need
+    them carried.
     """
     toks = docs.select(
         F.col(id_col),

@@ -51,7 +51,9 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(0.0)
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(0.0)
     score = (
-        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.3
+        # coalesce before least: least() skips NULL operands, so a NULL
+        # text would otherwise collect the full 0.3 length credit
+        F.least(F.coalesce(n_tok, F.lit(0)) / F.lit(50.0), F.lit(1.0)) * 0.3
         + alpha_ratio * 0.3
         + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
         + F.least(stop_ratio * 4, F.lit(1.0)) * 0.2

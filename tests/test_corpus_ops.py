@@ -324,3 +324,27 @@ def test_pack_sequences_partitioning_independent(spark):
     stats = {r.bucket: r for r in pack_stats(a, budget=64).collect()}
     assert sum(r.n_docs for r in stats.values()) == 300
     assert all(0 < r.fill_ratio <= 1.0 for r in stats.values())
+
+
+def test_corpus_ops_null_and_empty_text_contract(spark):
+    """Pin the degenerate-input contract: NULL text never crashes a task
+    (the reference's row-wise code would raise; at 10^12 rows that is not
+    an option) and never scores as content."""
+    from omop2obo_spark.operators.dedup import exact_dedup, simhash
+    from omop2obo_spark.operators.textstats import fingerprint, lang_id, quality_features
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "normal text here")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in quality_features(docs).collect()}
+    assert q[1].q_tokens is None and q[1].q_score == 0.2  # no length credit for NULL
+    assert q[2].q_tokens == 0
+    assert {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}[1] == "und"
+    fp = {r.doc_id: r.set_fingerprint for r in fingerprint(docs).collect()}
+    assert fp[1] is None and fp[2] == fp[3]  # empty and whitespace agree
+    ex = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert ex[2].canonical_id == 2 and ex[3].canonical_id == 2  # "" groups
+    assert ex[1].group_size == 1  # NULL text is its own group
+    # token-less docs emit no simhash row (documented)
+    assert [r.doc_id for r in simhash(docs, bits=8).collect()] == [4]
