@@ -606,6 +606,42 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, threshold=0.4, bucketed=True, dim=64, n_bits=8, band_bits=4)
 
 
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-ancestor hierarchy rollup over the materialized graph:
+    transcript coverage per ontology class INCLUDING everything mapped at
+    or below it — mapping triples joined through the broadcast ancestor
+    closure (the graph-consumer face of the pipeline's ancestor tier).
+    One shuffle keyed on the low-cardinality class id after a broadcast
+    closure join; counts aggregate map-side."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.plans.pipeline import run_pipeline
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    res = run_pipeline(
+        spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=FX.ancestors_df(spark), with_similarity=False,
+        dims=FX.cached_dims(spark),
+    )
+    maps = res.triples.filter(
+        F.col("pred").isin("omop2obo:hasExactMapping", "omop2obo:hasConstructorMapping")
+    )
+
+    def short(c):
+        return F.concat(F.lit("obo:"), F.element_at(F.split(c, "/"), -1))
+
+    closure = FX.ancestors_df(spark).select(
+        short(F.col("uri")).alias("obj"), short(F.col("ancestor_uri")).alias("anc")
+    )
+    direct = maps.select("conv_id", F.col("obj").alias("cls"))
+    rolled = maps.join(F.broadcast(closure), "obj").select(
+        "conv_id", F.col("anc").alias("cls")
+    )
+    return direct.unionByName(rolled).groupBy("cls").agg(
+        F.countDistinct("conv_id").alias("n_convs"), F.count("*").alias("n_links")
+    )
+
+
 def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation content fingerprint: md5 over the turn texts in
     (turn_idx) order — the north rule's per-turn text-equality invariant
@@ -841,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "q_hierarchy_rollup": q_hierarchy_rollup,
         "q_conv_fingerprint": q_conv_fingerprint,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
@@ -1534,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
 
     from omop2obo_spark.fixtures.kg_oracle import (
         graph_stats_sql,
+        hierarchy_rollup_sql,
         kg_triples_sql,
         prepared_mrconso,
         wide_mappings_sql,
@@ -1554,6 +1592,7 @@ GROUP BY conv_id"""
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
     sqls["q_graph_stats"] = graph_stats_sql()
+    sqls["q_hierarchy_rollup"] = hierarchy_rollup_sql()
 
     sqls["q_rollup_revenue"] = """
         SELECT p_brand, l_returnflag,

@@ -740,3 +740,27 @@ def wide_mappings_sql(onts: tuple[str, ...] = ("HP", "MONDO")) -> str:
             + "\nFROM mappings GROUP BY conv_id, turn_idx, mention_id"
         )
     )
+
+
+def hierarchy_rollup_sql() -> str:
+    """Oracle for the concept-ancestor hierarchy rollup: the distinct
+    mapping-triple set (hasExactMapping/hasConstructorMapping — exactly
+    the rows ``uri_triples`` yields) expanded through the ancestor
+    closure, counting distinct conversations and links per rolled-up
+    class."""
+    dims = dim_rows()
+    cl = _values(dims["closure"], "cl", ["curi", "ancestor_uri"])
+    return kg_triples_sql(
+        final_select=f"""SELECT cls,
+       count(DISTINCT conv_id) AS n_convs,
+       count(*) AS n_links
+FROM (
+    SELECT conv_id, obj AS cls
+    FROM (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM uri_triples)
+    UNION ALL
+    SELECT t.conv_id, 'obo:' || string_split(cl.ancestor_uri, '/')[-1] AS cls
+    FROM (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM uri_triples) t
+    JOIN {cl} ON 'obo:' || string_split(cl.curi, '/')[-1] = t.obj
+)
+GROUP BY cls"""
+    )
