@@ -1281,15 +1281,15 @@ def oracle_sql() -> dict[str, str]:
     # recursive-CTE connected components → keep cluster heads.
     lang_case = f"CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {case_chain} END"
     sqls["q_corpus_curation"] = f"""
-        WITH RECURSIVE d0 AS (SELECT * FROM documents WHERE doc_id < 400),
+        WITH RECURSIVE d0 AS MATERIALIZED (SELECT * FROM documents WHERE doc_id < 400),
         lt AS (
             SELECT doc_id, text, list_distinct(list_filter(
                 string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS toks
             FROM d0
         ),
         lh AS (SELECT doc_id, text, {hit_cols} FROM lt),
-        s1 AS (SELECT doc_id, text FROM lh WHERE ({lang_case}) = 'en'),
-        s2 AS (
+        s1 AS MATERIALIZED (SELECT doc_id, text FROM lh WHERE ({lang_case}) = 'en'),
+        s2 AS MATERIALIZED (
             SELECT doc_id, text FROM s1
             WHERE len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) >= 5
               AND CASE WHEN length(text) > 0 THEN
@@ -1299,7 +1299,7 @@ def oracle_sql() -> dict[str, str]:
                     round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text), 4)
                   ELSE 0 END <= 0.2
         ),
-        s3 AS (
+        s3 AS MATERIALIZED (
             SELECT doc_id, text FROM (
                 SELECT doc_id, text,
                        min(doc_id) OVER (PARTITION BY
@@ -1307,7 +1307,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM s2
             ) WHERE doc_id = canon
         ),
-        toks3 AS (
+        toks3 AS MATERIALIZED (
             SELECT doc_id,
                    list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
                                x -> x <> '') AS t
@@ -1318,18 +1318,18 @@ def oracle_sql() -> dict[str, str]:
                                           FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
             FROM toks3
         ),
-        sigs AS (
+        sigs AS MATERIALIZED (
             SELECT doc_id, {minhash8}
             FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
             GROUP BY doc_id
         ),
-        bands AS ({band_rows}),
-        pairs AS (
+        bands AS MATERIALIZED ({band_rows}),
+        pairs AS MATERIALIZED (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT a AS src, b AS dst FROM pairs
             UNION SELECT b, a FROM pairs
         ),
