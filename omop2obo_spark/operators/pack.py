@@ -66,7 +66,9 @@ def pack_sequences(
     keyed = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
-        F.col(token_col).cast("long").alias("n_tokens"),
+        # NULL token counts count as 0 — one NaN would otherwise poison
+        # the greedy accumulator for the rest of the bucket
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

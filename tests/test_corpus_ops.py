@@ -348,3 +348,15 @@ def test_corpus_ops_null_and_empty_text_contract(spark):
     assert ex[1].group_size == 1  # NULL text is its own group
     # token-less docs emit no simhash row (documented)
     assert [r.doc_id for r in simhash(docs, bits=8).collect()] == [4]
+
+
+def test_pack_sequences_null_tokens_counted_as_zero(spark):
+    from omop2obo_spark.operators.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 6), (2, None), (3, 6), (4, 6)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: (r.pack_idx, r.n_tokens) for r in
+           pack_sequences(docs, budget=10, n_buckets=1).collect()}
+    # NULL → 0 tokens: doc 2 rides along in doc 1's pack
+    assert out == {1: (0, 6), 2: (0, 0), 3: (1, 6), 4: (2, 6)}
