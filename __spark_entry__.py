@@ -383,6 +383,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.02)
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile in exact mode (textstats.corpus_profile):
+    distinct-content counts and exact interpolated token percentiles. The
+    approx=True twin (HLL++ / percentile_approx sketches) is the single-
+    pass 100-TB path, error-bounded against this in unit tests."""
+    from omop2obo_spark.operators.textstats import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir), approx=False)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing (operators/pack.py): greedy first-fit of
     docs into 200-token training sequences, independently per hash
@@ -860,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_corpus_profile": q_corpus_profile,
         "q_pack_sequences": q_pack_sequences,
         "q_hash_sample": q_hash_sample,
         "q_corpus_curation": q_corpus_curation,
@@ -1239,6 +1250,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und' {case_chain} END AS lang_pred
         FROM h
+    """
+
+    sqls["q_corpus_profile"] = """
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_distinct,
+               round(quantile_cont(n_tok, 0.5)::DOUBLE, 6) AS p50_tokens,
+               round(quantile_cont(n_tok, 0.95)::DOUBLE, 6) AS p95_tokens,
+               round(avg(length(text)), 6) AS avg_chars
+        FROM (
+            SELECT source, text,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok
+            FROM documents
+        )
+        GROUP BY source
     """
 
     # greedy first-fit packing replayed per bucket: rows walk in doc_id

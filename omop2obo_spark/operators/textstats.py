@@ -174,3 +174,35 @@ def hash_sample(
         16, 10,
     ).cast("bigint")
     return docs.filter(bucket < F.lit(int(rate * 2**32)))
+
+
+def corpus_profile(docs: DataFrame, approx: bool = False, rsd: float = 0.05) -> DataFrame:
+    """Per-source corpus profile: doc count, distinct-content count,
+    whitespace-token percentiles (p50/p95), mean char length.
+
+    ``approx=False`` (default) computes exact distinct counts and exact
+    interpolated percentiles — the oracle-checkable twin.  ``approx=True``
+    switches to ``approx_count_distinct`` (HyperLogLog++, ``rsd`` relative
+    error) and ``percentile_approx`` — the 100-TB path: one pass, bounded
+    sketch memory per group, no per-group sort.  The unit test bounds the
+    approx twin's error against the exact one.
+    """
+    from omop2obo_spark.operators.dedup import normalized_text
+
+    t = F.col("text")
+    content = F.md5(normalized_text(t))
+    n_tok = whitespace_token_count(t)
+    base = docs.select("source", content.alias("content_key"), n_tok.alias("n_tok"), F.length(t).alias("n_chars"))
+    if approx:
+        distinct = F.approx_count_distinct("content_key", rsd)
+        p50, p95 = F.percentile_approx("n_tok", 0.5), F.percentile_approx("n_tok", 0.95)
+    else:
+        distinct = F.countDistinct("content_key")
+        p50, p95 = F.percentile("n_tok", F.lit(0.5)), F.percentile("n_tok", F.lit(0.95))
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        distinct.alias("n_distinct"),
+        F.round(p50.cast("double"), 6).alias("p50_tokens"),
+        F.round(p95.cast("double"), 6).alias("p95_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )

@@ -360,3 +360,18 @@ def test_pack_sequences_null_tokens_counted_as_zero(spark):
            pack_sequences(docs, budget=10, n_buckets=1).collect()}
     # NULL → 0 tokens: doc 2 rides along in doc 1's pack
     assert out == {1: (0, 6), 2: (0, 0), 3: (1, 6), 4: (2, 6)}
+
+
+def test_corpus_profile_approx_error_bounded(spark, docs):
+    from omop2obo_spark.operators.textstats import corpus_profile
+
+    exact = {r.source: r for r in corpus_profile(docs, approx=False).collect()}
+    approx = {r.source: r for r in corpus_profile(docs, approx=True).collect()}
+    assert set(exact) == set(approx)
+    for src, e in exact.items():
+        a = approx[src]
+        assert a.n_docs == e.n_docs
+        assert abs(a.n_distinct - e.n_distinct) <= max(3, 0.1 * e.n_distinct)  # HLL rsd=0.05
+        # percentile_approx returns an actual data point near the quantile
+        assert abs(a.p50_tokens - e.p50_tokens) <= max(2, 0.1 * e.p50_tokens)
+        assert abs(a.p95_tokens - e.p95_tokens) <= max(2, 0.1 * e.p95_tokens)
