@@ -285,7 +285,40 @@ def embedding_cosine_pairs(
     return cand.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One connected-components round over ``labels(node, component, ...)``:
+    (a) min label over direct neighbors, (b) pointer jump (path-halving —
+    component ← component's own label; labels always point at
+    same-component nodes with smaller ids, so the jump is safe and
+    monotone).  Extra columns (e.g. ``__old``) pass through untouched.
+    Lazy — the caller decides where to materialize."""
+    extra = [c for c in labels.columns if c not in ("node", "component")]
+    lbl = labels.select("node", "component")
+    neighbor_min = (
+        edges.join(lbl, edges["dst"] == lbl["node"])
+        .groupBy("src")
+        .agg(F.min("component").alias("nbr_min"))
+    )
+    stepped = labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left").select(
+        "node",
+        *extra,
+        F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+            "component"
+        ),
+    )
+    # every component value is a node id present in `stepped`, so the
+    # left join always matches; coalesce guards the invariant
+    ptr = stepped.select(F.col("node").alias("pnode"), F.col("component").alias("pcomp"))
+    return stepped.join(ptr, stepped["component"] == ptr["pnode"], "left").select(
+        "node",
+        *extra,
+        F.coalesce(F.col("pcomp"), F.col("component")).alias("component"),
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iterations: int = 20, rounds_per_check: int = 2
+) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: connected components
     over the undirected pair graph, labeling every doc with the minimum
     doc id reachable from it (the canonical representative a dedup
@@ -296,20 +329,16 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     the step after candidate generation that turns pairwise evidence into
     keep/drop decisions (a near-dup of a near-dup is a dup).
 
-    Algorithm: min-label propagation with pointer jumping.  Each round
-    (a) takes the min label over direct neighbors — the symmetrized edge
-    list (cached once; at 100 TB the pair graph is orders of magnitude
-    smaller than the corpus) joins the current labels on the neighbor
-    side, one shuffle — then (b) path-halves: every node re-reads the
-    label of its own label (labels always point at same-component nodes
-    with smaller ids, so this is safe and monotone).  Step (b) is what
-    makes convergence O(log diameter) instead of O(diameter): without it
-    a 330-node LSH hairball measured 10 rounds; with it, 5.  The driver
-    reads a single scalar per round (did anything change — a ``limit(1)``
-    count, not a data collect) and stops at fixpoint; ``max_iterations``
-    bounds adversarial chains.  Labels are ``localCheckpoint``-ed per
-    round so lineage stays O(1) instead of growing two joins per
-    iteration.
+    Algorithm: min-label propagation with pointer jumping (see
+    :func:`_cc_round`).  The jump makes convergence O(log diameter)
+    instead of O(diameter): without it a 330-node LSH hairball measured
+    10 rounds; with it, 5.  ``rounds_per_check`` rounds run lazily
+    between materializations: labels only ever decrease, so comparing a
+    block's start labels (``__old``) against its end detects fixpoint
+    exactly while halving the checkpoint/count actions — the driver reads
+    one scalar per block (a ``limit(1)`` count, not a data collect).
+    ``localCheckpoint`` per block keeps lineage O(1); ``max_iterations``
+    bounds adversarial chains.
 
     Output: ``(doc_id, component)`` for every doc appearing in a pair;
     docs with no pair are their own singleton cluster and are omitted
@@ -323,41 +352,15 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             "component", F.col("node")
         )
         labels = labels.localCheckpoint(eager=True)
-        for _ in range(max_iterations):
-            neighbor_min = (
-                edges.join(labels, edges["dst"] == labels["node"])
-                .groupBy("src")
-                .agg(F.min("component").alias("nbr_min"))
-            )
-            stepped = (
-                labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-                .select(
-                    "node",
-                    F.col("component").alias("__old"),
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                    ).alias("component"),
-                )
-            )
-            # pointer jumping: component ← component's own (stepped) label.
-            # Every component value is a node id present in `stepped`, so
-            # the left join always matches; coalesce guards the invariant.
-            ptr = stepped.select(
-                F.col("node").alias("pnode"), F.col("component").alias("pcomp")
-            )
-            new_labels = (
-                stepped.join(ptr, stepped["component"] == ptr["pnode"], "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("pcomp"), F.col("component")).alias("component"),
-                    (F.coalesce(F.col("pcomp"), F.col("component")) < F.col("__old")).alias(
-                        "__changed"
-                    ),
-                )
-            )
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = new_labels.filter(F.col("__changed")).limit(1).count()
-            labels = new_labels.drop("__changed")
+        rounds = 0
+        while rounds < max_iterations:
+            block = labels.withColumn("__old", F.col("component"))
+            for _ in range(min(rounds_per_check, max_iterations - rounds)):
+                block = _cc_round(edges, block)
+                rounds += 1
+            block = block.localCheckpoint(eager=True)
+            changed = block.filter(F.col("component") < F.col("__old")).limit(1).count()
+            labels = block.drop("__old")
             if changed == 0:
                 break
         return labels.select(F.col("node").alias("doc_id"), "component")
