@@ -337,6 +337,10 @@ def dedup_clusters(
     block's start labels (``__old``) against its end detects fixpoint
     exactly while halving the checkpoint/count actions — the driver reads
     one scalar per block (a ``limit(1)`` count, not a data collect).
+    Measured on the sf0.1 fixture hairball: blocks of 2 beat blocks of
+    3/4 (11.5s vs 18.4/43.3s loop wall) — Catalyst analysis cost grows
+    superlinearly with the un-checkpointed plan depth, so deeper lazy
+    blocks lose more to the optimizer than they save in actions.
     ``localCheckpoint`` per block keeps lineage O(1); ``max_iterations``
     bounds adversarial chains.
 
