@@ -407,6 +407,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, budget=200, n_buckets=8)
 
 
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency per bucket (operators/pack.pack_stats): sequence
+    count, docs, and context-window fill ratio — the KPI that says whether
+    the budget/corpus combination wastes training context."""
+    from omop2obo_spark.operators.pack import pack_sequences, pack_stats
+    from omop2obo_spark.operators.textstats import whitespace_token_count
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_stats(pack_sequences(d, budget=200, n_buckets=8), budget=200)
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling (textstats.hash_sample): ~20% of docs
     selected by md5-prefix threshold — reproducible across runs, engines,
@@ -860,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_corpus_profile": q_corpus_profile,
         "q_pack_sequences": q_pack_sequences,
+        "q_pack_stats": q_pack_stats,
         "q_hash_sample": q_hash_sample,
         "q_corpus_curation": q_corpus_curation,
         "q_dedup_clusters": q_dedup_clusters,
@@ -1281,6 +1295,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, bucket, pack_idx, n_tokens FROM walk
     """
+
+    # fill-ratio KPI over the same greedy walk (pack_stats semantics:
+    # per-pack tokens capped at the budget before averaging)
+    sqls["q_pack_stats"] = sqls["q_pack_sequences"].replace(
+        "SELECT doc_id, bucket, pack_idx, n_tokens FROM walk",
+        """, per_pack AS (
+            SELECT bucket, pack_idx, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+            FROM walk GROUP BY bucket, pack_idx
+        )
+        SELECT bucket, count(*) AS n_packs, sum(n_docs) AS n_docs,
+               round(avg(least(pack_tokens, 200)::DOUBLE / 200), 6) AS fill_ratio
+        FROM per_pack GROUP BY bucket""",
+    )
 
     sqls["q_hash_sample"] = f"""
         SELECT doc_id, source, lang
