@@ -689,6 +689,17 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation chunking (operators/chunk.py): sliding 3-turn windows
+    with stride 2 per conversation — the unit a trainer/retriever consumes
+    transcripts in. Native sequence+explode fan-out after one conv_id
+    shuffle; oracle rebuilds identical turn text and slices the same
+    windows in SQL."""
+    from omop2obo_spark.operators.chunk import chunk_turns
+
+    return chunk_turns(transcripts_from_documents(spark, sf_dir), window=3, stride=2)
+
+
 def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation content fingerprint: md5 over the turn texts in
     (turn_idx) order — the north rule's per-turn text-equality invariant
@@ -891,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_hierarchy_rollup": q_hierarchy_rollup,
+        "q_chunk_turns": q_chunk_turns,
         "q_conv_fingerprint": q_conv_fingerprint,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
@@ -1622,6 +1634,16 @@ def oracle_sql() -> dict[str, str]:
     # per-turn text equality under stable (conv_id, turn_idx) ordering —
     # the north-rule invariant: both engines rebuild every turn's text and
     # hash the ordered concatenation per conversation.
+    sqls["q_chunk_turns"] = kg_triples_sql(
+        final_select="""SELECT conv_id,
+       (s // 2)::INT AS chunk_idx,
+       s::INT AS start_turn,
+       len(turns[s+1 : s+3])::INT AS n_turns,
+       array_to_string(turns[s+1 : s+3], chr(10)) AS text
+FROM (
+    SELECT conv_id, list(text ORDER BY turn_idx) AS turns FROM tr GROUP BY conv_id
+), UNNEST(range(0, greatest(len(turns) - 1, 0) + 1, 2)) AS u(s)"""
+    )
     sqls["q_conv_fingerprint"] = kg_triples_sql(
         final_select="""SELECT conv_id,
        md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp,

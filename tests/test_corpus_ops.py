@@ -375,3 +375,22 @@ def test_corpus_profile_approx_error_bounded(spark, docs):
         # percentile_approx returns an actual data point near the quantile
         assert abs(a.p50_tokens - e.p50_tokens) <= max(2, 0.1 * e.p50_tokens)
         assert abs(a.p95_tokens - e.p95_tokens) <= max(2, 0.1 * e.p95_tokens)
+
+
+def test_chunk_turns_windows_and_trailing(spark):
+    from omop2obo_spark.operators.chunk import chunk_turns
+
+    tr = spark.createDataFrame(
+        [("c1", i, f"t{i}") for i in range(5)] + [("c2", 0, "solo")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {(r.conv_id, r.chunk_idx): (r.start_turn, r.n_turns, r.text)
+            for r in chunk_turns(tr, window=3, stride=2).collect()}
+    assert rows[("c1", 0)] == (0, 3, "t0\nt1\nt2")
+    assert rows[("c1", 1)] == (2, 3, "t2\nt3\nt4")
+    assert rows[("c1", 2)] == (4, 1, "t4")  # trailing short window
+    assert rows[("c2", 0)] == (0, 1, "solo")
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_turns(tr, window=0)
