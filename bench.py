@@ -208,15 +208,26 @@ def main_bench() -> None:
         total += dt
     pipe = run_pipeline_bench(spark, SF_DIR)
     total += pipe["wall_sec"]
-    print(json.dumps({
+    out = {
         "metric": "total_wall_sec",
         "value": round(total, 2),
         "unit": "sec",
         "queries": per_query,
+        "n_queries": len(per_query),
         "sf": _sf_from_dir(SF_DIR),
         "pipeline": pipe,
         "cpus": CPUS,
-    }))
+    }
+    # apples-to-apples vs earlier rounds: the query set grows every round,
+    # so also report this run's wall over exactly the round-1 query names
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_r01.json")) as f:
+            r1 = json.load(f)["parsed"]["queries"]
+        out["r1_subset_sec"] = round(sum(v for k, v in per_query.items() if k in r1), 2)
+        out["r1_subset_n"] = sum(1 for k in per_query if k in r1)
+    except Exception:
+        pass
+    print(json.dumps(out))
     spark.stop()
 
 
