@@ -1382,9 +1382,24 @@ def oracle_sql() -> dict[str, str]:
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
         ),
+        jsh AS MATERIALIZED (SELECT doc_id AS doc, unnest(gs) AS shingle FROM grams),
+        jsizes AS (SELECT doc, count(*) AS n FROM jsh GROUP BY doc),
+        ver AS MATERIALIZED (
+            SELECT i.a, i.b
+            FROM (
+                SELECT p.a, p.b, count(*) AS inter
+                FROM pairs p
+                JOIN jsh la ON la.doc = p.a
+                JOIN jsh lb ON lb.doc = p.b AND lb.shingle = la.shingle
+                GROUP BY p.a, p.b
+            ) i
+            JOIN jsizes na ON na.doc = i.a
+            JOIN jsizes nb ON nb.doc = i.b
+            WHERE i.inter::DOUBLE / (na.n + nb.n - i.inter) >= 0.2
+        ),
         edges AS MATERIALIZED (
-            SELECT a AS src, b AS dst FROM pairs
-            UNION SELECT b, a FROM pairs
+            SELECT a AS src, b AS dst FROM ver
+            UNION SELECT b, a FROM ver
         ),
         reach(node, r) AS (
             SELECT src, src FROM edges

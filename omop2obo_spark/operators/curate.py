@@ -24,6 +24,7 @@ from omop2obo_spark.operators.dedup import (
     dedup_keep_canonical,
     exact_dedup,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
 )
 from omop2obo_spark.operators.textstats import lang_id, quality_features
 
@@ -41,6 +42,7 @@ def curate_corpus(
     n_hashes: int = 8,
     bands: int = 8,
     k: int = 3,
+    jaccard_threshold: float = 0.2,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel and return ``(curated, funnel)``.
 
@@ -49,6 +51,12 @@ def curate_corpus(
     survivor count after that stage.  Quality thresholds compare the
     4-decimal-rounded ratios ``quality_features`` emits, so the decision
     is engine-portable (same rounding in the SQL oracle).
+
+    The near-dedup stage is the full candidate→verify→resolve chain: LSH
+    band collisions propose pairs, exact n-gram Jaccard ≥
+    ``jaccard_threshold`` confirms them (aggressive banding over-proposes
+    by design — un-verified candidates over-merge into hairball clusters),
+    and connected components turn confirmed pairs into keep/drop groups.
     """
     cols = docs.columns
 
@@ -69,7 +77,11 @@ def curate_corpus(
     # blocks release when the plan is garbage collected.
     s3 = s2.join(keep_exact, on=id_col, how="left_semi").localCheckpoint(eager=True)
 
-    pairs = minhash_lsh_pairs(s3, id_col, text_col, n_hashes=n_hashes, bands=bands, k=k)
+    cand = minhash_lsh_pairs(s3, id_col, text_col, n_hashes=n_hashes, bands=bands, k=k)
+    pairs = ngram_jaccard_pairs(
+        s3, pairs=cand, id_col=id_col, text_col=text_col, k=k,
+        threshold=jaccard_threshold,
+    ).select("a", "b")
     clusters = dedup_clusters(pairs)  # eager: iterates to fixpoint
     s4 = dedup_keep_canonical(s3, clusters, id_col)
 
