@@ -112,3 +112,67 @@ def test_normalize_source_codes_parity_property(spark, codes):
     df = spark.createDataFrame([(c,) for c in codes], "CODE string")
     got = [r.n for r in df.select(normalize_source_codes(F.col("CODE"), vocab).alias("n")).collect()]
     assert got == [_py_normalize(c, vocab) for c in codes]
+
+
+# --- connected components vs a union-find reference model ----------------
+
+
+def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference model: classic union-find, min id as representative."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+_pair_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@PROP_SETTINGS
+@given(pairs=_pair_lists)
+def test_dedup_clusters_matches_union_find(spark, pairs):
+    from omop2obo_spark.operators.dedup import dedup_clusters
+
+    norm = [(min(a, b), max(a, b)) for a, b in pairs]
+    df = spark.createDataFrame(norm, "a long, b long")
+    got = {r.doc_id: r.component for r in dedup_clusters(df).collect()}
+    assert got == _uf_components(norm)
+
+
+# --- packing invariants ----------------------------------------------------
+
+_token_rows = st.lists(st.integers(0, 30), min_size=1, max_size=40)
+
+
+@PROP_SETTINGS
+@given(tokens=_token_rows, budget=st.integers(5, 25))
+def test_pack_sequences_invariants(spark, tokens, budget):
+    from omop2obo_spark.operators.pack import pack_sequences
+
+    rows = [(i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=budget, n_buckets=3).collect()
+    assert sorted(r.doc_id for r in out) == [i for i, _ in rows]  # nothing lost
+    by_pack: dict[tuple, list] = {}
+    for r in out:
+        by_pack.setdefault((r.bucket, r.pack_idx), []).append(r)
+    for rows_in_pack in by_pack.values():
+        total = sum(r.n_tokens for r in rows_in_pack)
+        # a pack only exceeds the budget when a single oversized doc owns it
+        assert total <= budget or len(rows_in_pack) == 1
