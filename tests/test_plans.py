@@ -122,3 +122,31 @@ def test_keep_canonical_broadcast_anti_join(spark):
     plan = _plan(dedup_keep_canonical(docs, clusters))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_and_fingerprint_single_shuffle(spark):
+    """Conversation chunking and conversation fingerprinting are one
+    conv_id shuffle each — chunk fan-out happens inside the row via
+    sequence+explode, never a second exchange."""
+    from omop2obo_spark.operators.chunk import chunk_turns
+
+    tr = spark.createDataFrame(
+        [("c1", i, f"t{i}") for i in range(6)], "conv_id string, turn_idx int, text string"
+    )
+    plan = _plan(chunk_turns(tr, window=3, stride=2))
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle_per_bucket_group(spark):
+    """Packing is one hash-partition exchange on bucket feeding the
+    Arrow-grouped pandas stage — the sequential greedy pass is the ONLY
+    Python in the plan."""
+    from omop2obo_spark.operators.pack import pack_sequences
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_tokens")
+    )
+    plan = _plan(pack_sequences(docs, budget=10, n_buckets=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
