@@ -158,3 +158,59 @@ def stream_triples(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    lang: str = "en",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    max_punct_ratio: float = 0.2,
+    watermark: str = "1 hour",
+):
+    """Streaming corpus curation: the funnel's stateless stages (language
+    ID, quality floor — pure native expressions) run unchanged on the
+    stream; exact dedup becomes ``dropDuplicatesWithinWatermark`` on the
+    content hash keyed to ingest time, so dedup state is bounded by the
+    watermark horizon (duplicates arriving further apart re-admit — the
+    standard streaming-dedup tradeoff, stated rather than hidden).
+
+    Near-dup LSH needs self-joins a pure stream cannot express: run the
+    batch ``curate_corpus`` via ``foreachBatch`` (see
+    :func:`stream_triples` for the pattern) or periodic compaction over
+    the curated output.
+    """
+    from omop2obo_spark.operators.dedup import normalized_text
+    from omop2obo_spark.operators.textstats import lang_id, quality_features
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+    )
+    filtered = lang_id(stream).filter(F.col("lang_pred") == lang)
+    quality = quality_features(filtered).filter(
+        (F.col("q_tokens") >= min_tokens)
+        & (F.col("q_alpha_ratio") >= min_alpha_ratio)
+        & (F.col("q_punct_ratio") <= max_punct_ratio)
+    )
+    deduped = (
+        quality.withColumn("text_hash", F.md5(normalized_text(F.col("text"))))
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )

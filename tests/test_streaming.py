@@ -102,3 +102,44 @@ def test_stateful_conversation_tracking_survives_restart(spark, tmp_path):
     # run 1 emitted (A: 3 turns, max idx 2); run 2 accumulated state → (A: 5, 4)
     assert (3, 2) in per_conv["A"] and (5, 4) in per_conv["A"]
     assert per_conv["B"] == [(1, 0)]
+
+
+def test_stream_curate_matches_batch_stages(spark, tmp_path):
+    """Streaming curation keeps exactly the docs the batch funnel's
+    lang/quality/exact-dedup stages keep (same micro-batch → same
+    dedup horizon), and an incremental file only contributes its new
+    content."""
+    from omop2obo_spark.operators.curate import curate_corpus
+    from omop2obo_spark.streaming.incremental import stream_curate
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank", "en", "web", 64),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank", "en", "web", 64),  # exact dup
+        (3, "der hund und die katze sind nicht auf der wiese mit dem ball", "de", "web", 61),  # wrong lang
+        (4, "!!! ??? ... ###", "en", "web", 15),  # fails quality
+        (5, "a patient was seen in the clinic for the usual follow up visit", "en", "ehr", 63),
+    ]
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long").write.parquet(src)
+
+    stream_curate(spark, src, out, ckpt).start().awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 5]
+
+    # batch funnel (without the near-dup stage, which streaming defers)
+    batch_docs = spark.read.parquet(src)
+    _, funnel = curate_corpus(batch_docs)
+    stages = {r.stage: r.n_docs for r in funnel.collect()}
+    assert stages["s3_exact_dedup"] == len(kept)
+
+    # incremental: appending a new file with one dup + one new doc emits only the new doc
+    spark.createDataFrame(
+        [(6, docs[0][1], "en", "web", 64),
+         (7, "an entirely new note about a different patient in the ward today", "en", "ehr", 65)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("append").parquet(src)
+    stream_curate(spark, src, out, ckpt).start().awaitTermination(120)
+    kept2 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 5, 7]
