@@ -8,10 +8,10 @@ every data-curation run is judged by.
 
 Scale shape: the language and quality stages are pure native column
 expressions (whole-stage codegen, no shuffle); exact dedup shuffles once
-on a 32-char hash; the near-dup stage shuffles only the ~8 band keys per
-surviving doc and resolves components over the pair graph, which is
-orders of magnitude smaller than the corpus.  The corpus text itself is
-never shuffled.
+on a 32-char hash; the near-dup stage shuffles band keys and shingles of
+the surviving docs (never raw text), verifies only band-colliding pairs,
+and resolves components over the confirmed-pair graph, which is orders of
+magnitude smaller than the corpus.
 """
 
 from __future__ import annotations

@@ -394,3 +394,12 @@ def test_chunk_turns_windows_and_trailing(spark):
 
     with pytest.raises(ValueError):
         chunk_turns(tr, window=0)
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from omop2obo_spark.operators.dedup import dedup_clusters, dedup_keep_canonical
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert dedup_clusters(empty).count() == 0
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    assert dedup_keep_canonical(docs, dedup_clusters(empty)).count() == 2
