@@ -689,6 +689,27 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed transitive closure (operators/hierarchy.py): direct
+    parent edges in, full ancestor closure with exact shortest depth out
+    — the operator that BUILDS the closure the ancestor tier broadcasts.
+    Edge fixture: a binary forest over customer keys (parent = key // 2),
+    depth ~log2(|customer|). Iterative doubling: O(log depth) self-join
+    rounds, all at dimension scale. Oracle: recursive CTE with
+    MIN(depth) GROUP BY pair."""
+    from omop2obo_spark.operators.hierarchy import ancestor_closure
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") >= 2)
+        .select(
+            F.col("c_custkey").alias("uri"),
+            (F.col("c_custkey") / 2).cast("long").alias("parent_uri"),
+        )
+    )
+    return ancestor_closure(edges).withColumn("depth", F.col("depth").cast("long"))
+
+
 def q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation chunking (operators/chunk.py): sliding 3-turn windows
     with stride 2 per conversation — the unit a trainer/retriever consumes
@@ -902,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_hierarchy_rollup": q_hierarchy_rollup,
+        "q_ancestor_closure": q_ancestor_closure,
         "q_chunk_turns": q_chunk_turns,
         "q_conv_fingerprint": q_conv_fingerprint,
         "q_kg_triples": q_kg_triples,
@@ -1671,6 +1693,19 @@ GROUP BY conv_id"""
     sqls["q_wide_mappings"] = wide_mappings_sql()
     sqls["q_graph_stats"] = graph_stats_sql()
     sqls["q_hierarchy_rollup"] = hierarchy_rollup_sql()
+    sqls["q_ancestor_closure"] = """
+        WITH RECURSIVE edges AS (
+            SELECT c_custkey AS uri, c_custkey // 2 AS parent_uri
+            FROM customer WHERE c_custkey >= 2
+        ), walk AS (
+            SELECT uri, parent_uri AS ancestor_uri, 1 AS depth FROM edges
+            UNION
+            SELECT w.uri, e.parent_uri AS ancestor_uri, w.depth + 1
+            FROM walk w JOIN edges e ON w.ancestor_uri = e.uri
+        )
+        SELECT uri, ancestor_uri, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM walk GROUP BY uri, ancestor_uri
+    """
 
     sqls["q_rollup_revenue"] = """
         SELECT p_brand, l_returnflag,

@@ -1,0 +1,94 @@
+"""Distributed concept-hierarchy operators.
+
+The north star names "concept-ancestor hierarchy expansion" as a pipeline
+tier; the reference consumes a pre-built ancestor list per class
+(/root/reference/omop2obo/utils/ontology_utils.py:229-266 walks rdflib
+``subClassOf`` parents one class at a time on the driver). Here the
+closure itself is a distributed operator: parent EDGES in, transitive
+ancestor CLOSURE out, so a pipeline can start from the raw ``subClassOf``
+edge table (``sources/owl_prep.py:extract_hierarchy_edges``) instead of a
+pre-materialized closure.
+
+Algorithm: iterative doubling on the (min, +) path semiring. Round k
+holds every (descendant, ancestor) pair whose shortest path is at most
+2^k edges, with the exact shortest depth — a pair present after round k
+is reachable by some path of <= 2^k edges, hence its true shortest path
+is <= 2^k, and the min-fold over all splits into two <= 2^(k-1) halves is
+exact. Convergence is therefore detected by row count alone (pairs only
+get added, never re-priced), one scalar driver read per round,
+O(log diameter) rounds total: HP-style ontologies are ~15 levels deep =
+4 rounds.
+
+100 TB design note: the closure is a DIMENSION computation — ontology
+class counts (10^4..10^6) are far below fact scale, so each round's
+self-join + min-aggregation shuffles only dimension rows. The closure is
+then broadcast into the fact-side ancestor expansion
+(plans/pipeline.py:_expand_ancestors); transcript rows never shuffle for
+hierarchy expansion. Worst-case closure size is quadratic in class count
+(pathological deep chains); real ontology DAGs are shallow and sparse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    child_col: str = "uri",
+    parent_col: str = "parent_uri",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Transitive closure of a parent-edge table.
+
+    Input: one row per direct ``(child, parent)`` edge (a class may have
+    several parents — DAGs are fine; cycles terminate too, since the pair
+    universe is finite, but yield self-ancestors).
+
+    Output: ``(uri, ancestor_uri, depth)`` — every ancestor reachable
+    from every node, ``depth`` = fewest edges on any path (1 = direct
+    parent). Matches a recursive-CTE ``MIN(depth) GROUP BY pair`` oracle
+    exactly.
+
+    ``max_rounds`` bounds adversarial chains: the closure horizon after
+    r rounds is 2^r edges, so the default covers diameter 2^20.
+    ``localCheckpoint`` per round keeps the lineage O(1) — without it
+    Catalyst re-analyzes a plan that doubles in depth every round.
+    """
+    r = (
+        edges.select(
+            F.col(child_col).alias("uri"), F.col(parent_col).alias("ancestor_uri")
+        )
+        .where(F.col(child_col).isNotNull() & F.col(parent_col).isNotNull())
+        .distinct()
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    n = r.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+        left = r.select(
+            "uri", F.col("ancestor_uri").alias("__mid"), F.col("depth").alias("__d1")
+        )
+        right = r.select(
+            F.col("uri").alias("__mid"),
+            "ancestor_uri",
+            F.col("depth").alias("__d2"),
+        )
+        composed = left.join(right, "__mid").select(
+            "uri", "ancestor_uri", (F.col("__d1") + F.col("__d2")).alias("depth")
+        )
+        nxt = (
+            r.unionByName(composed)
+            .groupBy("uri", "ancestor_uri")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        r = nxt
+        if m == n:  # fixpoint: doubling added no pair → no longer path exists
+            break
+        n = m
+    return r

@@ -144,6 +144,54 @@ def extract_lexicon_rows(path: str, ont_id: str, collapse: bool = False) -> list
     return sorted(set(rows))
 
 
+def extract_hierarchy_edges(path: str, ont_id: str) -> list[tuple[str, str]]:
+    """Parse one ontology file → direct ``(uri, parent_uri)`` subClassOf
+    edges between named, non-deprecated classes of the ontology.
+
+    The reference walks these same ``rdfs:subClassOf`` parents one class
+    at a time on the driver to build its ancestor dictionary
+    (/root/reference/omop2obo/utils/ontology_utils.py:229-266); here the
+    edge list is the INPUT to the distributed
+    :func:`omop2obo_spark.operators.hierarchy.ancestor_closure`.
+
+    Anonymous parents (OWL restrictions — bnode objects with no
+    ``rdf:resource``) carry no ancestor semantics for the lexicon and are
+    naturally skipped by the streaming parser; edges into other
+    ontologies' namespaces are excluded like every other extraction
+    (namespace filter, ontology_utils.py:46).
+    """
+    ont_l = ont_id.lower()
+    classes: set[str] = set()
+    deprecated: set[str] = set()
+    raw_edges: list[tuple[str, str]] = []
+    for s, p, o, is_uri in iter_subject_triples(path):
+        if ont_l not in s.lower():
+            continue
+        if p == RDF_TYPE and o == OWL_CLASS:
+            classes.add(s)
+        elif "deprecated" in p.lower() and not is_uri and o.lower() == "true":
+            deprecated.add(s)
+        elif "subclassof" in p.lower() and is_uri and ont_l in o.lower():
+            raw_edges.append((s, o))
+    keep = classes - deprecated
+    return sorted({(c, par) for c, par in raw_edges if c in keep and par in keep})
+
+
+def write_edges_parquet(edges: list[tuple[str, str]], out_path: str) -> None:
+    """Write (uri, parent_uri) edges as parquet readable by spark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*edges)) if edges else [[], []]
+    table = pa.table(
+        {
+            "uri": pa.array(list(cols[0]), type=pa.string()),
+            "parent_uri": pa.array(list(cols[1]), type=pa.string()),
+        }
+    )
+    pq.write_table(table, out_path)
+
+
 def write_lexicon_parquet(rows: list[tuple], out_path: str) -> None:
     """Write lexicon rows as parquet readable by spark.read.parquet."""
     import pyarrow as pa

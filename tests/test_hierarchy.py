@@ -1,0 +1,69 @@
+"""Distributed ancestor closure (operators/hierarchy.py).
+
+Ground truth: a naive Python BFS closure over the same edges — the model
+the iterative-doubling implementation must match exactly, including
+shortest-path depths on DAGs with multiple parents.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from omop2obo_spark.operators.hierarchy import ancestor_closure
+
+
+def naive_closure(edges: list[tuple[str, str]]) -> set[tuple[str, str, int]]:
+    parents: dict[str, set[str]] = {}
+    for c, p in edges:
+        parents.setdefault(c, set()).add(p)
+    out = set()
+    for node in {c for c, _ in edges}:
+        dist = {node: 0}
+        q = deque([node])
+        while q:
+            cur = q.popleft()
+            for p in parents.get(cur, ()):
+                if p not in dist:
+                    dist[p] = dist[cur] + 1
+                    q.append(p)
+        out |= {(node, anc, d) for anc, d in dist.items() if anc != node}
+    return out
+
+
+def run(spark, edges):
+    df = spark.createDataFrame(edges, "uri string, parent_uri string")
+    return {
+        (r.uri, r.ancestor_uri, r.depth)
+        for r in ancestor_closure(df).collect()
+    }
+
+
+def test_chain_and_dag_shortest_depths(spark):
+    # chain a→b→c→d plus a shortcut a→c: depth(a,c) must be 1, not 2,
+    # and depth(a,d) 2 via the shortcut, not 3 via the chain
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    assert run(spark, edges) == naive_closure(edges)
+    got = dict(((u, a), d) for u, a, d in run(spark, edges))
+    assert got[("a", "c")] == 1 and got[("a", "d")] == 2
+
+
+def test_multi_parent_dag_and_duplicate_edges(spark):
+    # e has two parents converging on a root; duplicate input edges collapse
+    edges = [("e", "b"), ("e", "c"), ("b", "a"), ("c", "a"), ("e", "b")]
+    assert run(spark, edges) == naive_closure(edges)
+
+
+def test_deep_chain_needs_doubling(spark):
+    # 17-deep chain: 1-step expansion would need 16 rounds; doubling
+    # converges in ceil(log2(16)) + 1 = 5 — covered by max_rounds default
+    edges = [(f"n{i}", f"n{i+1}") for i in range(16)]
+    got = run(spark, edges)
+    assert got == naive_closure(edges)
+    assert ("n0", "n16", 16) in got
+
+
+def test_empty_and_null_edges(spark):
+    df = spark.createDataFrame(
+        [("a", None), (None, "b")], "uri string, parent_uri string"
+    )
+    assert ancestor_closure(df).count() == 0

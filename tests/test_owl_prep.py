@@ -14,7 +14,11 @@ from __future__ import annotations
 
 import pytest
 
-from omop2obo_spark.sources.owl_prep import extract_lexicon_rows, owl_to_lexicon
+from omop2obo_spark.sources.owl_prep import (
+    extract_hierarchy_edges,
+    extract_lexicon_rows,
+    owl_to_lexicon,
+)
 
 OWL_DOC = """<?xml version="1.0"?>
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -33,15 +37,25 @@ OWL_DOC = """<?xml version="1.0"?>
     <rdfs:label>Pulmonary edema</rdfs:label>
     <oboInOwl:hasRelatedSynonym>Wet Lung</oboInOwl:hasRelatedSynonym>
     <rdfs:seeAlso rdf:resource="http://example.org/ignored"/>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/HP_0008181"/>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/MONDO_0000001"/>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://purl.obolibrary.org/obo/BFO_0000050"/>
+        <owl:someValuesFrom rdf:resource="http://purl.obolibrary.org/obo/HP_0200999"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
   </owl:Class>
   <rdf:Description rdf:about="http://purl.obolibrary.org/obo/HP_0200999">
     <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#Class"/>
     <rdfs:label>Exact match carrier</rdfs:label>
     <oboInOwl:exactMatch>MESH:D000012</oboInOwl:exactMatch>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/HP_0100598"/>
   </rdf:Description>
   <owl:Class rdf:about="http://purl.obolibrary.org/obo/HP_0999999">
     <rdfs:label>Obsolete thing</rdfs:label>
     <owl:deprecated rdf:datatype="http://www.w3.org/2001/XMLSchema#boolean">true</owl:deprecated>
+    <rdfs:subClassOf rdf:resource="http://purl.obolibrary.org/obo/HP_0008181"/>
   </owl:Class>
   <owl:Class rdf:about="http://purl.obolibrary.org/obo/MONDO_0000001">
     <rdfs:label>Other-namespace class</rdfs:label>
@@ -108,3 +122,36 @@ def test_parquet_roundtrip_feeds_lexicon_dims(owl_file, tmp_path, spark):
     assert "snomed:190787008" in dbx
     labels = {r.LABEL for r in dims.labels.collect()}
     assert "abetalipoproteinemia" in labels
+
+
+def test_extract_hierarchy_edges(owl_file):
+    """subClassOf edges between kept classes only: deprecated subjects,
+    foreign-namespace parents, and anonymous restriction parents (bnodes,
+    no rdf:resource) are all excluded."""
+    hp1 = "http://purl.obolibrary.org/obo/HP_0008181"
+    hp2 = "http://purl.obolibrary.org/obo/HP_0100598"
+    hp3 = "http://purl.obolibrary.org/obo/HP_0200999"
+    edges = extract_hierarchy_edges(owl_file, "hp")
+    assert (hp2, hp1) in edges
+    assert (hp3, hp2) in edges
+    subjects = {c for c, _ in edges}
+    parents = {p for _, p in edges}
+    assert "http://purl.obolibrary.org/obo/HP_0999999" not in subjects  # deprecated
+    assert not any("MONDO" in p for p in parents)  # foreign namespace
+    assert len(edges) == 2  # restriction parent contributed nothing
+
+
+def test_edges_drive_distributed_closure(owl_file, tmp_path, spark):
+    """OWL file → edge parquet → ancestor_closure: the end-to-end path a
+    real deployment uses to build the broadcast closure dimension."""
+    from omop2obo_spark.operators.hierarchy import ancestor_closure
+    from omop2obo_spark.sources.owl_prep import write_edges_parquet
+
+    out = str(tmp_path / "hp_edges.parquet")
+    write_edges_parquet(extract_hierarchy_edges(owl_file, "hp"), out)
+    closure = ancestor_closure(spark.read.parquet(out), "uri", "parent_uri")
+    got = {(r.uri, r.ancestor_uri, r.depth) for r in closure.collect()}
+    hp1 = "http://purl.obolibrary.org/obo/HP_0008181"
+    hp2 = "http://purl.obolibrary.org/obo/HP_0100598"
+    hp3 = "http://purl.obolibrary.org/obo/HP_0200999"
+    assert got == {(hp2, hp1, 1), (hp3, hp2, 1), (hp3, hp1, 2)}
