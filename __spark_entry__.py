@@ -474,6 +474,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/textstats.py:
+    repetition_signals): duplicate-line fraction/char-mass, top-3-gram
+    occurrence share, duplicate-5-gram share. One tagged-union stream →
+    one shuffle chain, no joins; oracle replays the same counters with
+    UNNEST + GROUP BY."""
+    from omop2obo_spark.operators.textstats import repetition_signals
+
+    sig = repetition_signals(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id",
+        *[F.round(F.col(c), 9).alias(c) for c in
+          ("dup_line_frac", "dup_line_char_frac", "top_ngram_frac", "dup_ngram_frac")],
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.textstats import bpe_ish_token_count, whitespace_token_count
 
@@ -912,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
+        "q_repetition": q_repetition,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
         "q_tfidf_similarity": q_tfidf_similarity,
@@ -1263,6 +1280,53 @@ def oracle_sql() -> dict[str, str]:
                round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 4) AS q_alpha_ratio,
                round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text), 4) AS q_punct_ratio
         FROM documents
+    """
+
+    sqls["q_repetition"] = """
+        WITH docs AS (SELECT doc_id, text FROM documents),
+        toks AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS t
+            FROM docs
+        ),
+        lines AS (
+            SELECT doc_id, trim(x) AS v
+            FROM docs, UNNEST(string_split(text, chr(10))) AS u(x)
+            WHERE trim(x) <> ''
+        ),
+        lc AS (SELECT doc_id, v, count(*) AS c FROM lines GROUP BY 1, 2),
+        lagg AS (
+            SELECT doc_id, sum(c) AS nl, count(*) AS dl,
+                   sum(c * length(v)) AS tc, sum((c - 1) * length(v)) AS dc
+            FROM lc GROUP BY doc_id
+        ),
+        g3 AS (
+            SELECT doc_id, array_to_string(t[i:i+2], ' ') AS v
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            WHERE len(t) >= 3
+        ),
+        g3c AS (SELECT doc_id, v, count(*) AS c FROM g3 GROUP BY 1, 2),
+        g3agg AS (SELECT doc_id, max(c) AS tgmax, sum(c) AS tgn FROM g3c GROUP BY doc_id),
+        g5 AS (
+            SELECT doc_id, array_to_string(t[i:i+4], ' ') AS v
+            FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+            WHERE len(t) >= 5
+        ),
+        g5c AS (SELECT doc_id, v, count(*) AS c FROM g5 GROUP BY 1, 2),
+        g5agg AS (
+            SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dgdup, sum(c) AS dgn
+            FROM g5c GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(CASE WHEN coalesce(nl, 0) > 0 THEN (nl - dl) / CAST(nl AS DOUBLE) ELSE 0.0 END, 9) AS dup_line_frac,
+               round(CASE WHEN coalesce(tc, 0) > 0 THEN dc / CAST(tc AS DOUBLE) ELSE 0.0 END, 9) AS dup_line_char_frac,
+               round(CASE WHEN coalesce(tgn, 0) > 0 THEN tgmax / CAST(tgn AS DOUBLE) ELSE 0.0 END, 9) AS top_ngram_frac,
+               round(CASE WHEN coalesce(dgn, 0) > 0 THEN dgdup / CAST(dgn AS DOUBLE) ELSE 0.0 END, 9) AS dup_ngram_frac
+        FROM docs d
+        LEFT JOIN lagg USING (doc_id)
+        LEFT JOIN g3agg USING (doc_id)
+        LEFT JOIN g5agg USING (doc_id)
     """
 
     from omop2obo_spark.operators.textstats import LANG_PROFILES

@@ -206,3 +206,98 @@ def corpus_profile(docs: DataFrame, approx: bool = False, rsd: float = 0.05) -> 
         F.round(p95.cast("double"), 6).alias("p95_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngram_n: int = 3,
+    dup_ngram_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+
+      * ``dup_line_frac``      — duplicated lines / total non-empty lines
+        (occurrences beyond the first count as duplicated)
+      * ``dup_line_char_frac`` — character mass of those duplicate line
+        occurrences / character mass of all lines
+      * ``top_ngram_frac``     — occurrences of the single most frequent
+        ``top_ngram_n``-gram / all ``top_ngram_n``-gram occurrences
+      * ``dup_ngram_frac``     — occurrences of ``dup_ngram_n``-grams that
+        appear more than once / all ``dup_ngram_n``-gram occurrences
+
+    The standard repetition filters of LLM corpus curation (Rae et al.
+    2021 "Scaling Language Models" §A1.1); thresholds are the caller's
+    policy. A family with no units (no lines / text shorter than n
+    tokens) scores 0.0.
+
+    Physical plan: lines and both gram streams are tagged and UNIONed
+    into ONE (doc, kind, value) stream, so the whole operator is a single
+    shuffle chain — partial-aggregated groupBy(doc, kind, value) counts,
+    then a conditional-aggregation groupBy(doc). No joins, no UDFs; at
+    100 TB the only wide exchange is keyed on (doc_id, kind, value),
+    which is maximally fine-grained and skew-free.
+    """
+    t = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+
+    def grams(n: int) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim), lambda x: x != ""
+    )
+
+    def stream(kind: str, arr: Column) -> DataFrame:
+        return docs.select(
+            F.col(id_col), F.lit(kind).alias("kind"), F.explode(arr).alias("value")
+        )
+
+    # the 'doc' sentinel keeps empty/whitespace-only documents in the
+    # output (all fractions 0.0) without a join back to the corpus
+    sentinel = docs.select(
+        F.col(id_col), F.lit("doc").alias("kind"), F.lit("").alias("value")
+    )
+    unioned = (
+        sentinel.unionByName(stream("line", lines))
+        .unionByName(stream("topg", grams(top_ngram_n)))
+        .unionByName(stream("dupg", grams(dup_ngram_n)))
+    )
+    counts = unioned.groupBy(id_col, "kind", "value").agg(F.count("*").alias("c"))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0)).cast("double")
+
+    line_c = F.when(F.col("kind") == "line", F.col("c"))
+    chars = F.length("value")
+    agg = counts.groupBy(id_col).agg(
+        F.coalesce(F.sum(line_c), F.lit(0)).alias("__nl"),
+        F.count(line_c).alias("__dl"),
+        F.coalesce(F.sum(line_c * chars), F.lit(0)).alias("__tc"),
+        F.coalesce(F.sum((line_c - 1) * chars), F.lit(0)).alias("__dc"),
+        F.max(F.when(F.col("kind") == "topg", F.col("c"))).alias("__tgmax"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "topg", F.col("c"))), F.lit(0)
+        ).alias("__tgn"),
+        F.coalesce(
+            F.sum(F.when((F.col("kind") == "dupg") & (F.col("c") > 1), F.col("c"))),
+            F.lit(0),
+        ).alias("__dgdup"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "dupg", F.col("c"))), F.lit(0)
+        ).alias("__dgn"),
+    )
+    return agg.select(
+        id_col,
+        frac(F.col("__nl") - F.col("__dl"), F.col("__nl")).alias("dup_line_frac"),
+        frac(F.col("__dc"), F.col("__tc")).alias("dup_line_char_frac"),
+        frac(F.coalesce(F.col("__tgmax"), F.lit(0)), F.col("__tgn")).alias(
+            "top_ngram_frac"
+        ),
+        frac(F.col("__dgdup"), F.col("__dgn")).alias("dup_ngram_frac"),
+    )

@@ -403,3 +403,64 @@ def test_dedup_clusters_empty_pairs(spark):
     assert dedup_clusters(empty).count() == 0
     docs = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
     assert dedup_keep_canonical(docs, dedup_clusters(empty)).count() == 2
+
+
+def test_repetition_signals_model_parity(spark):
+    """repetition_signals vs a plain-Python model on crafted docs covering
+    every branch: clean text, repeated lines, repeated n-grams, text
+    shorter than n, and empty/whitespace-only docs."""
+    import re
+    from collections import Counter
+
+    from omop2obo_spark.operators.textstats import repetition_signals
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "spam line\nspam line\nspam line\nunique line"),
+        (3, "buy now " * 8),          # heavy 3-gram + 5-gram repetition
+        (4, "tiny"),                   # shorter than both n
+        (5, "   \n  \n"),              # whitespace only → all zeros
+        (6, "a b\nc d e f g h a b\na b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def model(text, tn=3, dn=5):
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        lc = Counter(lines)
+        nl, dl = sum(lc.values()), len(lc)
+        tc = sum(c * len(v) for v, c in lc.items())
+        dc = sum((c - 1) * len(v) for v, c in lc.items())
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+
+        def gc(n):
+            return Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+
+        g3, g5 = gc(tn), gc(dn)
+
+        def frac(a, b):
+            return a / b if b else 0.0
+
+        return (
+            frac(nl - dl, nl),
+            frac(dc, tc),
+            frac(max(g3.values()) if g3 else 0, sum(g3.values())),
+            frac(sum(c for c in g5.values() if c > 1), sum(g5.values())),
+        )
+
+    got = {
+        r.doc_id: (
+            r.dup_line_frac,
+            r.dup_line_char_frac,
+            r.top_ngram_frac,
+            r.dup_ngram_frac,
+        )
+        for r in repetition_signals(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for doc_id, text in rows:
+        want = model(text)
+        assert got[doc_id] == pytest.approx(want, abs=1e-12), (doc_id, got[doc_id], want)
+    # sanity on the intent: the spammy docs score high, clean text low
+    assert got[2][0] >= 0.5 and got[3][3] > 0.8 and got[1][2] < 0.2
