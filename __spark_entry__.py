@@ -490,6 +490,37 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (operators/curate.py): detect
+    lines recurring across >=30% of documents, strip them, keep line
+    order and original form. The documents table is single-line, so the
+    query first builds a deterministic multi-line corpus: body + a
+    universal footer + a 10-way banner (kept: 10% < threshold) + a 2-way
+    banner (stripped: 50% >= threshold). Detection is one shuffle on the
+    line value; removal broadcasts the dimension-sized boilerplate set —
+    the corpus itself never shuffles. Returns per-doc md5 + surviving
+    line count, so the hash check proves exact reassembly."""
+    from omop2obo_spark.operators.curate import boilerplate_lines, remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Subscribe to our newsletter!"),
+            F.concat(F.lit("Section "), (F.col("doc_id") % 10).cast("string")),
+            F.when(F.col("doc_id") % 2 == 0, "even edition").otherwise("odd edition"),
+        ).alias("text"),
+    )
+    bp = boilerplate_lines(docs, min_doc_frac=0.3)
+    cleaned = remove_boilerplate_lines(docs, bp)
+    return cleaned.select(
+        "doc_id",
+        F.md5("text").alias("clean_fp"),
+        F.size(F.split("text", "\n")).cast("long").alias("n_lines"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.textstats import bpe_ish_token_count, whitespace_token_count
 
@@ -929,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": q_text_quality,
         "q_lang_id": q_lang_id,
         "q_repetition": q_repetition,
+        "q_boilerplate": q_boilerplate,
         "q_token_counts": q_token_counts,
         "q_fingerprint": q_fingerprint,
         "q_tfidf_similarity": q_tfidf_similarity,
@@ -1327,6 +1359,37 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN lagg USING (doc_id)
         LEFT JOIN g3agg USING (doc_id)
         LEFT JOIN g5agg USING (doc_id)
+    """
+
+    sqls["q_boilerplate"] = """
+        WITH docs2 AS (
+            SELECT doc_id,
+                   text || chr(10) || 'Subscribe to our newsletter!'
+                        || chr(10) || 'Section ' || CAST(doc_id % 10 AS VARCHAR)
+                        || chr(10) || CASE WHEN doc_id % 2 = 0 THEN 'even edition' ELSE 'odd edition' END AS text
+            FROM documents
+        ),
+        split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs2),
+        lines AS (
+            SELECT doc_id, i, ls[i] AS raw, trim(lower(ls[i])) AS norm
+            FROM split, UNNEST(range(1, len(ls) + 1)) AS r(i)
+        ),
+        df AS (
+            SELECT norm, count(DISTINCT doc_id) AS n_docs
+            FROM lines WHERE norm <> '' GROUP BY norm
+        ),
+        bp AS (
+            SELECT norm FROM df
+            WHERE n_docs >= greatest(2, CAST(ceil((SELECT count(*) FROM docs2) * 0.3) AS BIGINT))
+        ),
+        kept AS (
+            SELECT doc_id, i, raw FROM lines
+            WHERE norm = '' OR norm NOT IN (SELECT norm FROM bp)
+        )
+        SELECT doc_id,
+               md5(string_agg(raw, chr(10) ORDER BY i)) AS clean_fp,
+               count(*) AS n_lines
+        FROM kept GROUP BY doc_id
     """
 
     from omop2obo_spark.operators.textstats import LANG_PROFILES

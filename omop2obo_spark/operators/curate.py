@@ -94,3 +94,74 @@ def curate_corpus(
     for c in counts[1:]:
         funnel = funnel.unionByName(c)
     return s4, funnel
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: lines (trimmed, lowercased)
+    that appear in at least ``min_doc_frac`` of documents (and at least
+    ``min_docs`` absolute) — headers, footers, cookie banners, license
+    stubs. Returns ``(line, n_docs, doc_frac)``.
+
+    One shuffle keyed on the line value (partial-aggregated distinct per
+    doc first, so a line repeated inside one doc counts that doc once).
+    The result is dimension-sized by construction: a line must recur
+    across >= min_doc_frac of the corpus to qualify, so at most
+    1/min_doc_frac distinct values per document survive on average —
+    safe to broadcast back.
+    """
+    total = docs.count()
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    # one-arg lambda on purpose: F.trim itself has an
+                    # optional 2nd param, so transform would pass (x, idx)
+                    # and trim the index digits off every line
+                    F.transform(F.split(F.lower(F.col(text_col)), "\n"), lambda x: F.trim(x)),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("line"),
+    )
+    import math
+
+    thresh = max(min_docs, math.ceil(total * min_doc_frac))
+    return (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= thresh)
+        .withColumn("doc_frac", F.round(F.col("n_docs") / F.lit(total), 9))
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip every boilerplate line from every document, preserving the
+    order and original (untrimmed) form of the surviving lines; documents
+    whose every line is boilerplate keep an empty string.
+
+    The boilerplate set is broadcast (dimension-sized per
+    :func:`boilerplate_lines`) and applied with a native higher-order
+    ``filter`` over the split lines — the corpus never shuffles and no
+    Python runs per row. Matching uses the same normalization the
+    detector used (trim + lowercase); empty lines inside the document are
+    kept as formatting.
+    """
+    rows = [r.line for r in boilerplate.select("line").collect()]
+    bp = F.lit(rows).cast("array<string>") if rows else F.array().cast("array<string>")
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda x: (F.trim(F.lower(x)) == "") | ~F.array_contains(bp, F.trim(F.lower(x))),
+    )
+    return docs.withColumn(text_col, F.array_join(kept, "\n"))

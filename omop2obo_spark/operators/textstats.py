@@ -250,7 +250,11 @@ def repetition_signals(
         return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
 
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), F.trim), lambda x: x != ""
+        # one-arg lambda on purpose: F.trim has an optional 2nd param, so
+        # passing it bare would make transform call trim(x, idx) and strip
+        # the index digits off every line
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
     )
 
     def stream(kind: str, arr: Column) -> DataFrame:

@@ -421,6 +421,9 @@ def test_repetition_signals_model_parity(spark):
         (4, "tiny"),                   # shorter than both n
         (5, "   \n  \n"),              # whitespace only → all zeros
         (6, "a b\nc d e f g h a b\na b"),
+        # digit-edged lines: catches transform(F.trim) passing the element
+        # INDEX as trim's optional 2nd arg (stripping index digits)
+        (7, "1 repeated line 1\n1 repeated line 1\n0 other 2"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
 
@@ -458,9 +461,50 @@ def test_repetition_signals_model_parity(spark):
         )
         for r in repetition_signals(df).collect()
     }
-    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
     for doc_id, text in rows:
         want = model(text)
         assert got[doc_id] == pytest.approx(want, abs=1e-12), (doc_id, got[doc_id], want)
     # sanity on the intent: the spammy docs score high, clean text low
     assert got[2][0] >= 0.5 and got[3][3] > 0.8 and got[1][2] < 0.2
+
+
+def test_boilerplate_detect_and_remove(spark):
+    from omop2obo_spark.operators.curate import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "Unique article one\nSubscribe To Our Newsletter!\nbody text 1"),
+        (2, "another story\n  subscribe to our newsletter!  \nbody text 2"),
+        (3, "subscribe to our newsletter!\nthird body"),
+        (4, "rare shared line\nfourth body"),
+        (5, "rare shared line\nfifth body\n\n  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # footer hits 3/5 = 0.6 of docs; 'rare shared line' only 2/5 = 0.4
+    bp = boilerplate_lines(docs, min_doc_frac=0.5)
+    got = {r.line: (r.n_docs, r.doc_frac) for r in bp.collect()}
+    assert got == {"subscribe to our newsletter!": (3, 0.6)}
+
+    cleaned = {r.doc_id: r.text for r in remove_boilerplate_lines(docs, bp).collect()}
+    # order + untrimmed original form of survivors preserved; whitespace
+    # lines kept as formatting; matching is trim+lowercase-insensitive
+    assert cleaned[1] == "Unique article one\nbody text 1"
+    assert cleaned[2] == "another story\nbody text 2"
+    assert cleaned[3] == "third body"
+    assert cleaned[4] == "rare shared line\nfourth body"
+    assert cleaned[5] == "rare shared line\nfifth body\n\n  "
+
+    # every-line-boilerplate doc degrades to empty string, not a dropped row
+    solo = spark.createDataFrame(
+        [(9, "subscribe to our newsletter!")], "doc_id int, text string"
+    )
+    assert remove_boilerplate_lines(solo, bp).collect()[0].text == ""
+
+    # empty boilerplate set is the identity transform
+    none = boilerplate_lines(docs, min_doc_frac=0.9)
+    assert none.count() == 0
+    same = {r.doc_id: r.text for r in remove_boilerplate_lines(docs, none).collect()}
+    assert same == dict(rows)
