@@ -785,6 +785,26 @@ def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-structure curation (operators/transcript.py): per-conv
+    role counts, alternation/gap violations, tool fraction, well-formed
+    keep predicate. Structural variety is injected deterministically:
+    ~1/7 of turns dropped (gaps, missing openers) and ~1/11 of roles
+    forced to 'user' (same-role runs) keyed on (doc_id, turn_idx). One
+    conv_id exchange shared by the lag window and the aggregation."""
+    from omop2obo_spark.operators.transcript import conversation_stats
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    did = F.substring("conv_id", 6, 8).cast("long")
+    pert = tr.filter((did + F.col("turn_idx")) % 7 != 3).withColumn(
+        "role",
+        F.when((did + F.col("turn_idx")) % 11 == 5, F.lit("user")).otherwise(
+            F.col("role")
+        ),
+    )
+    return conversation_stats(pert)
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline triple emission (exact tiers; similarity off for
     bounded runtime). The DuckDB oracle replays every stage in SQL —
@@ -975,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ancestor_closure": q_ancestor_closure,
         "q_chunk_turns": q_chunk_turns,
         "q_conv_fingerprint": q_conv_fingerprint,
+        "q_conv_stats": q_conv_stats,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1813,6 +1834,39 @@ FROM (
        md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_fp,
        count(*) AS n_turns
 FROM tr
+GROUP BY conv_id"""
+    )
+    sqls["q_conv_stats"] = kg_triples_sql(
+        final_select="""SELECT conv_id,
+       count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_role,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role,
+       sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS alternation_violations,
+       sum(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END) AS gap_violations,
+       round(avg(0.0), 6) AS tool_call_frac,
+       round(avg(chars), 6) AS avg_turn_chars,
+       (arg_min(role, turn_idx) = 'user'
+        AND sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END) = 0
+        AND min(turn_idx) = 0) AS well_formed
+FROM (
+    SELECT conv_id, turn_idx, role, chars,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+           lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+    FROM (
+        SELECT conv_id, turn_idx,
+               CASE WHEN (CAST(substr(conv_id, 6) AS BIGINT) + turn_idx) % 11 = 5 THEN 'user'
+                    WHEN turn_idx % 3 = 0 THEN 'user'
+                    WHEN turn_idx % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role,
+               length(text) AS chars
+        FROM tr
+        WHERE (CAST(substr(conv_id, 6) AS BIGINT) + turn_idx) % 7 <> 3
+    )
+)
 GROUP BY conv_id"""
     )
     sqls["q_kg_triples"] = kg_triples_sql()

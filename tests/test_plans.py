@@ -150,3 +150,26 @@ def test_pack_sequences_single_shuffle_per_bucket_group(spark):
     plan = _plan(pack_sequences(docs, budget=10, n_buckets=4))
     assert plan.count("Exchange") == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_conversation_stats_single_shuffle(spark):
+    """The lag window and the final aggregation of conversation_stats
+    both key on conv_id, so Catalyst must plan exactly ONE hash exchange
+    (the groupBy reuses the window's partitioning)."""
+    from omop2obo_spark.operators.transcript import conversation_stats
+
+    tr = transcripts_df(spark, n_convs=20, turns_per_conv=6)
+    plan = _plan(conversation_stats(tr))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_repetition_signals_two_shuffles_no_join(spark):
+    """repetition_signals is one tagged-union stream: a partial-aggregated
+    count on (doc, kind, value) plus the per-doc rollup — two exchanges,
+    and never a join back to the corpus."""
+    from omop2obo_spark.operators.textstats import repetition_signals
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_signals(docs))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
