@@ -805,6 +805,26 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_stats(pert)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/curate.py:contamination_check):
+    per-document fraction of token 8-gram occurrences that appear in a
+    held-out benchmark set — every 50th document plays the benchmark. The
+    benchmark gram vocabulary is dimension-sized and broadcast; the
+    corpus gram stream joins map-side and only the per-doc aggregation
+    shuffles."""
+    from omop2obo_spark.operators.curate import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    out = contamination_check(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "contamination_frac",
+    )
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline triple emission (exact tiers; similarity off for
     bounded runtime). The DuckDB oracle replays every stage in SQL —
@@ -996,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_turns": q_chunk_turns,
         "q_conv_fingerprint": q_conv_fingerprint,
         "q_conv_stats": q_conv_stats,
+        "q_contamination": q_contamination,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1380,6 +1401,32 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN lagg USING (doc_id)
         LEFT JOIN g3agg USING (doc_id)
         LEFT JOIN g5agg USING (doc_id)
+    """
+
+    sqls["q_contamination"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> x <> '') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+            WHERE len(t) >= 8
+        ),
+        bg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+            FROM grams g LEFT JOIN bg b USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(n_hits, 0) / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 9) AS contamination_frac
+        FROM documents d LEFT JOIN hits USING (doc_id)
     """
 
     sqls["q_boilerplate"] = """

@@ -16,7 +16,7 @@ magnitude smaller than the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from omop2obo_spark.operators.dedup import (
@@ -165,3 +165,58 @@ def remove_boilerplate_lines(
         lambda x: (F.trim(F.lower(x)) == "") | ~F.array_contains(bp, F.trim(F.lower(x))),
     )
     return docs.withColumn(text_col, F.array_join(kept, "\n"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set contamination detection: for every corpus document, the
+    fraction of its token ``n``-gram occurrences that appear anywhere in
+    the ``benchmark`` set — the standard n-gram-overlap decontamination
+    test a pretraining corpus runs against held-out benchmarks before
+    training (n=8..13 in common practice).
+
+    Returns ``(id_col, n_grams, n_hits, contamination_frac)``; documents
+    shorter than ``n`` tokens have zero grams and fraction 0.0.
+
+    Scale shape: the benchmark's distinct n-gram vocabulary is
+    dimension-sized (eval sets are tiny next to a pretraining corpus) and
+    is broadcast, so the corpus-side gram stream joins without a
+    shuffle; the only wide exchange is the final partial-aggregated
+    groupBy on the document id. Both sides tokenize identically
+    (lower + collapse whitespace), and no gram longer than the document
+    is fabricated.
+    """
+
+    def grams(col: Column) -> Column:
+        t = F.filter(
+            F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " "),
+            lambda x: x != "",
+        )
+        idx = F.when(F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - n + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(text_col))).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = docs.select(
+        F.col(id_col), F.explode_outer(grams(F.col(text_col))).alias("gram")
+    )
+    joined = corpus.join(F.broadcast(bench_grams), on="gram", how="left")
+    return joined.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        F.round(
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            / F.greatest(F.count("gram"), F.lit(1)),
+            9,
+        ).alias("contamination_frac"),
+    )

@@ -508,3 +508,37 @@ def test_boilerplate_detect_and_remove(spark):
     assert none.count() == 0
     same = {r.doc_id: r.text for r in remove_boilerplate_lines(docs, none).collect()}
     assert same == dict(rows)
+
+
+def test_contamination_check_model(spark):
+    """contamination_check vs hand-computed n-gram overlap fractions:
+    exact containment, partial overlap, case/whitespace folding, repeated
+    grams counted per occurrence, short/empty docs yielding zero grams."""
+    from omop2obo_spark.operators.curate import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"), (101, "a b c")],
+        "doc_id int, text string",
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact: 7/7
+        (2, "the quick brown cat sat on a mat today"),       # 1 of 7 grams hit
+        (3, "completely different words in this document here"),  # 0 of 5
+        (4, "too short"),                                     # <n tokens: 0 grams
+        (5, ""),                                              # empty: 0 grams
+        (6, "THE  Quick\tBrown   FOX jumps over the lazy dog"),  # folding: 7/7
+        (7, "a b c a b c a b c"),                             # dup grams: 3/7
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contamination_frac)
+        for r in contamination_check(docs, bench, n=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}  # no doc dropped
+    assert got[1] == (7, 7, 1.0)
+    assert got[2] == (7, 1, round(1 / 7, 9))
+    assert got[3] == (5, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+    assert got[6] == (7, 7, 1.0)
+    assert got[7] == (7, 3, round(3 / 7, 9))
