@@ -825,6 +825,31 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (operators/curate.py:paragraph_dedup):
+    keep only the globally-first occurrence of each distinct paragraph
+    and reassemble. The single-line documents table gets a deterministic
+    multi-paragraph structure first: body + a universal license footer
+    (exactly one survivor corpus-wide) + a 7-way edition banner (7
+    survivors). Winner selection is a map-side-combined min(struct)
+    aggregation — no window over the skewed paragraph key — and the
+    winner set joins back on skew-free (doc_id, idx). Hash check proves
+    exact reassembly."""
+    from omop2obo_spark.operators.curate import paragraph_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("standard license footer"),
+            F.concat(F.lit("edition "), (F.col("doc_id") % 7).cast("string")),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(docs)
+    return out.select("doc_id", F.md5("text").alias("dedup_fp"), "n_paras", "n_kept")
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline triple emission (exact tiers; similarity off for
     bounded runtime). The DuckDB oracle replays every stage in SQL —
@@ -1017,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_fingerprint": q_conv_fingerprint,
         "q_conv_stats": q_conv_stats,
         "q_contamination": q_contamination,
+        "q_paragraph_dedup": q_paragraph_dedup,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1427,6 +1453,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(n_hits, 0) / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 9) AS contamination_frac
         FROM documents d LEFT JOIN hits USING (doc_id)
+    """
+
+    sqls["q_paragraph_dedup"] = """
+        WITH docs2 AS (
+            SELECT doc_id,
+                   text || chr(10)||chr(10) || 'standard license footer'
+                        || chr(10)||chr(10) || 'edition ' || CAST(doc_id % 7 AS VARCHAR) AS text
+            FROM documents
+        ),
+        paras AS (
+            SELECT doc_id, i AS idx, ps[i] AS raw,
+                   trim(regexp_replace(lower(ps[i]), '\\s+', ' ', 'g')) AS norm
+            FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM docs2),
+                 UNNEST(range(1, len(ps) + 1)) AS r(i)
+        ),
+        winners AS (
+            SELECT norm, min(struct_pack(i := doc_id, x := idx)) AS w
+            FROM paras WHERE norm <> '' GROUP BY norm
+        ),
+        ranked AS (
+            SELECT p.*, (p.norm = '' OR w.norm IS NOT NULL) AS keep
+            FROM paras p
+            LEFT JOIN winners w
+              ON p.norm = w.norm AND p.doc_id = w.w.i AND p.idx = w.w.x
+        )
+        SELECT doc_id,
+               md5(coalesce(string_agg(CASE WHEN keep THEN raw END,
+                                       chr(10)||chr(10) ORDER BY idx), '')) AS dedup_fp,
+               count(*) AS n_paras,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ranked GROUP BY doc_id
     """
 
     sqls["q_boilerplate"] = """

@@ -220,3 +220,80 @@ def contamination_check(
             9,
         ).alias("contamination_frac"),
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Sub-document exact deduplication: split every document into
+    paragraphs, keep only the globally-first occurrence of each distinct
+    paragraph (normalized: trim + lowercase + collapsed whitespace), and
+    reassemble documents from their surviving paragraphs in original
+    order — the paragraph-granularity exact-substring dedup that removes
+    cross-document boilerplate and within-document repetition a whole-doc
+    hash can't see ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, at paragraph granularity).
+
+    "First occurrence" is the lexicographically smallest ``(id_col,
+    paragraph position)`` — deterministic under any partitioning.
+    Whitespace-only paragraphs are structural formatting and are always
+    kept. Documents whose every paragraph loses degrade to an empty
+    string, never a dropped row.
+
+    Returns the input columns with ``text_col`` rewritten plus
+    ``n_paras`` / ``n_kept`` counts.
+
+    Scale shape — deliberately NOT a window over the normalized
+    paragraph: a corpus-wide footer would put billions of rows in one
+    window partition (the classic boilerplate straggler). Instead the
+    winner per distinct paragraph is a ``min(struct(id, pos))``
+    aggregation — partial aggregation combines map-side, so the hottest
+    paragraph contributes one row per input partition to the reduce —
+    and winners join back on the skew-free ``(id, pos)`` key. Paragraph
+    text rides only the final uniform reassembly shuffle on the document
+    id. No driver materialization and no UDFs.
+    """
+    other = [c for c in docs.columns if c != text_col]
+    paras = docs.select(
+        *other, F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__para")
+    ).withColumn(
+        "__norm",
+        F.trim(F.regexp_replace(F.lower("__para"), r"\s+", " ")),
+    )
+    winners = (
+        paras.filter(F.col("__norm") != "")
+        .groupBy("__norm")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("__idx").alias("x"))).alias("__w"))
+        .select(
+            F.col("__w.i").alias("__w_id"),
+            F.col("__w.x").alias("__w_idx"),
+            F.lit(True).alias("__won"),
+        )
+    )
+    kept = paras.join(
+        winners,
+        (F.col(id_col) == F.col("__w_id")) & (F.col("__idx") == F.col("__w_idx")),
+        "left",
+    ).withColumn("__keep", (F.col("__norm") == "") | F.col("__won").isNotNull())
+    return (
+        kept.groupBy(*other)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"), F.struct("__idx", "__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count("__idx").alias("n_paras"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        )
+        .select(*docs.columns, "n_paras", "n_kept")
+    )

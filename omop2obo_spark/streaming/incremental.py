@@ -181,7 +181,10 @@ def stream_curate(
     stream; exact dedup becomes ``dropDuplicatesWithinWatermark`` on the
     content hash keyed to ingest time, so dedup state is bounded by the
     watermark horizon (duplicates arriving further apart re-admit — the
-    standard streaming-dedup tradeoff, stated rather than hidden).
+    standard streaming-dedup tradeoff, stated rather than hidden). The
+    surviving representative of a duplicate group is the first row seen
+    in processing order — arrival-order-dependent, unlike the batch
+    funnel's deterministic min-id canonical.
 
     Near-dup LSH needs self-joins a pure stream cannot express: run the
     batch ``curate_corpus`` via ``foreachBatch`` (see

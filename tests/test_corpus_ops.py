@@ -542,3 +542,32 @@ def test_contamination_check_model(spark):
     assert got[5] == (0, 0, 0.0)
     assert got[6] == (7, 7, 1.0)
     assert got[7] == (7, 3, round(3 / 7, 9))
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """paragraph_dedup: globally-first occurrence wins (lexicographic
+    (doc_id, position)), within-doc repeats collapse, whitespace-only
+    paragraphs always survive as formatting, all-duplicate docs degrade
+    to empty text, normalization is trim+lower+collapse-whitespace."""
+    from omop2obo_spark.operators.curate import paragraph_dedup
+
+    rows = [
+        (1, "alpha body\n\nshared footer\n\nalpha body"),   # self-repeat collapses
+        (2, "beta body\n\nShared   FOOTER"),                # loses footer to doc 1
+        (3, "shared footer\n\n \n\ngamma body"),            # loses footer; blank kept
+        (4, ""),                                            # empty doc survives
+        (5, "shared footer"),                               # everything lost → ""
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.text, r.n_paras, r.n_kept) for r in paragraph_dedup(docs).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == ("alpha body\n\nshared footer", 3, 2)
+    assert got[2] == ("beta body", 2, 1)
+    assert got[3] == (" \n\ngamma body", 3, 2)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("", 1, 0)
+
+    # determinism under partitioning: same result from 1 and 13 partitions
+    one = {tuple(r) for r in paragraph_dedup(docs.coalesce(1)).collect()}
+    many = {tuple(r) for r in paragraph_dedup(docs.repartition(13)).collect()}
+    assert one == many == {(k, *v) for k, v in got.items()}

@@ -126,7 +126,11 @@ def test_stream_curate_matches_batch_stages(spark, tmp_path):
 
     stream_curate(spark, src, out, ckpt).start().awaitTermination(120)
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
-    assert kept == [1, 5]
+    # exactly one representative of the {1,2} duplicate pair survives —
+    # WHICH one is arrival-order-dependent (dropDuplicatesWithinWatermark
+    # keeps the first row seen, unlike the batch funnel's min-id
+    # canonical); 3 fails lang, 4 fails quality, 5 is unique
+    assert len(kept) == 2 and kept[1] == 5 and kept[0] in (1, 2)
 
     # batch funnel (without the near-dup stage, which streaming defers)
     batch_docs = spark.read.parquet(src)
