@@ -825,6 +825,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling (operators/textstats.py:stratified_sample):
+    per-source epoch rates — src0 dropped, src1 doubled, src2 at 2.5
+    epochs, src3 downsampled to 0.3, everything else passed through.
+    Pure native CASE + md5-bucket + sequence/explode: no join, no
+    shuffle; deterministic in the key."""
+    from omop2obo_spark.operators.textstats import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    rates = {"src0": 0.0, "src1": 2.0, "src2": 2.5, "src3": 0.3}
+    return stratified_sample(docs, rates, salt="mix")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup (operators/curate.py:paragraph_dedup):
     keep only the globally-first occurrence of each distinct paragraph
@@ -1043,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_stats": q_conv_stats,
         "q_contamination": q_contamination,
         "q_paragraph_dedup": q_paragraph_dedup,
+        "q_stratified_sample": q_stratified_sample,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1453,6 +1467,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(n_hits, 0) / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 9) AS contamination_frac
         FROM documents d LEFT JOIN hits USING (doc_id)
+    """
+
+    sqls["q_stratified_sample"] = """
+        WITH rated AS (
+            SELECT doc_id, source,
+                   CAST(CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 2.0
+                                    WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 0.3
+                                    ELSE 1.0 END AS DOUBLE) AS rate,
+                   ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 8))::BIGINT AS bucket
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, source,
+                   CAST(floor(rate) AS BIGINT)
+                   + CASE WHEN bucket < (rate - floor(rate)) * 4294967296.0 THEN 1 ELSE 0 END AS n
+            FROM rated
+        )
+        SELECT doc_id, source, CAST(i AS BIGINT) AS copy_idx
+        FROM counted, UNNEST(range(1, n + 1)) AS r(i)
+        WHERE n > 0
     """
 
     sqls["q_paragraph_dedup"] = """

@@ -176,6 +176,53 @@ def hash_sample(
     return docs.filter(bucket < F.lit(int(rate * 2**32)))
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "s0",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Domain-mix resampling: per-stratum sampling/repetition rates — the
+    op that turns a raw crawl into a training mix ("0.3 epochs of web,
+    2.5 epochs of books"). A rate ``r`` emits ``floor(r)`` copies of
+    every row plus one extra copy for the deterministic ``frac(r)``
+    fraction of keys (same md5-prefix bucket as :func:`hash_sample`), so
+    0.25 downsamples, 1.0 passes through, 2.5 upsamples. Returns the
+    input columns plus ``copy_idx`` (1..n); rows with zero copies drop.
+
+    Deterministic in the key — reproducible across runs, partitionings
+    and engines, stable under checkpoint/resume. Scale shape: the rates
+    map is driver-side config compiled into a CASE chain; pure native
+    expressions (no join, no shuffle, whole-stage codegen) and the
+    explode emits at most ``ceil(r)`` rows per input row.
+    """
+    bad = {k: v for k, v in rates.items() if v < 0}
+    if bad:
+        raise ValueError(f"rates must be >= 0, got {bad}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+    rate = F.lit(float(default_rate))
+    for k in sorted(rates):
+        rate = F.when(F.col(strata_col) == k, F.lit(float(rates[k]))).otherwise(rate)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    n = F.floor(rate).cast("long") + (
+        bucket.cast("double") < (rate - F.floor(rate)) * F.lit(float(2**32))
+    ).cast("long")
+    return (
+        docs.withColumn("__n_copies", n)
+        .filter(F.col("__n_copies") > 0)
+        .select(
+            *docs.columns,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n_copies"))).alias("copy_idx"),
+        )
+    )
+
+
 def corpus_profile(docs: DataFrame, approx: bool = False, rsd: float = 0.05) -> DataFrame:
     """Per-source corpus profile: doc count, distinct-content count,
     whitespace-token percentiles (p50/p95), mean char length.

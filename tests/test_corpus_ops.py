@@ -571,3 +571,42 @@ def test_paragraph_dedup_keep_first(spark):
     one = {tuple(r) for r in paragraph_dedup(docs.coalesce(1)).collect()}
     many = {tuple(r) for r in paragraph_dedup(docs.repartition(13)).collect()}
     assert one == many == {(k, *v) for k, v in got.items()}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """stratified_sample vs a Python replay of the md5-prefix rule:
+    rate 0 drops, 1.0 passes through once, integer rates repeat exactly,
+    fractional rates add the extra copy for exactly the keys whose
+    bucket falls under frac(r); unknown strata get default_rate."""
+    import hashlib
+
+    from omop2obo_spark.operators.textstats import stratified_sample
+
+    rows = [(i, ["a", "b", "c", "d", "e"][i % 5]) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 0.0, "b": 1.0, "c": 2.0, "d": 2.5, "e": 0.5}
+    out = stratified_sample(docs, rates, salt="t1")
+    got = {}
+    for r in out.collect():
+        got.setdefault((r.doc_id, r.source), []).append(r.copy_idx)
+
+    def bucket(key):
+        return int(hashlib.md5(f"t1|{key}".encode()).hexdigest()[:8], 16)
+
+    import math
+    for i, s in rows:
+        r = rates[s]
+        n = math.floor(r) + (1 if bucket(i) < (r - math.floor(r)) * 2**32 else 0)
+        expect = list(range(1, n + 1)) if n else None
+        assert got.get((i, s)) == expect, (i, s, r)
+    # default_rate applies to strata absent from the map
+    extra = spark.createDataFrame([(999, "unknown")], "doc_id long, source string")
+    assert stratified_sample(extra, rates).count() == 1
+    assert stratified_sample(extra, rates, default_rate=0.0).count() == 0
+    # deterministic under partitioning
+    again = {}
+    for r in stratified_sample(docs.repartition(17), rates, salt="t1").collect():
+        again.setdefault((r.doc_id, r.source), []).append(r.copy_idx)
+    assert again == got
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"a": -1.0})
