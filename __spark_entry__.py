@@ -863,6 +863,16 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("dedup_fp"), "n_paras", "n_kept")
 
 
+def q_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask offsets (operators/transcript.py:sft_spans): per-turn
+    character span in the rendered conversation plus trainable flag for
+    assistant turns. One conv_id exchange; native cumulative window sum.
+    The oracle replays the same running offset over the tr CTE."""
+    from omop2obo_spark.operators.transcript import sft_spans
+
+    return sft_spans(transcripts_from_documents(spark, sf_dir))
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline triple emission (exact tiers; similarity off for
     bounded runtime). The DuckDB oracle replays every stage in SQL —
@@ -1057,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contamination": q_contamination,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_stratified_sample": q_stratified_sample,
+        "q_sft_spans": q_sft_spans,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -2006,6 +2017,24 @@ FROM (
     )
 )
 GROUP BY conv_id"""
+    )
+    sqls["q_sft_spans"] = kg_triples_sql(
+        final_select="""SELECT conv_id, turn_idx::INT AS turn_idx, role,
+       CAST(coalesce(sum(chars + 1) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+       CAST(coalesce(sum(chars + 1) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + chars AS BIGINT) AS end_off,
+       (role = 'assistant') AS trainable
+FROM (
+    SELECT conv_id, turn_idx,
+           CASE WHEN turn_idx % 3 = 0 THEN 'user'
+                WHEN turn_idx % 3 = 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           coalesce(length(text), 0) AS chars
+    FROM tr
+)"""
     )
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)

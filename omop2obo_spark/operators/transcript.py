@@ -79,3 +79,38 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
             & (F.col("__first_idx") == 0)
         ).alias("well_formed"),
     )
+
+
+def sft_spans(
+    transcripts: DataFrame,
+    trainable_roles: tuple[str, ...] = ("assistant",),
+    sep: str = "\n",
+) -> DataFrame:
+    """Loss-mask spans for supervised fine-tuning: each turn's character
+    interval ``[start_off, end_off)`` in the conversation rendered as the
+    ``sep``-joined turn texts (ordered by turn_idx, null text rendered as
+    the empty string), plus ``trainable`` — whether the turn's role is in
+    ``trainable_roles``. This is the offsets table an SFT tokenizer uses
+    to zero the loss on non-assistant spans without re-parsing the
+    rendered text.
+
+    Invariant (pinned in tests): ``rendered[start_off:end_off] == text``
+    for every turn. Physical plan: one hash exchange on conv_id; the
+    running offset is a native cumulative window sum — no UDFs, no
+    collect_list of turn texts.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chars = F.coalesce(F.length("text"), F.lit(0))
+    prior = F.coalesce(F.sum(chars + len(sep)).over(w), F.lit(0))
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        prior.cast("long").alias("start_off"),
+        (prior + chars).cast("long").alias("end_off"),
+        F.col("role").isin(*trainable_roles).alias("trainable"),
+    )

@@ -56,3 +56,33 @@ def test_conversation_stats_partitioning_independent(spark):
     a = sorted(map(tuple, conversation_stats(df).collect()))
     b = sorted(map(tuple, conversation_stats(df.repartition(7)).collect()))
     assert a == b
+
+
+def test_sft_spans_offsets_reconstruct_text(spark):
+    """sft_spans: [start_off, end_off) slices of the sep-joined rendering
+    must reproduce every turn's text exactly; null text renders as '';
+    trainable marks exactly the trainable_roles turns."""
+    from omop2obo_spark.operators.transcript import sft_spans
+
+    rows = [
+        ("c1", 0, "user", "hello there"),
+        ("c1", 1, "assistant", "hi! how can I help?"),
+        ("c1", 2, "user", ""),                 # empty turn
+        ("c1", 3, "assistant", "still here"),
+        ("c2", 0, "user", None),               # null text
+        ("c2", 1, "assistant", "answer"),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r.conv_id, r.turn_idx): r for r in sft_spans(tr).collect()}
+
+    rendered = {}
+    for conv in ("c1", "c2"):
+        texts = [t[3] if t[3] is not None else "" for t in rows if t[0] == conv]
+        rendered[conv] = "\n".join(texts)
+    for conv_id, idx, role, text in rows:
+        r = out[(conv_id, idx)]
+        assert rendered[conv_id][r.start_off:r.end_off] == (text or "")
+        assert r.trainable == (role == "assistant")
+    # spans are contiguous: next start = prev end + len(sep)
+    assert out[("c1", 1)].start_off == out[("c1", 0)].end_off + 1
+    assert out[("c1", 2)].start_off == out[("c1", 1)].end_off + 1
