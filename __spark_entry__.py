@@ -863,6 +863,17 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("dedup_fp"), "n_paras", "n_kept")
 
 
+def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained LM quality score (operators/textstats.py:
+    unigram_logprob_score): per-doc mean unigram cross-entropy under the
+    corpus's top-20 unigram distribution, OOV floored at 1/total. The
+    20-row vocabulary broadcasts; token counting is the only wide
+    shuffle besides the per-doc mean."""
+    from omop2obo_spark.operators.textstats import unigram_logprob_score
+
+    return unigram_logprob_score(_docs(spark, sf_dir), vocab_k=20)
+
+
 def q_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT loss-mask offsets (operators/transcript.py:sft_spans): per-turn
     character span in the rendered conversation plus trainable flag for
@@ -1068,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_stratified_sample": q_stratified_sample,
         "q_sft_spans": q_sft_spans,
+        "q_unigram_xent": q_unigram_xent,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1478,6 +1490,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(n_hits, 0) / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 9) AS contamination_frac
         FROM documents d LEFT JOIN hits USING (doc_id)
+    """
+
+    sqls["q_unigram_xent"] = """
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS token
+            FROM documents
+        ),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+        vocab AS (
+            SELECT token, round(ln(n / (SELECT t FROM tot)), 9) AS logp
+            FROM counts ORDER BY n DESC, token ASC LIMIT 20
+        ),
+        scored AS (
+            SELECT tk.doc_id,
+                   coalesce(v.logp, round(ln(1.0 / (SELECT t FROM tot)), 9)) AS lp
+            FROM tok tk LEFT JOIN vocab v USING (token)
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS cnt, avg(lp) AS mean_lp
+            FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(cnt, 0) AS BIGINT) AS n_tok,
+               round(coalesce(-mean_lp, 0.0), 6) AS xent
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
     """
 
     sqls["q_stratified_sample"] = """

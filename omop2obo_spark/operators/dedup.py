@@ -316,8 +316,44 @@ def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a driver-resident edge list. Union-by-min
+    keeps every root at its component's minimum id, so ``find(n)`` IS the
+    canonical label. Path-halving keeps finds near-O(1)."""
+    rows = edges.filter(F.col("src") < F.col("dst")).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r.src, r.dst
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    from pyspark.sql.types import StructField, StructType
+
+    node_type = edges.schema["src"].dataType
+    schema = StructType(
+        [StructField("doc_id", node_type), StructField("component", node_type)]
+    )
+    out = sorted((n, find(n)) for n in parent)
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def dedup_clusters(
-    pairs: DataFrame, max_iterations: int = 20, rounds_per_check: int = 2
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    rounds_per_check: int = 2,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-duplicate pairs into clusters: connected components
     over the undirected pair graph, labeling every doc with the minimum
@@ -347,11 +383,22 @@ def dedup_clusters(
     Output: ``(doc_id, component)`` for every doc appearing in a pair;
     docs with no pair are their own singleton cluster and are omitted
     (union with the identity mapping if needed).
+
+    Size cutover: the confirmed-pair graph is orders of magnitude smaller
+    than the corpus, and when it fits on the driver
+    (``driver_max_edges``, checked against the materialized edge count)
+    an exact local union-find resolves it in one pass — each distributed
+    round otherwise costs ~3 shuffles + an eager checkpoint + a driver
+    scalar read regardless of data size (measured 48 s for a 565-edge
+    graph vs <1 s local). Graphs past the cutover get the distributed
+    O(log diameter) loop, which is the path that matters at 100 TB.
     """
     fwd = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     rev = pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     edges = fwd.union(rev).distinct().persist()
     try:
+        if edges.count() <= driver_max_edges:
+            return _driver_union_find(edges)
         labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
             "component", F.col("node")
         )

@@ -140,8 +140,11 @@ def top_k_vocabulary(
 ) -> DataFrame:
     """Corpus vocabulary: token → document frequency and total count, top-k
     by (count desc, token asc). One explode + one groupBy — the standard
-    map-side-combined aggregation; at 100 TB bound the result with k, never
-    collect the full vocabulary."""
+    map-side-combined aggregation. The top-k itself is a bounded
+    TakeOrdered (per-partition top-k merged on the driver, k rows), NOT a
+    global row_number window — a full-vocabulary window would drag every
+    distinct token into one partition at 100 TB. The rank window runs
+    only over the k surviving rows."""
     toks = tokens(F.col(text_col))
     exploded = docs.select(F.explode(toks).alias("token"))
     counted = (
@@ -151,8 +154,69 @@ def top_k_vocabulary(
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return counted.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    order = [F.desc("n"), F.asc("token")]
+    w = Window.orderBy(*order)
+    return counted.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w))
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    vocab_k: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality signal: each document's mean unigram
+    cross-entropy (nats) under the corpus's OWN top-``vocab_k`` unigram
+    distribution; out-of-vocabulary tokens get the floor probability
+    ``1/total``. Typical prose scores low, gibberish and boilerplate
+    score in the tails — the standard band-pass quality filter when no
+    external LM is available.
+
+    Returns ``(id_col, n_tok, xent)``; empty documents score 0.0.
+    Log-probs are rounded to 9dp before averaging and the mean to 6dp so
+    the score is engine-portable (same rounding in the SQL oracle).
+
+    Scale shape: token counting is one map-side-combined shuffle; the
+    vocabulary is a bounded TakeOrdered (k rows — never a full-vocab
+    collect or global window); scoring broadcasts the k-row (token,
+    logp) dimension and aggregates once on the doc id. The corpus total
+    is a single driver scalar.
+    """
+    import math
+
+    toks = tokens(F.col(text_col))
+    exploded = docs.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+    counted = (
+        exploded.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counted.agg(F.sum("n")).collect()[0][0] or 1
+    vocab = (
+        counted.orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_k)
+        .select(
+            "token",
+            F.round(F.log(F.col("n") / F.lit(float(total))), 9).alias("logp"),
+        )
+    )
+    oov_logp = round(math.log(1.0 / total), 9)
+    scored = exploded.join(F.broadcast(vocab), on="token", how="left")
+    return scored.groupBy(id_col).agg(
+        F.count("token").cast("long").alias("n_tok"),
+        F.round(
+            F.coalesce(
+                -F.avg(
+                    F.when(
+                        F.col("token").isNotNull(),
+                        F.coalesce(F.col("logp"), F.lit(oov_logp)),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("xent"),
+    )
 
 
 def hash_sample(

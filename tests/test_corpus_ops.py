@@ -254,9 +254,17 @@ def test_dedup_clusters_chain_and_pointer_jumping(spark):
     )
     from omop2obo_spark.operators.dedup import dedup_clusters
 
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # driver-side union-find path (graph under the cutover)
     got = {r.doc_id: r.component for r in dedup_clusters(pairs, max_iterations=5).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
-                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == expected
+    # distributed propagation path (cutover forced to 0) must agree
+    dist = {
+        r.doc_id: r.component
+        for r in dedup_clusters(pairs, max_iterations=5, driver_max_edges=0).collect()
+    }
+    assert dist == expected
 
 
 def test_dedup_keep_canonical_drops_non_heads(spark):
@@ -610,3 +618,39 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert again == got
     with pytest.raises(ValueError):
         stratified_sample(docs, {"a": -1.0})
+
+
+def test_unigram_logprob_score_python_replay(spark):
+    """unigram_logprob_score vs an exact Python replay: same tokenizer,
+    top-k vocabulary with (count desc, token asc) tie-break, 9dp-rounded
+    log-probs, OOV floor 1/total, 6dp mean; empty/null docs score 0.0."""
+    import math
+    import re
+    from collections import Counter
+
+    from omop2obo_spark.operators.textstats import unigram_logprob_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "zebra xylophone quark"),   # all OOV at small vocab_k
+        (4, ""),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tok, r.xent) for r in unigram_logprob_score(docs, vocab_k=4).collect()}
+
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9']+", (s or "").lower()) if t]
+    counts = Counter(t for _, s in rows for t in tok(s))
+    total = sum(counts.values())
+    vocab = dict(
+        (t, round(math.log(c / total), 9))
+        for t, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    )
+    oov = round(math.log(1.0 / total), 9)
+    for i, s in rows:
+        ts = tok(s)
+        exp = round(-sum(vocab.get(t, oov) for t in ts) / len(ts), 6) if ts else 0.0
+        assert got[i] == (len(ts), exp), (i, got[i], exp)
+    # OOV-heavy doc must score strictly worse (higher xent) than prose
+    assert got[3][1] > got[1][1]
