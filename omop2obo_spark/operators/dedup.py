@@ -221,15 +221,24 @@ def embedding_cosine_pairs(
     sign bits, so per-band collision probability rises with similarity;
     recall tunes via n_bits/band_bits exactly like MinHash bands.
     """
-    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # the norm is a per-VECTOR quantity: hoist it ahead of the pair join
+    # (one aggregate per vector, not two per candidate pair) — the pair
+    # stage then runs a single dot-product HOF. sqrt(agg(v*v)) of the same
+    # array yields the same double either way, so results are bit-identical
+    # to the inline formula the oracle replays.
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    a = vectors.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), norm.alias("na")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), norm.alias("nb")
+    )
     cos = F.round(
         F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
                     F.lit(0.0), lambda acc, v: acc + v)
-        / (
-            F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, v: acc + v * v))
-            * F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, v: acc + v * v))
-        ),
+        / (F.col("na") * F.col("nb")),
         6,
     )
 
@@ -272,17 +281,23 @@ def embedding_cosine_pairs(
         )
         for band in range(n_bands)
     ]
+    # candidate generation moves ONLY (band, id): the band self-join and
+    # the (a, b) dedup shuffle ids, never embeddings — at 100 TB the
+    # vector payload through those exchanges would dwarf the id stream.
+    # Surviving unique pairs fetch each side's (vector, norm) by id join;
+    # each unique pair then pays exactly one dot-product HOF.
     keyed = vectors.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*band_keys)).alias("band")
+        F.col(id_col), F.explode(F.array(*band_keys)).alias("band")
     )
-    ka = keyed.select(F.col("band"), F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    kb = keyed.select(F.col("band"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     cand = (
-        ka.join(kb, on="band")
+        keyed.select("band", F.col(id_col).alias("a"))
+        .join(keyed.select("band", F.col(id_col).alias("b")), on="band")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    return cand.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)
+    pairs = cand.join(a, on="a").join(b, on="b")
+    return pairs.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)
 
 
 def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
