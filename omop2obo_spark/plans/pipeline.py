@@ -296,9 +296,11 @@ def run_pipeline(
             # exception map are large enough that every plan embedding
             # them pays seconds of driver-side codegen per plan shape
             all_queries = _checkpoint(all_queries, "sim_queries")
+        _mark("sim_queries_ckpt")
         ont_corpus = build_ont_corpus(lexicon)
         norms, ont_vocab_df, n_docs = distributed_query_stats(all_queries, ont_corpus)
         model = fit_tfidf_ont_vocab(ont_corpus, ont_vocab_df, n_docs)
+        _mark("sim_stats")
 
         linked_turns = exact.select("conv_id", "turn_idx").distinct()
         unlinked = all_queries.join(
@@ -329,6 +331,7 @@ def run_pipeline(
     mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
     if persist and with_similarity:
         mappings = _checkpoint(mappings, "mappings")
+        _mark("mappings_ckpt")
         # the eager checkpoint has fully executed the similarity scoring,
         # so the corpus-stats caches inside distributed_query_stats are
         # done serving the hot path; release the executor memory (a later
