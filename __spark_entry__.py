@@ -863,6 +863,16 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("dedup_fp"), "n_paras", "n_kept")
 
 
+def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard output layout (operators/pack.py:assign_shards):
+    md5-bucket shard id + dense key-ordered position within each shard —
+    the reproducible (shard, pos) addressing a dataloader rebuilds from.
+    One exchange on shard_id; per-shard window sort only."""
+    from omop2obo_spark.operators.pack import assign_shards
+
+    return assign_shards(_docs(spark, sf_dir).select("doc_id"), n_shards=16)
+
+
 def q_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained LM quality score (operators/textstats.py:
     unigram_logprob_score): per-doc mean unigram cross-entropy under the
@@ -1080,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_sft_spans": q_sft_spans,
         "q_unigram_xent": q_unigram_xent,
+        "q_assign_shards": q_assign_shards,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1490,6 +1501,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(n_hits, 0) / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 9) AS contamination_frac
         FROM documents d LEFT JOIN hits USING (doc_id)
+    """
+
+    sqls["q_assign_shards"] = """
+        SELECT doc_id,
+               sid AS shard_id,
+               CAST(row_number() OVER (PARTITION BY sid ORDER BY doc_id) - 1 AS BIGINT) AS shard_pos
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5('shard|' || doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS sid
+            FROM documents
+        )
     """
 
     sqls["q_unigram_xent"] = """

@@ -102,3 +102,42 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard layout: every row gets a ``shard_id``
+    (md5-prefix bucket of ``salt|key`` — engine-portable, stable across
+    runs/partitionings) and a ``shard_pos`` (0-based row number within
+    the shard, ordered by the key) — the reproducible output layout a
+    training dataloader needs so that shard N, position P names the same
+    example on every rebuild.
+
+    Scale shape: one hash exchange on ``shard_id``; each window sorts
+    only its own shard. Size ``n_shards`` so one shard fits an executor
+    (~10^4-10^5 shards at 100 TB) — shards are the unit of both write
+    parallelism and dataloader striping, so more shards is the natural
+    direction; never run this with n_shards ≪ parallelism.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    sid = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_shards),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col(key_col).asc())
+    return (
+        df.withColumn("shard_id", sid)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long") - 1)
+    )

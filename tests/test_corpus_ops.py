@@ -654,3 +654,33 @@ def test_unigram_logprob_score_python_replay(spark):
         assert got[i] == (len(ts), exp), (i, got[i], exp)
     # OOV-heavy doc must score strictly worse (higher xent) than prose
     assert got[3][1] > got[1][1]
+
+
+def test_assign_shards_layout(spark):
+    """assign_shards: md5-bucket shard ids replayed in Python, dense
+    0-based key-ordered positions per shard, partitioning-independent."""
+    import hashlib
+
+    from omop2obo_spark.operators.pack import assign_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = [(r.doc_id, r.shard_id, r.shard_pos) for r in assign_shards(docs, 7).collect()]
+    exp_sid = lambda i: int(hashlib.md5(f"shard|{i}".encode()).hexdigest()[:8], 16) % 7
+    shards = {}
+    for doc_id, sid, pos in out:
+        assert sid == exp_sid(doc_id)
+        shards.setdefault(sid, []).append((pos, doc_id))
+    for sid, rows in shards.items():
+        rows.sort()
+        # dense positions 0..n-1, ordered by doc_id
+        assert [p for p, _ in rows] == list(range(len(rows)))
+        assert [d for _, d in rows] == sorted(d for _, d in rows)
+    assert sum(len(v) for v in shards.values()) == 300
+    # deterministic under partitioning
+    again = sorted(
+        (r.doc_id, r.shard_id, r.shard_pos)
+        for r in assign_shards(docs.repartition(11), 7).collect()
+    )
+    assert again == sorted(out)
+    with pytest.raises(ValueError):
+        assign_shards(docs, 0)
