@@ -863,6 +863,26 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("dedup_fp"), "n_paras", "n_kept")
 
 
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data export: curation funnel (lang → quality →
+    exact dedup → LSH near-dedup) → context-window packing → shard
+    layout, as ONE composed job — the integrated corpus→dataloader path.
+    The oracle extends the curation replay CTEs with the greedy packing
+    walk over the survivors and the shard window. Every stage is the
+    already-verified operator; this query pins their composition."""
+    from omop2obo_spark.operators.curate import curate_corpus
+    from omop2obo_spark.operators.pack import assign_shards, pack_sequences
+    from omop2obo_spark.operators.textstats import whitespace_token_count
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    curated, _funnel = curate_corpus(docs)
+    d = curated.select(
+        "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(d, budget=200, n_buckets=8)
+    return assign_shards(packed, n_shards=8, key_col="doc_id")
+
+
 def q_assign_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard output layout (operators/pack.py:assign_shards):
     md5-bucket shard id + dense key-ordered position within each shard —
@@ -1091,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sft_spans": q_sft_spans,
         "q_unigram_xent": q_unigram_xent,
         "q_assign_shards": q_assign_shards,
+        "q_training_export": q_training_export,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1797,6 +1818,45 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 's3_exact_dedup', count(*) FROM s3
         UNION ALL SELECT 's4_near_dedup', count(*) FROM s4
     """
+
+    # end-to-end export: same curation CTE chain, final select replaced by
+    # the greedy packing walk over the survivors + the shard-layout window
+    sqls["q_training_export"] = sqls["q_corpus_curation"].replace(
+        """SELECT 's0_input' AS stage, count(*) AS n_docs FROM d0
+        UNION ALL SELECT 's1_lang', count(*) FROM s1
+        UNION ALL SELECT 's2_quality', count(*) FROM s2
+        UNION ALL SELECT 's3_exact_dedup', count(*) FROM s3
+        UNION ALL SELECT 's4_near_dedup', count(*) FROM s4""",
+        """, surv AS MATERIALIZED (
+            SELECT s3.doc_id, s3.text FROM s3 JOIN s4 USING (doc_id)
+        ),
+        pd AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS bucket,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+            FROM surv
+        ),
+        pr AS (
+            SELECT doc_id, bucket, n_tokens,
+                   row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            FROM pd
+        ),
+        walk(bucket, rn, doc_id, n_tokens, acc, pack_idx) AS (
+            SELECT bucket, rn, doc_id, n_tokens, n_tokens, 0::BIGINT FROM pr WHERE rn = 1
+            UNION ALL
+            SELECT pr.bucket, pr.rn, pr.doc_id, pr.n_tokens,
+                   CASE WHEN w.acc + pr.n_tokens > 200 THEN pr.n_tokens ELSE w.acc + pr.n_tokens END,
+                   CASE WHEN w.acc + pr.n_tokens > 200 THEN w.pack_idx + 1 ELSE w.pack_idx END
+            FROM walk w JOIN pr ON pr.bucket = w.bucket AND pr.rn = w.rn + 1
+        )
+        SELECT doc_id, bucket, pack_idx, n_tokens,
+               sid AS shard_id,
+               CAST(row_number() OVER (PARTITION BY sid ORDER BY doc_id) - 1 AS BIGINT) AS shard_pos
+        FROM (
+            SELECT *, ('0x' || substr(md5('shard|' || doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS sid
+            FROM walk
+        )""",
+    )
 
     sqls["q_token_counts"] = """
         SELECT doc_id,
