@@ -173,3 +173,55 @@ def test_repetition_signals_two_shuffles_no_join(spark):
     plan = _plan(repetition_signals(docs))
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_contamination_benchmark_vocab_broadcast(spark):
+    """contamination_check: the benchmark gram vocabulary must broadcast
+    (the corpus gram stream joins map-side); the only hash exchange is
+    the per-doc aggregation."""
+    from omop2obo_spark.operators.curate import contamination_check
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    plan = _plan(contamination_check(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # corpus side: exactly one wide exchange, the per-doc aggregation
+    # (the benchmark-side distinct shuffles too, but only inside the
+    # dimension-sized broadcast build)
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+
+
+def test_paragraph_dedup_no_window_on_paragraph_key(spark):
+    """paragraph_dedup: winner selection must be an aggregation (map-side
+    combined), never a Window over the normalized-paragraph key — a
+    corpus-wide footer would make that window a one-partition straggler."""
+    from omop2obo_spark.operators.curate import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(paragraph_dedup(docs))
+    assert "Window" not in plan, plan
+    # partial aggregation on the reduce side of the winner groupBy
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """stratified_sample: pure narrow plan — CASE + md5 bucket +
+    sequence/explode; zero exchanges, zero joins."""
+    from omop2obo_spark.operators.textstats import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    plan = _plan(stratified_sample(docs, {"src0": 0.0, "src1": 2.5}))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_sft_spans_single_shuffle(spark):
+    """sft_spans: one conv_id hash exchange shared by the cumulative
+    window; nothing else moves."""
+    from omop2obo_spark.fixtures.generators import transcripts_from_documents
+    from omop2obo_spark.operators.transcript import sft_spans
+
+    tr = transcripts_from_documents(spark, SF)
+    plan = _plan(sft_spans(tr))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
