@@ -863,6 +863,21 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("dedup_fp"), "n_paras", "n_kept")
 
 
+def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (operators/textstats.py:
+    hashed_embedding): md5-slot signed token counts as a dense
+    array<double> — the model-free vectorizer that feeds the ANN /
+    embedding-dedup family straight from text, bit-identical in any
+    engine. Driver shape: the array posexplodes to (doc_id, dim_idx,
+    value) so the value hash covers every component."""
+    from omop2obo_spark.operators.textstats import hashed_embedding
+
+    emb = hashed_embedding(_docs(spark, sf_dir), dim=32)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
+    )
+
+
 def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data export: curation funnel (lang → quality →
     exact dedup → LSH near-dedup) → context-window packing → shard
@@ -1112,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_xent": q_unigram_xent,
         "q_assign_shards": q_assign_shards,
         "q_training_export": q_training_export,
+        "q_hashed_embedding": q_hashed_embedding,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1522,6 +1538,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(n_hits, 0) / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 9) AS contamination_frac
         FROM documents d LEFT JOIN hits USING (doc_id)
+    """
+
+    sqls["q_hashed_embedding"] = """
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS token
+            FROM documents
+        ),
+        sl AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS slot,
+                   CASE WHEN ('0x' || substr(md5(token), 9, 1))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM tok
+        ),
+        agg AS (SELECT doc_id, slot, sum(sgn) AS val FROM sl GROUP BY doc_id, slot),
+        per AS (SELECT doc_id, list(struct_pack(s := slot, v := val)) AS svs
+                FROM agg GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(i AS INT) AS dim_idx,
+               coalesce(list_sum([x.v FOR x IN coalesce(svs, []) IF x.s = i]), 0)::DOUBLE AS value
+        FROM documents d LEFT JOIN per USING (doc_id), UNNEST(range(0, 32)) AS r(i)
     """
 
     sqls["q_assign_shards"] = """

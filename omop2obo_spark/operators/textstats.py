@@ -159,6 +159,65 @@ def top_k_vocabulary(
     return counted.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w))
 
 
+def hashed_embedding(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing-trick vectorizer,
+    Weinberger et al. 2009): every token is hashed into one of ``dim``
+    slots with a +/-1 sign from a second hash bit; the document vector is
+    the signed count per slot — a deterministic, model-free
+    ``array<double>`` that feeds the ANN / embedding-dedup family
+    directly from text. Empty/null documents get the zero vector.
+
+    Hashes are md5-prefix based (NOT xxhash64) so the same embedding is
+    reproducible in any engine — the SQL oracle rebuilds it bit-exactly.
+
+    Scale shape: explode → two map-side-combined aggregations keyed on
+    (doc, slot) then doc; the dense array materializes via
+    map_from_entries + a sequence transform — no UDF, no pivot, no
+    per-dimension columns.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    toks = tokens(F.col(text_col))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("token")), 9, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    slots = (
+        docs.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+        .select(
+            id_col,
+            F.when(F.col("token").isNotNull(), F.pmod(h, F.lit(dim))).alias("slot"),
+            F.when(F.col("token").isNotNull(), sign).alias("sgn"),
+        )
+        .groupBy(id_col, "slot")
+        .agg(F.sum("sgn").alias("val"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("bigint")), F.lit(0)
+        ).cast("double"),
+    )
+    return (
+        slots.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.filter(
+                    F.collect_list(F.struct(F.col("slot"), F.col("val"))),
+                    lambda s: s["slot"].isNotNull(),
+                )
+            ).alias("__m")
+        )
+        .select(id_col, dense.alias("embedding"))
+    )
+
+
 def unigram_logprob_score(
     docs: DataFrame,
     vocab_k: int = 10_000,

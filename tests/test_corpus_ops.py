@@ -684,3 +684,43 @@ def test_assign_shards_layout(spark):
     assert again == sorted(out)
     with pytest.raises(ValueError):
         assign_shards(docs, 0)
+
+
+def test_hashed_embedding_python_replay(spark):
+    """hashed_embedding vs an exact Python replay of the md5 slot/sign
+    hashing; empty and null docs get the zero vector; deterministic under
+    partitioning."""
+    import hashlib
+    import re
+
+    from omop2obo_spark.operators.textstats import hashed_embedding
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "The CAT the cat"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.embedding) for r in hashed_embedding(docs, dim=16).collect()}
+
+    def replay(s, dim=16):
+        v = [0.0] * dim
+        for t in re.split(r"[^a-z0-9']+", (s or "").lower()):
+            if not t:
+                continue
+            hx = hashlib.md5(t.encode()).hexdigest()
+            v[int(hx[:8], 16) % dim] += 1 if int(hx[8], 16) % 2 == 0 else -1
+        return v
+
+    assert set(got) == {1, 2, 3, 4}
+    for i, s in rows:
+        assert got[i] == replay(s), (i, got[i], replay(s))
+    assert got[3] == [0.0] * 16 and got[4] == [0.0] * 16
+    # repeated tokens accumulate (doc 2 has 'the' x2 and 'cat' x2)
+    assert sum(abs(x) for x in got[2]) >= 2.0
+    again = {r.doc_id: list(r.embedding)
+             for r in hashed_embedding(docs.repartition(9), dim=16).collect()}
+    assert again == got
+    with pytest.raises(ValueError):
+        hashed_embedding(docs, dim=0)
