@@ -943,6 +943,18 @@ def q_kg_triples_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline_result(spark, sf_dir, with_similarity=True).triples
 
 
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention PMI graph over the materialized triples
+    (operators/hierarchy.py:entity_cooccurrence) — which ontology
+    entities the SAME conversation maps together, weighted by
+    ln(c_ab*N/(c_a*c_b)). Conv-bounded self-join, map-side pair counts,
+    broadcast entity-count dimension. Oracle: the full kg CTE chain
+    extended with the same co-occurrence SQL."""
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence
+
+    return entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain rollup (A5 family): revenue at (brand, returnflag),
     (brand), and grand-total grains in ONE pass — Spark ``rollup`` ≡ SQL
@@ -1128,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_assign_shards": q_assign_shards,
         "q_training_export": q_training_export,
         "q_hashed_embedding": q_hashed_embedding,
+        "q_entity_cooccurrence": q_entity_cooccurrence,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -2193,6 +2206,24 @@ FROM (
            coalesce(length(text), 0) AS chars
     FROM tr
 )"""
+    )
+    sqls["q_entity_cooccurrence"] = kg_triples_sql(
+        final_select=""", ents AS (
+    SELECT DISTINCT conv_id, obj AS ent FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+tot AS (SELECT count(DISTINCT conv_id) AS n FROM ents),
+ec AS (SELECT ent, count(*) AS c FROM ents GROUP BY ent),
+prs AS (
+    SELECT l.ent AS ent_a, r.ent AS ent_b, count(*) AS n_convs
+    FROM ents l JOIN ents r ON l.conv_id = r.conv_id AND l.ent < r.ent
+    GROUP BY 1, 2
+)
+SELECT ent_a, ent_b, n_convs,
+       round(ln((n_convs * (SELECT n FROM tot)::DOUBLE) / (ca.c * cb.c)), 6) AS pmi
+FROM prs
+JOIN ec ca ON ca.ent = prs.ent_a
+JOIN ec cb ON cb.ent = prs.ent_b"""
     )
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)

@@ -92,3 +92,61 @@ def ancestor_closure(
             break
         n = m
     return r
+
+
+def entity_cooccurrence(
+    triples: DataFrame,
+    preds: tuple[str, ...] = (
+        "omop2obo:hasExactMapping",
+        "omop2obo:hasConstructorMapping",
+    ),
+    min_count: int = 1,
+) -> DataFrame:
+    """Entity co-mention graph over the materialized triples: two ontology
+    entities are connected when one conversation maps to both; edges carry
+    the co-mention count and PMI — log((c_ab·N)/(c_a·c_b)) over
+    conversation counts — the association-strength signal downstream KG
+    analytics (related-concept suggestion, embedding pre-training) reads.
+
+    Returns ``(ent_a, ent_b, n_convs, pmi)`` with ``ent_a < ent_b`` and
+    ``n_convs >= min_count``; PMI is rounded to 6dp (engine-portable).
+
+    Scale shape: the per-conversation entity sets are bounded (a
+    conversation mentions few distinct entities), so the conv-keyed
+    self-join explodes per-conv pairs, not corpus pairs; the pair counts
+    partial-aggregate map-side on the (a, b) key, and the per-entity
+    count dimension (the ontology vocabulary) broadcasts back for the
+    PMI arithmetic. No driver materialization beyond one scalar N.
+    """
+    ents = (
+        triples.filter(F.col("pred").isin(*preds))
+        .select("conv_id", F.col("obj").alias("ent"))
+        .distinct()
+    )
+    n_total = ents.select("conv_id").distinct().count()
+    per_ent = ents.groupBy("ent").agg(F.count("*").alias("c"))
+    l = ents.select("conv_id", F.col("ent").alias("ent_a"))
+    r = ents.select("conv_id", F.col("ent").alias("ent_b"))
+    pairs = (
+        l.join(r, on="conv_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count("*").alias("n_convs"))
+        .filter(F.col("n_convs") >= min_count)
+    )
+    ca = per_ent.select(F.col("ent").alias("ent_a"), F.col("c").alias("__ca"))
+    cb = per_ent.select(F.col("ent").alias("ent_b"), F.col("c").alias("__cb"))
+    return (
+        pairs.join(F.broadcast(ca), on="ent_a")
+        .join(F.broadcast(cb), on="ent_b")
+        .select(
+            "ent_a", "ent_b", "n_convs",
+            F.round(
+                F.log(
+                    (F.col("n_convs") * F.lit(float(n_total)))
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -67,3 +67,48 @@ def test_empty_and_null_edges(spark):
         [("a", None), (None, "b")], "uri string, parent_uri string"
     )
     assert ancestor_closure(df).count() == 0
+
+
+def test_entity_cooccurrence_pmi(spark):
+    """entity_cooccurrence vs a Python replay: pair counts from distinct
+    per-conversation entity sets (duplicate mentions collapse), excluded
+    predicates ignored, PMI = ln(c_ab*N/(c_a*c_b)) rounded to 6dp."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence
+
+    P = "omop2obo:hasExactMapping"
+    rows = [
+        ("c1", 0, "t:m1", P, "obo:A"),
+        ("c1", 1, "t:m2", P, "obo:B"),
+        ("c1", 2, "t:m3", P, "obo:B"),            # dup mention collapses
+        ("c2", 0, "t:m4", P, "obo:A"),
+        ("c2", 1, "t:m5", P, "obo:B"),
+        ("c3", 0, "t:m6", P, "obo:A"),
+        ("c3", 1, "t:m7", P, "obo:C"),
+        ("c4", 0, "t:m8", P, "obo:D"),
+        ("c4", 1, "t:m9", "omop2obo:mentionOf", "obo:E"),  # excluded pred
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+    got = {(r.ent_a, r.ent_b): (r.n_convs, r.pmi) for r in entity_cooccurrence(tr).collect()}
+
+    sets = {}
+    for conv, _i, _s, pred, obj in rows:
+        if pred == P:
+            sets.setdefault(conv, set()).add(obj)
+    n_total = len(sets)
+    c = Counter(e for s in sets.values() for e in s)
+    pc = Counter()
+    for s in sets.values():
+        for a, b in combinations(sorted(s), 2):
+            pc[(a, b)] += 1
+    exp = {
+        k: (v, round(math.log(v * n_total / (c[k[0]] * c[k[1]])), 6))
+        for k, v in pc.items()
+    }
+    assert got == exp
+    assert ("obo:A", "obo:B") in got and got[("obo:A", "obo:B")][0] == 2
