@@ -863,6 +863,28 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5("text").alias("dedup_fp"), "n_paras", "n_kept")
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-refresh dedup (operators/dedup.py:dedup_against,
+    exact phase): new docs are dropped when their normalized content
+    already exists in the kept corpus. Docs >= 250 play the corpus; the
+    new batch is docs < 250 plus case-mangled copies of every 25th
+    corpus doc (which must all be dropped). Corpus side shrinks to
+    distinct hashes before the anti-join; text never shuffles. The near
+    (cross-corpus LSH) phase is pytest-verified on crafted near-dups
+    (test_dedup_against_exact_and_near); its primitives carry their own
+    oracles (q_minhash_signatures, q_ngram_jaccard)."""
+    from omop2obo_spark.operators.dedup import dedup_against
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 250)
+    injected = corpus.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    new = docs.filter(F.col("doc_id") < 250).unionByName(injected)
+    kept = dedup_against(new, corpus)
+    return kept.select("doc_id", F.md5("text").alias("fp"))
+
+
 def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text embeddings (operators/textstats.py:
     hashed_embedding): md5-slot signed token counts as a dense
@@ -1141,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_training_export": q_training_export,
         "q_hashed_embedding": q_hashed_embedding,
         "q_entity_cooccurrence": q_entity_cooccurrence,
+        "q_dedup_against": q_dedup_against,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
@@ -1551,6 +1574,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(n_hits, 0) / CAST(greatest(coalesce(n_grams, 0), 1) AS DOUBLE), 9) AS contamination_frac
         FROM documents d LEFT JOIN hits USING (doc_id)
+    """
+
+    sqls["q_dedup_against"] = """
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+        newd AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 250
+            UNION ALL
+            SELECT doc_id + 10000, upper(text) FROM corpus WHERE doc_id % 25 = 0
+        ),
+        ch AS (
+            SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+            FROM corpus
+        )
+        SELECT doc_id, md5(text) AS fp
+        FROM newd
+        WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) NOT IN (SELECT h FROM ch)
     """
 
     sqls["q_hashed_embedding"] = """

@@ -72,6 +72,25 @@ def minhash_signatures(
     return sig.select(id_col, F.array(*[F.col(f"h{h}") for h in range(n_hashes)]).alias("sig"))
 
 
+def _minhash_band_keys(
+    docs: DataFrame, id_col: str, text_col: str,
+    n_hashes: int, bands: int, k: int, out_id: str,
+) -> DataFrame:
+    """(id, band, key) rows: the MinHash signature split into band hashes
+    — the join key stream both self-LSH and cross-corpus LSH build on."""
+    if bands <= 0 or n_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
+    band_arr = F.array(
+        *[
+            F.md5(F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col).alias(out_id), F.posexplode(band_arr).alias("band", "key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 16, bands: int = 4, k: int = 3,
@@ -83,17 +102,7 @@ def minhash_lsh_pairs(
     (a, b) with a < b, distinct. Verification (exact Jaccard) is the
     caller's choice — chain with :func:`ngram_jaccard_pairs`.
     """
-    if bands <= 0 or n_hashes % bands != 0:
-        raise ValueError(f"bands ({bands}) must divide n_hashes ({n_hashes})")
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, k)
-    band_arr = F.array(
-        *[
-            F.md5(F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), "|"))
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col).alias("doc"), F.posexplode(band_arr).alias("band", "key"))
+    banded = _minhash_band_keys(docs, id_col, text_col, n_hashes, bands, k, "doc")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -443,3 +452,53 @@ def dedup_keep_canonical(
     shuffles."""
     non_heads = clusters.filter(F.col(id_col) != F.col("component")).select(id_col)
     return docs.join(F.broadcast(non_heads), on=id_col, how="left_anti")
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near: bool = False,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (crawl-refresh) dedup: drop new documents whose content
+    already exists in an existing kept ``corpus`` — the primitive that
+    lets each crawl round deduplicate against everything previously kept
+    without re-running dedup over the full history.
+
+    Exact phase (always): anti-join on the 32-char normalized-content
+    hash; the corpus side pre-shrinks to its distinct hashes, text never
+    shuffles. ``near=True`` adds cross-corpus banded MinHash: new-side
+    band keys join corpus-side band keys (never all-pairs), colliding
+    pairs are verified with exact n-gram Jaccard >= ``jaccard_threshold``
+    and verified new docs are dropped by an id anti-join. Near mode
+    requires the two id spaces to be disjoint (the Jaccard verify runs
+    over their union keyed by id).
+
+    Returns surviving ``new_docs`` rows, schema preserved.
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    ch = corpus.select(h.alias("__h")).distinct()
+    kept = (
+        new_docs.withColumn("__h", h)
+        .join(ch, on="__h", how="left_anti")
+        .drop("__h")
+    )
+    if not near:
+        return kept
+    nb = _minhash_band_keys(kept, id_col, text_col, n_hashes, bands, k, "a")
+    ob = _minhash_band_keys(corpus, id_col, text_col, n_hashes, bands, k, "b")
+    cand = nb.join(ob, on=["band", "key"]).select("a", "b").distinct()
+    union_docs = kept.select(
+        F.col(id_col), F.col(text_col)
+    ).unionByName(corpus.select(F.col(id_col), F.col(text_col)))
+    ver = ngram_jaccard_pairs(
+        union_docs, pairs=cand, id_col=id_col, text_col=text_col,
+        k=k, threshold=jaccard_threshold,
+    )
+    dropped = ver.select(F.col("a").alias(id_col)).distinct()
+    return kept.join(dropped, on=id_col, how="left_anti")

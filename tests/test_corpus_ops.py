@@ -724,3 +724,35 @@ def test_hashed_embedding_python_replay(spark):
     assert again == got
     with pytest.raises(ValueError):
         hashed_embedding(docs, dim=0)
+
+
+def test_dedup_against_exact_and_near(spark):
+    """dedup_against: exact phase drops content already in the corpus
+    (normalization-insensitive), near phase additionally drops
+    band-colliding Jaccard-verified near-dups; unrelated docs survive."""
+    from omop2obo_spark.operators.dedup import dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    corpus = spark.createDataFrame(
+        [(1001, base), (1002, "some other long standing corpus document here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "The  QUICK brown fox jumps over the lazy dog again and again until dawn"),  # exact (normalized)
+            (2, base.replace("dawn", "dusk")),   # near-dup of 1001
+            (3, "completely fresh content about spark adaptive query execution"),
+        ],
+        "doc_id long, text string",
+    )
+    exact_kept = sorted(r.doc_id for r in dedup_against(new, corpus).collect())
+    assert exact_kept == [2, 3]
+    near_kept = sorted(
+        r.doc_id
+        for r in dedup_against(
+            new, corpus, near=True, n_hashes=16, bands=8, jaccard_threshold=0.4
+        ).collect()
+    )
+    assert near_kept == [3]
+    # schema preserved
+    assert dedup_against(new, corpus).columns == new.columns
