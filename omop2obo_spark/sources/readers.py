@@ -71,3 +71,46 @@ def read_vocab_map(spark: SparkSession, path: str) -> dict[str, str]:
 def read_lexicon(spark: SparkSession, source: str) -> DataFrame:
     """Ontology lexicon dimension (parquet path or table name)."""
     return spark.read.table(source) if "/" not in source else spark.read.parquet(source)
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str, bad_records_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """Read transcripts from JSON-lines export files (the interchange
+    format most conversation dumps arrive in) with the contract schema
+    enforced and malformed lines quarantined instead of killing the job.
+
+    Returns ``(good, bad)``: ``good`` has the exact contract columns
+    (PERMISSIVE mode — missing fields null, ``ts`` parsed from ISO-8601
+    strings); ``bad`` carries the raw line of every record that failed to
+    parse, for a dead-letter sink. The schema is supplied explicitly so
+    Spark never runs an inference pass over the data (an extra full scan
+    at 100 TB).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(bad_records_col, T.StringType()),
+        ]
+    )
+    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", bad_records_col
+    ).json(path)
+    good = raw.filter(F.col(bad_records_col).isNull()).select(*_TRANSCRIPT_COLS)
+    # the dead-letter frame must reference EVERY contract column, not just
+    # the corrupt-record column: Spark re-parses JSON per consuming plan
+    # with column pruning, and a type-mismatch row only counts as corrupt
+    # when the mismatching field is actually parsed (also sidesteps
+    # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). The partial
+    # parse is useful quarantine context anyway.
+    bad = raw.filter(F.col(bad_records_col).isNotNull()).select(
+        F.col(bad_records_col).alias("raw_line"), *_TRANSCRIPT_COLS
+    )
+    return good, bad

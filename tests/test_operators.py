@@ -346,3 +346,26 @@ def test_range_join_matches_naive_inequality_join(spark):
         ).collect()
     )
     assert got == naive and len(got) > 0
+
+
+def test_read_transcripts_jsonl_good_and_quarantine(spark, tmp_path):
+    """JSONL transcript reader: contract schema enforced, ISO timestamps
+    parsed, malformed lines quarantined to the dead-letter frame."""
+    from omop2obo_spark.sources.readers import read_transcripts_jsonl
+
+    p = tmp_path / "tr.jsonl"
+    p.write_text(
+        '{"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi", "tool": null, "ts": "2026-01-01T00:00:00Z"}\n'
+        '{"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "hello", "ts": "2026-01-01T00:00:05Z"}\n'
+        "this is not json at all\n"
+        '{"conv_id": "c2", "turn_idx": "NOT_AN_INT", "role": "user"}\n'
+    )
+    good, bad = read_transcripts_jsonl(spark, str(p))
+    rows = {(r.conv_id, r.turn_idx): r for r in good.collect()}
+    assert set(rows) == {("c1", 0), ("c1", 1)}
+    assert rows[("c1", 1)].tool is None          # missing field → null
+    assert rows[("c1", 0)].ts is not None
+    assert good.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    bad_rows = [r.raw_line for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("not json" in b for b in bad_rows)
