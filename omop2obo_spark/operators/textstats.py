@@ -159,6 +159,57 @@ def top_k_vocabulary(
     return counted.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w))
 
 
+def compression_ratio(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style compressibility signal: zlib-compressed size over raw
+    UTF-8 size per document. Repetitive/boilerplate text compresses far
+    below normal prose; near-1.0 ratios flag high-entropy noise — the
+    standard band-pass companion to the n-gram repetition filters.
+
+    Returns ``(id_col, raw_bytes, zlib_bytes, compress_ratio)``; empty or
+    null text gets ratio 0.0. The one legitimately non-SQL kernel in the
+    textstats family (no zlib in SQL): an Arrow-batched ``mapInPandas``
+    pass — no shuffle, one scan, deterministic for a fixed zlib level.
+    Pinned by pytest properties (repetitive ≪ prose < random) rather
+    than a DuckDB oracle.
+    """
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("raw_bytes", T.LongType()),
+            T.StructField("zlib_bytes", T.LongType()),
+            T.StructField("compress_ratio", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raws, comps, ratios = [], [], []
+            for s in pdf[text_col]:
+                data = (s or "").encode("utf-8")
+                c = len(zlib.compress(data, 6)) if data else 0
+                raws.append(len(data))
+                comps.append(c)
+                ratios.append(round(c / len(data), 6) if data else 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raws,
+                    "zlib_bytes": comps,
+                    "compress_ratio": ratios,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def hashed_embedding(
     docs: DataFrame,
     dim: int = 64,

@@ -756,3 +756,37 @@ def test_dedup_against_exact_and_near(spark):
     assert near_kept == [3]
     # schema preserved
     assert dedup_against(new, corpus).columns == new.columns
+
+
+def test_compression_ratio_band_pass(spark):
+    """compression_ratio: repetitive text compresses far below prose,
+    prose below random hex; empty/null docs score 0.0; raw_bytes is the
+    UTF-8 length."""
+    import hashlib
+
+    from omop2obo_spark.operators.textstats import compression_ratio
+
+    rand = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(40)
+    )
+    rows = [
+        (1, "buy now " * 200),
+        (2, "The patient presented with intermittent chest pain radiating to "
+            "the left arm, relieved by rest, with no prior cardiac history. "
+            "Examination found regular rhythm and clear lung fields today." * 3),
+        (3, rand),
+        (4, ""),
+        (5, None),
+        (6, "naïve café"),  # multibyte: raw_bytes > len(str)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[1].compress_ratio < 0.05
+    assert got[1].compress_ratio < got[2].compress_ratio < got[3].compress_ratio
+    assert got[3].compress_ratio > 0.5
+    assert (got[4].raw_bytes, got[4].compress_ratio) == (0, 0.0)
+    assert (got[5].raw_bytes, got[5].compress_ratio) == (0, 0.0)
+    assert got[6].raw_bytes == len("naïve café".encode("utf-8"))
+    # deterministic across partitionings
+    again = {r.doc_id: r.compress_ratio for r in compression_ratio(docs.repartition(5)).collect()}
+    assert again == {k: v.compress_ratio for k, v in got.items()}
