@@ -638,14 +638,22 @@ agg_ev AS (
 ),
 meta AS (
     SELECT conv_id, turn_idx, mention_id, ont_type,
-           count(DISTINCT uri_short) AS n_uri, NOT bool_or(is_concept) AS anc
+           count(DISTINCT uri_short) AS n_uri
     FROM kept GROUP BY 1, 2, 3, 4
 ),
+-- '- Ancestor' only when ALL THREE markers appear in the compiled evidence
+-- (the reference's any-not-in dead-branch quirk, data_utils.py:537-541)
 mappings AS MATERIALIZED (
     SELECT meta.conv_id, meta.turn_idx, meta.mention_id, meta.ont_type,
            agg_uri.agg_uri, agg_label.agg_label, agg_ev.agg_evidence,
-           CASE WHEN NOT anc AND n_uri > 1 THEN 'Automatic Constructor - Concept'
-                WHEN NOT anc THEN 'Automatic Exact - Concept'
+           CASE WHEN NOT (coalesce(agg_ev.agg_evidence, '') LIKE '%ANCESTOR_CODE%'
+                          AND coalesce(agg_ev.agg_evidence, '') LIKE '%ANCESTOR_SYNONYM%'
+                          AND coalesce(agg_ev.agg_evidence, '') LIKE '%ANCESTOR_LABEL%')
+                     AND n_uri > 1 THEN 'Automatic Constructor - Concept'
+                WHEN NOT (coalesce(agg_ev.agg_evidence, '') LIKE '%ANCESTOR_CODE%'
+                          AND coalesce(agg_ev.agg_evidence, '') LIKE '%ANCESTOR_SYNONYM%'
+                          AND coalesce(agg_ev.agg_evidence, '') LIKE '%ANCESTOR_LABEL%')
+                     THEN 'Automatic Exact - Concept'
                 WHEN n_uri > 1 THEN 'Automatic Constructor - Ancestor'
                 ELSE 'Automatic Exact - Ancestor' END AS category
     FROM meta

@@ -18,8 +18,9 @@ Semantics reproduced:
   * mapping categories (assigns_mapping_category, data_utils.py:518-548):
     similarity → >1 match = 'Automatic Constructor - Concept' else 'Manual
     Exact - Concept Similarity'; exact → ancestor evidence present =
-    'Automatic {Exact|Constructor} - Ancestor' else '- Concept', plural by
-    #distinct URIs;
+    '- Ancestor' only when ALL of ANCESTOR_CODE/ANCESTOR_SYNONYM/
+    ANCESTOR_LABEL appear in the evidence (the reference's `any(x not in)`
+    dead-branch quirk, :537-541) else '- Concept', plural by #distinct URIs;
   * formatted evidence (formats_mapping_evidence, data_utils.py:458-515):
     ``OBO_DbXref-OMOP_<LVL>_CODE:<prefix>_<id>``,
     ``OBO_<LABEL|synonymType>-OMOP_<LVL>_<LABEL|SYNONYM>:<string>``,
@@ -115,9 +116,23 @@ def compile_exact_mappings(links: DataFrame, key_cols: list[str], level_col: str
             F.filter(F.transform(F.col("__kept"), lambda x: x["uri_short"]), lambda v: v.isNotNull())
         )
     )
-    # levels are only concept/ancestor, and the preference filter keeps
-    # ancestor rows only in ancestor-only groups
-    anc = ~F.exists(F.col("__kept"), lambda x: x["is_concept"])
+    # Reference-exact ancestor detection (data_utils.py:537-541): the
+    # reference's `elif any(x not in map_evidence ...)` check sends a group
+    # to the '- Concept' categories unless ALL THREE markers
+    # (ANCESTOR_CODE, ANCESTOR_SYNONYM, ANCESTOR_LABEL) appear in the
+    # compiled evidence string — an ancestor-only group evidenced by, say,
+    # dbxref alone is labeled '- Concept' by the reference's actual code
+    # even though its docstring implies otherwise. Reproduced faithfully
+    # (like the J9 column-splitter quirk) so emitted category triples match
+    # the reference's output; verified differentially against the
+    # reference's own aggregates_mapping_results in
+    # tests/test_reference_differential.py.
+    evid_str = joined("fmt")
+    anc = (
+        evid_str.contains("ANCESTOR_CODE")
+        & evid_str.contains("ANCESTOR_SYNONYM")
+        & evid_str.contains("ANCESTOR_LABEL")
+    )
     category = (
         F.when(~anc & (n_uri > 1), "Automatic Constructor - Concept")
         .when(~anc, "Automatic Exact - Concept")

@@ -79,8 +79,38 @@ def test_exact_compile_ancestor_categories(spark):
         LINK_SCHEMA,
     )
     out = compile_exact_mappings(links, ["mention_id"]).collect()[0]
-    assert out.AGG_MAPPING == "Automatic Constructor - Ancestor"
+    # reference-exact: dbxref-only ancestor evidence lacks the
+    # ANCESTOR_SYNONYM/ANCESTOR_LABEL markers, so the reference's
+    # assigns_mapping_category any-not-in check (data_utils.py:537-541)
+    # lands in the '- Concept' branch even for ancestor-level links
+    assert out.AGG_MAPPING == "Automatic Constructor - Concept"
     assert out.AGG_URI == "HP_0011276 | HP_0000951"
+
+
+def test_exact_compile_ancestor_category_requires_all_three_markers(spark):
+    # the reference's '- Ancestor' branch is reachable only when the
+    # compiled evidence carries ALL of ANCESTOR_CODE, ANCESTOR_LABEL and
+    # ANCESTOR_SYNONYM (data_utils.py:537-541); a fully-evidenced
+    # ancestor-only group (dbxref + label + synonym matches) gets it
+    links = spark.createDataFrame(
+        [
+            ("m", "ancestor", "snomed:11263005", "ANCESTOR_SOURCE_CODE",
+             "http://purl.obolibrary.org/obo/HP_0011276", "HP", "vascular skin abnormality",
+             "ANCESTOR_DBXREF_snomed:11263005", "dbxref", "DbXref", 0, 0),
+            ("m", "ancestor", "vascular skin abnormality", "ANCESTOR_LABEL",
+             "http://purl.obolibrary.org/obo/HP_0011276", "HP", "vascular skin abnormality",
+             "ANCESTOR_LABEL:vascular skin abnormality", "label", "LABEL", 0, 1),
+            ("m", "ancestor", "vascular skin abnormalities", "ANCESTOR_SYNONYM",
+             "http://purl.obolibrary.org/obo/HP_0011276", "HP", "vascular skin abnormality",
+             "ANCESTOR_SYNONYM:vascular skin abnormalities", "synonym", "hasExactSynonym", 0, 2),
+        ],
+        LINK_SCHEMA,
+    )
+    out = compile_exact_mappings(links, ["mention_id"]).collect()[0]
+    assert out.AGG_MAPPING == "Automatic Exact - Ancestor"
+    assert "ANCESTOR_CODE" in out.AGG_EVIDENCE
+    assert "ANCESTOR_LABEL" in out.AGG_EVIDENCE
+    assert "ANCESTOR_SYNONYM" in out.AGG_EVIDENCE
 
 
 def test_sim_compile_one_short_circuit(spark):
