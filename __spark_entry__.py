@@ -50,6 +50,32 @@ LABELS = sorted((c[2].lower()) for c in LD.CONCEPTS)
 CODES = sorted({d.lower() for c in LD.CONCEPTS for (d, _t) in c[5]})
 
 
+def _xref_rows() -> list[tuple[str, str, str]]:
+    """(uri, ont, normalized code) dbxref dimension for the sameAs bridge:
+    the fixture lexicon's own dbxrefs plus a deterministic mondo→hp
+    overlay (mondo concept i asserts hp concept i's first code — real
+    MONDO xrefs the same SNOMED/UMLS codes HP does, which is exactly the
+    signal the bridge merges on)."""
+    vm = vocab_map_dict()
+
+    def norm(code: str) -> str:
+        p, r = code.split(":", 1)
+        return f"{vm.get(p, p)}:{r.lower()}"
+
+    base = {(LD.OBO + c[1], c[0], norm(code)) for c in LD.CONCEPTS for (code, _t) in c[5]}
+    hp = [c for c in LD.CONCEPTS if c[0] == "hp"]
+    mondo = [c for c in LD.CONCEPTS if c[0] == "mondo"]
+    overlay = {
+        (LD.OBO + mc[1], "mondo", norm(hp[i % len(hp)][5][0][0]))
+        for i, mc in enumerate(mondo)
+        if hp[i % len(hp)][5]
+    }
+    return sorted(base | overlay)
+
+
+XREFS = _xref_rows()
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -977,6 +1003,42 @@ def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
 
 
+def q_sameas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-ontology owl:sameAs bridge
+    (operators/hierarchy.py:sameas_bridge): classes from different
+    ontologies sharing a normalized dbxref merge into identity edges —
+    the inter-ontology identity layer of the constructed graph. Dimension
+    side: the fixture lexicon's dbxrefs plus the deterministic mondo→hp
+    overlay; the pair expansion happens inside each code group (groupBy +
+    collect_set + in-row explode), never a dbxref-table self-join."""
+    from omop2obo_spark.operators.hierarchy import sameas_bridge
+
+    dim = spark.createDataFrame(XREFS, "uri string, ont string, code string")
+    return sameas_bridge(dim)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the entity co-mention
+    graph built from the materialized triples — which ontology entities
+    anchor the corpus's co-mention structure. Edges keep their
+    partitioning across iterations; rank/degree vectors broadcast.
+    Oracle: the full kg CTE chain extended with unrolled iteration CTEs."""
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence, pagerank
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return pagerank(edges, damping=0.85, iterations=3)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-induction round zero
+    (operators/textstats.py:bpe_pair_counts): corpus-wide adjacent
+    character-pair counts inside ASCII-pretokenized words, top-30 merge
+    candidates — the statistic the first BPE merge consumes."""
+    from omop2obo_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=30)
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain rollup (A5 family): revenue at (brand, returnflag),
     (brand), and grand-total grains in ONE pass — Spark ``rollup`` ≡ SQL
@@ -1163,6 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_training_export": q_training_export,
         "q_hashed_embedding": q_hashed_embedding,
         "q_entity_cooccurrence": q_entity_cooccurrence,
+        "q_sameas_bridge": q_sameas_bridge,
+        "q_pagerank": q_pagerank,
+        "q_bpe_pairs": q_bpe_pairs,
         "q_dedup_against": q_dedup_against,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
@@ -2264,6 +2329,83 @@ FROM prs
 JOIN ec ca ON ca.ent = prs.ent_a
 JOIN ec cb ON cb.ent = prs.ent_b"""
     )
+    _xref_sql = _values(XREFS, ["uri", "ont", "code"])
+    sqls["q_sameas_bridge"] = f"""
+        WITH dbx AS (SELECT * FROM {_xref_sql}),
+        mem AS (
+            SELECT DISTINCT code, ont, string_split(uri, '/')[-1] AS sid FROM dbx
+        ),
+        gs AS (
+            SELECT code, count(*) AS sz FROM mem GROUP BY code
+            HAVING count(*) BETWEEN 2 AND 64
+        )
+        SELECT 'obo:' || a.sid AS subj, 'owl:sameAs' AS pred,
+               'obo:' || b.sid AS obj, count(DISTINCT a.code) AS n_shared_codes
+        FROM mem a
+        JOIN mem b ON a.code = b.code AND a.ont < b.ont
+        JOIN gs ON gs.code = a.code
+        GROUP BY 1, 3
+    """
+
+    # PageRank: cooccurrence CTEs + unrolled power-method iterations. The
+    # damping constants are spelled as exact double literals so both
+    # engines compute bit-identical IEEE expressions ((1.0 - 0.85) in
+    # binary is NOT the same double as decimal 0.15).
+    _d = repr(0.85)
+    _omd = repr(1.0 - 0.85)
+    _pr_iters = ""
+    for _i in range(3):
+        _pr_iters += f""",
+r{_i + 1} AS (
+    SELECT d.src,
+           {_omd}::DOUBLE / (SELECT n FROM nn)
+           + {_d}::DOUBLE * coalesce(s.in_sum, 0.0::DOUBLE) AS rank
+    FROM deg d
+    LEFT JOIN (
+        SELECT u.dst AS src, sum(r.rank / dg.deg) AS in_sum
+        FROM und u JOIN r{_i} r ON r.src = u.src JOIN deg dg ON dg.src = u.src
+        GROUP BY u.dst
+    ) s USING (src)
+)"""
+    sqls["q_pagerank"] = kg_triples_sql(
+        final_select=f""", ents AS (
+    SELECT DISTINCT conv_id, obj AS ent FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+prs AS (
+    SELECT l.ent AS ent_a, r.ent AS ent_b
+    FROM ents l JOIN ents r ON l.conv_id = r.conv_id AND l.ent < r.ent
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT ent_a AS src, ent_b AS dst FROM prs
+    UNION
+    SELECT ent_b AS src, ent_a AS dst FROM prs
+),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
+SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
+    )
+
+    sqls["q_bpe_pairs"] = """
+        WITH words AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS w
+            FROM documents
+        ),
+        pairs AS (
+            SELECT substring(w, CAST(i AS INT), 2) AS pair
+            FROM (SELECT w FROM words WHERE length(w) >= 2),
+                 UNNEST(range(1, length(w))) AS t(i)
+        ),
+        counted AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+        SELECT pair, n, rank FROM (
+            SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+            FROM counted
+        ) WHERE rank <= 30
+    """
+
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()

@@ -150,3 +150,121 @@ def entity_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def sameas_bridge(
+    dbxrefs: DataFrame,
+    uri_col: str = "uri",
+    ont_col: str = "ont",
+    code_col: str = "code",
+    max_group: int = 64,
+) -> DataFrame:
+    """Cross-ontology entity resolution: classes from DIFFERENT ontologies
+    that share a normalized dbxref code are merged into ``owl:sameAs``
+    candidate triples — the KG-construction face of the reference's
+    dbxref machinery (the reference resolves clinical codes against one
+    ontology's dbxref dict at a time, ontology_utils.py:88-137; bridging
+    the dictionaries against EACH OTHER is how a multi-ontology graph
+    gets its inter-ontology identity edges).
+
+    Input: one row per ``(uri, ont, code)`` dbxref assertion (codes
+    already normalized by F1/F2). Output:
+    ``(subj, pred, obj, n_shared_codes)`` with ``pred = 'owl:sameAs'``,
+    ``subj/obj = 'obo:<short-id>'``, ``subj``'s ontology strictly before
+    ``obj``'s (each cross-ont pair emitted once), and the count of
+    distinct codes supporting the merge.
+
+    Scale shape: one dimension-scale shuffle on the code key, then the
+    pair expansion happens INSIDE each code group (groupBy +
+    collect_set, never a self-join of the dbxref table with itself —
+    a popular code's group is bounded by ``max_group``, so a hub code
+    like a heavily-xref'd UMLS CUI cannot explode quadratically;
+    oversize groups are dropped, the standard guard for identity hubs
+    that carry no discriminating signal). The pair table that leaves
+    the operator is already aggregated.
+    """
+    from omop2obo_spark.functions.normalize import uri_short_id
+
+    members = (
+        dbxrefs.select(
+            F.col(code_col).alias("code"),
+            F.struct(
+                F.col(ont_col).alias("ont"),
+                uri_short_id(F.col(uri_col)).alias("sid"),
+            ).alias("m"),
+        )
+        .distinct()
+        .groupBy("code")
+        .agg(F.array_sort(F.collect_set("m")).alias("mem"))
+        .filter((F.size("mem") >= 2) & (F.size("mem") <= max_group))
+    )
+    pairs = (
+        members.select("code", F.explode("mem").alias("a"), F.col("mem"))
+        .select("code", "a", F.explode("mem").alias("b"))
+        .filter(F.col("a.ont") < F.col("b.ont"))
+    )
+    return (
+        pairs.groupBy(
+            F.concat(F.lit("obo:"), F.col("a.sid")).alias("subj"),
+            F.concat(F.lit("obo:"), F.col("b.sid")).alias("obj"),
+        )
+        .agg(F.countDistinct("code").alias("n_shared_codes"))
+        .select("subj", F.lit("owl:sameAs").alias("pred"), "obj", "n_shared_codes")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "ent_a",
+    dst_col: str = "ent_b",
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (e.g. the
+    :func:`entity_cooccurrence` graph) — which ontology entities sit at
+    the center of the corpus's co-mention structure. Deterministic by
+    construction (fixed iteration count, terminal rounding), so it can be
+    oracle-checked against unrolled SQL.
+
+    Input edges are symmetrized and deduplicated; every node incident to
+    an edge has out-degree >= 1, so there are no dangling nodes and the
+    per-iteration update is exactly
+    ``r'(v) = (1-d)/n + d * sum_{u->v} r(u)/deg(u)``.
+
+    Scale shape: the edge table keeps its partitioning across all
+    iterations; the rank and degree vectors are node-cardinality
+    (dimension scale for an ontology-entity graph) and broadcast into
+    the join, so each iteration costs one fact-side shuffle (the
+    groupBy on the destination) and no edge re-partitioning.
+    ``localCheckpoint`` per iteration keeps lineage O(1) like
+    :func:`ancestor_closure`.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("src").alias("ent"), F.lit(0.0).alias("rank"))
+    base = (1.0 - damping) / n
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            und.join(F.broadcast(ranks.join(deg, on="src")), on="src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("in_sum"))
+        )
+        ranks = (
+            deg.select("src")
+            .join(contribs.withColumnRenamed("dst", "src"), on="src", how="left")
+            .select(
+                "src",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("src").alias("ent"), F.round("rank", round_dp).alias("rank"))

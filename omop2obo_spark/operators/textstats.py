@@ -526,3 +526,44 @@ def repetition_signals(
         ),
         frac(F.col("__dgdup"), F.col("__dgn")).alias("dup_ngram_frac"),
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 30, text_col: str = "text", min_token_chars: int = 2
+) -> DataFrame:
+    """Tokenizer-induction round zero: count adjacent character pairs
+    inside whitespace words across the corpus and rank the top-k merge
+    candidates — exactly the statistic the first BPE merge consumes
+    (the highest-count pair becomes the first learned merge; repeated
+    rounds alternate re-segmentation with this count).
+
+    Returns ``(pair, n, rank)`` ordered by (count desc, pair asc).
+
+    Words come from the same ASCII pretokenizer as
+    :func:`top_k_vocabulary` (``tokens()``: lower + split on
+    ``[^a-z0-9']+``) so the pair alphabet is engine-portable.
+
+    Scale shape: the pair stream is generated with native HOFs
+    (``sequence`` + ``transform`` + ``explode`` — no UDF, stays inside
+    whole-stage codegen), partially aggregated map-side on the pair key
+    (character-bigram cardinality is tiny, so the combine is near-total),
+    and the top-k is a bounded TakeOrdered like
+    :func:`top_k_vocabulary` — never a global sort of the corpus.
+    """
+    words = docs.select(F.explode(tokens(F.col(text_col))).alias("w")).filter(
+        F.length("w") >= min_token_chars
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    order = [F.desc("n"), F.asc("pair")]
+    w = Window.orderBy(*order)
+    return counted.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w))

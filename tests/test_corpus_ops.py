@@ -790,3 +790,25 @@ def test_compression_ratio_band_pass(spark):
     # deterministic across partitionings
     again = {r.doc_id: r.compress_ratio for r in compression_ratio(docs.repartition(5)).collect()}
     assert again == {k: v.compress_ratio for k, v in got.items()}
+
+
+def test_bpe_pair_counts_model(spark):
+    from collections import Counter
+
+    from omop2obo_spark.operators.textstats import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "THE THEME, the!"), (3, "x"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = [(r.pair, r.n, r.rank) for r in bpe_pair_counts(docs, k=5).collect()]
+
+    words = []
+    for t in ["the cat sat", "the theme, the!", "x", ""]:
+        import re
+
+        words += [w for w in re.split(r"[^a-z0-9']+", t.lower()) if len(w) >= 2]
+    c = Counter(w[i : i + 2] for w in words for i in range(len(w) - 1))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(p, n, i + 1) for i, (p, n) in enumerate(exp)]
+    assert got[0] == ("he", 4, 1)  # ties with 'th' broken by pair asc

@@ -112,3 +112,64 @@ def test_entity_cooccurrence_pmi(spark):
     }
     assert got == exp
     assert ("obo:A", "obo:B") in got and got[("obo:A", "obo:B")][0] == 2
+
+
+def test_sameas_bridge_cross_ont_only_with_hub_guard(spark):
+    from omop2obo_spark.operators.hierarchy import sameas_bridge
+
+    obo = "http://purl.obolibrary.org/obo/"
+    rows = (
+        # code shared hp<->mondo twice (two codes support the same pair)
+        [(obo + "HP_1", "hp", "snomed:1"), (obo + "MONDO_1", "mondo", "snomed:1"),
+         (obo + "HP_1", "hp", "umls:c9"), (obo + "MONDO_1", "mondo", "umls:c9")]
+        # code shared within ONE ontology only -> no sameAs
+        + [(obo + "HP_2", "hp", "snomed:2"), (obo + "HP_3", "hp", "snomed:2")]
+        # three-ontology code -> all cross-ont pairs, ordered by ont
+        + [(obo + "HP_4", "hp", "msh:d1"), (obo + "MONDO_4", "mondo", "msh:d1"),
+           (obo + "CHEBI_4", "chebi", "msh:d1")]
+        # hub code above max_group -> dropped entirely
+        + [(obo + f"HP_{100 + i}", "hp", "umls:hub") for i in range(5)]
+        + [(obo + "MONDO_9", "mondo", "umls:hub")]
+    )
+    dim = spark.createDataFrame(rows, "uri string, ont string, code string")
+    got = {
+        (r.subj, r.obj): r.n_shared_codes
+        for r in sameas_bridge(dim, max_group=4).collect()
+    }
+    assert got == {
+        ("obo:HP_1", "obo:MONDO_1"): 2,
+        ("obo:CHEBI_4", "obo:HP_4"): 1,   # ont order: chebi < hp < mondo
+        ("obo:CHEBI_4", "obo:MONDO_4"): 1,
+        ("obo:HP_4", "obo:MONDO_4"): 1,
+    }
+    preds = {r.pred for r in sameas_bridge(dim, max_group=4).collect()}
+    assert preds == {"owl:sameAs"}
+
+
+def test_pagerank_matches_python_power_method(spark):
+    from omop2obo_spark.operators.hierarchy import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {r.ent: r.rank for r in pagerank(df, damping=0.85, iterations=3).collect()}
+
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({x for e in und for x in e})
+    deg = {v: sum(1 for s, _ in und if s == v) for v in nodes}
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        nxt = {}
+        for v in nodes:
+            s = sum(rank[u] / deg[u] for (u, w) in und if w == v)
+            nxt[v] = (1.0 - 0.85) / n + 0.85 * s
+        rank = nxt
+    exp = {v: round(rank[v], 9) for v in nodes}
+    assert set(got) == set(exp)
+    for v in nodes:
+        assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])
+    # ranks form a probability distribution (no dangling mass loss)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
