@@ -1039,6 +1039,38 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), k=30)
 
 
+def q_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal byte-identity dedup
+    (operators/multimodal.py:content_key_dedup) over deterministic fake
+    media payloads derived from doc_id (97 distinct payloads → duplicate
+    groups). The payload bytes never shuffle — only (id, md5 key)."""
+    from omop2obo_spark.operators.multimodal import content_key_dedup
+
+    assets = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.sha2(
+                F.concat(F.lit("m:"), F.pmod(F.col("doc_id"), F.lit(97)).cast("string")),
+                256,
+            ),
+            "utf-8",
+        ).alias("media"),
+    )
+    return content_key_dedup(assets)
+
+
+def q_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples serialization of the materialized graph
+    (sources/export.py:ntriple_lines): CURIE → absolute-IRI expansion,
+    IRI-vs-literal object dispatch, N-Triples literal escaping — all
+    native expressions at the scan, no shuffle."""
+    from omop2obo_spark.sources.export import ntriple_lines
+
+    return ntriple_lines(
+        _pipeline_result(spark, sf_dir).triples.select("subj", "pred", "obj")
+    )
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain rollup (A5 family): revenue at (brand, returnflag),
     (brand), and grand-total grains in ONE pass — Spark ``rollup`` ≡ SQL
@@ -1228,6 +1260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sameas_bridge": q_sameas_bridge,
         "q_pagerank": q_pagerank,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_binary_dedup": q_binary_dedup,
+        "q_ntriples": q_ntriples,
         "q_dedup_against": q_dedup_against,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
@@ -2405,6 +2439,52 @@ SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
             FROM counted
         ) WHERE rank <= 30
     """
+
+    sqls["q_binary_dedup"] = """
+        WITH assets AS (
+            SELECT doc_id AS asset_id,
+                   sha256('m:' || CAST(doc_id % 97 AS VARCHAR)) AS payload
+            FROM documents
+        ),
+        keyed AS (SELECT asset_id, md5(payload) AS content_key FROM assets)
+        SELECT asset_id, content_key,
+               min(asset_id) OVER (PARTITION BY content_key) AS canonical_id,
+               count(*) OVER (PARTITION BY content_key) AS group_size
+        FROM keyed
+    """
+
+    # N-Triples serialization twin: same prefix expansion, IRI-vs-literal
+    # dispatch, and escape chain as sources/export.py:ntriple_lines
+    from omop2obo_spark.sources.export import NT_PREFIXES
+
+    def _nt_expand_sql(c: str) -> str:
+        branches = " ".join(
+            f"WHEN {c} LIKE '{p}%' THEN '{base}' || substring({c}, {len(p) + 1})"
+            for p, base in NT_PREFIXES.items()
+        )
+        return f"(CASE {branches} ELSE {c} END)"
+
+    _is_iri = " OR ".join(f"obj LIKE '{p}%'" for p in NT_PREFIXES)
+    _esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'),"
+        " chr(9), '\\t')"
+    )
+    sqls["q_ntriples"] = kg_triples_sql(
+        final_select=f""", all_triples AS (
+    SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )
+)
+SELECT '<' || {_nt_expand_sql("subj")} || '> <' || {_nt_expand_sql("pred")} || '> '
+       || CASE WHEN {_is_iri} THEN '<' || {_nt_expand_sql("obj")} || '>'
+               ELSE '"' || {_esc} || '"' END
+       || ' .' AS line
+FROM all_triples"""
+    )
 
     sqls["q_kg_triples"] = kg_triples_sql()
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)

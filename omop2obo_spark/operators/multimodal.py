@@ -127,3 +127,31 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, max_frames: int = 8) 
 
     vids = assets.filter(F.col("media_type") == "video")
     return vids.select("asset_id", "duration_ms", "media").mapInPandas(run, FRAME_SCHEMA)
+
+
+def content_key_dedup(
+    assets: DataFrame, id_col: str = "asset_id", binary_col: str = "media"
+) -> DataFrame:
+    """Exact byte-identity dedup for opaque media payloads — the
+    multimodal twin of ``operators.dedup.exact_dedup``: md5 over the
+    binary column, min-id canonical winner per key.
+
+    Output: ``(id_col, content_key, canonical_id, group_size)``.
+
+    Scale shape: the payload bytes NEVER shuffle — only the id and the
+    32-hex-char key move (at 100 TB of media the payload column is the
+    entire dataset; hashing at the scan and exchanging keys is the only
+    viable plan). One shuffle on the content key via a window, exactly
+    like the text-side exact dedup.
+    """
+    from pyspark.sql.window import Window
+
+    keyed = assets.select(
+        F.col(id_col), F.md5(F.col(binary_col)).alias("content_key")
+    )
+    w = Window.partitionBy("content_key")
+    return (
+        keyed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(id_col, "content_key", "canonical_id", "group_size")
+    )

@@ -15,7 +15,7 @@ The reference ships wide CSV mapping files and per-concept JSON exports
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -47,3 +47,66 @@ def explode_result_types(df: DataFrame, result_col: str = "RESULT_TYPE") -> Data
     packed = F.col(result_col).isNotNull() & F.col(result_col).contains("/")
     parts = F.when(packed, F.split(F.col(result_col), "/")).otherwise(F.array(F.col(result_col)))
     return df.withColumn(result_col, F.explode(parts))
+
+
+# ---------------------------------------------------------------------------
+# RDF N-Triples serialization (the standards-conformant face of the triple
+# sink — S7's graph output as consumable RDF, one line per triple)
+# ---------------------------------------------------------------------------
+
+# CURIE prefix → absolute IRI base. obo:/owl: are the public namespaces;
+# transcript:/omop2obo: are this engine's own output namespaces.
+NT_PREFIXES = {
+    "obo:": "http://purl.obolibrary.org/obo/",
+    "owl:": "http://www.w3.org/2002/07/owl#",
+    "omop2obo:": "https://w3id.org/omop2obo/",
+    "transcript:": "https://w3id.org/omop2obo/transcript/",
+    "umls:": "https://w3id.org/omop2obo/umls/",
+}
+
+
+def _nt_escape(col: Column) -> Column:
+    """N-Triples literal escaping: backslash first, then quote/LF/CR/TAB."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', r'\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    return out
+
+
+def _nt_expand(col: Column) -> Column:
+    expr = None
+    for pfx, base in NT_PREFIXES.items():
+        branch = F.concat(F.lit(base), F.substring(col, len(pfx) + 1, 1 << 24))
+        cond = col.startswith(pfx)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return expr.otherwise(col)
+
+
+def ntriple_lines(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj) → one N-Triples line per row (column ``line``).
+
+    Subjects/predicates are CURIEs expanded via :data:`NT_PREFIXES`;
+    objects are IRIs when they carry a known CURIE prefix, otherwise
+    escaped literals (mapping categories, evidence strings). Pure native
+    expressions — serialization happens at the scan, no shuffle; pair
+    with ``df.write.text`` for the partitioned sink.
+    """
+    is_iri = None
+    for pfx in NT_PREFIXES:
+        c = F.col("obj").startswith(pfx)
+        is_iri = c if is_iri is None else (is_iri | c)
+    obj_term = F.when(
+        is_iri, F.concat(F.lit("<"), _nt_expand(F.col("obj")), F.lit(">"))
+    ).otherwise(F.concat(F.lit('"'), _nt_escape(F.col("obj")), F.lit('"')))
+    line = F.concat(
+        F.lit("<"), _nt_expand(F.col("subj")), F.lit("> <"),
+        _nt_expand(F.col("pred")), F.lit("> "), obj_term, F.lit(" ."),
+    )
+    return triples.select(line.alias("line"))
+
+
+def export_ntriples(triples: DataFrame, path: str) -> None:
+    """Write the graph as partitioned N-Triples text files."""
+    ntriple_lines(triples).write.mode("overwrite").text(path)

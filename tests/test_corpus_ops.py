@@ -812,3 +812,18 @@ def test_bpe_pair_counts_model(spark):
     exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == [(p, n, i + 1) for i, (p, n) in enumerate(exp)]
     assert got[0] == ("he", 4, 1)  # ties with 'th' broken by pair asc
+
+
+def test_content_key_dedup_groups_identical_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.operators.multimodal import content_key_dedup
+
+    assets = spark.range(10).select(
+        F.col("id").alias("asset_id"),
+        F.encode(F.pmod(F.col("id"), F.lit(3)).cast("string"), "utf-8").alias("media"),
+    )
+    rows = {r.asset_id: (r.canonical_id, r.group_size) for r in content_key_dedup(assets).collect()}
+    # payload = id % 3 -> canonical is the smallest id in each residue class
+    for i in range(10):
+        assert rows[i] == (i % 3, 4 if i % 3 == 0 else 3)

@@ -30,3 +30,42 @@ def test_explode_result_types(spark):
         ("m2", "Negative"), ("m2", "Positive"),
         ("m3", "Plain"),
     ]
+
+
+def test_ntriple_lines_iri_literal_and_escaping(spark):
+    from omop2obo_spark.sources.export import ntriple_lines
+
+    triples = spark.createDataFrame(
+        [
+            ("transcript:c1:0:m1", "omop2obo:hasExactMapping", "obo:HP_0008181"),
+            ("obo:HP_1", "owl:sameAs", "obo:MONDO_1"),
+            ("transcript:c1:0:m1", "omop2obo:hasMappingCategory",
+             'tricky "quoted" \\ back\nline\ttab'),
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = {r.line for r in ntriple_lines(triples).collect()}
+    assert (
+        "<https://w3id.org/omop2obo/transcript/c1:0:m1> "
+        "<https://w3id.org/omop2obo/hasExactMapping> "
+        "<http://purl.obolibrary.org/obo/HP_0008181> ." in lines
+    )
+    assert (
+        "<http://purl.obolibrary.org/obo/HP_1> "
+        "<http://www.w3.org/2002/07/owl#sameAs> "
+        "<http://purl.obolibrary.org/obo/MONDO_1> ." in lines
+    )
+    lit = next(l for l in lines if "hasMappingCategory" in l)
+    assert lit.endswith('"tricky \\"quoted\\" \\\\ back\\nline\\ttab" .')
+
+
+def test_export_ntriples_roundtrip(spark, tmp_path):
+    from omop2obo_spark.sources.export import export_ntriples
+
+    triples = spark.createDataFrame(
+        [("obo:A", "owl:sameAs", "obo:B")], "subj string, pred string, obj string"
+    )
+    out = str(tmp_path / "nt")
+    export_ntriples(triples, out)
+    got = spark.read.text(out).collect()
+    assert len(got) == 1 and got[0].value.endswith("> .")
