@@ -220,6 +220,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 3,
     round_dp: int = 9,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list (e.g. the
     :func:`entity_cooccurrence` graph) — which ontology entities sit at
@@ -245,7 +246,9 @@ def pagerank(
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
     )
-    deg = und.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
     n = deg.count()
     if n == 0:
         return deg.select(F.col("src").alias("ent"), F.lit(0.0).alias("rank"))
@@ -253,18 +256,19 @@ def pagerank(
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
         contribs = (
-            und.join(F.broadcast(ranks.join(deg, on="src")), on="src")
+            und.join(F.broadcast(ranks.join(F.broadcast(deg), on="src")), on="src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("in_sum"))
         )
         ranks = (
             deg.select("src")
-            .join(contribs.withColumnRenamed("dst", "src"), on="src", how="left")
+            .join(F.broadcast(contribs.withColumnRenamed("dst", "src")), on="src", how="left")
             .select(
                 "src",
                 (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("src").alias("ent"), F.round("rank", round_dp).alias("rank"))

@@ -225,3 +225,47 @@ def test_sft_spans_single_shuffle(spark):
     tr = transcripts_from_documents(spark, SF)
     plan = _plan(sft_spans(tr))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sameas_bridge_single_shuffle_no_self_join(spark):
+    """The sameAs bridge shuffles once on the code key (groupBy +
+    collect_set) plus the final pair aggregation — the pair expansion is
+    an in-row explode, never a join of the dbxref table with itself."""
+    from omop2obo_spark.operators.hierarchy import sameas_bridge
+
+    dim = spark.createDataFrame(
+        [("http://purl.obolibrary.org/obo/HP_1", "hp", "snomed:1"),
+         ("http://purl.obolibrary.org/obo/MONDO_1", "mondo", "snomed:1")],
+        "uri string, ont string, code string",
+    )
+    plan = _plan(sameas_bridge(dim))
+    assert "Join" not in plan, plan
+    # distinct + groupBy(code) + groupBy(pair): bounded, join-free
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_pagerank_broadcasts_rank_vector_edges_never_sort_merge(spark):
+    """Each PageRank iteration joins the edge table against the broadcast
+    rank/degree vectors — the edge side must never enter a sort-merge
+    join (at 100 TB the edge table is fact-scale; re-sorting it per
+    iteration would dominate)."""
+    from omop2obo_spark.operators.hierarchy import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "ent_a string, ent_b string"
+    )
+    plan = _plan(pagerank(edges, iterations=2, checkpoint=False))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ntriple_lines_no_exchange(spark):
+    """Serialization is a pure projection: the N-Triples plan adds no
+    shuffle over the triple scan."""
+    from omop2obo_spark.sources.export import ntriple_lines
+
+    triples = spark.createDataFrame(
+        [("obo:A", "owl:sameAs", "obo:B")], "subj string, pred string, obj string"
+    )
+    plan = _plan(ntriple_lines(triples))
+    assert "Exchange" not in plan, plan
