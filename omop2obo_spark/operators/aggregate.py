@@ -71,6 +71,10 @@ def grouped_pivot_agg(
     input column ``X_ONT_Y``, the output column is ``X_G_Y``
     (data_utils.py:222: ``x.replace('ONT', grp)``), except Spark pivot
     yields ``G_X_ONT_Y`` — we rename to the reference layout afterwards.
+    A (key, type) combination with no input rows yields NULL, matching
+    the reference's outer-merge NaN (differentially verified in
+    tests/test_reference_differential_primitives.py) — the pivot's empty
+    collect_list would otherwise surface as ''.
 
     Always pass ``type_values`` at scale to skip pivot-value discovery.
     """
@@ -89,7 +93,12 @@ def grouped_pivot_agg(
             if c.endswith("_" + a):
                 grp = c[: -(len(a) + 1)]
                 renames[c] = a.replace(rename_token, grp)
-    out = pivoted
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
+    out = pivoted.select(
+        key,
+        *[
+            F.nullif(F.col(c), F.lit("")).alias(renames.get(c, c))
+            for c in pivoted.columns
+            if c != key
+        ],
+    )
     return out
