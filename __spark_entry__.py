@@ -1071,6 +1071,28 @@ def q_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic N-way train/val/test split
+    (operators/textstats.py:hash_split): md5-band assignment, leak-free
+    under corpus growth, pure projection."""
+    from omop2obo_spark.operators.textstats import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring
+    (operators/textstats.py:linear_quality_score): sigmoid of a linear
+    model over the feature-hashed document vector; weights are plan-side
+    literal constants, never joined."""
+    from omop2obo_spark.operators.textstats import linear_quality_score
+
+    return linear_quality_score(_docs(spark, sf_dir), dim=32)
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-grain rollup (A5 family): revenue at (brand, returnflag),
     (brand), and grand-total grains in ONE pass — Spark ``rollup`` ≡ SQL
@@ -1262,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_binary_dedup": q_binary_dedup,
         "q_ntriples": q_ntriples,
+        "q_hash_split": q_hash_split,
+        "q_quality_model": q_quality_model,
         "q_dedup_against": q_dedup_against,
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
@@ -2438,6 +2462,55 @@ SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
             SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
             FROM counted
         ) WHERE rank <= 30
+    """
+
+    # thresholds replicate hash_split's cumulative float accumulation
+    # exactly (0.9 + 0.05 in IEEE is not decimal 0.95)
+    _acc1 = 0.9
+    _acc2 = _acc1 + 0.05
+    sqls["q_hash_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN b < {int(_acc1 * 2**32)} THEN 'train'
+                    WHEN b < {int(_acc2 * 2**32)} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5('split0|' || doc_id::VARCHAR), 1, 8))::BIGINT AS b
+            FROM documents
+        )
+    """
+
+    import hashlib as _hl
+
+    _w32 = [
+        ((int(_hl.md5(f"w0|{j}".encode()).hexdigest()[:8], 16) % 2001) - 1000) / 1000.0
+        for j in range(32)
+    ]
+    _w_arr = "[" + ", ".join(repr(x) for x in _w32) + "]"
+    sqls["q_quality_model"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS token
+            FROM documents
+        ),
+        sl AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS slot,
+                   CASE WHEN ('0x' || substr(md5(token), 9, 1))::INT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+            FROM tok
+        ),
+        agg AS (SELECT doc_id, slot, sum(sgn) AS val FROM sl GROUP BY doc_id, slot),
+        w AS (SELECT {_w_arr}::DOUBLE[] AS wv),
+        dots AS (
+            SELECT doc_id,
+                   sum(val * wv[slot + 1]) AS dot,
+                   sum(abs(val))::DOUBLE AS l1
+            FROM agg, w GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(coalesce(dot, 0.0)
+                     / greatest(coalesce(l1, 0.0), 1.0)))), 9) AS quality_score
+        FROM documents d LEFT JOIN dots USING (doc_id)
     """
 
     sqls["q_binary_dedup"] = """

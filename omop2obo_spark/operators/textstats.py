@@ -567,3 +567,83 @@ def bpe_pair_counts(
     order = [F.desc("n"), F.asc("pair")]
     w = Window.orderBy(*order)
     return counted.orderBy(*order).limit(k).withColumn("rank", F.row_number().over(w))
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split0",
+) -> DataFrame:
+    """Deterministic N-way train/val/test assignment: the md5 fraction of
+    ``salt|key`` lands in one of the cumulative weight bands. The
+    generalization of :func:`hash_sample` from keep/drop to labeled
+    splits — reproducible across runs, partitionings, and engines, and
+    leak-free by construction (a key's split never changes when the
+    corpus grows, so yesterday's validation docs cannot drift into
+    today's training set).
+
+    ``weights`` must sum to 1 (1e-9 tolerance); returns the input plus a
+    ``split`` column. Pure projection — no shuffle.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < F.lit(int(acc * 2**32))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", expr)
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_salt: str = "w0",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over the
+    feature-hashed document vector — ``sigmoid(w . x / n_tokens)`` with a
+    deterministic md5-derived weight vector (stand-in for trained
+    fasttext-style quality weights; swap ``weight_salt`` for a real
+    weight table without touching the plan shape).
+
+    Scale shape: :func:`hashed_embedding` provides the (doc, slot, count)
+    aggregation; the dot product is a ``zip_with`` + ``aggregate`` over
+    the dense array with the weight vector inlined as a literal array —
+    the weights are model-side constants, broadcast implicitly in the
+    plan, never joined.
+    """
+    import hashlib
+
+    w = [
+        ((int(hashlib.md5(f"{weight_salt}|{j}".encode()).hexdigest()[:8], 16) % 2001) - 1000)
+        / 1000.0
+        for j in range(dim)
+    ]
+    emb = hashed_embedding(docs, dim=dim, id_col=id_col, text_col=text_col)
+    warr = F.array(*[F.lit(x) for x in w])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), warr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n_tok = F.greatest(
+        F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, v: acc + F.abs(v)),
+        F.lit(1.0),
+    )
+    z = dot / n_tok
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return emb.select(id_col, F.round(score, round_dp).alias("quality_score"))

@@ -827,3 +827,53 @@ def test_content_key_dedup_groups_identical_payloads(spark):
     # payload = id % 3 -> canonical is the smallest id in each residue class
     for i in range(10):
         assert rows[i] == (i % 3, 4 if i % 3 == 0 else 3)
+
+
+def test_hash_split_weights_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.operators.textstats import hash_split
+
+    docs = spark.range(4000).select(F.col("id").alias("doc_id"))
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    # leak-free growth: a doc keeps its split when the corpus doubles
+    small = {r.doc_id: r.split for r in hash_split(
+        spark.range(2000).select(F.col("id").alias("doc_id")),
+        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    big = {r.doc_id: r.split for r in out.collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_split(docs, {"a": 0.5, "b": 0.6})
+
+
+def test_linear_quality_score_python_replay(spark):
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from omop2obo_spark.operators.textstats import linear_quality_score
+
+    texts = {1: "the cat sat on the mat", 2: "lorem ipsum dolor", 3: "", 4: None}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r.quality_score for r in linear_quality_score(docs, dim=8).collect()}
+
+    w = [((int(hashlib.md5(f"w0|{j}".encode()).hexdigest()[:8], 16) % 2001) - 1000) / 1000.0
+         for j in range(8)]
+    for did, text in texts.items():
+        toks = [t for t in re.split(r"[^a-z0-9']+", (text or "").lower()) if t]
+        vec = Counter()
+        for t in toks:
+            slot = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 8
+            sgn = 1 if int(hashlib.md5(t.encode()).hexdigest()[8], 16) % 2 == 0 else -1
+            vec[slot] += sgn
+        dot = sum(v * w[s] for s, v in vec.items())
+        l1 = max(sum(abs(v) for v in vec.values()), 1.0)
+        exp = round(1.0 / (1.0 + math.exp(-dot / l1)), 9)
+        assert abs(got[did] - exp) < 1e-9, (did, got[did], exp)
+    assert got[3] == 0.5 and got[4] == 0.5  # empty/null -> zero vector
