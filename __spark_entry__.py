@@ -1225,6 +1225,22 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph release regression (operators/hierarchy.py:triple_diff):
+    per-predicate added/removed triple counts between two builds of the
+    graph — here the exact-tier build vs a with-similarity build that
+    dropped every 7th turn (a deterministic partial-rerun: the sim tier
+    ADDS triples, the dropped turns REMOVE them, so both columns are
+    exercised). Two anti-joins on the full triple key + per-pred counts."""
+    from omop2obo_spark.operators.hierarchy import triple_diff
+
+    before = _pipeline_result(spark, sf_dir).triples
+    after = _pipeline_result(spark, sf_dir, with_similarity=True).triples.filter(
+        F.col("turn_idx") % 7 != 0
+    )
+    return triple_diff(before, after)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_pricing_summary": q_pricing_summary,
@@ -1291,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
         "q_graph_stats": q_graph_stats,
+        "q_triple_diff": q_triple_diff,
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
@@ -2563,6 +2580,44 @@ FROM all_triples"""
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
     sqls["q_graph_stats"] = graph_stats_sql()
+    sqls["q_triple_diff"] = kg_triples_sql(
+        include_sim=True,
+        final_select=""", before_t AS (
+    SELECT DISTINCT subj, pred, obj FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )
+),
+after_t AS (
+    SELECT DISTINCT subj, pred, obj FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+        UNION ALL SELECT * FROM s_uri_triples
+        UNION ALL SELECT * FROM s_meta_triples
+    ) WHERE turn_idx % 7 <> 0
+),
+added AS (
+    SELECT pred, count(*) AS n_added
+    FROM (SELECT * FROM after_t EXCEPT SELECT * FROM before_t) GROUP BY pred
+),
+removed AS (
+    SELECT pred, count(*) AS n_removed
+    FROM (SELECT * FROM before_t EXCEPT SELECT * FROM after_t) GROUP BY pred
+),
+preds AS (
+    SELECT pred FROM after_t UNION SELECT pred FROM before_t
+)
+SELECT preds.pred,
+       coalesce(n_added, 0) AS n_added,
+       coalesce(n_removed, 0) AS n_removed
+FROM preds
+LEFT JOIN added USING (pred)
+LEFT JOIN removed USING (pred)""",
+    )
     sqls["q_hierarchy_rollup"] = hierarchy_rollup_sql()
     sqls["q_ancestor_closure"] = """
         WITH RECURSIVE edges AS (

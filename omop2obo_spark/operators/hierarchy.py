@@ -272,3 +272,39 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("src").alias("ent"), F.round("rank", round_dp).alias("rank"))
+
+
+def triple_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Graph release regression: per-predicate added/removed triple counts
+    between two materialized graphs (two pipeline runs, two engine
+    versions, before/after an ontology release). The check a production
+    KG pipeline runs before promoting a new build — a predicate whose
+    count swings unexpectedly is the first regression signal.
+
+    Input frames need (subj, pred, obj); triples are compared as sets.
+    Returns ``(pred, n_added, n_removed)`` for every predicate present
+    in either side (zeros included).
+
+    Scale shape: two anti-joins on the full triple key followed by
+    map-side-combined per-predicate counts — the triple tables shuffle
+    once each on (subj, pred, obj); no driver materialization.
+    """
+    b = before.select("subj", "pred", "obj").distinct()
+    a = after.select("subj", "pred", "obj").distinct()
+    key = ["subj", "pred", "obj"]
+    added = a.join(b, on=key, how="left_anti").groupBy("pred").agg(
+        F.count("*").alias("n_added")
+    )
+    removed = b.join(a, on=key, how="left_anti").groupBy("pred").agg(
+        F.count("*").alias("n_removed")
+    )
+    preds = a.select("pred").union(b.select("pred")).distinct()
+    return (
+        preds.join(added, on="pred", how="left")
+        .join(removed, on="pred", how="left")
+        .select(
+            "pred",
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -173,3 +173,34 @@ def test_pagerank_matches_python_power_method(spark):
         assert abs(got[v] - exp[v]) < 1e-9, (v, got[v], exp[v])
     # ranks form a probability distribution (no dangling mass loss)
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_triple_diff_per_pred_added_removed(spark):
+    from omop2obo_spark.operators.hierarchy import triple_diff
+
+    before = spark.createDataFrame(
+        [
+            ("s1", "p_keep", "o1"),      # unchanged
+            ("s2", "p_mixed", "o2"),     # removed
+            ("s3", "p_mixed", "o3"),     # unchanged
+            ("s4", "p_gone", "o4"),      # predicate disappears entirely
+            ("s4", "p_gone", "o4"),      # duplicate row: sets, not bags
+        ],
+        "subj string, pred string, obj string",
+    )
+    after = spark.createDataFrame(
+        [
+            ("s1", "p_keep", "o1"),
+            ("s3", "p_mixed", "o3"),
+            ("s5", "p_mixed", "o5"),     # added under existing pred
+            ("s6", "p_new", "o6"),       # brand-new predicate
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {r.pred: (r.n_added, r.n_removed) for r in triple_diff(before, after).collect()}
+    assert got == {
+        "p_keep": (0, 0),
+        "p_mixed": (1, 1),
+        "p_gone": (0, 1),
+        "p_new": (1, 0),
+    }
