@@ -155,3 +155,65 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|v| / 127``,
+    ``q_i = floor(v_i / scale + 0.5)`` (half-up — spelled as ``floor``
+    so every engine computes the identical double before truncating).
+    Returns ``(id, qvec array<int>, scale double)`` with
+    ``v_i ≈ q_i * scale`` and ``|q_i * scale - v_i| ≤ scale / 2``.
+
+    The 100 TB rationale: a float32 embedding column is the dominant
+    byte-weight of a vector corpus; int8 cuts scan + shuffle + cache
+    bytes 4× while cosine ordering degrades only marginally (cosine is
+    scale-invariant, so the per-vector scale never even needs to ship
+    for ranking). All native expressions — no UDF, no shuffle.
+    """
+    mx = F.greatest(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+        ),
+        F.lit(1e-12),
+    )
+    with_s = vectors.withColumn("__mx", mx)
+    return with_s.select(
+        id_col,
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v * 127.0 / F.col("__mx") + 0.5).cast("int"),
+        ).alias("qvec"),
+        (F.col("__mx") / 127.0).alias("scale"),
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors: quantize
+    both sides (:func:`quantize_int8`), rank by the quantized cosine.
+    Scales cancel in cosine, so ranking reads ONLY the int8 arrays —
+    the scan that on a 100 TB corpus moves a quarter of the bytes of
+    the float path. Output: (query_id, vec_id, qcos, rank).
+    """
+    qv = quantize_int8(vectors, id_col, vec_col)
+    qq = quantize_int8(queries, query_id_col, vec_col).select(
+        query_id_col, F.col("qvec").alias("__qq")
+    )
+    joined = qv.join(F.broadcast(qq), on=F.col(id_col) != F.col(query_id_col))
+    as_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    scored = joined.select(
+        query_id_col, id_col,
+        F.round(cosine(as_d(F.col("qvec")), as_d(F.col("__qq"))), 6).alias("qcos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("qcos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

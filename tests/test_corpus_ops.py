@@ -877,3 +877,46 @@ def test_linear_quality_score_python_replay(spark):
         exp = round(1.0 / (1.0 + math.exp(-dot / l1)), 9)
         assert abs(got[did] - exp) < 1e-9, (did, got[did], exp)
     assert got[3] == 0.5 and got[4] == 0.5  # empty/null -> zero vector
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, emb):
+    from omop2obo_spark.operators.ann import quantize_int8
+
+    v = emb.limit(50).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = quantize_int8(v)
+    joined = v.join(q, "vec_id").select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.transform("qvec", lambda x: x.cast("double") * F.col("scale")),
+                    lambda a, b: F.abs(a - b) / F.col("scale"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("worst")
+    ).collect()[0]
+    # |q_i*scale - v_i| <= scale/2 (+ tiny float slack), and q stays in int8
+    assert joined.worst <= 0.5 + 1e-9
+    mx = q.select(
+        F.max(F.aggregate("qvec", F.lit(0), lambda a, x: F.greatest(a, F.abs(x)))).alias("m")
+    ).collect()[0].m
+    assert mx <= 127
+
+
+def test_quantized_topk_recall_against_brute_force(spark, emb):
+    from omop2obo_spark.operators.ann import quantized_topk
+
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = v.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = brute_force_topk(v, queries, k=5)
+    qt = quantized_topk(v, queries, k=5)
+    bf_set = {(r.query_id, r.vec_id) for r in bf.collect()}
+    qt_set = {(r.query_id, r.vec_id) for r in qt.collect()}
+    recall = len(bf_set & qt_set) / len(bf_set)
+    assert recall >= 0.8, f"int8 recall {recall}"
