@@ -1044,6 +1044,25 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop subgraph extraction (operators/hierarchy.py:k_hop): BFS
+    min-distance (≤2 hops) from every MONDO entity over the co-mention
+    graph — "everything within two hops of these entities", the first
+    interactive query against the materialized KG. Frontier broadcasts
+    per round; edges keep their partitioning. Oracle: kg CTE chain +
+    unrolled per-hop CTEs."""
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence, k_hop
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    nodes = (
+        edges.select(F.col("ent_a").alias("ent"))
+        .union(edges.select(F.col("ent_b").alias("ent")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("ent").startswith("obo:MONDO_"))
+    return k_hop(edges, seeds, k=2)
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-induction round zero
     (operators/textstats.py:bpe_pair_counts): corpus-wide adjacent
@@ -1313,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_cooccurrence": q_entity_cooccurrence,
         "q_sameas_bridge": q_sameas_bridge,
         "q_pagerank": q_pagerank,
+        "q_k_hop": q_k_hop,
         "q_bpe_pairs": q_bpe_pairs,
         "q_binary_dedup": q_binary_dedup,
         "q_ntriples": q_ntriples,
@@ -2505,6 +2525,35 @@ r0 AS (SELECT src, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
 SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
     )
 
+    sqls["q_k_hop"] = kg_triples_sql(
+        final_select=""", ents AS (
+    SELECT DISTINCT conv_id, obj AS ent FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+prs AS (
+    SELECT l.ent AS ent_a, r.ent AS ent_b
+    FROM ents l JOIN ents r ON l.conv_id = r.conv_id AND l.ent < r.ent
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT ent_a AS src, ent_b AS dst FROM prs
+    UNION
+    SELECT ent_b AS src, ent_a AS dst FROM prs
+),
+h0 AS (SELECT DISTINCT src AS ent FROM und WHERE starts_with(src, 'obo:MONDO_')),
+h1 AS (
+    SELECT DISTINCT u.dst AS ent FROM und u JOIN h0 ON u.src = h0.ent
+    WHERE u.dst NOT IN (SELECT ent FROM h0)
+),
+h2 AS (
+    SELECT DISTINCT u.dst AS ent FROM und u JOIN h1 ON u.src = h1.ent
+    WHERE u.dst NOT IN (SELECT ent FROM h0)
+      AND u.dst NOT IN (SELECT ent FROM h1)
+)
+SELECT ent, 0 AS hop FROM h0
+UNION ALL SELECT ent, 1 AS hop FROM h1
+UNION ALL SELECT ent, 2 AS hop FROM h2"""
+    )
     sqls["q_bpe_pairs"] = """
         WITH words AS (
             SELECT unnest(list_filter(

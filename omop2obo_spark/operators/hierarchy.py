@@ -308,3 +308,45 @@ def triple_diff(before: DataFrame, after: DataFrame) -> DataFrame:
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src_col: str = "ent_a",
+    dst_col: str = "ent_b",
+) -> DataFrame:
+    """K-hop neighborhood extraction: BFS over the undirected entity
+    graph from a seed set, returning ``(ent, hop)`` with hop = shortest
+    distance from any seed (0 for the seeds themselves), bounded at k.
+    The subgraph-extraction primitive behind "show me everything within
+    two hops of these entities" — the first interactive query against a
+    materialized KG.
+
+    Exactly k rounds; each round joins the edge table against the
+    current frontier. The frontier of a seed query is small relative to
+    the graph, so it broadcasts; the edge table keeps its partitioning
+    across rounds (one hash exchange on src, reused). Visited-set
+    subtraction is an anti-join on the entity key. For frontier sizes
+    approaching the graph itself, drop the broadcast hint and let AQE
+    pick the join side.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    visited = seeds.select(F.col("ent"), F.lit(0).alias("hop")).distinct()
+    frontier = visited.select("ent")
+    for i in range(1, k + 1):
+        nxt = (
+            und.join(F.broadcast(frontier), und.src == frontier.ent)
+            .select(F.col("dst").alias("ent"))
+            .distinct()
+            .join(visited.select("ent"), on="ent", how="left_anti")
+            .withColumn("hop", F.lit(i))
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = visited.filter(F.col("hop") == i).select("ent")
+    return visited

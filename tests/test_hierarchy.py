@@ -204,3 +204,17 @@ def test_triple_diff_per_pred_added_removed(spark):
         "p_gone": (0, 1),
         "p_new": (1, 0),
     }
+
+
+def test_k_hop_min_distance_multi_seed(spark):
+    from omop2obo_spark.operators.hierarchy import k_hop
+
+    #   a-b-c-d-e   f-g  (disconnected),  seeds {a, f}
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g")]
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    seeds = spark.createDataFrame([("a",), ("f",)], "ent string")
+    got = {r.ent: r.hop for r in k_hop(df, seeds, k=2).collect()}
+    assert got == {"a": 0, "f": 0, "b": 1, "g": 1, "c": 2}
+    # k=0 returns just the seeds
+    got0 = {r.ent: r.hop for r in k_hop(df, seeds, k=0).collect()}
+    assert got0 == {"a": 0, "f": 0}
