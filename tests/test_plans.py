@@ -269,3 +269,48 @@ def test_ntriple_lines_no_exchange(spark):
     )
     plan = _plan(ntriple_lines(triples))
     assert "Exchange" not in plan, plan
+
+
+def test_quantized_topk_broadcasts_query_side_no_python(spark):
+    """The int8 ranking scan must broadcast the (small) query side and
+    stay fully native — no Python/Arrow eval node, no sort-merge join:
+    at 100 TB the vector table is the scan and must never shuffle."""
+    from omop2obo_spark.operators.ann import quantized_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, -0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(quantized_topk(vecs, queries, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_k_hop_frontier_broadcast_edges_never_sort_merge(spark):
+    """Each BFS round joins the edge table against the broadcast
+    frontier; the edge table must never enter a sort-merge join (it is
+    fact-scale at 100 TB and would be re-sorted per round)."""
+    from omop2obo_spark.operators.hierarchy import k_hop
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "ent_a string, ent_b string"
+    )
+    seeds = spark.createDataFrame([("a",)], "ent string")
+    plan = _plan(k_hop(edges, seeds, k=2))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_triple_diff_anti_joins_counts_partial(spark):
+    """The graph diff is two anti-joins plus per-predicate counts with
+    map-side partial aggregation (partial_count before the exchange)."""
+    from omop2obo_spark.operators.hierarchy import triple_diff
+
+    t = spark.createDataFrame(
+        [("s", "p", "o")], "subj string, pred string, obj string"
+    )
+    plan = _plan(triple_diff(t, t))
+    assert "partial_count" in plan or "partial count" in plan, plan
