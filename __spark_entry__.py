@@ -2189,14 +2189,16 @@ def oracle_sql() -> dict[str, str]:
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 3),
         scored AS (
+            -- mirror the Spark side exactly: rank by cos rounded to 6
+            -- (brute_force_topk), display re-rounded to 4 (the query)
             SELECT q.query_id, v.vec_id,
                    round(list_dot_product(v.e, q.qv) /
-                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos6
             FROM v, q WHERE v.vec_id <> q.query_id
         )
-        SELECT query_id, vec_id, cos, rk AS rank
+        SELECT query_id, vec_id, round(cos6, 4) AS cos, rk AS rank
         FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC) AS rk
             FROM scored
         )
         WHERE rk <= 5
