@@ -316,6 +316,7 @@ def k_hop(
     k: int = 2,
     src_col: str = "ent_a",
     dst_col: str = "ent_b",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """K-hop neighborhood extraction: BFS over the undirected entity
     graph from a seed set, returning ``(ent, hop)`` with hop = shortest
@@ -344,9 +345,15 @@ def k_hop(
             und.join(F.broadcast(frontier), und.src == frontier.ent)
             .select(F.col("dst").alias("ent"))
             .distinct()
-            .join(visited.select("ent"), on="ent", how="left_anti")
+            # visited is bounded by the neighborhood size (same broadcast
+            # assumption as the frontier) — hint it so the subtraction is
+            # never a sort-merge join over the expansion
+            .join(F.broadcast(visited.select("ent")), on="ent", how="left_anti")
             .withColumn("hop", F.lit(i))
         )
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt)
+        if checkpoint:
+            # bound lineage per round (k rounds of join-on-join otherwise)
+            visited = visited.localCheckpoint(eager=True)
         frontier = visited.filter(F.col("hop") == i).select("ent")
     return visited

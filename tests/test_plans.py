@@ -300,8 +300,9 @@ def test_k_hop_frontier_broadcast_edges_never_sort_merge(spark):
         [("a", "b"), ("b", "c"), ("c", "d")], "ent_a string, ent_b string"
     )
     seeds = spark.createDataFrame([("a",)], "ent string")
-    plan = _plan(k_hop(edges, seeds, k=2))
+    plan = _plan(k_hop(edges, seeds, k=2, checkpoint=False))
     assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
 
 
 def test_triple_diff_anti_joins_counts_partial(spark):
