@@ -199,23 +199,33 @@ def distributed_query_stats(
     ``dfq`` aggregates over the existing hash distribution (no second
     exchange) and the norms join co-locates with it.
 
-    The gram-partitioned table feeds three consumers — the per-gram
-    document frequencies, the ontology-vocab collect, and the norms join —
-    so it is ``persist()``-ed (MEMORY_AND_DISK, spillable) to run the
-    distinct+explode lineage exactly once instead of once per consumer.
+    The deduped doc table and the gram-partitioned tf table each feed
+    multiple consumers (n_docs count + explode; per-gram document
+    frequencies, the ontology-vocab collect, and the norms join), so both
+    are ``persist()``-ed (MEMORY_AND_DISK, spillable) to run the
+    dedup/explode lineage exactly once instead of once per consumer.
     The cached frames are attached to the returned norms DataFrame as
     ``norms.cached_inputs``; callers that know when scoring has fully
     executed (e.g. the pipeline's mappings checkpoint) should unpersist
     them.
     """
     spark = queries.sparkSession
-    distinct_docs = (
-        queries.select(F.col(tokens_col).alias("toks")).where(F.size("toks") > 0).distinct()
+    # dedup on the md5 corpus key (the reference's key, F7) BEFORE the
+    # gram explode: the distinct shuffles fixed 32-char keys instead of
+    # hashing full token arrays, and n_docs becomes a count of this cached
+    # table — the previous shape paid a whole extra shuffle of the (k, g,
+    # tf) table (|docs| × |grams| rows) just to count distinct keys.
+    key = F.md5(F.concat_ws("\x01", F.col(tokens_col)))
+    docs_k = (
+        queries.select(key.alias("k"), F.col(tokens_col).alias("toks"))
+        .where(F.size("toks") > 0)
+        .dropDuplicates(["k"])
+        .persist()
     )
+    n_docs = docs_k.count()
 
-    key = F.md5(F.concat_ws("\x01", F.col("toks")))
     tf = (
-        distinct_docs.select(key.alias("k"), F.explode(ngrams_expr(F.col("toks"))).alias("g"))
+        docs_k.select("k", F.explode(ngrams_expr(F.col("toks"))).alias("g"))
         .groupBy("k", "g")
         .agg(F.count("*").alias("tf"))
         .repartition("g")
@@ -240,10 +250,6 @@ def distributed_query_stats(
     ).collect()
     ont_vocab_query_df = {r.g: int(r.dfq) for r in ont_vocab_rows}
 
-    # distinct doc-key count over the cached tf (every kept doc has >=1
-    # unigram, so every doc key appears) — no re-run of the text lineage
-    n_docs = tf.select("k").distinct().count()
-
     n_total = n_docs + len(ont_corpus)
     idf = F.log((1.0 + n_total) / (1.0 + F.col("dfq") + F.coalesce(F.col("dfo"), F.lit(0)))) + 1.0
     norms = (
@@ -253,7 +259,7 @@ def distributed_query_stats(
         .groupBy("k")
         .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     )
-    norms.cached_inputs = [tf, dfq]
+    norms.cached_inputs = [tf, dfq, docs_k]
     return norms, ont_vocab_query_df, n_docs
 
 
