@@ -1032,6 +1032,21 @@ def q_sameas_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sameas_bridge(dim)
 
 
+def q_propagate_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapping propagation through the sameAs identity layer
+    (operators/hierarchy.py:propagate_sameas): hasExact/hasConstructor
+    mapping triples composed with the dbxref-derived owl:sameAs bridge
+    yield hasInferredMapping triples, minus anything already asserted.
+    The bridge is dimension-scale and broadcasts; the anti-join keys on
+    skew-free subj. Oracle: kg CTE chain + bridge SQL + composition."""
+    from omop2obo_spark.operators.hierarchy import propagate_sameas, sameas_bridge
+
+    dim = spark.createDataFrame(XREFS, "uri string, ont string, code string")
+    bridge = sameas_bridge(dim)
+    triples = _pipeline_result(spark, sf_dir).triples
+    return propagate_sameas(triples, bridge)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 fixed iterations, d=0.85) over the entity co-mention
     graph built from the materialized triples — which ontology entities
@@ -1332,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_cooccurrence": q_entity_cooccurrence,
         "q_sameas_bridge": q_sameas_bridge,
         "q_pagerank": q_pagerank,
+        "q_propagate_sameas": q_propagate_sameas,
         "q_k_hop": q_k_hop,
         "q_bpe_pairs": q_bpe_pairs,
         "q_binary_dedup": q_binary_dedup,
@@ -2485,6 +2501,34 @@ JOIN ec cb ON cb.ent = prs.ent_b"""
         JOIN gs ON gs.code = a.code
         GROUP BY 1, 3
     """
+
+    sqls["q_propagate_sameas"] = kg_triples_sql(
+        final_select=f""", dbx AS (SELECT * FROM {_xref_sql}),
+mem AS (SELECT DISTINCT code, ont, string_split(uri, '/')[-1] AS sid FROM dbx),
+gs AS (
+    SELECT code FROM mem GROUP BY code HAVING count(*) BETWEEN 2 AND 64
+),
+sa AS (
+    SELECT DISTINCT 'obo:' || a.sid AS s, 'obo:' || b.sid AS o
+    FROM mem a
+    JOIN mem b ON a.code = b.code AND a.ont < b.ont
+    JOIN gs ON gs.code = a.code
+),
+eq AS (SELECT s AS x, o AS y FROM sa UNION SELECT o AS x, s AS y FROM sa),
+maps AS (
+    SELECT subj, obj FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+inf AS (
+    SELECT DISTINCT m.subj, 'omop2obo:hasInferredMapping' AS pred, eq.y AS obj
+    FROM maps m JOIN eq ON m.obj = eq.x
+),
+asserted AS (SELECT DISTINCT subj, obj FROM maps)
+SELECT i.subj, i.pred, i.obj
+FROM inf i
+LEFT JOIN asserted a ON a.subj = i.subj AND a.obj = i.obj
+WHERE a.subj IS NULL"""
+    )
 
     # PageRank: cooccurrence CTEs + unrolled power-method iterations. The
     # damping constants are spelled as exact double literals so both

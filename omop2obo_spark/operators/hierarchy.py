@@ -357,3 +357,44 @@ def k_hop(
             visited = visited.localCheckpoint(eager=True)
         frontier = visited.filter(F.col("hop") == i).select("ent")
     return visited
+
+
+def propagate_sameas(
+    triples: DataFrame,
+    sameas: DataFrame,
+    mapping_preds: tuple[str, ...] = (
+        "omop2obo:hasExactMapping",
+        "omop2obo:hasConstructorMapping",
+    ),
+    pred_out: str = "omop2obo:hasInferredMapping",
+) -> DataFrame:
+    """Mapping propagation through the identity layer: compose
+    ``(mention) -[hasExactMapping]-> X`` with ``X -[owl:sameAs]-> Y`` to
+    infer ``(mention) -[hasInferredMapping]-> Y`` — how a graph built
+    against one ontology gains cross-ontology coverage from the sameAs
+    bridge without re-running entity linking.
+
+    ``sameas`` needs (subj, pred, obj) rows with pred='owl:sameAs' (the
+    :func:`sameas_bridge` output); the equivalence is applied in both
+    directions. Pairs where ANY mapping edge (subj→Y) already exists are
+    dropped — inference never duplicates an asserted mapping.
+
+    Scale shape: the sameAs table is dimension-scale (bounded by the
+    ontologies, not the corpus) and broadcasts; the mapping triples scan
+    once through the broadcast join; the anti-join against asserted
+    (subj, obj) pairs is keyed on high-cardinality skew-free subj.
+    """
+    eq = sameas.filter(F.col("pred") == "owl:sameAs").select("subj", "obj")
+    eq = (
+        eq.union(eq.select(F.col("obj").alias("subj"), F.col("subj").alias("obj")))
+        .distinct()
+        .select(F.col("subj").alias("__x"), F.col("obj").alias("__y"))
+    )
+    maps = triples.filter(F.col("pred").isin(*mapping_preds))
+    inferred = (
+        maps.join(F.broadcast(eq), maps.obj == F.col("__x"))
+        .select("subj", F.lit(pred_out).alias("pred"), F.col("__y").alias("obj"))
+        .distinct()
+    )
+    asserted = maps.select("subj", "obj")
+    return inferred.join(asserted, on=["subj", "obj"], how="left_anti")

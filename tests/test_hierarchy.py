@@ -218,3 +218,27 @@ def test_k_hop_min_distance_multi_seed(spark):
     # k=0 returns just the seeds
     got0 = {r.ent: r.hop for r in k_hop(df, seeds, k=0).collect()}
     assert got0 == {"a": 0, "f": 0}
+
+
+def test_propagate_sameas_infers_and_skips_asserted(spark):
+    from omop2obo_spark.operators.hierarchy import propagate_sameas
+
+    triples = spark.createDataFrame(
+        [
+            ("m1", "omop2obo:hasExactMapping", "obo:HP_1"),
+            ("m2", "omop2obo:hasConstructorMapping", "obo:MONDO_2"),
+            ("m2", "omop2obo:hasExactMapping", "obo:HP_2"),   # asserted both ways
+            ("m3", "omop2obo:hasEvidence", "obo:HP_1"),       # non-mapping pred: ignored
+        ],
+        "subj string, pred string, obj string",
+    )
+    sameas = spark.createDataFrame(
+        [("obo:HP_1", "owl:sameAs", "obo:MONDO_1"),
+         ("obo:HP_2", "owl:sameAs", "obo:MONDO_2")],
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.pred, r.obj) for r in propagate_sameas(triples, sameas).collect()}
+    assert got == {
+        ("m1", "omop2obo:hasInferredMapping", "obo:MONDO_1"),
+        # m2: HP_2->MONDO_2 suppressed (asserted), MONDO_2->HP_2 suppressed too
+    }
