@@ -39,3 +39,42 @@ def test_submit_args_defaults_and_resume_contract():
         "--with-similarity", "--run-id", "r1",
     ])
     assert (b.buckets, b.batch_partitions, b.with_similarity, b.run_id) == (8, 2, True, "r1")
+
+
+def test_spark_submit_end_to_end_then_resume(tmp_path):
+    """The REAL launch shape, not a simulation: package --py-files, run
+    ``spark-submit`` as a subprocess against sf0.001, assert triples
+    land with a per-partition manifest — then rerun the identical
+    command and assert every bucket is skipped (checkpoint-resume)."""
+    import json
+    import shutil
+    import subprocess
+    import pytest
+
+    if shutil.which("spark-submit") is None:
+        pytest.skip("spark-submit not on PATH")
+
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    out_dir = str(tmp_path / "graph")
+    cmd = [
+        "spark-submit", "--master", "local[4]", "--py-files", zip_path,
+        os.path.join(repo, "tools", "submit_job.py"),
+        "--transcripts", "/root/testdata/sf0.001",
+        "--output", out_dir, "--lexicon", "fixture", "--buckets", "2",
+    ]
+    env = {**os.environ, "PYTHONPATH": repo}
+
+    def run():
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=560, env=env)
+        assert p.returncode == 0, p.stderr[-2000:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert first["processed"] == [0, 1] and first["rows"] > 0
+    assert os.path.exists(os.path.join(out_dir, "manifest.jsonl"))
+
+    second = run()
+    assert second["processed"] == [] and second["skipped"] == [0, 1]
