@@ -1,10 +1,10 @@
 """Launch-shape tests: --py-files packaging + cluster entrypoint wiring.
 
 The north rule launches the job via ``spark-submit --py-files`` (reference
-runs as a driver script too: /root/reference/main.py:1-40). The heavy
-spark-submit path itself is exercised out-of-band (README "Cluster
-launch"); here we pin the cheap invariants: the zip is importable-shaped,
-and the entrypoint's argument contract stays stable.
+runs as a driver script too: /root/reference/main.py:1-40). Pinned here:
+the zip is importable-shaped, the entrypoint's argument contract stays
+stable, and the REAL spark-submit subprocess runs end-to-end and resumes
+from its manifest.
 """
 
 from __future__ import annotations
