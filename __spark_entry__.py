@@ -346,6 +346,36 @@ def q_mention_exact_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negated_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertion status for term mentions (plans/mention.py:
+    flag_negated_mentions): every 3rd document DENIES its injected label,
+    the rest report it — the NegEx-style preceding-window cue check must
+    mark exactly the denied ones. Co-keyed mention↔turn join + native
+    arrays_overlap; no UDF."""
+    from omop2obo_spark.plans.mention import detect_term_mentions, flag_negated_mentions
+
+    docs = _docs(spark, sf_dir)
+    lab = F.array(*[F.lit(x) for x in LABELS])
+    verb = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(" patient denies ")).otherwise(
+        F.lit(" patient reported ")
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), verb,
+            F.element_at(lab, (F.pmod(F.col("doc_id"), F.lit(_N_LAB)) + 1).cast("int")),
+        ).alias("text"),
+    )
+    t = injected.select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx"), "text"
+    )
+    terms = spark.createDataFrame(TERMS, "surface string, uri string")
+    mentions = detect_term_mentions(t, terms.select("surface"), max_term_tokens=4)
+    return flag_negated_mentions(t, mentions).select(
+        "conv_id", "mention_id", "surface", "is_negated"
+    )
+
+
 def q_dbxref_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG tier B surface: extract code mentions, normalize, link to dbxrefs."""
     docs = _injected_text_spark(_docs(spark, sf_dir))
@@ -1305,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_codes": q_normalize_codes,
         "q_mention_exact_link": q_mention_exact_link,
         "q_dbxref_link": q_dbxref_link,
+        "q_negated_mentions": q_negated_mentions,
         "q_mapping_category": q_mapping_category,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
@@ -1557,6 +1588,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY uri
     """
 
+    _neg_docs = f"""
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' patient denies '
+                        ELSE ' patient reported ' END
+                || ({LABELS_ARR_SQL})[(doc_id % {_N_LAB}) + 1] AS text
+    FROM documents
+"""
+    sqls["q_negated_mentions"] = f"""
+        WITH docs AS ({_neg_docs}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
+            FROM docs
+        ),
+        spans AS ({span_branches}
+        ),
+        matched AS (
+            SELECT s.doc_id, s.pos, s.len, s.surface
+            FROM spans s JOIN {TERMS_SQL.replace("t(", "terms(")} ON s.surface = terms.surface
+        ),
+        kept AS (
+            SELECT DISTINCT a.doc_id, a.pos, a.len, a.surface FROM matched a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM matched b
+                WHERE b.doc_id = a.doc_id AND b.pos <= a.pos
+                  AND b.pos + b.len >= a.pos + a.len AND b.len > a.len
+            )
+        )
+        SELECT CAST(k.doc_id AS VARCHAR) AS conv_id,
+               k.doc_id || ':0:term:' || (k.pos - 1) AS mention_id,
+               k.surface,
+               list_has_any(t[greatest(k.pos - 3, 1):k.pos - 1],
+                            ['no', 'not', 'without', 'denies', 'denied',
+                             'never', 'negative', 'absent']) AS is_negated
+        FROM kept k JOIN toks USING (doc_id)
+    """
     sqls["q_mapping_category"] = mention_spans + """
         SELECT doc_id, count(DISTINCT uri) AS n_uri,
                CASE WHEN count(DISTINCT uri) > 1 THEN 'Automatic Constructor - Concept'

@@ -63,14 +63,20 @@ def detect_term_mentions(
     grams = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.lit(max_term_tokens)),
-            lambda n: F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(F.col("__toks")) - n, F.lit(-1))),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    n.alias("len"),
-                    F.array_join(F.slice(F.col("__toks"), i + 1, n), " ").alias("surface"),
+            # guard short turns: sequence(0, size-n) with size < n would
+            # DESCEND ([0, -1], Spark sequence semantics) and feed slice a
+            # 0 start — a single-token turn must simply yield no n>1 spans
+            lambda n: F.when(
+                F.size(F.col("__toks")) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(F.col("__toks")) - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        n.alias("len"),
+                        F.array_join(F.slice(F.col("__toks"), i + 1, n), " ").alias("surface"),
+                    ),
                 ),
-            ),
+            ).otherwise(F.array()),
         )
     )
     spans = (
@@ -211,4 +217,45 @@ def detect_mentions(
         return detect_mentions_arrow(transcripts, term_dim, max_term_tokens)
     return detect_code_mentions(transcripts).unionByName(
         detect_term_mentions(transcripts, term_dim, max_term_tokens)
+    )
+
+
+NEGATION_CUES = (
+    "no", "not", "without", "denies", "denied", "never", "negative", "absent",
+)
+
+
+def flag_negated_mentions(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    cues: tuple[str, ...] = NEGATION_CUES,
+    window: int = 3,
+) -> DataFrame:
+    """NegEx-style assertion status for detected mentions: a mention is
+    negated when any of the ``window`` tokens immediately preceding its
+    span is a negation cue ("patient denies headache" must NOT assert
+    hasExactMapping the way "patient reported headache" does). The
+    reference maps strings without polarity; this is the assertion layer
+    a clinical KG adds before trusting a triple.
+
+    ``mentions`` needs (conv_id, turn_idx, pos) with pos = 0-based token
+    index from the same tokenizer as :func:`detect_term_mentions`.
+    Returns the mention rows plus ``is_negated``.
+
+    Scale shape: one co-keyed join of mentions against the re-tokenized
+    turn (both sides hash on (conv_id, turn_idx) — skew-free, bounded
+    rows per turn); the cue test is a native ``arrays_overlap`` over a
+    ≤window-token slice, inside whole-stage codegen. No UDF, no
+    broadcast of anything corpus-sized.
+    """
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9']+"), lambda x: x != "")
+    turns = transcripts.select("conv_id", "turn_idx", toks.alias("__toks"))
+    cue_arr = F.array(*[F.lit(c) for c in cues])
+    start = F.greatest(F.col("pos") - F.lit(window) + F.lit(1), F.lit(1))
+    n_prev = F.least(F.lit(window), F.col("pos"))
+    prev = F.slice(F.col("__toks"), start, n_prev)
+    return (
+        mentions.join(turns, on=["conv_id", "turn_idx"])
+        .withColumn("is_negated", F.arrays_overlap(prev, cue_arr))
+        .drop("__toks")
     )

@@ -369,3 +369,60 @@ def test_read_transcripts_jsonl_good_and_quarantine(spark, tmp_path):
     bad_rows = [r.raw_line for r in bad.collect()]
     assert len(bad_rows) == 2
     assert any("not json" in b for b in bad_rows)
+
+
+def test_flag_negated_mentions_window_and_polarity(spark):
+    from omop2obo_spark.plans.mention import detect_term_mentions, flag_negated_mentions
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "patient denies headache today"),
+            ("c1", 1, "patient reported headache again"),
+            ("c2", 0, "no evidence of seizures"),          # cue 2 tokens back
+            ("c2", 1, "the word no appears far far far before headache"),  # outside window
+            ("c3", 0, "headache"),                          # pos 0: nothing precedes
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    terms = spark.createDataFrame(
+        [("headache",), ("seizures",)], "surface string"
+    )
+    m = detect_term_mentions(tr, terms)
+    got = {
+        (r.conv_id, r.turn_idx, r.surface): r.is_negated
+        for r in flag_negated_mentions(tr, m, window=3).collect()
+    }
+    assert got == {
+        ("c1", 0, "headache"): True,
+        ("c1", 1, "headache"): False,
+        ("c2", 0, "seizures"): True,
+        ("c2", 1, "headache"): False,
+        ("c3", 0, "headache"): False,
+    }
+
+
+def test_term_mentions_on_turns_shorter_than_max_ngram(spark):
+    """Regression: a turn with fewer tokens than max_term_tokens used to
+    crash span generation (sequence(0, size-n) descends when size < n and
+    slice() rejects start 0). Single- and zero-token turns must simply
+    yield their possible spans, in BOTH engines."""
+    from omop2obo_spark.plans.mention import detect_mentions_arrow, detect_term_mentions
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "headache"), ("c2", 0, ""), ("c3", 0, "a b"),
+         ("c4", 0, "severe chronic migraine headache pain")],
+        "conv_id string, turn_idx int, text string",
+    )
+    terms = spark.createDataFrame([("headache",), ("a b",)], "surface string")
+    declarative = {
+        (r.conv_id, r.surface, r.pos)
+        for r in detect_term_mentions(tr, terms).collect()
+    }
+    assert declarative == {("c1", "headache", 0), ("c3", "a b", 0),
+                           ("c4", "headache", 3)}
+    arrow = {
+        (r.conv_id, r.surface, r.pos)
+        for r in detect_mentions_arrow(tr, terms).collect()
+        if r.kind == "term"
+    }
+    assert arrow == declarative
