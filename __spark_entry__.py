@@ -1077,6 +1077,20 @@ def q_propagate_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return propagate_sameas(triples, bridge)
 
 
+def q_canonical_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization (operators/hierarchy.py:
+    canonicalize_entities): connected components over the dbxref-derived
+    owl:sameAs graph, every triple rewritten to the component-minimum
+    entity id, merge-duplicates collapsed. Component map broadcasts;
+    one distinct on the rewritten key. Oracle: kg CTE chain + bridge +
+    RECURSIVE min-reachability + rewrite."""
+    from omop2obo_spark.operators.hierarchy import canonicalize_entities, sameas_bridge
+
+    dim = spark.createDataFrame(XREFS, "uri string, ont string, code string")
+    bridge = sameas_bridge(dim)
+    return canonicalize_entities(_pipeline_result(spark, sf_dir).triples, bridge)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 fixed iterations, d=0.85) over the entity co-mention
     graph built from the materialized triples — which ontology entities
@@ -1379,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sameas_bridge": q_sameas_bridge,
         "q_pagerank": q_pagerank,
         "q_propagate_sameas": q_propagate_sameas,
+        "q_canonical_graph": q_canonical_graph,
         "q_k_hop": q_k_hop,
         "q_bpe_pairs": q_bpe_pairs,
         "q_binary_dedup": q_binary_dedup,
@@ -2595,6 +2610,45 @@ SELECT i.subj, i.pred, i.obj
 FROM inf i
 LEFT JOIN asserted a ON a.subj = i.subj AND a.obj = i.obj
 WHERE a.subj IS NULL"""
+    )
+
+    sqls["q_canonical_graph"] = kg_triples_sql(
+        recursive=True,
+        final_select=f""", dbx AS (SELECT * FROM {_xref_sql}),
+mem AS (SELECT DISTINCT code, ont, string_split(uri, '/')[-1] AS sid FROM dbx),
+gs AS (
+    SELECT code FROM mem GROUP BY code HAVING count(*) BETWEEN 2 AND 64
+),
+sa AS (
+    SELECT DISTINCT 'obo:' || a.sid AS s, 'obo:' || b.sid AS o
+    FROM mem a
+    JOIN mem b ON a.code = b.code AND a.ont < b.ont
+    JOIN gs ON gs.code = a.code
+),
+und AS (SELECT s AS src, o AS dst FROM sa UNION SELECT o AS src, s AS dst FROM sa),
+walk AS (
+    SELECT src AS ent, dst AS r FROM und
+    UNION
+    SELECT w.ent, u.dst FROM walk w JOIN und u ON u.src = w.r
+),
+comp AS (
+    SELECT ent, least(ent, min(r)) AS canon FROM walk GROUP BY ent
+),
+base AS (
+    SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )
+)
+SELECT DISTINCT b.conv_id, b.turn_idx,
+       coalesce(cs.canon, b.subj) AS subj,
+       b.pred,
+       coalesce(co.canon, b.obj) AS obj
+FROM base b
+LEFT JOIN comp cs ON cs.ent = b.subj
+LEFT JOIN comp co ON co.ent = b.obj"""
     )
 
     # PageRank: cooccurrence CTEs + unrolled power-method iterations. The

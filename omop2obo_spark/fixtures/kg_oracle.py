@@ -338,7 +338,11 @@ s_mappings AS MATERIALIZED (
 )"""
 
 
-def kg_triples_sql(include_sim: bool = False, final_select: str | None = None) -> str:
+def kg_triples_sql(
+    include_sim: bool = False,
+    final_select: str | None = None,
+    recursive: bool = False,
+) -> str:
     """The full pipeline oracle: DuckDB SQL producing
     (conv_id, turn_idx, subj, pred, obj) — same rows as
     run_pipeline(...).triples over transcripts_from_documents.
@@ -413,8 +417,9 @@ s_meta_triples AS (
     def ont_type_of(col: str) -> str:
         return f"string_split(string_split({col}, '/')[-1], '_')[1]"
 
+    with_kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-WITH
+{with_kw}
 -- stage 0: deterministic transcripts from documents (generators.transcripts_from_documents)
 doctoks AS (
     SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents

@@ -398,3 +398,43 @@ def propagate_sameas(
     )
     asserted = maps.select("subj", "obj")
     return inferred.join(asserted, on=["subj", "obj"], how="left_anti")
+
+
+def canonicalize_entities(triples: DataFrame, sameas: DataFrame) -> DataFrame:
+    """Entity canonicalization through the identity layer: connected
+    components over the ``owl:sameAs`` graph (reusing
+    ``operators.dedup.dedup_clusters`` — min-label propagation with
+    pointer jumping, driver union-find cutover for small pair graphs),
+    then every triple's subj/obj rewritten to its component's minimum
+    entity id. The north rule's "canonicalizes entities" face: after
+    the sameAs bridge merges HP/MONDO/CHEBI duplicates, the graph speaks
+    ONE id per real-world entity.
+
+    Returns the triples with subj/obj rewritten (other columns pass
+    through) and exact duplicates created by the merge collapsed.
+
+    Scale shape: the sameAs component map is dimension-scale (bounded by
+    the ontologies) and broadcasts into two left joins over the triple
+    scan; the only wide exchange is the final distinct on the rewritten
+    triple key.
+    """
+    from omop2obo_spark.operators.dedup import dedup_clusters
+
+    pairs = sameas.filter(F.col("pred") == "owl:sameAs").select(
+        F.col("subj").alias("a"), F.col("obj").alias("b")
+    )
+    comp = dedup_clusters(pairs)
+    cmap = comp.select(F.col("doc_id").alias("__ent"), F.col("component").alias("__canon")).filter(
+        F.col("__ent") != F.col("__canon")
+    )
+    out = triples
+    for c in ("subj", "obj"):
+        m = cmap.select(F.col("__ent").alias(c), F.col("__canon").alias(f"__c_{c}"))
+        out = out.join(F.broadcast(m), on=c, how="left")
+    rewritten = out.select(
+        *[
+            F.coalesce(F.col(f"__c_{c}"), F.col(c)).alias(c) if c in ("subj", "obj") else F.col(c)
+            for c in triples.columns
+        ]
+    )
+    return rewritten.distinct()

@@ -242,3 +242,28 @@ def test_propagate_sameas_infers_and_skips_asserted(spark):
         ("m1", "omop2obo:hasInferredMapping", "obo:MONDO_1"),
         # m2: HP_2->MONDO_2 suppressed (asserted), MONDO_2->HP_2 suppressed too
     }
+
+
+def test_canonicalize_entities_rewrites_components(spark):
+    from omop2obo_spark.operators.hierarchy import canonicalize_entities
+
+    triples = spark.createDataFrame(
+        [
+            ("m1", "omop2obo:hasExactMapping", "obo:MONDO_1"),
+            ("m1", "omop2obo:hasExactMapping", "obo:HP_1"),   # same entity → collapses
+            ("m2", "omop2obo:hasExactMapping", "obo:CHEBI_9"),  # untouched
+            ("obo:MONDO_1", "owl:sameAs", "obo:ZFA_1"),         # subj rewritten too
+        ],
+        "subj string, pred string, obj string",
+    )
+    sameas = spark.createDataFrame(
+        [("obo:HP_1", "owl:sameAs", "obo:MONDO_1"),
+         ("obo:MONDO_1", "owl:sameAs", "obo:ZFA_1")],  # chain: all → obo:HP_1
+        "subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.pred, r.obj) for r in canonicalize_entities(triples, sameas).collect()}
+    assert got == {
+        ("m1", "omop2obo:hasExactMapping", "obo:HP_1"),
+        ("m2", "omop2obo:hasExactMapping", "obo:CHEBI_9"),
+        ("obo:HP_1", "owl:sameAs", "obo:HP_1"),
+    }
