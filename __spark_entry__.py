@@ -1318,6 +1318,27 @@ def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mentions_per_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-payload analytics: mapping-triple volume per speaker
+    role — which side of the conversation carries the clinical signal.
+    Co-keyed (conv_id, turn_idx) join of the mapping triples against the
+    transcript role column (both sides hash the same skew-free key), then
+    a 3-group aggregate. Oracle: kg CTE chain + the generator's
+    turn_idx%3 role rule."""
+    tr = transcripts_from_documents(spark, sf_dir).select("conv_id", "turn_idx", "role")
+    t = _pipeline_result(spark, sf_dir).triples.filter(
+        F.col("pred").isin("omop2obo:hasExactMapping", "omop2obo:hasConstructorMapping")
+    )
+    return (
+        t.join(tr, on=["conv_id", "turn_idx"])
+        .groupBy("role")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
 def q_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph release regression (operators/hierarchy.py:triple_diff):
     per-predicate added/removed triple counts between two builds of the
@@ -1405,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
         "q_graph_stats": q_graph_stats,
+        "q_mentions_per_role": q_mentions_per_role,
         "q_triple_diff": q_triple_diff,
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
@@ -2838,6 +2860,18 @@ FROM all_triples"""
     sqls["q_kg_triples_sim"] = kg_triples_sql(include_sim=True)
     sqls["q_wide_mappings"] = wide_mappings_sql()
     sqls["q_graph_stats"] = graph_stats_sql()
+    sqls["q_mentions_per_role"] = kg_triples_sql(
+        final_select=""", maps AS (
+    SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+)
+SELECT CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+            ELSE 'tool' END AS role,
+       count(*) AS n_triples,
+       count(DISTINCT conv_id) AS n_convs
+FROM maps
+GROUP BY 1"""
+    )
     sqls["q_triple_diff"] = kg_triples_sql(
         include_sim=True,
         final_select=""", before_t AS (
