@@ -722,6 +722,32 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(emb, queries, k=5)
 
 
+def q_ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization quality metric: per-query overlap between the int8
+    top-k and the float32 top-k (recall@5) — the number a vector-store
+    operator watches before switching the 100 TB scan to int8. Both
+    rankings are computed Spark-side and joined on (query_id, vec_id);
+    the oracle recomputes both in SQL."""
+    from omop2obo_spark.operators.ann import brute_force_topk, quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
+    qt = quantized_topk(emb, queries, k=5).select("query_id", "vec_id")
+    hits = bf.join(qt, on=["query_id", "vec_id"], how="left_semi")
+    return (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("h")), on="query_id", how="left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("h"), F.lit(0)) / F.col("n")).alias("recall"),
+        )
+    )
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact all-pairs mode on a
     bounded slice (vec_id < 500): the O(n²) oracle baseline stays at
@@ -1397,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_ann_quantized": q_ann_quantized,
+        "q_ann_quantized_recall": q_ann_quantized_recall,
         "q_hierarchy_rollup": q_hierarchy_rollup,
         "q_ancestor_closure": q_ancestor_closure,
         "q_chunk_turns": q_chunk_turns,
@@ -2348,6 +2375,50 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         WHERE rk <= 5
+    """
+    sqls["q_ann_quantized_recall"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 3),
+        bf_scored AS (
+            SELECT q.query_id, v.vec_id,
+                   round(list_dot_product(v.e, q.qv) /
+                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos6
+            FROM v, q WHERE v.vec_id <> q.query_id
+        ),
+        bf AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id ASC) AS rk
+                FROM bf_scored
+            ) WHERE rk <= 5
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS mx
+            FROM v
+        ),
+        qv AS (
+            SELECT vec_id, list_transform(e, x -> floor(x * 127.0 / mx + 0.5)) AS qa
+            FROM s
+        ),
+        qq AS (SELECT vec_id AS query_id, qa AS qb FROM qv WHERE vec_id < 3),
+        qt_scored AS (
+            SELECT qq.query_id, qv.vec_id,
+                   round(list_dot_product(qv.qa, qq.qb) /
+                         (sqrt(list_dot_product(qv.qa, qv.qa)) *
+                          sqrt(list_dot_product(qq.qb, qq.qb))), 6) AS qcos
+            FROM qv, qq WHERE qv.vec_id <> qq.query_id
+        ),
+        qt AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id ASC) AS rk
+                FROM qt_scored
+            ) WHERE rk <= 5
+        )
+        SELECT bf.query_id,
+               (count(qt.vec_id)::DOUBLE / count(*)) AS recall
+        FROM bf
+        LEFT JOIN qt ON qt.query_id = bf.query_id AND qt.vec_id = bf.vec_id
+        GROUP BY bf.query_id
     """
     sqls["q_embedding_dedup"] = """
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 500),
