@@ -1365,6 +1365,71 @@ def q_mentions_per_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triple_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG index (operators/temporal.py:triple_validity): each
+    distinct (subj, pred, obj) with first/last assertion time (relative
+    seconds since the corpus epoch, tz-portable bigints) and assertion
+    count — the validity-interval table every time-travel / staleness /
+    decay query reads. One co-keyed turn join (3-column transcript
+    projection) + one map-side-combined groupBy on the triple key.
+    Oracle: kg CTE chain + the generator's ts = doc_id*100 + turn_idx
+    rule (fixtures/generators.py:271)."""
+    from omop2obo_spark.operators.temporal import triple_validity
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return triple_validity(_pipeline_result(spark, sf_dir).triples, tr)
+
+
+def q_graph_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time graph snapshot (operators/temporal.py:graph_asof):
+    triples first asserted at or before the corpus midpoint — the KG
+    analogue of Iceberg time travel over the materialized triple tables.
+    Midpoint = min + (max-min)//2 of first_seen_s in pure integer
+    arithmetic (engine-portable); the bounds aggregate broadcasts back
+    through a 1-row cross-join, never a driver collect."""
+    from omop2obo_spark.operators.temporal import graph_asof, triple_validity
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    validity = triple_validity(_pipeline_result(spark, sf_dir).triples, tr)
+    return graph_asof(validity)
+
+
+def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity mention-rate burst detection (operators/temporal.py:
+    entity_bursts): mapping triples bucketed hourly, a bucket is a burst
+    when its count ≥ 3× the trailing-3-bucket mean (integer cross-
+    multiplication, bit-identical across engines). Turn join + (ent,
+    bucket) aggregate + a window bounded per entity by the time range."""
+    from omop2obo_spark.operators.temporal import entity_bursts
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return entity_bursts(_pipeline_result(spark, sf_dir).triples, tr)
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity triangle count + local clustering coefficient over the
+    co-mention graph (operators/hierarchy.py:triangle_counts). The
+    ordered-edge enumeration: canonical a<b rows make (a,b)⋈(b,c) emit
+    each wedge once and the closing (a,c) join confirm each triangle
+    once — no direction blowup, no /6. Oracle: kg CTE chain + edges +
+    the same 3-join in SQL."""
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence, triangle_counts
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return triangle_counts(edges)
+
+
+def q_entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural entity similarity (operators/hierarchy.py:
+    neighbor_jaccard): Jaccard overlap of co-mention neighbor sets for
+    every pair sharing a neighbor — wedge self-join on the shared
+    neighbor (never all-pairs), degree dimension broadcast back."""
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence, neighbor_jaccard
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return neighbor_jaccard(edges)
+
+
 def q_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph release regression (operators/hierarchy.py:triple_diff):
     per-predicate added/removed triple counts between two builds of the
@@ -1454,6 +1519,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wide_mappings": q_wide_mappings,
         "q_graph_stats": q_graph_stats,
         "q_mentions_per_role": q_mentions_per_role,
+        "q_triple_validity": q_triple_validity,
+        "q_graph_asof": q_graph_asof,
+        "q_entity_bursts": q_entity_bursts,
+        "q_triangles": q_triangles,
+        "q_entity_jaccard": q_entity_jaccard,
         "q_triple_diff": q_triple_diff,
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
@@ -2942,6 +3012,123 @@ SELECT CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
        count(DISTINCT conv_id) AS n_convs
 FROM maps
 GROUP BY 1"""
+    )
+    # temporal-KG family: assertion time is the generator's deterministic
+    # ts = epoch + (doc_id*100 + turn_idx) seconds rule
+    # (fixtures/generators.py:271), so relative seconds rebuild from the
+    # conv_id digits — identical to Spark's tz-cancelled unix_seconds diff.
+    _ALL_T = """
+    SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )"""
+    _TV = f""", all_t AS ({_ALL_T}),
+tv AS (
+    SELECT subj, pred, obj,
+           min(rel_s) AS first_seen_s, max(rel_s) AS last_seen_s,
+           count(*) AS n_assertions
+    FROM (
+        SELECT *, CAST(substr(conv_id, 6) AS BIGINT) * 100 + turn_idx AS rel_s
+        FROM all_t
+    )
+    GROUP BY 1, 2, 3
+)"""
+    sqls["q_triple_validity"] = kg_triples_sql(
+        final_select=_TV
+        + """
+SELECT subj, pred, obj, first_seen_s, last_seen_s, n_assertions FROM tv"""
+    )
+    sqls["q_graph_asof"] = kg_triples_sql(
+        final_select=_TV
+        + """,
+bounds AS (SELECT min(first_seen_s) AS mn, max(first_seen_s) AS mx FROM tv)
+SELECT subj, pred, obj, first_seen_s
+FROM tv, bounds
+WHERE first_seen_s <= mn + (mx - mn) // 2"""
+    )
+    sqls["q_entity_bursts"] = kg_triples_sql(
+        final_select=""", ev AS (
+    SELECT obj AS ent,
+           CAST(substr(conv_id, 6) AS BIGINT) * 100 + turn_idx AS rel_s
+    FROM (
+        SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM uri_triples
+        WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+    )
+),
+cnts AS (
+    SELECT ent, rel_s // 3600 AS bucket, count(*) AS n_mentions
+    FROM ev GROUP BY 1, 2
+),
+win AS (
+    SELECT ent, bucket, n_mentions,
+           count(n_mentions) OVER w AS prev_n,
+           CAST(sum(n_mentions) OVER w AS BIGINT) AS prev_sum
+    FROM cnts
+    WINDOW w AS (PARTITION BY ent ORDER BY bucket
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+)
+SELECT ent, bucket, n_mentions,
+       CASE WHEN prev_n = 3 THEN prev_sum END AS prev_sum,
+       (prev_n = 3 AND n_mentions * 3 >= 3 * prev_sum) AS is_burst
+FROM win"""
+    )
+    _COEDGES = """, ents AS (
+    SELECT DISTINCT conv_id, obj AS ent FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+edges AS (
+    SELECT l.ent AS ent_a, r.ent AS ent_b
+    FROM ents l JOIN ents r ON l.conv_id = r.conv_id AND l.ent < r.ent
+    GROUP BY 1, 2
+)"""
+    sqls["q_triangles"] = kg_triples_sql(
+        final_select=_COEDGES
+        + """,
+tri AS (
+    SELECT e1.ent_a, e1.ent_b, e2.ent_b AS ent_c
+    FROM edges e1
+    JOIN edges e2 ON e2.ent_a = e1.ent_b
+    JOIN edges e3 ON e3.ent_a = e1.ent_a AND e3.ent_b = e2.ent_b
+),
+corners AS (
+    SELECT ent_a AS ent FROM tri
+    UNION ALL SELECT ent_b FROM tri
+    UNION ALL SELECT ent_c FROM tri
+),
+pt AS (SELECT ent, count(*) AS n_triangles FROM corners GROUP BY 1),
+deg AS (
+    SELECT ent, count(*) AS degree FROM (
+        SELECT ent_a AS ent FROM edges UNION ALL SELECT ent_b FROM edges
+    ) GROUP BY 1
+)
+SELECT d.ent, d.degree,
+       coalesce(pt.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(pt.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN pt ON pt.ent = d.ent"""
+    )
+    sqls["q_entity_jaccard"] = kg_triples_sql(
+        final_select=_COEDGES
+        + """,
+adj AS (
+    SELECT ent_a AS node, ent_b AS nbr FROM edges
+    UNION ALL SELECT ent_b, ent_a FROM edges
+),
+prs AS (
+    SELECT l.node AS ent_a, r.node AS ent_b, count(*) AS shared
+    FROM adj l JOIN adj r ON l.nbr = r.nbr AND l.node < r.node
+    GROUP BY 1, 2
+),
+deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1)
+SELECT p.ent_a, p.ent_b, p.shared,
+       round(p.shared * 1.0 / (da.d + db.d - p.shared), 6) AS jaccard
+FROM prs p
+JOIN deg da ON da.node = p.ent_a
+JOIN deg db ON db.node = p.ent_b"""
     )
     sqls["q_triple_diff"] = kg_triples_sql(
         include_sim=True,

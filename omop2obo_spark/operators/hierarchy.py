@@ -438,3 +438,106 @@ def canonicalize_entities(triples: DataFrame, sameas: DataFrame) -> DataFrame:
         ]
     )
     return rewritten.distinct()
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-entity triangle participation + local clustering coefficient
+    over an undirected edge list with canonical ``ent_a < ent_b`` rows
+    (the shape :func:`entity_cooccurrence` emits). Triangle density is
+    the standard cohesion signal for a co-mention graph — high-clustering
+    entities sit inside tight concept communities, zero-clustering hubs
+    are promiscuous connectors (often linker noise worth auditing).
+
+    Returns (ent, degree, n_triangles, clustering) for every vertex;
+    clustering = 2·T / (deg·(deg−1)) rounded to 6dp, 0 when deg < 2.
+
+    Scale shape: the classic ordered-edge enumeration — because rows are
+    canonical a<b, joining (a,b)⋈(b,c) yields each wedge a<b<c exactly
+    once, and the closing (a,c) equi-join confirms each triangle exactly
+    once (no division by 6, no direction blowup). Both joins shuffle on
+    single entity keys; skewed hubs are the known hot spot and the
+    standard mitigation (degree-ordered orientation, which this IS —
+    ordering by id approximates it) bounds wedge counts. Per-vertex
+    counts partial-aggregate map-side after a 3-corner explode.
+    """
+    e = edges.select("ent_a", "ent_b")
+    bc = e.select(F.col("ent_a").alias("ent_b"), F.col("ent_b").alias("ent_c"))
+    wedges = e.join(bc, on="ent_b").select("ent_a", "ent_b", "ent_c")
+    closing = e.select("ent_a", F.col("ent_b").alias("ent_c"))
+    tri = wedges.join(closing, on=["ent_a", "ent_c"])
+    corners = tri.select(
+        F.explode(F.array("ent_a", "ent_b", "ent_c")).alias("ent")
+    )
+    per_tri = corners.groupBy("ent").agg(F.count("*").alias("n_triangles"))
+    deg = (
+        e.select(F.col("ent_a").alias("ent"))
+        .unionByName(e.select(F.col("ent_b").alias("ent")))
+        .groupBy("ent")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(per_tri, on="ent", how="left").select(
+        "ent",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                (F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0)))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def neighbor_jaccard(edges: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Structural entity similarity: Jaccard overlap of neighbor sets for
+    every entity pair sharing ≥ ``min_shared`` neighbors in the
+    co-mention graph — "entities used in the same contexts", the
+    graph-native dual of embedding cosine, feeding synonym-candidate
+    and ontology-gap review queues.
+
+    Returns (ent_a, ent_b, shared, jaccard) with ent_a < ent_b;
+    jaccard = shared / (deg_a + deg_b − shared), rounded to 6dp.
+
+    Scale shape: the wedge formulation — adjacency in both directions,
+    self-joined on the shared neighbor, so each co-neighbor pair is
+    counted once per common neighbor and aggregated map-side; never an
+    all-pairs product. Degree is a vertex-cardinality dimension that
+    broadcasts back twice. Hub neighbors quadratically inflate wedges
+    (same hot spot as triangles); cap or sample hub adjacency upstream
+    when a corpus has super-connectors.
+    """
+    adj = edges.select(
+        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
+    )
+    l = adj.select(F.col("node").alias("ent_a"), "nbr")
+    r = adj.select(F.col("node").alias("ent_b"), "nbr")
+    pairs = (
+        l.join(r, on="nbr")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= int(min_shared))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("__d"))
+    da = deg.select(F.col("node").alias("ent_a"), F.col("__d").alias("__da"))
+    db = deg.select(F.col("node").alias("ent_b"), F.col("__d").alias("__db"))
+    return (
+        pairs.join(F.broadcast(da), on="ent_a")
+        .join(F.broadcast(db), on="ent_b")
+        .select(
+            "ent_a",
+            "ent_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("__da") + F.col("__db") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

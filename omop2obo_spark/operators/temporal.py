@@ -147,3 +147,157 @@ def asof_join(
         *left.columns,
         *[F.when(keep, F.col(f"__mp.{c}")).alias(c) for c in right_cols],
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal knowledge graph: assertion-time validity, as-of snapshots, bursts
+# --------------------------------------------------------------------------
+#
+# The reference's mapping table is static; a transcript-fed graph is not —
+# every triple is asserted at the ts of the turn that produced it. These
+# operators give the materialized graph a time axis: per-triple validity
+# intervals (first/last assertion), point-in-time snapshots ("the graph as
+# of T", the KG analogue of Iceberg time travel over the triple tables),
+# and per-entity mention-rate burst detection (which concepts suddenly
+# spike in the stream — drift/incident signal for a curation pipeline).
+
+
+def ts_rel_seconds(ts: Column, origin: str = "2026-01-01 00:00:00") -> Column:
+    """Whole seconds between ``ts`` and ``origin``, timezone-portable:
+    both sides go through the same session-tz interpretation so the tz
+    term cancels, and the result is a plain BIGINT that hashes identically
+    in any engine (raw unix epochs would encode the session timezone)."""
+    return F.unix_seconds(ts.cast("timestamp_ltz")) - F.unix_seconds(
+        F.to_timestamp(F.lit(origin)).cast("timestamp_ltz")
+    )
+
+
+def triple_validity(
+    triples: DataFrame,
+    transcripts: DataFrame,
+    origin: str = "2026-01-01 00:00:00",
+) -> DataFrame:
+    """Per-triple validity interval over assertion time: each distinct
+    (subj, pred, obj) with the relative-seconds timestamp of its first and
+    last asserting turn plus the number of distinct asserting turns.
+
+    This is the temporal index of the graph — downstream snapshot ("as
+    of"), decay-weighting, and staleness queries all read it instead of
+    re-scanning the per-turn triple log.
+
+    Scale shape: the (conv_id, turn_idx) equi-join attaches ts to each
+    triple row — both sides are fact-scale but the key is the maximally
+    high-cardinality skew-free turn key, and the transcript side is
+    projected to (conv_id, turn_idx, ts) only, so the shuffle moves three
+    columns, never text. The groupBy (subj, pred, obj) partial-aggregates
+    min/max/count map-side; output cardinality is the distinct-triple
+    count, far below the assertion log.
+    """
+    turn_ts = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        ts_rel_seconds(F.col("ts"), origin).alias("__rel_s"),
+    )
+    return (
+        triples.select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .join(turn_ts, on=["conv_id", "turn_idx"])
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("__rel_s").alias("first_seen_s"),
+            F.max("__rel_s").alias("last_seen_s"),
+            F.count("*").alias("n_assertions"),
+        )
+    )
+
+
+def graph_asof(validity: DataFrame, cutoff_rel_s: int | None = None) -> DataFrame:
+    """Point-in-time snapshot of the graph: every (subj, pred, obj) first
+    asserted at or before ``cutoff_rel_s`` (relative seconds, same origin
+    as :func:`triple_validity`). ``None`` snapshots at the corpus
+    midpoint — min + (max-min)//2 of first_seen_s, integer arithmetic so
+    any SQL engine lands on the same cutoff.
+
+    Scale shape: with an explicit cutoff this is a pure pushed-down
+    filter over the validity table (no shuffle, no job). The midpoint
+    default costs one scalar aggregate broadcast back via a 1-row
+    cross-join — never a driver collect in the plan consumer's path.
+    """
+    if cutoff_rel_s is not None:
+        return validity.filter(
+            F.col("first_seen_s") <= F.lit(int(cutoff_rel_s))
+        ).select("subj", "pred", "obj", "first_seen_s")
+    bounds = validity.agg(
+        F.min("first_seen_s").alias("__mn"), F.max("first_seen_s").alias("__mx")
+    )
+    return (
+        validity.crossJoin(F.broadcast(bounds))
+        .filter(
+            F.col("first_seen_s")
+            <= F.col("__mn") + F.floor((F.col("__mx") - F.col("__mn")) / F.lit(2))
+        )
+        .select("subj", "pred", "obj", "first_seen_s")
+    )
+
+
+def entity_bursts(
+    triples: DataFrame,
+    transcripts: DataFrame,
+    bucket_s: int = 3600,
+    trail: int = 3,
+    factor_num: int = 3,
+    factor_den: int = 1,
+    preds: tuple[str, ...] = (
+        "omop2obo:hasExactMapping",
+        "omop2obo:hasConstructorMapping",
+    ),
+    origin: str = "2026-01-01 00:00:00",
+) -> DataFrame:
+    """Per-entity mention-rate burst detection over assertion time:
+    mapping triples bucketed into ``bucket_s``-second windows, each
+    (entity, bucket) count compared against the trailing ``trail``
+    observed buckets — a burst is a bucket with a full trailing window
+    whose count ≥ (factor_num/factor_den) × the trailing mean. All
+    comparisons are integer cross-multiplications (cnt·trail·den ≥
+    num·prev_sum), so the flag is bit-identical across engines.
+
+    Returns (ent, bucket, n_mentions, prev_sum, is_burst); ``prev_sum``
+    is the trailing-window total (NULL until ``trail`` buckets exist).
+
+    Scale shape: one turn-key equi-join to attach ts (three-column
+    transcript projection), one partial-aggregated groupBy on
+    (ent, bucket), then a window partitioned by entity — per-entity
+    bucket series are bounded by time range / bucket_s, so no reducer
+    holds more than that many rows regardless of corpus size.
+    """
+    turn_ts = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        ts_rel_seconds(F.col("ts"), origin).alias("__rel_s"),
+    )
+    counts = (
+        triples.filter(F.col("pred").isin(*preds))
+        .select("conv_id", "turn_idx", F.col("obj").alias("ent"))
+        .join(turn_ts, on=["conv_id", "turn_idx"])
+        .groupBy("ent", F.floor(F.col("__rel_s") / F.lit(int(bucket_s))).alias("bucket"))
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    w = (
+        Window.partitionBy("ent")
+        .orderBy("bucket")
+        .rowsBetween(-int(trail), -1)
+    )
+    prev_n = F.count("n_mentions").over(w)
+    prev_sum = F.sum("n_mentions").over(w)
+    return counts.select(
+        "ent",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_mentions",
+        F.when(prev_n == int(trail), prev_sum).alias("prev_sum"),
+        (
+            (prev_n == int(trail))
+            & (
+                F.col("n_mentions") * F.lit(int(trail) * int(factor_den))
+                >= F.lit(int(factor_num)) * prev_sum
+            )
+        ).alias("is_burst"),
+    )

@@ -1,0 +1,150 @@
+"""Temporal-KG operators (operators/temporal.py) and graph structure
+operators (operators/hierarchy.py:triangle_counts/neighbor_jaccard) on
+hand-computed fixtures. The oracle harness covers the same operators
+end-to-end over the pipeline's triples; these pin the per-operator
+semantics on graphs small enough to verify by eye."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+ORIGIN = "2026-01-01 00:00:00"
+
+
+def _transcripts(spark, rows):
+    """rows: (conv_id, turn_idx, rel_seconds)."""
+    base = datetime(2026, 1, 1)
+    return spark.createDataFrame(
+        [(c, t, None, None, None, base + timedelta(seconds=s))
+         for (c, t, s) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+
+
+def test_triple_validity_intervals(spark):
+    from omop2obo_spark.operators.temporal import triple_validity
+
+    tr = _transcripts(spark, [("c1", 0, 10), ("c1", 1, 20), ("c2", 0, 500)])
+    tp = _triples(
+        spark,
+        [
+            ("c1", 0, "s", "p", "o"),
+            ("c1", 1, "s", "p", "o"),
+            ("c2", 0, "s", "p", "o"),
+            ("c2", 0, "s2", "p", "o2"),
+        ],
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.first_seen_s, r.last_seen_s, r.n_assertions)
+        for r in triple_validity(tp, tr, origin=ORIGIN).collect()
+    }
+    assert got == {
+        ("s", "p", "o"): (10, 500, 3),
+        ("s2", "p", "o2"): (500, 500, 1),
+    }
+
+
+def test_graph_asof_explicit_and_midpoint(spark):
+    from omop2obo_spark.operators.temporal import graph_asof, triple_validity
+
+    tr = _transcripts(spark, [("c1", 0, 0), ("c1", 1, 100), ("c1", 2, 1000)])
+    tp = _triples(
+        spark,
+        [
+            ("c1", 0, "early", "p", "o"),
+            ("c1", 1, "mid", "p", "o"),
+            ("c1", 2, "late", "p", "o"),
+        ],
+    )
+    v = triple_validity(tp, tr, origin=ORIGIN)
+    assert {r.subj for r in graph_asof(v, cutoff_rel_s=100).collect()} == {"early", "mid"}
+    # midpoint = 0 + (1000-0)//2 = 500 → late excluded
+    assert {r.subj for r in graph_asof(v).collect()} == {"early", "mid"}
+    assert {r.subj for r in graph_asof(v, cutoff_rel_s=0).collect()} == {"early"}
+
+
+def test_entity_bursts_trailing_window(spark):
+    from omop2obo_spark.operators.temporal import entity_bursts
+
+    # one entity, hourly buckets 0..3 with counts 1,1,1,9:
+    # bucket 3 has a full trailing window (sum 3) and 9*3 >= 3*3 → burst
+    rows, triples = [], []
+    counts = [1, 1, 1, 9]
+    k = 0
+    for bucket, n in enumerate(counts):
+        for j in range(n):
+            conv = f"c{k}"
+            rows.append((conv, 0, bucket * 3600 + j))
+            triples.append((conv, 0, f"m{k}", "omop2obo:hasExactMapping", "obo:X"))
+            k += 1
+    tr = _transcripts(spark, rows)
+    tp = _triples(spark, triples)
+    got = {
+        int(r.bucket): (r.n_mentions, r.prev_sum, r.is_burst)
+        for r in entity_bursts(tp, tr, origin=ORIGIN).collect()
+    }
+    assert got == {
+        0: (1, None, False),
+        1: (1, None, False),
+        2: (1, None, False),
+        3: (9, 3, True),
+    }
+    # non-mapping predicates are ignored
+    tp2 = _triples(spark, [("c0", 0, "m", "omop2obo:hasEvidence", "e")])
+    assert entity_bursts(tp2, tr, origin=ORIGIN).count() == 0
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for (a, b) in pairs], "ent_a string, ent_b string"
+    )
+
+
+def test_triangle_counts_known_graph(spark):
+    from omop2obo_spark.operators.hierarchy import triangle_counts
+
+    # triangle a-b-c plus pendant c-d
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    got = {
+        r.ent: (r.degree, r.n_triangles, r.clustering)
+        for r in triangle_counts(e).collect()
+    }
+    assert got == {
+        "a": (2, 1, 1.0),
+        "b": (2, 1, 1.0),
+        "c": (3, 1, round(2 / 6, 6)),
+        "d": (1, 0, 0.0),
+    }
+
+
+def test_neighbor_jaccard_known_graph(spark):
+    from omop2obo_spark.operators.hierarchy import neighbor_jaccard
+
+    # a and b share neighbor c; nbrs(a)={b,c}, nbrs(b)={a,c}, shared… compute:
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")])
+    # nbrs(a)={c,d}, nbrs(b)={c,d} → shared 2, union 2 → jaccard 1.0
+    # nbrs(c)={a,b}, nbrs(d)={a,b} → shared 2, jaccard 1.0
+    got = {
+        (r.ent_a, r.ent_b): (r.shared, r.jaccard)
+        for r in neighbor_jaccard(e).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("c", "d"): (2, 1.0)}
+
+
+def test_triangle_join_is_single_direction(spark):
+    """Plan shape: the ordered-edge enumeration never unions reversed
+    edges before the wedge join — the canonical a<b input is joined
+    as-is, so wedge volume is bounded by the oriented degree."""
+    from omop2obo_spark.operators.hierarchy import triangle_counts
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    plan = triangle_counts(e)._jdf.queryExecution().optimizedPlan().toString()
+    # two joins for wedges+closing plus one left join for the
+    # zero-triangle vertices — no cartesian anywhere
+    assert "Cartesian" not in plan
