@@ -217,3 +217,75 @@ def stream_curate(
         .outputMode("append")
         .trigger(availableNow=True)
     )
+
+
+def stream_mention_rates(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    lexicon: DataFrame,
+    vocab_map: dict[str, str],
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+):
+    """Watermarked tumbling-window entity link rates — the streaming face
+    of operators/temporal.py:entity_bursts. Code mentions are extracted
+    and dbxref-linked inline (broadcast dimensions only, streaming-legal),
+    then aggregated per (event-time window, URI); append mode emits each
+    window exactly once, when the watermark passes its end, so late
+    transcript files inside the horizon still count and later ones are
+    dropped rather than double-emitted.
+
+    Scale shape: the only stateful operator is the windowed aggregate,
+    whose state is bounded by (#live windows × #entities) — dimension
+    scale, not fact scale; the watermark evicts closed windows. One
+    shuffle on the (window, URI) key; extraction and linking are
+    stateless map-side work against broadcast dims.
+    """
+    from omop2obo_spark.functions.normalize import normalize_source_codes
+
+    dims = LexiconDims.from_lexicon(lexicon, vocab_map)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA).parquet(input_dir)
+        .withWatermark("ts", watermark)
+    )
+    mentions = stream.select(
+        "conv_id", "turn_idx", "ts",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\b([a-z][a-z0-9_.\-]*:[a-z0-9][a-z0-9.\-]*)"), 1)
+        ).alias("pos", "surface"),
+    ).withColumn(
+        "mention_id", F.concat_ws(":", "conv_id", "turn_idx", F.lit("code"), "pos")
+    )
+    stacked = mentions.select(
+        "conv_id", "turn_idx", "mention_id", "ts",
+        normalize_source_codes(F.col("surface"), vocab_map).alias("CODE"),
+        F.lit("TURN_CODE").alias("CODE_COLUMN"),
+        F.lit(0).alias("src_rank"),
+    ).where(F.col("CODE").isNotNull())
+    # dedup=False: the tier's full-row distinct would be an unbounded
+    # stateful op on a stream; the watermarked per-(mention, URI) dedup
+    # below gives the same per-mention counting with bounded state.
+    linked = dbxref_link(
+        stacked, dims, ["conv_id", "turn_idx", "mention_id", "ts"], "concept",
+        dedup=False,
+    ).dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "mention_id", "URI"])
+    rates = (
+        linked.groupBy(F.window("ts", window).alias("win"), F.col("URI"))
+        .agg(F.count("*").alias("n_links"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            F.col("URI").alias("uri"),
+            "n_links",
+        )
+    )
+    return (
+        rates.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )

@@ -149,3 +149,49 @@ def test_stream_curate_matches_batch_stages(spark, tmp_path):
     # doc 6 (dup of the round-1 winner, whichever of {1,2} it was) is
     # suppressed by the checkpointed dedup state; doc 7 is new
     assert kept2 == sorted(kept + [7])
+
+
+def test_stream_mention_rates_windowed_append(spark, tmp_path):
+    """Watermarked tumbling-window rates: append mode emits a window only
+    after the watermark passes its end; late data beyond the horizon is
+    dropped, not double-emitted."""
+    from datetime import datetime
+
+    from omop2obo_spark.streaming.incremental import stream_mention_rates
+
+    src = str(tmp_path / "in3")
+    out = str(tmp_path / "out3")
+    ckpt = str(tmp_path / "ckpt3")
+    lex, vm = FX.lexicon_df(spark), vocab_map_dict()
+
+    def write(rows):
+        spark.createDataFrame(
+            [(c, 0, "user", f"coded as {code}", None, datetime(2026, 1, 1, h, m))
+             for (c, code, h, m) in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        ).write.mode("append").parquet(src)
+
+    code = "snomedct_us:190787008"  # fixture dbxref of HP_0008181
+    # hours 0, 1, 2 → max ts 02:10, watermark(30m) = 01:40: only the
+    # [0,1) window has closed (end ≤ watermark); [1,2) and [2,3) are
+    # still open and must NOT emit yet
+    write([("c1", code, 0, 10), ("c2", code, 0, 20),
+           ("c3", code, 1, 10), ("c4", code, 2, 10)])
+    q = stream_mention_rates(spark, src, out, ckpt, lex, vm).start()
+    q.awaitTermination(180)
+    got = {
+        (r.win_start.hour, r.n_links)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(0, 2)}
+
+    # a much later row advances the watermark to 04:30 → the hour-1 and
+    # hour-2 windows flush; a late hour-0 row is beyond the horizon →
+    # dropped, and the closed hour-0 window is not re-emitted
+    write([("c5", code, 5, 0), ("c6", code, 0, 30)])
+    q = stream_mention_rates(spark, src, out, ckpt, lex, vm).start()
+    q.awaitTermination(180)
+    got2 = sorted(
+        (r.win_start.hour, r.n_links) for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [(0, 2), (1, 1), (2, 1)]
