@@ -1430,6 +1430,37 @@ def q_entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(edges)
 
 
+def q_cooccurrence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concept-association drift (operators/hierarchy.py:
+    cooccurrence_drift): co-mention counts per entity pair in the early
+    vs late corpus half (split at the integer midpoint of each
+    conversation's first mapping time) — crawl-snapshot distribution
+    shift. One extra scalar-bounds join over the plain co-occurrence
+    aggregation; conditional counts fold into a single map-side pass."""
+    from omop2obo_spark.operators.hierarchy import cooccurrence_drift
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return cooccurrence_drift(_pipeline_result(spark, sf_dir).triples, tr)
+
+
+def q_semantic_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resnik information-content similarity (operators/hierarchy.py:
+    resnik_similarity): IC from this corpus's own mapping assertions
+    rolled up the reflexive ancestor closure; each co-mentioned pair
+    scores max IC over common ancestors. Closure + IC are broadcast
+    dimensions; the fact table is touched once."""
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.operators.hierarchy import resnik_similarity
+
+    def short(c):
+        return F.concat(F.lit("obo:"), F.element_at(F.split(c, "/"), -1))
+
+    closure = FX.ancestors_df(spark).select(
+        short(F.col("uri")).alias("ent"), short(F.col("ancestor_uri")).alias("anc")
+    )
+    return resnik_similarity(_pipeline_result(spark, sf_dir).triples, closure)
+
+
 def q_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph release regression (operators/hierarchy.py:triple_diff):
     per-predicate added/removed triple counts between two builds of the
@@ -1524,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_bursts": q_entity_bursts,
         "q_triangles": q_triangles,
         "q_entity_jaccard": q_entity_jaccard,
+        "q_cooccurrence_drift": q_cooccurrence_drift,
+        "q_semantic_similarity": q_semantic_similarity,
         "q_triple_diff": q_triple_diff,
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
@@ -3129,6 +3162,74 @@ SELECT p.ent_a, p.ent_b, p.shared,
 FROM prs p
 JOIN deg da ON da.node = p.ent_a
 JOIN deg db ON db.node = p.ent_b"""
+    )
+    sqls["q_cooccurrence_drift"] = kg_triples_sql(
+        final_select=""", ev AS (
+    SELECT conv_id, CAST(substr(conv_id, 6) AS BIGINT) * 100 + turn_idx AS rel_s,
+           obj AS ent
+    FROM (
+        SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM uri_triples
+        WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+    )
+),
+conv_time AS (SELECT conv_id, min(rel_s) AS t FROM ev GROUP BY 1),
+bounds AS (SELECT min(t) AS mn, max(t) AS mx FROM conv_time),
+halves AS (
+    SELECT conv_id, t <= mn + (mx - mn) // 2 AS early FROM conv_time, bounds
+),
+cents AS (
+    SELECT DISTINCT e.conv_id, e.ent, h.early
+    FROM ev e JOIN halves h USING (conv_id)
+)
+SELECT l.ent AS ent_a, r.ent AS ent_b,
+       CAST(sum(CASE WHEN l.early THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+       CAST(sum(CASE WHEN l.early THEN 0 ELSE 1 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN l.early THEN 0 ELSE 1 END)
+            - sum(CASE WHEN l.early THEN 1 ELSE 0 END) AS BIGINT) AS delta
+FROM cents l JOIN cents r ON l.conv_id = r.conv_id AND l.ent < r.ent
+GROUP BY 1, 2"""
+    )
+    from omop2obo_spark.fixtures.kg_oracle import dim_rows as _dim_rows
+
+    _clo = sorted(
+        {
+            ("obo:" + c.rsplit("/", 1)[-1], "obo:" + a.rsplit("/", 1)[-1])
+            for (c, a) in _dim_rows()["closure"]
+        }
+    )
+    _clo_v = ", ".join(f"('{c}', '{a}')" for (c, a) in _clo)
+    sqls["q_semantic_similarity"] = kg_triples_sql(
+        final_select=_COEDGES
+        + f""",
+anns AS (
+    SELECT obj AS ent FROM (
+        SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM uri_triples
+        WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+    )
+),
+clo AS (SELECT * FROM (VALUES {_clo_v}) AS clo(ent, anc)),
+refl AS (
+    SELECT ent, anc FROM clo
+    UNION
+    SELECT DISTINCT ent, ent FROM clo
+    UNION
+    SELECT DISTINCT ent, ent FROM anns
+),
+cnts AS (
+    SELECT r.anc, count(*) AS n
+    FROM anns a JOIN refl r ON r.ent = a.ent
+    GROUP BY 1
+),
+ic AS (
+    SELECT anc, round(-ln(n * 1.0 / (SELECT count(*) FROM anns)), 6) AS ic
+    FROM cnts
+)
+SELECT e.ent_a, e.ent_b, max(ia.ic) AS resnik
+FROM edges e
+JOIN refl ra ON ra.ent = e.ent_a
+JOIN refl rb ON rb.ent = e.ent_b AND rb.anc = ra.anc
+JOIN ic ia ON ia.anc = ra.anc
+GROUP BY 1, 2"""
     )
     sqls["q_triple_diff"] = kg_triples_sql(
         include_sim=True,

@@ -541,3 +541,123 @@ def neighbor_jaccard(edges: DataFrame, min_shared: int = 1) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def cooccurrence_drift(
+    triples: DataFrame,
+    transcripts: DataFrame,
+    origin: str = "2026-01-01 00:00:00",
+    preds: tuple[str, ...] = (
+        "omop2obo:hasExactMapping",
+        "omop2obo:hasConstructorMapping",
+    ),
+) -> DataFrame:
+    """Concept-association drift between the early and late half of the
+    corpus: each conversation is stamped with the time of its first
+    mapping assertion, the corpus splits at the integer midpoint of those
+    stamps, and every co-mentioned entity pair reports its early-half vs
+    late-half conversation counts plus the delta — the signal a curation
+    team watches for topic/distribution shift between crawl snapshots.
+
+    Returns (ent_a, ent_b, n_early, n_late, delta) with ent_a < ent_b;
+    all counts are integers (engine-portable), delta = n_late − n_early.
+
+    Scale shape: one turn-key join to attach time, one conv-keyed
+    aggregate for the stamp, a 1-row bounds broadcast for the midpoint,
+    then the same conv-bounded pair self-join as entity_cooccurrence with
+    two conditional counts folded into a single map-side-combined
+    aggregation — drift costs one extra scalar join over the plain
+    co-occurrence graph, never a second pass.
+    """
+    from omop2obo_spark.operators.temporal import ts_rel_seconds
+
+    turn_ts = transcripts.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        ts_rel_seconds(F.col("ts"), origin).alias("__rel_s"),
+    )
+    maps = triples.filter(F.col("pred").isin(*preds)).select(
+        "conv_id", "turn_idx", F.col("obj").alias("ent")
+    )
+    conv_time = (
+        maps.join(turn_ts, on=["conv_id", "turn_idx"])
+        .groupBy("conv_id")
+        .agg(F.min("__rel_s").alias("__t"))
+    )
+    bounds = conv_time.agg(F.min("__t").alias("__mn"), F.max("__t").alias("__mx"))
+    halves = conv_time.crossJoin(F.broadcast(bounds)).select(
+        "conv_id",
+        (
+            F.col("__t")
+            <= F.col("__mn") + F.floor((F.col("__mx") - F.col("__mn")) / F.lit(2))
+        ).alias("__early"),
+    )
+    ents = maps.select("conv_id", "ent").distinct().join(halves, on="conv_id")
+    l = ents.select("conv_id", F.col("ent").alias("ent_a"), "__early")
+    r = ents.select("conv_id", F.col("ent").alias("ent_b"))
+    return (
+        l.join(r, on="conv_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(
+            F.sum(F.when(F.col("__early"), 1).otherwise(0)).alias("n_early"),
+            F.sum(F.when(F.col("__early"), 0).otherwise(1)).alias("n_late"),
+        )
+        .withColumn("delta", F.col("n_late") - F.col("n_early"))
+    )
+
+
+def resnik_similarity(
+    triples: DataFrame,
+    closure: DataFrame,
+    preds: tuple[str, ...] = (
+        "omop2obo:hasExactMapping",
+        "omop2obo:hasConstructorMapping",
+    ),
+) -> DataFrame:
+    """Information-content semantic similarity (Resnik 1995) between
+    co-mentioned ontology entities, with IC estimated from this corpus's
+    own mapping assertions — the ontology-aware upgrade over raw
+    co-occurrence counts: two rare siblings sharing a specific ancestor
+    score high, entities related only through the root score ~0.
+
+    IC(c) = −ln(n_c / N) where n_c counts mapping assertions to c or any
+    descendant (reflexive rollup through ``closure``) and N is the total
+    assertion count; sim(a, b) = max IC over common reflexive ancestors,
+    6dp. Pairs come from the co-mention graph (ent_a < ent_b); pairs with
+    no common ancestor are omitted.
+
+    Scale shape: the closure is ontology-dimension scale and broadcasts
+    everywhere; assertion counts partial-aggregate map-side; the pair ×
+    ancestor expansion is (pairs × bounded ancestor-set size), grouped
+    straight back down on the pair key. The fact table is touched once.
+    """
+    maps = triples.filter(F.col("pred").isin(*preds)).select(F.col("obj").alias("ent"))
+    n_total = maps.count()
+    # reflexive ancestor table at the triples' short-id granularity
+    refl = closure.select("ent", "anc").unionByName(
+        closure.select("ent").distinct().select("ent", F.col("ent").alias("anc"))
+    ).distinct()
+    # every mapped entity also contributes itself even if the closure
+    # doesn't know it (dbxref-only classes outside the parent forest)
+    self_only = maps.select("ent").distinct().select("ent", F.col("ent").alias("anc"))
+    refl = refl.unionByName(self_only).distinct()
+    counts = (
+        maps.join(F.broadcast(refl), on="ent")
+        .groupBy("anc")
+        .agg(F.count("*").alias("__n"))
+    )
+    ic = counts.select(
+        "anc",
+        F.round(-F.log(F.col("__n") / F.lit(float(n_total))), 6).alias("__ic"),
+    )
+    pairs = entity_cooccurrence(triples, preds=preds).select("ent_a", "ent_b")
+    anc_ic = refl.join(F.broadcast(ic), on="anc")
+    a_side = anc_ic.select(F.col("ent").alias("ent_a"), "anc", "__ic")
+    b_side = anc_ic.select(F.col("ent").alias("ent_b"), "anc")
+    return (
+        pairs.join(F.broadcast(a_side), on="ent_a")
+        .join(F.broadcast(b_side), on=["ent_b", "anc"])
+        .groupBy("ent_a", "ent_b")
+        .agg(F.max("__ic").alias("resnik"))
+    )

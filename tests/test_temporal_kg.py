@@ -148,3 +148,68 @@ def test_triangle_join_is_single_direction(spark):
     # two joins for wedges+closing plus one left join for the
     # zero-triangle vertices — no cartesian anywhere
     assert "Cartesian" not in plan
+
+
+def test_cooccurrence_drift_halves(spark):
+    from omop2obo_spark.operators.hierarchy import cooccurrence_drift
+
+    P = "omop2obo:hasExactMapping"
+    # conv e1 at t=0 (early), e2/e3 at t=100 (late); midpoint = 50
+    tr = _transcripts(spark, [("e1", 0, 0), ("e2", 0, 100), ("e3", 0, 100)])
+    tp = _triples(
+        spark,
+        [
+            ("e1", 0, "m1", P, "a"), ("e1", 0, "m2", P, "b"),
+            ("e2", 0, "m3", P, "a"), ("e2", 0, "m4", P, "b"),
+            ("e3", 0, "m5", P, "a"), ("e3", 0, "m6", P, "c"),
+        ],
+    )
+    got = {
+        (r.ent_a, r.ent_b): (r.n_early, r.n_late, r.delta)
+        for r in cooccurrence_drift(tp, tr, origin=ORIGIN).collect()
+    }
+    assert got == {("a", "b"): (1, 1, 0), ("a", "c"): (0, 1, 1)}
+
+
+def test_resnik_similarity_common_ancestor_ic(spark):
+    import math
+
+    from omop2obo_spark.operators.hierarchy import resnik_similarity
+
+    P = "omop2obo:hasExactMapping"
+    # hierarchy: X,Y → S → R; Z → R. conv1 maps X,Y; conv2 maps Z.
+    # N=3 assertions; rollup: S=2, R=3 → IC(S)=-ln(2/3), IC(R)=0.
+    # co-mentioned pair (X,Y) shares {S, R} → resnik = IC(S).
+    tp = _triples(
+        spark,
+        [
+            ("c1", 0, "m1", P, "X"), ("c1", 0, "m2", P, "Y"),
+            ("c2", 0, "m3", P, "Z"),
+        ],
+    )
+    closure = spark.createDataFrame(
+        [("X", "S"), ("X", "R"), ("Y", "S"), ("Y", "R"), ("S", "R"), ("Z", "R")],
+        "ent string, anc string",
+    )
+    got = {
+        (r.ent_a, r.ent_b): r.resnik
+        for r in resnik_similarity(tp, closure).collect()
+    }
+    assert got == {("X", "Y"): round(-math.log(2 / 3), 6)}
+
+
+def test_resnik_self_similarity_when_entity_outside_closure(spark):
+    """A dbxref-only class absent from the parent forest still gets a
+    reflexive self-ancestor, so a pair of co-mentioned copies of it (via
+    two conversations) would score — and a pair with NO common ancestor
+    is omitted rather than scored 0."""
+    from omop2obo_spark.operators.hierarchy import resnik_similarity
+
+    P = "omop2obo:hasExactMapping"
+    tp = _triples(
+        spark,
+        [("c1", 0, "m1", P, "A"), ("c1", 0, "m2", P, "B")],
+    )
+    closure = spark.createDataFrame([("A", "R")], "ent string, anc string")
+    # A and B co-mention but share no ancestor (B only has itself) → no row
+    assert resnik_similarity(tp, closure).count() == 0
