@@ -205,6 +205,55 @@ def q_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based cardinality with a checkable error contract: per-
+    predicate HyperLogLog++ distinct-subject estimate (rsd 0.02)
+    alongside the exact count, emitting ``approx_ok`` = |est − exact| ≤
+    5%·exact. At 100 TB the HLL sketch (constant ~KB state per group,
+    map-side mergeable, one narrow shuffle of sketch bytes) replaces the
+    exact two-phase countDistinct whose first shuffle moves every
+    distinct (pred, subj) pair; this query pins that the sketch stays
+    inside its advertised envelope on a deterministic input, so the
+    oracle can assert the contract (exact values + TRUE) rather than
+    reproduce another engine's sketch internals."""
+    res = _pipeline_result(spark, sf_dir)
+    agg = res.triples.groupBy("pred").agg(
+        F.countDistinct("subj").alias("n_subj_exact"),
+        F.approx_count_distinct("subj", 0.02).alias("__est"),
+    )
+    return agg.select(
+        "pred",
+        "n_subj_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_subj_exact"))
+            <= F.lit(0.05) * F.col("n_subj_exact")
+        ).alias("approx_ok"),
+    )
+
+
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch with a checkable error contract: per-returnflag
+    approx_percentile (Greenwald-Khanna, accuracy 10000) vs the exact
+    interpolated median, emitting ``approx_ok`` = |approx − exact| ≤
+    1%·exact. The GK sketch aggregates map-side in bounded memory — the
+    scale path for percentile dashboards over 10^12 rows where the exact
+    sort-per-group is the bottleneck; the exact value ships alongside so
+    the oracle asserts the envelope, not the sketch bits."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("__approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("__exact"), 4).alias("p50_exact"),
+        (
+            F.abs(F.col("__approx") - F.col("__exact"))
+            <= F.lit(0.01) * F.abs(F.col("__exact"))
+        ).alias("approx_ok"),
+    ).orderBy("l_returnflag")
+
+
 def q_ordered_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 parity surface: per order, first-occurrence-dedup concat of
     returnflag in linenumber order (the unique_everseen semantics)."""
@@ -1483,6 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_broadcast_join_chain": q_broadcast_join_chain,
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exact_percentile": q_exact_percentile,
+        "q_sketch_distinct": q_sketch_distinct,
+        "q_sketch_quantile": q_sketch_quantile,
         "q_ordered_concat": q_ordered_concat,
         "q_pivot_wide": q_pivot_wide,
         "q_unpivot_stack": q_unpivot_stack,
@@ -1626,6 +1677,31 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 4) AS p50,
                round(quantile_cont(l_extendedprice::DOUBLE, 0.75), 4) AS p75,
                round(quantile_cont(l_extendedprice::DOUBLE, 0.99), 4) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """
+
+    # sketch contracts: the oracle asserts the error envelope (exact
+    # values + TRUE), not another engine's sketch internals
+    from omop2obo_spark.fixtures.kg_oracle import kg_triples_sql as _kg_sql
+
+    sqls["q_sketch_distinct"] = _kg_sql(
+        final_select=""", all_t AS (
+    SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )
+)
+SELECT pred, count(DISTINCT subj) AS n_subj_exact, TRUE AS approx_ok
+FROM all_t GROUP BY pred"""
+    )
+    sqls["q_sketch_quantile"] = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 4) AS p50_exact,
+               TRUE AS approx_ok
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
