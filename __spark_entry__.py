@@ -488,6 +488,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.02)
 
 
+def q_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering
+    (operators/dedup.py:prefix_filter_jaccard_join): all doc pairs with
+    shingle Jaccard ≥ 1/2, candidates bounded by rare-prefix collisions
+    instead of the full shingle co-occurrence blowup — the exact-join
+    scale path next to the LSH approximate one. Pinned lossless vs
+    brute force in tests; the oracle IS the brute force."""
+    from omop2obo_spark.operators.dedup import prefix_filter_jaccard_join
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return prefix_filter_jaccard_join(d, threshold=(1, 2))
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile in exact mode (textstats.corpus_profile):
     distinct-content counts and exact interpolated token percentiles. The
@@ -1548,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_set_similarity": q_set_similarity,
         "q_corpus_profile": q_corpus_profile,
         "q_pack_sequences": q_pack_sequences,
         "q_pack_stats": q_pack_stats,
@@ -1975,6 +1989,21 @@ FROM all_t GROUP BY pred"""
         JOIN sizes na ON na.doc = a
         JOIN sizes nb ON nb.doc = b
         WHERE inter / (na.n + nb.n - inter) >= 0.02
+    """
+
+    sqls["q_set_similarity"] = _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < 300)") + """
+        , sh AS (SELECT doc_id AS doc, unnest(gs) AS shingle FROM grams),
+        sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+            SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+            FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc < r.doc
+            GROUP BY l.doc, r.doc
+        )
+        SELECT a, b, round(inter / (na.n + nb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON na.doc = a
+        JOIN sizes nb ON nb.doc = b
+        WHERE inter * 2 >= (na.n + nb.n - inter)
     """
 
     # simhash over 16 bits with md5-hex → bigint tokens

@@ -502,3 +502,85 @@ def dedup_against(
     )
     dropped = ver.select(F.col("a").alias(id_col)).distinct()
     return kept.join(dropped, on=id_col, how="left_anti")
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering (the
+    AllPairs/PPJoin candidate bound): every doc pair whose shingle-set
+    Jaccard ≥ threshold, with NO approximation — the scale path for
+    exact near-dup joins, replacing the full shingle co-occurrence
+    self-join that :func:`ngram_jaccard_pairs` uses standalone.
+
+    ``threshold`` is a rational (num, den) so the prefix length and the
+    final verification are pure integer arithmetic — no float-boundary
+    false negatives, bit-identical across engines.
+
+    Why it prunes: order each doc's shingles by a single global total
+    order (corpus frequency asc, shingle asc — rarest first). If
+    J(A, B) ≥ t, the sets overlap in ≥ ⌈t·|A|⌉ elements, so A's first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles (its *prefix*) must contain at least
+    one shared element — pairs are generated only from prefix-token
+    collisions, and the prefix is dominated by RARE tokens, so hot
+    shingles ("the the the") never fan out.
+
+    Scale shape: one shuffle to count shingle frequency (token-vocab
+    scale), one doc-bounded window for the rank, a self-join whose key
+    distribution is rare-token by construction (the anti-skew property
+    is the point of the algorithm), then the candidate-verify join of
+    :func:`ngram_jaccard_pairs`'s pairs mode. Output:
+    (a, b, jaccard≥t, rounded 6dp).
+    """
+    num, den = int(threshold[0]), int(threshold[1])
+    if num <= 0 or den <= 0 or num > den:
+        raise ValueError(f"threshold must be a rational in (0, 1], got {threshold}")
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+    w = Window.partitionBy("doc").orderBy("__f", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    # prefix_len = n − ⌈t·n⌉ + 1, integer-exact: ⌈num·n/den⌉ = (num·n + den − 1) // den
+    prefix_len = F.col("n") - F.floor(
+        (F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)
+    ) + F.lit(1)
+    prefix = ranked.filter(F.col("__rn") <= prefix_len).select("doc", "shingle")
+    cand = (
+        prefix.select(F.col("doc").alias("a"), "shingle")
+        .join(prefix.select(F.col("doc").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    la = sh.select(F.col("doc").alias("a"), "shingle")
+    lb = sh.select(F.col("doc").alias("b"), "shingle")
+    inter = (
+        cand.join(la, "a")
+        .join(lb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__i"))
+    )
+    na = sizes.select(F.col("doc").alias("a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("doc").alias("b"), F.col("n").alias("__nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            F.col("__i") * F.lit(den)
+            >= F.lit(num) * (F.col("__na") + F.col("__nb") - F.col("__i"))
+        )
+        .select(
+            "a", "b",
+            F.round(F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6).alias("jaccard"),
+        )
+    )

@@ -920,3 +920,61 @@ def test_quantized_topk_recall_against_brute_force(spark, emb):
     qt_set = {(r.query_id, r.vec_id) for r in qt.collect()}
     recall = len(bf_set & qt_set) / len(bf_set)
     assert recall >= 0.8, f"int8 recall {recall}"
+
+
+def test_prefix_filter_jaccard_join_equals_bruteforce(spark):
+    """The prefix filter must be lossless: the exact pair set (and
+    jaccard values) equal the brute-force all-pairs answer at several
+    thresholds, including threshold-boundary pairs."""
+    from fractions import Fraction
+
+    from omop2obo_spark.operators.dedup import prefix_filter_jaccard_join
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "alpha beta gamma delta epsilon eta",       # near-dup of 0
+        2: "alpha beta gamma delta epsilon zeta",      # exact dup of 0
+        3: "one two three four five six seven",
+        4: "one two three four five six eight",        # near-dup of 3
+        5: "unrelated text entirely different words",
+        6: "alpha beta gamma",                          # short doc, 1 shingle
+        7: "alpha beta gamma",                          # dup of 6
+        8: "the the the the the common common tokens",  # hot tokens
+        9: "the the the the the common common tokens!",
+    }
+
+    def grams(s):
+        toks = [t for t in s.lower().split() if t]
+        return {" ".join(toks[i:i + 3]) for i in range(0, max(len(toks) - 3, 0) + 1)}
+
+    def brute(num, den):
+        out = {}
+        ids = sorted(texts)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    gi, gj = grams(texts[i]), grams(texts[j])
+                    inter = len(gi & gj)
+                    if inter and Fraction(inter, len(gi | gj)) >= Fraction(num, den):
+                        out[(i, j)] = round(inter / len(gi | gj), 6)
+        return out
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    for num, den in [(1, 2), (4, 5), (1, 4), (1, 1)]:
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in prefix_filter_jaccard_join(docs, threshold=(num, den)).collect()
+        }
+        assert got == brute(num, den), f"threshold {num}/{den}"
+
+
+def test_prefix_filter_jaccard_rejects_bad_threshold(spark):
+    import pytest
+
+    from omop2obo_spark.operators.dedup import prefix_filter_jaccard_join
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_join(docs, threshold=(3, 2))
+    with pytest.raises(ValueError):
+        prefix_filter_jaccard_join(docs, threshold=(0, 1))
