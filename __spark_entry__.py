@@ -1492,6 +1492,18 @@ def q_entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(edges)
 
 
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/
+    hierarchy.py:label_propagation, 3 rounds, min-label tie-break) over
+    the co-mention graph — concept communities for curation dashboards.
+    Adjacency keeps its partitioning; the label vector broadcasts per
+    round. Oracle: kg CTE chain + edges + 3 unrolled iteration CTEs."""
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence, label_propagation
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return label_propagation(edges, iterations=3)
+
+
 def q_cooccurrence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concept-association drift (operators/hierarchy.py:
     cooccurrence_drift): co-mention counts per entity pair in the early
@@ -1620,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_bursts": q_entity_bursts,
         "q_triangles": q_triangles,
         "q_entity_jaccard": q_entity_jaccard,
+        "q_communities": q_communities,
         "q_cooccurrence_drift": q_cooccurrence_drift,
         "q_semantic_similarity": q_semantic_similarity,
         "q_triple_diff": q_triple_diff,
@@ -3267,6 +3280,9 @@ SELECT p.ent_a, p.ent_b, p.shared,
 FROM prs p
 JOIN deg da ON da.node = p.ent_a
 JOIN deg db ON db.node = p.ent_b"""
+    )
+    sqls["q_communities"] = kg_triples_sql(
+        final_select=_COEDGES + ', adj AS (\n    SELECT ent_a AS node, ent_b AS nbr FROM edges\n    UNION ALL SELECT ent_b, ent_a FROM edges\n),\nl0 AS (SELECT DISTINCT node, node AS community FROM adj),\nn1 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l0 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl1 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n1\n    ) WHERE rn = 1\n),\nn2 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l1 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl2 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n2\n    ) WHERE rn = 1\n),\nn3 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l2 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl3 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n3\n    ) WHERE rn = 1\n)\nSELECT node AS ent, community FROM l3'
     )
     sqls["q_cooccurrence_drift"] = kg_triples_sql(
         final_select=""", ev AS (

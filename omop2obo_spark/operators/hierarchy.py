@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def ancestor_closure(
@@ -661,3 +662,47 @@ def resnik_similarity(
         .groupBy("ent_a", "ent_b")
         .agg(F.max("__ic").alias("resnik"))
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation with fully
+    deterministic tie-breaks: every node starts labeled with its own id;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken by smallest label (isolated nodes keep their label).
+    Fixed ``iterations`` and synchronous updates make the output a pure
+    function of the graph — no RNG, no visit-order dependence — so an
+    unrolled-CTE SQL twin reproduces it bit-for-bit (async LPA, the
+    textbook variant, is order-dependent and unverifiable).
+
+    Input: canonical ``ent_a < ent_b`` undirected edges. Output:
+    (ent, community) after ``iterations`` rounds.
+
+    Scale shape: per round, one join of the adjacency against the
+    current label vector (dimension scale for an entity graph —
+    broadcast) and one (node, label) count + per-node argmax window.
+    The adjacency keeps its partitioning across rounds; labels are the
+    only moving table. localCheckpoint per round keeps lineage O(1)
+    exactly as in :func:`pagerank`.
+    """
+    adj = edges.select(
+        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
+    )
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("community")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("node").orderBy(F.col("__c").desc(), F.col("community").asc())
+    for _ in range(int(iterations)):
+        nbr_labels = adj.join(
+            F.broadcast(labels.select(F.col("node").alias("nbr"), "community")),
+            on="nbr",
+        ).select("node", "community")
+        counts = nbr_labels.groupBy("node", "community").agg(F.count("*").alias("__c"))
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("node").alias("ent"), "community")

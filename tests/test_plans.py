@@ -315,3 +315,56 @@ def test_triple_diff_anti_joins_counts_partial(spark):
     )
     plan = _plan(triple_diff(t, t))
     assert "partial_count" in plan or "partial count" in plan, plan
+
+
+def test_triple_validity_projects_before_join(spark, tmp_path):
+    """The transcript side of the validity join must be pruned to
+    (conv_id, turn_idx, ts) AT THE SCAN — at 10^12 turns the text column
+    must never leave the parquet reader, let alone ride the turn-key
+    exchange."""
+    from datetime import datetime
+
+    from omop2obo_spark.operators.temporal import triple_validity
+
+    src = str(tmp_path / "tr.parquet")
+    spark.createDataFrame(
+        [("c1", 0, "user", "some long text payload", None, datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(src)
+    tr = spark.read.parquet(src)
+    tp = spark.createDataFrame(
+        [("c1", 0, "s", "p", "o")],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    plan = _plan(triple_validity(tp, tr))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("text" not in ln.split("ReadSchema")[1] for ln in scan), plan
+
+
+def test_set_similarity_join_never_full_shingle_self_join(spark):
+    """The candidate join must read from the prefix (rank-filtered)
+    side, so a row_number Window must appear upstream of the self-join;
+    and the verify join must be candidate-driven (cand pairs joined to
+    shingles), never a second full shingle-shingle join."""
+    from omop2obo_spark.operators.dedup import prefix_filter_jaccard_join
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta") for i in range(10)],
+        "doc_id int, text string",
+    )
+    plan = _plan(prefix_filter_jaccard_join(docs, threshold=(1, 2)))
+    assert "row_number" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_label_propagation_broadcasts_labels_edges_never_sort_merge(spark):
+    """Each LPA round must broadcast the label vector against the
+    adjacency — the fact-scale edge table must not be sort-merged or
+    re-sorted per round."""
+    from omop2obo_spark.operators.hierarchy import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "ent_a string, ent_b string"
+    )
+    plan = _plan(label_propagation(edges, iterations=2))
+    assert "SortMergeJoin" not in plan, plan

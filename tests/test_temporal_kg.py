@@ -213,3 +213,18 @@ def test_resnik_self_similarity_when_entity_outside_closure(spark):
     closure = spark.createDataFrame([("A", "R")], "ent string, anc string")
     # A and B co-mention but share no ancestor (B only has itself) → no row
     assert resnik_similarity(tp, closure).count() == 0
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Hand-rolled 3 rounds of synchronous min-tie LPA on two triangles
+    joined by a bridge: each triangle converges to its own community."""
+    from omop2obo_spark.operators.hierarchy import label_propagation
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"),
+         ("x", "y"), ("x", "z"), ("y", "z"),
+         ("c", "x")],
+    )
+    got = {r.ent: r.community for r in label_propagation(e, iterations=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "c", "y": "c", "z": "c"}

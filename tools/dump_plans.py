@@ -87,6 +87,32 @@ NOTES = {
         "chain, the md5 bucket and sequence/explode all run inside "
         "WholeStageCodegen over the scan."
     ),
+    "q_triple_validity": (
+        "The transcript side is pruned to (conv_id, turn_idx, rel-seconds) "
+        "before the turn-key join — the shuffle moves ids plus one bigint, "
+        "never text (ReadSchema shows the 3-column projection); min/max/"
+        "count partial-aggregate (partial_min/partial_max) before the "
+        "single triple-key exchange."
+    ),
+    "q_triangles": (
+        "Ordered-edge enumeration: two equi-joins (wedge + closing) and "
+        "one left join for zero-triangle vertices — no CartesianProduct, "
+        "no direction-doubled union before the wedge join; per-vertex "
+        "counts partial-aggregate after the 3-corner explode."
+    ),
+    "q_set_similarity": (
+        "The exact Jaccard self-join goes through the rare-prefix "
+        "candidate join, not the full shingle co-occurrence: the shingle-"
+        "frequency count is one token-vocab-scale exchange, the rank "
+        "window is doc-bounded, and the verify join touches only "
+        "candidate pairs."
+    ),
+    "q_communities": (
+        "Each LPA round is one BroadcastHashJoin of the adjacency against "
+        "the label vector plus a (node, label) count and a per-node "
+        "row_number — the adjacency is never re-sorted; labels are the "
+        "only moving table, localCheckpoint-ed per round."
+    ),
 }
 
 
