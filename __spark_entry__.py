@@ -501,6 +501,17 @@ def q_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_join(d, threshold=(1, 2))
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-merge-table BPE encoding (operators/textstats.py:
+    bpe_apply): per-doc token accounting after applying a frozen
+    10-merge table — the production tokenizer shape (merges are
+    literals, the whole chain is one codegen projection over the scan,
+    zero joins/shuffles before the per-doc aggregate)."""
+    from omop2obo_spark.operators.textstats import bpe_apply
+
+    return bpe_apply(_docs(spark, sf_dir))
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile in exact mode (textstats.corpus_profile):
     distinct-content counts and exact interpolated token percentiles. The
@@ -1574,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": q_minhash_signatures,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_set_similarity": q_set_similarity,
+        "q_bpe_encode": q_bpe_encode,
         "q_corpus_profile": q_corpus_profile,
         "q_pack_sequences": q_pack_sequences,
         "q_pack_stats": q_pack_stats,
@@ -2002,6 +2014,20 @@ FROM all_t GROUP BY pred"""
         JOIN sizes na ON na.doc = a
         JOIN sizes nb ON nb.doc = b
         WHERE inter / (na.n + nb.n - inter) >= 0.02
+    """
+
+    sqls["q_bpe_encode"] = """
+        SELECT doc_id,
+               count(*) AS n_words,
+               CAST(sum(length(w)) AS BIGINT) AS n_chars,
+               CAST(sum(len(string_split(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(trim(regexp_replace(w, '(.)', '_\\1 ', 'g')), '_t _h', '_th'), '_th _e', '_the'), '_i _n', '_in'), '_e _r', '_er'), '_a _n', '_an'), '_r _e', '_re'), '_o _n', '_on'), '_e _n', '_en'), '_a _t', '_at'), '_o _r', '_or'), ' '))) AS BIGINT) AS n_tokens,
+               round(sum(length(w)) * 1.0 / sum(len(string_split(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(trim(regexp_replace(w, '(.)', '_\\1 ', 'g')), '_t _h', '_th'), '_th _e', '_the'), '_i _n', '_in'), '_e _r', '_er'), '_a _n', '_an'), '_r _e', '_re'), '_o _n', '_on'), '_e _n', '_en'), '_a _t', '_at'), '_o _r', '_or'), ' '))), 6) AS ratio
+        FROM (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY doc_id
     """
 
     sqls["q_set_similarity"] = _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < 300)") + """

@@ -647,3 +647,58 @@ def linear_quality_score(
     z = dot / n_tok
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return emb.select(id_col, F.round(score, round_dp).alias("quality_score"))
+
+
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("e", "n"), ("a", "t"), ("o", "r"),
+)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a STATIC BPE merge table — the production tokenizer shape:
+    the merge list is a frozen artifact (learned offline, e.g. seeded by
+    :func:`bpe_pair_counts`), and encoding is a pure per-row transform.
+    Each word is exploded to space-separated characters, then every
+    merge (a, b) rewrites ``"a b"`` → ``"ab"`` in rank order via literal
+    (non-regex) replace — single-pass, left-to-right, the same
+    deterministic semantics in any engine.
+
+    Returns per-doc token accounting: ``(doc_id, n_words, n_chars,
+    n_tokens, ratio)`` where n_tokens counts post-merge segments and
+    ratio = n_chars / n_tokens (compression the merge table bought).
+
+    Token-boundary safety: each segment is prefixed with ``_`` (outside
+    the ``[a-z0-9']`` token alphabet), so the literal pattern ``_a _b``
+    matches only where ``a`` is a COMPLETE current segment — a flat
+    ``"e r"`` replace would otherwise merge the trailing ``e`` of an
+    earlier merge's output with a following ``r`` (real BPE merges
+    adjacent tokens, never substrings).
+
+    Scale shape: zero joins, zero shuffles before the per-doc aggregate —
+    the whole merge chain compiles into one WholeStageCodegen projection
+    over the scan (merges are literals, not data), so encoding cost is
+    scan-bound at any corpus size. A 50k-merge production table compiles
+    the same way (chain depth = vocab size; for very large tables switch
+    to a broadcast trie in mapInPandas — same contract).
+    """
+    w = F.explode(tokens(F.col(text_col))).alias("w")
+    seg = F.trim(F.regexp_replace(F.col("w"), "(.)", "_$1 "))
+    for a, b in merges:
+        seg = F.replace(seg, F.lit(f"_{a} _{b}"), F.lit(f"_{a}{b}"))
+    per_word = docs.select(F.col(id_col), w).select(
+        id_col,
+        F.length("w").alias("__chars"),
+        F.size(F.split(seg, " ")).alias("__toks"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum("__chars").alias("n_chars"),
+        F.sum("__toks").alias("n_tokens"),
+        F.round(F.sum("__chars") / F.sum("__toks"), 6).alias("ratio"),
+    )

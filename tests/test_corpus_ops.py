@@ -978,3 +978,21 @@ def test_prefix_filter_jaccard_rejects_bad_threshold(spark):
         prefix_filter_jaccard_join(docs, threshold=(3, 2))
     with pytest.raises(ValueError):
         prefix_filter_jaccard_join(docs, threshold=(0, 1))
+
+
+def test_bpe_apply_static_merges_token_boundary_safe(spark):
+    """Hand-walked merge chain: 'there' → '_the _re' (2 tokens) — the
+    token-start marker must prevent the flat-string artifact where the
+    'e' of a previous merge's output would fuse with a following 'r'
+    ('another' must become _an _o _the _r, NOT merge across segments)."""
+    from omop2obo_spark.operators.dedup import normalized_text  # noqa: F401 (style anchor)
+    from omop2obo_spark.operators.textstats import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "there another interesting")], "doc_id int, text string"
+    )
+    row = bpe_apply(docs).collect()[0]
+    # there→{_the,_re}=2, another→{_an,_o,_the,_r}=4, interesting→
+    # {_in,_t,_er,_e,_s,_t,_in,_g}=8
+    assert (row.n_words, row.n_chars, row.n_tokens) == (3, 23, 14)
+    assert row.ratio == round(23 / 14, 6)
