@@ -1467,6 +1467,29 @@ def q_graph_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_asof(validity)
 
 
+def q_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff over the validity index: per-predicate count of
+    triples first asserted between the corpus quartile points (T1 = 25%,
+    T2 = 75% of the first-seen range, integer arithmetic) — "what did
+    the graph learn between snapshot T1 and snapshot T2", the release-
+    notes query for a continuously-built KG. Pure filter + 6-value
+    aggregate over the validity table; bounds via one 1-row broadcast."""
+    from omop2obo_spark.operators.temporal import triple_validity
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    v = triple_validity(_pipeline_result(spark, sf_dir).triples, tr)
+    bounds = v.agg(F.min("first_seen_s").alias("__mn"), F.max("first_seen_s").alias("__mx"))
+    span = F.col("__mx") - F.col("__mn")
+    t1 = F.col("__mn") + F.floor(span / F.lit(4))
+    t2 = F.col("__mn") + F.floor(F.lit(3) * span / F.lit(4))
+    return (
+        v.crossJoin(F.broadcast(bounds))
+        .filter((F.col("first_seen_s") > t1) & (F.col("first_seen_s") <= t2))
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_added"))
+    )
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity mention-rate burst detection (operators/temporal.py:
     entity_bursts): mapping triples bucketed hourly, a bucket is a burst
@@ -1513,6 +1536,19 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
     return label_propagation(edges, iterations=3)
+
+
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded DeepWalk corpus (operators/hierarchy.py:
+    deterministic_walks): one 3-step walk per co-mention vertex, hop s
+    from v = sorted-neighbor[md5(v:s) mod degree] — the reproducible
+    walk corpus an embedding pre-trainer consumes. Ranked adjacency
+    built once; each step one (node, rank) equi-join. Oracle: kg CTE
+    chain + edges + 3 unrolled hop CTEs with the same md5 arithmetic."""
+    from omop2obo_spark.operators.hierarchy import deterministic_walks, entity_cooccurrence
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return deterministic_walks(edges, walk_len=3)
 
 
 def q_cooccurrence_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1641,10 +1677,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mentions_per_role": q_mentions_per_role,
         "q_triple_validity": q_triple_validity,
         "q_graph_asof": q_graph_asof,
+        "q_asof_diff": q_asof_diff,
         "q_entity_bursts": q_entity_bursts,
         "q_triangles": q_triangles,
         "q_entity_jaccard": q_entity_jaccard,
         "q_communities": q_communities,
+        "q_graph_walks": q_graph_walks,
         "q_cooccurrence_drift": q_cooccurrence_drift,
         "q_semantic_similarity": q_semantic_similarity,
         "q_triple_diff": q_triple_diff,
@@ -3225,6 +3263,16 @@ SELECT subj, pred, obj, first_seen_s
 FROM tv, bounds
 WHERE first_seen_s <= mn + (mx - mn) // 2"""
     )
+    sqls["q_asof_diff"] = kg_triples_sql(
+        final_select=_TV
+        + """,
+bounds AS (SELECT min(first_seen_s) AS mn, max(first_seen_s) AS mx FROM tv)
+SELECT pred, count(*) AS n_added
+FROM tv, bounds
+WHERE first_seen_s > mn + (mx - mn) // 4
+  AND first_seen_s <= mn + (3 * (mx - mn)) // 4
+GROUP BY pred"""
+    )
     sqls["q_entity_bursts"] = kg_triples_sql(
         final_select=""", ev AS (
     SELECT obj AS ent,
@@ -3309,6 +3357,9 @@ JOIN deg db ON db.node = p.ent_b"""
     )
     sqls["q_communities"] = kg_triples_sql(
         final_select=_COEDGES + ', adj AS (\n    SELECT ent_a AS node, ent_b AS nbr FROM edges\n    UNION ALL SELECT ent_b, ent_a FROM edges\n),\nl0 AS (SELECT DISTINCT node, node AS community FROM adj),\nn1 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l0 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl1 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n1\n    ) WHERE rn = 1\n),\nn2 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l1 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl2 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n2\n    ) WHERE rn = 1\n),\nn3 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l2 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl3 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n3\n    ) WHERE rn = 1\n)\nSELECT node AS ent, community FROM l3'
+    )
+    sqls["q_graph_walks"] = kg_triples_sql(
+        final_select=_COEDGES + ", adj AS (\n    SELECT ent_a AS node, ent_b AS nbr FROM edges\n    UNION ALL SELECT ent_b, ent_a FROM edges\n),\ndeg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),\nranked AS (\n    SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY nbr) AS rn\n    FROM adj\n),\nw0 AS (SELECT node AS start, node AS cur, node AS path FROM deg),\nw1 AS (\n    SELECT w.start, r.nbr AS cur, w.path || '->' || r.nbr AS path\n    FROM w0 w\n    JOIN deg d ON d.node = w.cur\n    JOIN ranked r ON r.node = w.cur\n     AND r.rn = ('0x' || substr(md5(w.cur || ':0'), 1, 15))::BIGINT % d.d + 1\n),\nw2 AS (\n    SELECT w.start, r.nbr AS cur, w.path || '->' || r.nbr AS path\n    FROM w1 w\n    JOIN deg d ON d.node = w.cur\n    JOIN ranked r ON r.node = w.cur\n     AND r.rn = ('0x' || substr(md5(w.cur || ':1'), 1, 15))::BIGINT % d.d + 1\n),\nw3 AS (\n    SELECT w.start, r.nbr AS cur, w.path || '->' || r.nbr AS path\n    FROM w2 w\n    JOIN deg d ON d.node = w.cur\n    JOIN ranked r ON r.node = w.cur\n     AND r.rn = ('0x' || substr(md5(w.cur || ':2'), 1, 15))::BIGINT % d.d + 1\n)\nSELECT start, path FROM w3"
     )
     sqls["q_cooccurrence_drift"] = kg_triples_sql(
         final_select=""", ev AS (

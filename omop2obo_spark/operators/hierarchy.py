@@ -706,3 +706,63 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("node").alias("ent"), "community")
+
+
+def deterministic_walks(edges: DataFrame, walk_len: int = 3) -> DataFrame:
+    """DeepWalk-style graph walks made reproducible: one ``walk_len``-step
+    walk from every vertex, where the hop taken at step s from node v is
+    v's (ascending-sorted) neighbor at index ``md5(v || ':' || s) mod
+    degree(v)`` — a hash-seeded walk corpus for skip-gram embedding
+    pre-training that any engine regenerates bit-identically (true RNG
+    walks cannot be oracle-verified or resumed deterministically).
+
+    Returns ``(start, path)`` with path = '->'-joined node sequence of
+    length walk_len + 1.
+
+    Scale shape: the ranked adjacency (neighbor row_number per node) is
+    built once — one doc-bounded window over the edge table — and each
+    step is one equi-join of the walk frontier against it on
+    (node, rank); the frontier carries (start, cur, path) only. Steps
+    are walk_len sequential joins, each shuffle keyed on the current
+    node — at graph scale this is the standard distributed walk shape
+    (vs GraphX's Pregel, same volume per superstep).
+    """
+    adj = edges.select(
+        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
+    )
+    w = Window.partitionBy("node").orderBy("nbr")
+    deg = adj.groupBy("node").agg(F.count("*").alias("__d"))
+    ranked = adj.withColumn("__rn", F.row_number().over(w))
+    walks = deg.select(
+        F.col("node").alias("start"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+    )
+    for s in range(int(walk_len)):
+        cur_deg = walks.join(deg.select(F.col("node").alias("cur"), "__d"), on="cur")
+        idx = (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("cur"), F.lit(f":{s}"))), 1, 15),
+                    16, 10,
+                ).cast("bigint"),
+                F.col("__d"),
+            )
+            + F.lit(1)
+        )
+        stepped = cur_deg.withColumn("__idx", idx).join(
+            ranked.select(
+                F.col("node").alias("cur"),
+                F.col("__rn").alias("__idx"),
+                F.col("nbr").alias("__next"),
+            ),
+            on=["cur", "__idx"],
+        )
+        walks = stepped.select(
+            "start",
+            F.col("__next").alias("cur"),
+            F.concat(F.col("path"), F.lit("->"), F.col("__next")).alias("path"),
+        )
+    return walks.select("start", "path")

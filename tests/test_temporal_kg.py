@@ -228,3 +228,25 @@ def test_label_propagation_two_triangles_bridge(spark):
     )
     got = {r.ent: r.community for r in label_propagation(e, iterations=3).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "c", "y": "c", "z": "c"}
+
+
+def test_deterministic_walks_match_python_replay(spark):
+    """Every hop must equal a pure-Python replay of the hash rule:
+    sorted-neighbor[ md5(cur:step)[:15hex] mod degree ]."""
+    import hashlib
+
+    from omop2obo_spark.operators.hierarchy import deterministic_walks
+
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")])
+    nbrs = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "b", "d"], "d": ["c"]}
+
+    def replay(start, steps=3):
+        cur, path = start, [start]
+        for s in range(steps):
+            idx = int(hashlib.md5(f"{cur}:{s}".encode()).hexdigest()[:15], 16) % len(nbrs[cur])
+            cur = nbrs[cur][idx]
+            path.append(cur)
+        return "->".join(path)
+
+    got = {r.start: r.path for r in deterministic_walks(e, walk_len=3).collect()}
+    assert got == {v: replay(v) for v in nbrs}
