@@ -74,3 +74,54 @@ class GraphSink:
         for rec in self.manifest():
             latest[rec["part_id"]] = rec["status"]
         return {p for p, s in latest.items() if s == "done"}
+
+
+def save_bucketed_tables(
+    spark: SparkSession,
+    triples: DataFrame,
+    transcripts: DataFrame,
+    db: str = "kg",
+    n_buckets: int = 16,
+) -> tuple[str, str]:
+    """Persist the triple log and the transcript table as BUCKETED,
+    sorted managed tables co-clustered on ``conv_id`` — the storage
+    layout that makes every later (conv_id)-keyed join between them
+    exchange-free: Spark's bucketed-join elimination sees matching
+    bucket specs on both sides and skips the shuffle entirely (and the
+    per-bucket sort skips the sort). At 100 TB the triple↔transcript
+    join is the hottest repeated join in graph analytics; paying its
+    shuffle ONCE at write time instead of per-query is the canonical
+    warehouse play (Iceberg's bucket partition transform is the same
+    idea; ``bucketBy`` is the Spark-managed-table spelling this sandbox
+    can execute and assert).
+
+    Returns the two table names. Requires a session with Hive-style
+    managed-table support (default local session works; tables land in
+    spark.sql.warehouse.dir).
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    t_triples, t_tr = f"{db}.triples_bucketed", f"{db}.transcripts_bucketed"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for name in (t_triples, t_tr):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a crashed previous writer can leave an orphan location the
+        # (session-scoped) catalog no longer knows about — managed-table
+        # creation refuses to reuse it, so clear it explicitly
+        orphan = os.path.join(wh, f"{db}.db", name.split(".", 1)[1])
+        if wh and os.path.isdir(orphan):
+            import shutil
+
+            shutil.rmtree(orphan)
+    (
+        triples.write.bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .format("parquet")
+        .saveAsTable(t_triples)
+    )
+    (
+        transcripts.write.bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .format("parquet")
+        .saveAsTable(t_tr)
+    )
+    return t_triples, t_tr

@@ -78,3 +78,41 @@ def test_rerun_partition_is_idempotent_overwrite(spark, tmp_path):
     run_partitioned(spark, t, build, sink)
     twice = sorted((r.subj, r.pred, r.obj) for r in sink.read_triples(spark).collect())
     assert once == twice  # overwrite, not append — no duplicates
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The point of the bucketed layout: a conv_id-keyed join between
+    the two co-bucketed tables must plan WITHOUT any Exchange on either
+    side (bucketed-join elimination) — the write-once shuffle replaces
+    every per-query shuffle."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.sources.writers import save_bucketed_tables
+
+    triples = spark.createDataFrame(
+        [(f"c{i}", 0, f"s{i}", "p", "o") for i in range(50)],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    transcripts = spark.createDataFrame(
+        [(f"c{i}", 0, "user", "text", None, datetime(2026, 1, 1)) for i in range(50)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    t_tr, t_t = save_bucketed_tables(spark, triples, transcripts, db="kg_test", n_buckets=4)
+    a, b = spark.table(t_tr), spark.table(t_t)
+    # disable broadcast so the planner must choose between a shuffled and
+    # a bucket-local sort-merge join (at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b.select("conv_id", "role"), on="conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # cleanup: managed test tables
+    spark.sql("DROP TABLE IF EXISTS kg_test.triples_bucketed")
+    spark.sql("DROP TABLE IF EXISTS kg_test.transcripts_bucketed")
