@@ -1604,7 +1604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_broadcast_join_chain": q_broadcast_join_chain,
         "q_topk_orders_per_customer": q_topk_orders_per_customer,
         "q_exact_percentile": q_exact_percentile,
-        "q_sketch_distinct": q_sketch_distinct,
         "q_sketch_quantile": q_sketch_quantile,
         "q_ordered_concat": q_ordered_concat,
         "q_pivot_wide": q_pivot_wide,
@@ -1671,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_model": q_quality_model,
         "q_dedup_against": q_dedup_against,
         "q_kg_triples": q_kg_triples,
+        "q_sketch_distinct": q_sketch_distinct,
         "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
         "q_graph_stats": q_graph_stats,
