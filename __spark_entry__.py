@@ -1490,6 +1490,40 @@ def q_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix over assertion time: entities grouped by
+    their first-mention bucket (cohort) × how many are still mentioned
+    n buckets later — the curation dashboard's view of concept churn.
+    Derived entirely from one (ent, bucket) aggregate: cohort = min
+    bucket per entity (window), age = bucket − cohort; counts distinct
+    entities per (cohort, age) cell. Bucket = 1h of assertion time."""
+    from omop2obo_spark.operators.temporal import ts_rel_seconds
+
+    tr = transcripts_from_documents(spark, sf_dir).select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+        ts_rel_seconds(F.col("ts")).alias("__rel_s"),
+    )
+    ev = (
+        _pipeline_result(spark, sf_dir).triples
+        .filter(F.col("pred").isin("omop2obo:hasExactMapping", "omop2obo:hasConstructorMapping"))
+        .select("conv_id", "turn_idx", F.col("obj").alias("ent"))
+        .join(tr, on=["conv_id", "turn_idx"])
+        .select("ent", F.floor(F.col("__rel_s") / F.lit(3600)).alias("bucket"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("ent")
+    aged = ev.withColumn("cohort", F.min("bucket").over(w)).select(
+        "ent",
+        F.col("cohort").cast("bigint").alias("cohort"),
+        (F.col("bucket") - F.col("cohort")).cast("bigint").alias("age"),
+    )
+    return aged.groupBy("cohort", "age").agg(
+        F.countDistinct("ent").alias("n_entities")
+    )
+
+
 def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity mention-rate burst detection (operators/temporal.py:
     entity_bursts): mapping triples bucketed hourly, a bucket is a burst
@@ -1678,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triple_validity": q_triple_validity,
         "q_graph_asof": q_graph_asof,
         "q_asof_diff": q_asof_diff,
+        "q_entity_cohorts": q_entity_cohorts,
         "q_entity_bursts": q_entity_bursts,
         "q_triangles": q_triangles,
         "q_entity_jaccard": q_entity_jaccard,
@@ -3272,6 +3307,24 @@ FROM tv, bounds
 WHERE first_seen_s > mn + (mx - mn) // 4
   AND first_seen_s <= mn + (3 * (mx - mn)) // 4
 GROUP BY pred"""
+    )
+    sqls["q_entity_cohorts"] = kg_triples_sql(
+        final_select=""", ev AS (
+    SELECT DISTINCT obj AS ent,
+           (CAST(substr(conv_id, 6) AS BIGINT) * 100 + turn_idx) // 3600 AS bucket
+    FROM (
+        SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM uri_triples
+        WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+    )
+),
+aged AS (
+    SELECT ent,
+           min(bucket) OVER (PARTITION BY ent) AS cohort,
+           bucket - min(bucket) OVER (PARTITION BY ent) AS age
+    FROM ev
+)
+SELECT cohort, age, count(DISTINCT ent) AS n_entities
+FROM aged GROUP BY 1, 2"""
     )
     sqls["q_entity_bursts"] = kg_triples_sql(
         final_select=""", ev AS (
