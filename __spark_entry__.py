@@ -1678,6 +1678,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_ann_quantized": q_ann_quantized,
         "q_ann_quantized_recall": q_ann_quantized_recall,
+        # flagship runs before every other _pipeline_result consumer so the
+        # bench attributes the one-time pipeline materialization (exact and
+        # with-similarity caches) to q_kg_triples / q_kg_triples_sim, not to
+        # whichever cheap graph analytic happens to touch the cache first
+        "q_kg_triples": q_kg_triples,
+        "q_kg_triples_sim": q_kg_triples_sim,
+        "q_sketch_distinct": q_sketch_distinct,
         "q_hierarchy_rollup": q_hierarchy_rollup,
         "q_ancestor_closure": q_ancestor_closure,
         "q_chunk_turns": q_chunk_turns,
@@ -1703,9 +1710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_quality_model": q_quality_model,
         "q_dedup_against": q_dedup_against,
-        "q_kg_triples": q_kg_triples,
-        "q_sketch_distinct": q_sketch_distinct,
-        "q_kg_triples_sim": q_kg_triples_sim,
         "q_wide_mappings": q_wide_mappings,
         "q_graph_stats": q_graph_stats,
         "q_mentions_per_role": q_mentions_per_role,
