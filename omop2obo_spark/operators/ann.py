@@ -91,33 +91,48 @@ def ivf_assign(
 
     Returns (centroids, assignments(vec_id, centroid_id)).
     """
+    from pyspark.sql import types as T
+
     centroids = vectors.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
-    for _ in range(kmeans_iters):
-        assign = _nearest_assignments(vectors, centroids, id_col, vec_col)
-        means = (
-            vectors.join(assign, on=id_col)
-            .select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            # round the mean: float avg depends on partial-aggregation
-            # order (partition layout), so an unrounded centroid is not
-            # bit-stable across runs/retries; 9 decimals is far below any
-            # meaningful cosine difference and far above the ~1e-13
-            # reorder drift
-            .agg(F.round(F.avg("x"), 9).alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+    if kmeans_iters > 0:
+        # centroid_id inherits the vector id type (string conv keys work
+        # the same as the fixtures' long ids)
+        cschema = T.StructType(
+            [
+                T.StructField("centroid_id", vectors.schema[id_col].dataType),
+                T.StructField("cvec", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        # driver-side centroid map, bounded by index size (n_centroids)
+        cur = {r.centroid_id: list(r.cvec) for r in centroids.collect()}
+        for _ in range(kmeans_iters):
+            assign = _nearest_assignments(vectors, centroids, id_col, vec_col)
+            means = (
+                vectors.join(assign, on=id_col)
+                .select("centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+                .groupBy("centroid_id", "pos")
+                # round the mean: float avg depends on partial-aggregation
+                # order (partition layout), so an unrounded centroid is not
+                # bit-stable across runs/retries; 9 decimals is far below any
+                # meaningful cosine difference and far above the ~1e-13
+                # reorder drift
+                .agg(F.round(F.avg("x"), 9).alias("m"))
+                .groupBy("centroid_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select(
+                    "centroid_id",
+                    F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+                )
             )
-        )
-        rows = means.collect()  # n_centroids rows — bounded
-        centroids = vectors.sparkSession.createDataFrame(
-            [(r.centroid_id, list(r.cvec)) for r in rows],
-            "centroid_id long, cvec array<double>",
-        )
+            # a centroid whose cluster emptied keeps its previous position
+            # (groupBy only sees assigned rows) so the index never shrinks
+            # below n_centroids
+            cur.update({r.centroid_id: list(r.cvec) for r in means.collect()})
+            centroids = vectors.sparkSession.createDataFrame(
+                sorted(cur.items()), cschema
+            )
     assignments = _nearest_assignments(vectors, centroids, id_col, vec_col)
     return centroids, assignments
 

@@ -85,14 +85,30 @@ def curate_corpus(
     clusters = dedup_clusters(pairs)  # eager: iterates to fixpoint
     s4 = dedup_keep_canonical(s3, clusters, id_col)
 
-    stages = zip(FUNNEL_STAGES, [docs, s1, s2, s3, s4])
-    counts = [
-        df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_docs"))
-        for name, df in stages
-    ]
-    funnel = counts[0]
-    for c in counts[1:]:
-        funnel = funnel.unionByName(c)
+    # one corpus scan covers the three stateless head counts (input /
+    # lang-survivors / quality-survivors) via conditional aggregation —
+    # counting s1 and s2 directly would re-run the lang+quality
+    # expressions as two more full scans of the raw corpus. s3/s4 read
+    # the checkpointed survivors, so their counts are cheap.
+    pass_lang = F.col("lang_pred") == lang
+    pass_quality = (
+        (F.col("q_tokens") >= min_tokens)
+        & (F.col("q_alpha_ratio") >= min_alpha_ratio)
+        & (F.col("q_punct_ratio") <= max_punct_ratio)
+    )
+    head = quality_features(lang_id(docs, text_col), text_col).agg(
+        F.count("*").alias("c0"),
+        F.coalesce(F.sum(F.when(pass_lang, 1)), F.lit(0)).alias("c1"),
+        F.coalesce(F.sum(F.when(pass_lang & pass_quality, 1)), F.lit(0)).alias("c2"),
+    )
+    funnel = head.selectExpr(
+        "stack(3, 's0_input', cast(c0 as bigint), 's1_lang', cast(c1 as bigint),"
+        " 's2_quality', cast(c2 as bigint)) as (stage, n_docs)"
+    )
+    for name, df in zip(FUNNEL_STAGES[3:], [s3, s4]):
+        funnel = funnel.unionByName(
+            df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_docs"))
+        )
     return s4, funnel
 
 

@@ -129,8 +129,15 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = t
     for name, pat, token in PII_PATTERNS:
         # count on the PRE-replacement text of this stage so categories
-        # don't see each other's placeholder tokens
-        counts.append(F.size(F.regexp_extract_all(out, F.lit(pat), 0)).alias(f"n_{name}"))
+        # don't see each other's placeholder tokens; NULL text counts 0
+        # (size(NULL) is -1 under legacy sizeOfNull — NOT null, so a
+        # coalesce wouldn't catch it — and would skew any downstream
+        # sum/threshold over the counts)
+        counts.append(
+            F.when(t.isNull(), F.lit(0))
+            .otherwise(F.size(F.regexp_extract_all(out, F.lit(pat), 0)))
+            .alias(f"n_{name}")
+        )
         out = F.regexp_replace(out, pat, token)
     return docs.select("*", *counts, out.alias("redacted"))
 
@@ -178,7 +185,10 @@ def compression_ratio(
 
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            # id keeps the input column's type (long fixture ids, string
+            # conv_ids, ... all work) — a hard-coded LongType would break
+            # Arrow conversion for any non-bigint key
+            T.StructField(id_col, docs.schema[id_col].dataType),
             T.StructField("raw_bytes", T.LongType()),
             T.StructField("zlib_bytes", T.LongType()),
             T.StructField("compress_ratio", T.DoubleType()),

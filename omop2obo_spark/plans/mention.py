@@ -173,6 +173,11 @@ def detect_mentions_arrow(
         for pdf in batches:
             conv_o, turn_o, mid_o, pos_o, kind_o, surf_o = [], [], [], [], [], []
             for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                # NULL text (e.g. a PERMISSIVE JSONL row missing the field)
+                # yields no mentions — same as the SQL engine, where
+                # F.lower(NULL) joins/matches nothing.
+                if not isinstance(text, str):
+                    continue
                 low = text.lower()
                 # code mentions: regex match ordinal is the position
                 for p, m in enumerate(code_re.findall(low)):

@@ -24,6 +24,7 @@ broadcast. The TF-IDF tier only sees turns that produced no exact link.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +72,14 @@ class PipelineResult:
     semtypes: DataFrame | None
     mappings: DataFrame
     triples: DataFrame
+    # executor caches still held by lazy plans (persist=False similarity
+    # runs); call unpersist_caches() once consumers have executed
+    cached_inputs: list[DataFrame] = dataclasses.field(default_factory=list)
+
+    def unpersist_caches(self) -> None:
+        for df in self.cached_inputs:
+            df.unpersist()
+        self.cached_inputs = []
 
 
 def _stack_code_mentions(mentions: DataFrame, vocab_map: dict[str, str]) -> DataFrame:
@@ -144,6 +153,7 @@ def run_pipeline(
     timings: dict[str, float] | None = None,
     double_merge: bool = True,
     checkpoint_dir: str | None = None,
+    assume_unique_turns: bool = True,
 ) -> PipelineResult:
     """Run the full transcripts→triples pipeline.
 
@@ -328,6 +338,7 @@ def run_pipeline(
         ).select(*KEY_COLS, "sim_uri", "score", "rank")
 
     # ---- stage 3: canonicalization --------------------------------------
+    leftover_caches: list[DataFrame] = []
     mappings = compile_mappings(exact, sim_matches, dims.labels, KEY_COLS, cfg.compile_threshold)
     if persist and with_similarity:
         mappings = _checkpoint(mappings, "mappings")
@@ -338,9 +349,14 @@ def run_pipeline(
         # re-read of PipelineResult.sim_matches just recomputes)
         for cached in getattr(norms, "cached_inputs", []):
             cached.unpersist()
+    elif with_similarity:
+        # persist=False: the stats caches are still referenced by the lazy
+        # sim/mapping plans — hand them to the caller for release after
+        # execution instead of leaking them for the session's lifetime
+        leftover_caches = list(getattr(norms, "cached_inputs", []))
 
     # ---- stage 4: triple materialization ---------------------------------
-    triples = build_triples(mentions, mappings, semtypes)
+    triples = build_triples(mentions, mappings, semtypes, assume_unique_turns)
     _mark("plan_built")
 
     return PipelineResult(
@@ -352,17 +368,30 @@ def run_pipeline(
         semtypes=semtypes,
         mappings=mappings,
         triples=triples,
+        cached_inputs=leftover_caches,
     )
 
 
 def build_triples(
-    mentions: DataFrame, mappings: DataFrame, semtypes: DataFrame | None
+    mentions: DataFrame,
+    mappings: DataFrame,
+    semtypes: DataFrame | None,
+    assume_unique_turns: bool = True,
 ) -> DataFrame:
     """Explode canonical mappings into (subj, pred, obj) rows.
 
     Subjects are stable mention entities ``transcript:<mention_id>``;
     conv_id/turn_idx ride along as partition/order columns (the north
     rule's stable (conv_id, turn_idx) ordering).
+
+    ``assume_unique_turns`` declares the input contract that
+    ``(conv_id, turn_idx)`` is the transcript table's primary key (it is
+    for the Iceberg source and every fixture). Under that contract
+    mentionOf/semtype rows are unique by construction and stay OUT of the
+    distinct shuffle (~1/3 of triple volume). Pass ``False`` for
+    dirty inputs (e.g. raw PERMISSIVE JSONL with possible duplicate turn
+    rows): the mention/semtype families then join the global distinct, so
+    the output is a set regardless of input duplication.
     """
     subj = F.concat(F.lit("transcript:"), F.col("mention_id"))
 
@@ -402,30 +431,26 @@ def build_triples(
         ).select("conv_id", "turn_idx", "subj", "p.pred", "p.obj")
     ]
 
-    # The distinct shuffle covers ONLY the mapping-derived triples (the one
-    # family that can emit duplicates — same category/evidence/constructor
-    # obj across a mention's per-ontology blocks). mentionOf rows are
-    # unique by construction (one per mention; longest-match keeps a single
-    # span per (turn, pos)) and semtype rows are one-per-mention aggregate
-    # output; both use predicates disjoint from the mapping family, so
-    # unioning them AFTER the distinct is set-identical to a global
-    # distinct while keeping ~1/3 of the triple volume out of the shuffle
-    # and fully pipelined from the mention checkpoint.
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out = out.dropDuplicates(["subj", "pred", "obj"])
-
+    # Under the (conv_id, turn_idx)-primary-key contract the distinct
+    # shuffle covers ONLY the mapping-derived triples (the one family that
+    # can emit duplicates — same category/evidence/constructor obj across a
+    # mention's per-ontology blocks). mentionOf rows are unique by
+    # construction (one per mention; longest-match keeps a single span per
+    # (turn, pos)) and semtype rows are one-per-mention aggregate output;
+    # both use predicates disjoint from the mapping family, so unioning
+    # them AFTER the distinct is set-identical to a global distinct while
+    # keeping ~1/3 of the triple volume out of the shuffle and fully
+    # pipelined from the mention checkpoint. With assume_unique_turns=False
+    # they union BEFORE it (global distinct — duplicate turn rows collapse).
     mention_triples = mentions.select(
         "conv_id", "turn_idx",
         F.concat(F.lit("transcript:"), F.col("mention_id")).alias("subj"),
         F.lit(PRED_MENTION_OF).alias("pred"),
         F.concat(F.lit("transcript:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx")).alias("obj"),
     )
-    out = out.unionByName(mention_triples)
-
+    parts.append(mention_triples)
     if semtypes is not None:
-        out = out.unionByName(
+        parts.append(
             semtypes.filter(F.col("UMLS_SEM_TYPE") != "").select(
                 "conv_id", "turn_idx",
                 F.concat(F.lit("transcript:"), F.col("mention_id")).alias("subj"),
@@ -433,4 +458,14 @@ def build_triples(
                 F.col("UMLS_SEM_TYPE").alias("obj"),
             )
         )
+
+    if assume_unique_turns:
+        out = parts[0].dropDuplicates(["subj", "pred", "obj"])
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.dropDuplicates(["subj", "pred", "obj"])
     return out

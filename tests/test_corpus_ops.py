@@ -996,3 +996,55 @@ def test_bpe_apply_static_merges_token_boundary_safe(spark):
     # {_in,_t,_er,_e,_s,_t,_in,_g}=8
     assert (row.n_words, row.n_chars, row.n_tokens) == (3, 23, 14)
     assert row.ratio == round(23 / 14, 6)
+
+
+def test_ivf_kmeans_string_ids_and_full_index(spark):
+    """kmeans refinement works for non-long id columns (the rebuild schema
+    inherits the input id type) and never shrinks the index: a centroid
+    whose cluster empties keeps its previous position."""
+    import math
+
+    from omop2obo_spark.operators.ann import ivf_assign
+
+    # 3 near-duplicate seeds (ids a0..a2) + one far cluster: after one
+    # Lloyd round at most one of the duplicate seeds keeps members
+    rows = [(f"a{i}", [1.0, 0.0, 0.0001 * i]) for i in range(3)]
+    rows += [(f"b{i}", [0.0, 1.0, 0.01 * i]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    centroids, assign = ivf_assign(
+        vecs, n_centroids=3, id_col="vec_id", kmeans_iters=2
+    )
+    crows = centroids.collect()
+    assert len(crows) == 3                      # index never shrinks
+    assert {type(r.centroid_id) for r in crows} == {str}
+    assert assign.count() == 33
+    # deterministic across reruns
+    again, _ = ivf_assign(vecs, n_centroids=3, id_col="vec_id", kmeans_iters=2)
+    a = sorted((r.centroid_id, tuple(r.cvec)) for r in crows)
+    b = sorted((r.centroid_id, tuple(r.cvec)) for r in again.collect())
+    assert a == b
+    assert all(all(not math.isnan(x) for x in r.cvec) for r in crows)
+
+
+def test_redact_pii_null_text_counts_zero(spark):
+    from omop2obo_spark.operators.textstats import redact_pii
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "x@y.io")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in redact_pii(d).collect()}
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone, rows[1].n_ssn) == (0, 0, 0, 0)
+    assert rows[1].redacted is None
+    assert rows[2].n_email == 1
+
+
+def test_compression_ratio_preserves_string_id_type(spark):
+    from omop2obo_spark.operators.textstats import compression_ratio
+
+    d = spark.createDataFrame(
+        [("conv-1:0", "hello world " * 50), ("conv-2:3", "prose")],
+        "conv_id string, text string",
+    )
+    got = {r.conv_id: r for r in compression_ratio(d, id_col="conv_id").collect()}
+    assert set(got) == {"conv-1:0", "conv-2:3"}
+    assert got["conv-1:0"].compress_ratio < 0.2

@@ -201,6 +201,14 @@ def test_mention_engines_identical(spark):
     from omop2obo_spark.plans.mention import detect_mentions
 
     tr = transcripts_df(spark, n_convs=80, turns_per_conv=5)
+    # NULL text (a PERMISSIVE JSONL row missing the field) must yield no
+    # mentions in BOTH engines, not crash the arrow scan
+    null_row = spark.sql(
+        "select 'cNULL' conv_id, cast(0 as int) turn_idx, 'user' role,"
+        " cast(null as string) text, cast(null as string) tool,"
+        " cast(null as timestamp) ts"
+    )
+    tr = tr.unionByName(null_row.select(*tr.columns))
     dims = LexiconDims.from_lexicon(FX.lexicon_df(spark), vocab_map_dict())
     from pyspark.sql import functions as F
 
@@ -210,6 +218,7 @@ def test_mention_engines_identical(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) > 0
+    assert not any(r[0] == "cNULL" for r in ra)
 
 
 def test_umls_annotate_salted_matches_broadcast_on_zipf_skew(spark):

@@ -145,3 +145,45 @@ def test_pipeline_is_deterministic(spark):
     ta = sorted((r.subj, r.pred, r.obj) for r in a.triples.collect())
     tb = sorted((r.subj, r.pred, r.obj) for r in b.triples.collect())
     assert ta == tb
+
+
+def test_duplicate_turn_rows_with_unique_turns_false_yield_a_set(spark):
+    """The (conv_id, turn_idx) primary-key contract is explicit: with
+    assume_unique_turns=False a dirty input (duplicated turn rows, e.g.
+    raw PERMISSIVE JSONL) still emits a triple SET — including the
+    mentionOf/semtype families that normally skip the distinct."""
+    t = FX.transcripts_df(spark, 10, 4)
+    dirty = t.unionByName(t.limit(7))  # duplicate some turn rows verbatim
+    kwargs = dict(
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        with_similarity=False, persist=False,
+    )
+    clean = run_pipeline(spark, t, FX.lexicon_df(spark), vocab_map_dict(), **kwargs)
+    res = run_pipeline(
+        spark, dirty, FX.lexicon_df(spark), vocab_map_dict(),
+        assume_unique_turns=False, **kwargs,
+    )
+    rows = [(r.subj, r.pred, r.obj) for r in res.triples.collect()]
+    assert len(rows) == len(set(rows))
+    assert sorted(rows) == sorted((r.subj, r.pred, r.obj) for r in clean.triples.collect())
+
+
+def test_persist_false_similarity_caches_released(spark):
+    """persist=False similarity runs hand their corpus-stats caches to the
+    caller instead of leaking them for the session lifetime."""
+    t = FX.transcripts_df(spark, 15, 4)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    res = run_pipeline(
+        spark, t, FX.lexicon_df(spark), vocab_map_dict(),
+        with_similarity=True, persist=False,
+    )
+    assert res.triples.count() > 0
+    assert len(res.cached_inputs) == 3  # docs_k, tf, dfq
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk
+               for df in res.cached_inputs)
+    res.unpersist_caches()
+    assert res.cached_inputs == []
+    # no NEW persistent RDDs outlive the run (module-scoped fixtures may
+    # legitimately hold theirs)
+    assert jsc.getPersistentRDDs().size() <= before
