@@ -4,9 +4,9 @@
 semantics (/root/reference/omop2obo/utils/data_utils.py:236-275) exactly —
 including its surprising ``str.rstrip(last_segment)`` behavior, which strips
 a trailing *character set* (not a suffix) before dropping one separator
-char. We express that natively with a per-row regex character class built
-from the quoted last segment (``[\\Q<seg>\\E]+$``), so the whole transform
-stays inside whole-stage codegen — no Python UDF.
+char. Spark's two-arg ``rtrim(str, trimStr)`` has exactly those
+character-set semantics, so the whole transform stays inside whole-stage
+codegen — no Python UDF, no per-row regex compilation.
 
 Validated against the reference's own test vectors
 (/root/reference/tests/test_data_utils.py:165-183):
@@ -49,8 +49,11 @@ def normalize_source_codes(col: Column, vocab_map: dict[str, str]) -> Column:
         _last_segment(col, _PLAIN_SPLIT)
     )
     # rstrip(character set of seg), then drop one more char — exact parity
-    # with data_utils.py:260-261.
-    stripped = F.regexp_replace(col, F.concat(F.lit("[\\Q"), seg, F.lit("\\E]+$")), F.lit(""))
+    # with data_utils.py:260-261. Two-arg rtrim IS Python's rstrip(charset)
+    # (trailing character-SET strip); the previous per-row regex
+    # ("[\\Qseg\\E]+$") both compiled a pattern per row and blew up with
+    # PatternSyntaxException when the segment contained a literal "\\E".
+    stripped = F.rtrim(col, seg)
     prefix = stripped.substr(F.lit(1), F.length(stripped) - 1)
     if vocab_map:
         mapping = F.create_map(*[F.lit(x) for kv in vocab_map.items() for x in kv])

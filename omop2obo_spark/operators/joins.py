@@ -54,6 +54,17 @@ def salted_join(
             defaults to the join key + all fact columns' hash — pass the
             row-identity columns (e.g. conv_id, turn_idx, mention_idx).
     """
+    # salting is only sound when unmatched DIM rows never surface: the dim
+    # side is replicated once per salt bucket, so right/full joins would
+    # emit every unmatched dim row k times (and null-padded phantom rows
+    # for matched keys' unused salts)
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: dim-side replication "
+            "corrupts right/full joins; supported: inner/left/semi/anti"
+        )
     salt_src = fact_salt_cols or fact.columns
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets)).cast("int")

@@ -54,10 +54,25 @@ def unstack_columns(df: DataFrame, index: str, columns: str, values: str,
                     column_values: list[str] | None = None) -> DataFrame:
     """Long → wide (pivot). ``column_values`` (if known) avoids the extra
     distinct-collection job Spark otherwise runs to discover pivot values —
-    always pass it at scale."""
+    always pass it at scale.
+
+    A cell fed by two DIFFERENT values (same index+column, distinct value
+    after the full-row dedup) raises at execution time, matching the
+    reference's pandas ``pivot`` ValueError — a silent ``first()`` there
+    would be partition-order-dependent and break byte-identical re-runs.
+    """
     grouped = df.dropDuplicates().groupBy(index)
     pivoted = grouped.pivot(columns, column_values) if column_values else grouped.pivot(columns)
-    return pivoted.agg(F.first(values, ignorenulls=True))
+    cell = (
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.raise_error(F.lit(
+                "unstack_columns: duplicate entries for an (index, column) cell"
+            )).cast("string"),
+        )
+        .otherwise(F.first(values, ignorenulls=True))
+    )
+    return pivoted.agg(cell)
 
 
 def split_explode_columns(
@@ -69,11 +84,17 @@ def split_explode_columns(
     product across 2+ columns and post-split trimming. Each exploded
     branch is deduped before the join, like the reference's
     ``drop_duplicates`` per branch.
+
+    NULL handling diverges deliberately: a NULL delimited cell keeps its
+    key with a NULL value in that column (``explode_outer``). The
+    reference crashes on NaN (``.strip()`` AttributeError) and a plain
+    ``explode`` would silently erase the key from the whole output via
+    the inner re-join — losing its non-NULL values in the OTHER columns.
     """
     branches = []
     for col in delimited_columns:
         exploded = (
-            df.select(key, F.explode(F.split(F.col(col).cast("string"), re.escape(delimiter), -1)).alias(col))
+            df.select(key, F.explode_outer(F.split(F.col(col).cast("string"), re.escape(delimiter), -1)).alias(col))
             .withColumn(col, F.trim(F.col(col)))
             .dropDuplicates([key, col])
         )

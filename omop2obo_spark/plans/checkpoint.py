@@ -52,9 +52,11 @@ def run_partitioned(
         summary dict {run_id, processed, skipped, rows}.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    if batch_partitions is not None and batch_partitions <= 0:
+        raise ValueError(f"batch_partitions must be >= 1, got {batch_partitions}")
     done = sink.completed_partitions()
     pending = [p for p in range(sink.n_buckets) if p not in done]
-    batch = batch_partitions or max(1, len(pending))
+    batch = batch_partitions if batch_partitions is not None else max(1, len(pending))
 
     bucketed = sink.with_part_id(transcripts)
     processed, total_rows = [], 0
@@ -72,12 +74,35 @@ def run_partitioned(
             r["part_id"]: r["n"]
             for r in triples.groupBy("part_id").agg(F.count("*").alias("n")).collect()
         }
-        n = sum(per_part.values())
+        # a build whose output conv_ids hash outside this batch would be
+        # dynamic-overwritten into a FOREIGN partition and clobbered when
+        # that partition's own batch runs — fail loudly instead (the
+        # standard pipeline preserves conv_id, so this only fires for a
+        # build_triples that rewrites or nulls the bucket key)
+        foreign = set(per_part) - set(part_ids)
+        if foreign:
+            triples.unpersist()
+            raise ValueError(
+                f"build_triples emitted rows for partitions {sorted(foreign)} "
+                f"outside the current batch {part_ids}; bucket key must be "
+                "preserved for per-partition overwrite resume to be sound"
+            )
         sink.write_partitions(triples)
         triples.unpersist()
+        # manifest counts come from the files actually written (partition-
+        # pruned scan, parquet footer counts): if the cache was partially
+        # evicted the write recomputed the plan, and the pre-write counts
+        # would audit data that never hit disk
+        written = {
+            r["part_id"]: r["n"]
+            for r in sink.read_triples(spark)
+            .filter(F.col("part_id").isin(part_ids))
+            .groupBy("part_id").agg(F.count("*").alias("n")).collect()
+        }
+        n = sum(written.values())
         wall_ms = int((time.time() - t0) * 1000)
         for p in part_ids:
-            sink.record(run_id, p, "done", triples_out=per_part.get(p, 0),
+            sink.record(run_id, p, "done", triples_out=written.get(p, 0),
                         wall_ms=wall_ms, batch=part_ids)
         processed.extend(part_ids)
         total_rows += n

@@ -116,3 +116,26 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     # cleanup: managed test tables
     spark.sql("DROP TABLE IF EXISTS kg_test.triples_bucketed")
     spark.sql("DROP TABLE IF EXISTS kg_test.transcripts_bucketed")
+
+
+def test_batch_partitions_zero_rejected(spark, tmp_path):
+    t = FX.transcripts_df(spark, 5, 2)
+    sink = GraphSink(str(tmp_path / "g"), n_buckets=4)
+    with pytest.raises(ValueError, match="batch_partitions"):
+        run_partitioned(spark, t, _builder(spark), sink, batch_partitions=0)
+
+
+def test_foreign_partition_rows_fail_loudly(spark, tmp_path):
+    """A build that rewrites the bucket key would dynamic-overwrite a
+    FOREIGN partition (clobbered later by that partition's own batch) —
+    run_partitioned must refuse instead of silently losing rows."""
+    t = FX.transcripts_df(spark, 20, 3)
+    sink = GraphSink(str(tmp_path / "g"), n_buckets=8)
+    inner = _builder(spark)
+
+    def bad_build(transcripts):
+        # null the bucket key: every triple hashes to one constant part_id
+        return inner(transcripts).withColumn("conv_id", F.lit(None).cast("string"))
+
+    with pytest.raises(ValueError, match="outside the current batch"):
+        run_partitioned(spark, t, bad_build, sink, batch_partitions=2)

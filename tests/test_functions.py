@@ -102,3 +102,19 @@ def test_lemma_wordnet_drift():
     wrong = {w: (_lemma_lite_py(w), want) for w, want in wordnet_golden.items()
              if _lemma_lite_py(w) != want}
     assert not wrong, f"lemma drift vs WordNet: {wrong}"
+
+
+def test_normalizes_source_codes_regex_metachars_and_quote_escape(spark):
+    """rstrip is a character-set strip implemented with two-arg rtrim —
+    identifiers containing regex metacharacters or a literal backslash-E
+    (which terminated the old \\Q...\\E quoting early and threw
+    PatternSyntaxException) must normalize, not abort the job."""
+    cases = [
+        ("x:a\\Eb", "x:a\\eb"),       # literal \E inside the segment
+        ("v:[a-z]+", "v:[a-z]+"),     # regex metachars survive as literals
+        ("w:a.b*c", "w:a.b*c"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "CODE string")
+    out = [r.n for r in df.select(normalize_source_codes(F.col("CODE"), {}).alias("n")).collect()]
+    for (_raw, want), got in zip(cases, out):
+        assert got == want, (got, want)

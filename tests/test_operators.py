@@ -435,3 +435,53 @@ def test_term_mentions_on_turns_shorter_than_max_ngram(spark):
         if r.kind == "term"
     }
     assert arrow == declarative
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Dim-side replication corrupts right/full joins (unmatched dim rows
+    appear once per salt bucket) — salted_join must refuse them."""
+    import pytest as _pytest
+
+    from omop2obo_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "id long, k string")
+    dim = spark.createDataFrame([("a", "x"), ("z", "u")], "k string, v string")
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", salt_buckets=4, fact_salt_cols=["id"], how=how)
+    # supported types still work
+    assert salted_join(fact, dim, "k", salt_buckets=4, fact_salt_cols=["id"], how="left_anti").count() == 0
+
+
+def test_unstack_columns_raises_on_conflicting_duplicates(spark):
+    """pandas pivot raises ValueError on duplicate (index, column) pairs;
+    a silent first() would be partition-order nondeterministic. Same-value
+    duplicates dedup away; different values must fail loudly."""
+    import pytest as _pytest
+
+    ok = spark.createDataFrame(
+        [(1, "A", "x"), (1, "A", "x"), (1, "B", "y")],
+        "CONCEPT_ID long, CODE_COLUMN string, CODE string",
+    )
+    row = unstack_columns(ok, "CONCEPT_ID", "CODE_COLUMN", "CODE", ["A", "B"]).collect()[0]
+    assert (row.A, row.B) == ("x", "y")
+
+    dup = spark.createDataFrame(
+        [(1, "A", "x"), (1, "A", "y")],
+        "CONCEPT_ID long, CODE_COLUMN string, CODE string",
+    )
+    with _pytest.raises(Exception, match="duplicate entries"):
+        unstack_columns(dup, "CONCEPT_ID", "CODE_COLUMN", "CODE", ["A"]).collect()
+
+
+def test_split_explode_null_cell_keeps_key(spark):
+    """A NULL delimited cell keeps its key (explode_outer) instead of the
+    inner re-join silently erasing the key's values in OTHER columns."""
+    data = spark.createDataFrame(
+        [(1, "a|b", None), (2, "c", "d|e")],
+        "CONCEPT_ID long, CA string, CB string",
+    )
+    out = split_explode_columns(data, "CONCEPT_ID", ["CA", "CB"], "|")
+    rows = {(r.CONCEPT_ID, r.CA, r.CB) for r in out.collect()}
+    assert (1, "a", None) in rows and (1, "b", None) in rows
+    assert (2, "c", "d") in rows and (2, "c", "e") in rows
