@@ -65,7 +65,7 @@ def unstack_columns(df: DataFrame, index: str, columns: str, values: str,
     pivoted = grouped.pivot(columns, column_values) if column_values else grouped.pivot(columns)
     cell = (
         F.when(
-            F.count(F.lit(1)) > 1,
+            F.countDistinct(F.col(values)) > 1,
             F.raise_error(F.lit(
                 "unstack_columns: duplicate entries for an (index, column) cell"
             )).cast("string"),

@@ -67,19 +67,16 @@ def run_partitioned(
         for p in part_ids:
             sink.record(run_id, p, "pending")
         triples = sink.with_part_id(build_triples(subset))
-        # count via the write-side accumulator-free path: persist + count,
-        # then write the same persisted data (no recompute)
+        # persist so the write below reuses the same data the pre-write
+        # partition probe saw (no recompute between probe and write)
         triples = triples.persist()
-        per_part = {
-            r["part_id"]: r["n"]
-            for r in triples.groupBy("part_id").agg(F.count("*").alias("n")).collect()
-        }
+        nonempty = {r["part_id"] for r in triples.select("part_id").distinct().collect()}
         # a build whose output conv_ids hash outside this batch would be
         # dynamic-overwritten into a FOREIGN partition and clobbered when
         # that partition's own batch runs — fail loudly instead (the
         # standard pipeline preserves conv_id, so this only fires for a
         # build_triples that rewrites or nulls the bucket key)
-        foreign = set(per_part) - set(part_ids)
+        foreign = nonempty - set(part_ids)
         if foreign:
             triples.unpersist()
             raise ValueError(
@@ -87,18 +84,30 @@ def run_partitioned(
                 f"outside the current batch {part_ids}; bucket key must be "
                 "preserved for per-partition overwrite resume to be sound"
             )
-        sink.write_partitions(triples)
+        # dynamic overwrite only rewrites partitions PRESENT in the frame:
+        # batch partitions that produced zero rows must be cleared
+        # explicitly, or a previous crash-window attempt's files survive
+        # (and would be mis-attributed to this run by the count below)
+        sink.clear_partitions([p for p in part_ids if p not in nonempty])
+        if nonempty:
+            sink.write_partitions(triples)
         triples.unpersist()
         # manifest counts come from the files actually written (partition-
         # pruned scan, parquet footer counts): if the cache was partially
-        # evicted the write recomputed the plan, and the pre-write counts
-        # would audit data that never hit disk
-        written = {
-            r["part_id"]: r["n"]
-            for r in sink.read_triples(spark)
-            .filter(F.col("part_id").isin(part_ids))
-            .groupBy("part_id").agg(F.count("*").alias("n")).collect()
-        }
+        # evicted the write recomputed the plan, and a pre-write count
+        # would audit data that never hit disk. Skipped for an all-empty
+        # batch: nothing was written, and a fresh sink has no dataset to
+        # read (schema inference on zero files fails).
+        written = (
+            {
+                r["part_id"]: r["n"]
+                for r in sink.read_triples(spark)
+                .filter(F.col("part_id").isin(part_ids))
+                .groupBy("part_id").agg(F.count("*").alias("n")).collect()
+            }
+            if nonempty
+            else {}
+        )
         n = sum(written.values())
         wall_ms = int((time.time() - t0) * 1000)
         for p in part_ids:

@@ -52,6 +52,22 @@ class GraphSink:
             .parquet(self.triples_dir)
         )
 
+    def clear_partitions(self, part_ids: list[int]) -> None:
+        """Remove the on-disk data for ``part_ids``. Dynamic partition
+        overwrite only rewrites partitions PRESENT in the written frame, so
+        a batch partition that legitimately produced zero rows keeps
+        whatever a previous crashed attempt left behind — the resume layer
+        clears those explicitly so "this batch's output replaces all of the
+        batch's partitions" holds even for empty ones. (Iceberg spelling:
+        overwritePartitions on a frame that includes the empty partitions.)
+        """
+        import shutil
+
+        for p in part_ids:
+            d = os.path.join(self.triples_dir, f"part_id={p}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+
     def read_triples(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.triples_dir)
 

@@ -125,6 +125,58 @@ def test_batch_partitions_zero_rejected(spark, tmp_path):
         run_partitioned(spark, t, _builder(spark), sink, batch_partitions=0)
 
 
+def test_empty_output_run_completes_with_zero_counts(spark, tmp_path):
+    """A run whose build produces zero triples (no term matches) must
+    complete and record triples_out=0 — not crash on schema inference
+    over an empty dataset."""
+    t = FX.transcripts_df(spark, 10, 2)
+    sink = GraphSink(str(tmp_path / "empty"), n_buckets=4)
+    inner = _builder(spark)
+
+    def empty_build(transcripts):
+        return inner(transcripts).filter(F.lit(False))
+
+    summary = run_partitioned(spark, t, empty_build, sink, batch_partitions=2)
+    assert summary["rows"] == 0
+    assert sorted(summary["processed"]) == [0, 1, 2, 3]
+    assert all(
+        r["triples_out"] == 0 for r in sink.manifest() if r["status"] == "done"
+    )
+
+
+def test_stale_crash_window_files_cleared_on_rerun(spark, tmp_path):
+    """Crash window: run 1 wrote partition p but died before recording
+    'done'. If the re-run's build legitimately yields zero rows for p,
+    the stale files must be CLEARED (dynamic overwrite never touches an
+    absent partition) and not attributed to the new run's counts."""
+    t = FX.transcripts_df(spark, 20, 3)
+    sink = GraphSink(str(tmp_path / "stale"), n_buckets=2)
+    build = _builder(spark)
+
+    # run 1: full write, then simulate the crash window by wiping the
+    # manifest (data files stay, nothing recorded 'done')
+    run_partitioned(spark, t, build, sink)
+    assert sink.read_triples(spark).count() > 0
+    import os
+
+    os.remove(sink.manifest_path)
+
+    # re-run with a build that now produces NOTHING: all partitions must
+    # end up empty on disk and every manifest count must be 0
+    def empty_build(transcripts):
+        return build(transcripts).filter(F.lit(False))
+
+    summary = run_partitioned(spark, t, empty_build, sink, batch_partitions=1)
+    assert summary["rows"] == 0
+    assert all(
+        r["triples_out"] == 0 for r in sink.manifest() if r["status"] == "done"
+    )
+    import glob
+
+    leftover = glob.glob(str(tmp_path / "stale" / "triples" / "part_id=*" / "*.parquet"))
+    assert leftover == [], leftover
+
+
 def test_foreign_partition_rows_fail_loudly(spark, tmp_path):
     """A build that rewrites the bucket key would dynamic-overwrite a
     FOREIGN partition (clobbered later by that partition's own batch) —

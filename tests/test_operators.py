@@ -466,6 +466,24 @@ def test_unstack_columns_raises_on_conflicting_duplicates(spark):
     row = unstack_columns(ok, "CONCEPT_ID", "CODE_COLUMN", "CODE", ["A", "B"]).collect()[0]
     assert (row.A, row.B) == ("x", "y")
 
+    # a NULL alongside one real value is NOT a conflict: the cell resolves
+    # unambiguously (first ignorenulls), matching countDistinct semantics
+    null_plus = spark.createDataFrame(
+        [(1, "A", None), (1, "A", "x")],
+        "CONCEPT_ID long, CODE_COLUMN string, CODE string",
+    )
+    row = unstack_columns(null_plus, "CONCEPT_ID", "CODE_COLUMN", "CODE", ["A"]).collect()[0]
+    assert row.A == "x"
+
+    # an extra column differing between otherwise-identical rows must not
+    # trip the guard either — only the VALUES column's distinct count matters
+    extra = spark.createDataFrame(
+        [(1, "A", "x", "u1"), (1, "A", "x", "u2")],
+        "CONCEPT_ID long, CODE_COLUMN string, CODE string, SRC string",
+    )
+    row = unstack_columns(extra, "CONCEPT_ID", "CODE_COLUMN", "CODE", ["A"]).collect()[0]
+    assert row.A == "x"
+
     dup = spark.createDataFrame(
         [(1, "A", "x"), (1, "A", "y")],
         "CONCEPT_ID long, CODE_COLUMN string, CODE string",

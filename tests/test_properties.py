@@ -7,8 +7,8 @@ driver-side ontology corpus).  The golden-vector tests in
 ``test_functions.py``/``test_similarity.py`` pin known cases; these
 tests let hypothesis search the input space for divergence — regex
 dialect differences (Java vs Python ``\\s``/``\\w``/alternation order),
-substring arithmetic off-by-ones, quoting edge cases in the per-row
-``\\Q…\\E`` character class of ``normalize_source_codes``.
+substring arithmetic off-by-ones, trim-charset edge cases in the
+two-arg ``rtrim`` of ``normalize_source_codes``.
 
 Each hypothesis example generates a BATCH of rows and runs ONE Spark job
 over the batch, so the search pays Spark's per-job latency once per
