@@ -738,10 +738,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary: top-50 tokens by (count desc, token asc)."""
+    """Corpus vocabulary: top-50 tokens by (count desc, token asc), with
+    total occurrence count and document frequency."""
     from omop2obo_spark.operators.textstats import top_k_vocabulary
 
-    return top_k_vocabulary(_docs(spark, sf_dir), k=50).select("token", "n", "rank")
+    return top_k_vocabulary(_docs(spark, sf_dir), k=50).select("token", "n", "df", "rank")
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2641,12 +2642,12 @@ FROM all_t GROUP BY pred"""
     """
 
     sqls["q_vocab_topk"] = """
-        SELECT token, n, rank FROM (
-            SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+        SELECT token, n, df, rank FROM (
+            SELECT token, n, df, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
             FROM (
-                SELECT t AS token, count(*) AS n
+                SELECT t AS token, count(*) AS n, count(DISTINCT doc_id) AS df
                 FROM (
-                    SELECT unnest(list_filter(
+                    SELECT doc_id, unnest(list_filter(
                         string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS t
                     FROM documents
                 )

@@ -273,8 +273,12 @@ def paragraph_dedup(
     id. No driver materialization and no UDFs.
     """
     other = [c for c in docs.columns if c != text_col]
+    # posexplode_outer: a NULL text splits to NULL and a plain posexplode
+    # would drop the document row entirely — the docstring's "never a
+    # dropped row" guarantee requires the outer variant (the doc degrades
+    # to an empty string with zero paragraphs)
     paras = docs.select(
-        *other, F.posexplode(F.split(F.col(text_col), sep)).alias("__idx", "__para")
+        *other, F.posexplode_outer(F.split(F.col(text_col), sep)).alias("__idx", "__para")
     ).withColumn(
         "__norm",
         F.trim(F.regexp_replace(F.lower("__para"), r"\s+", " ")),
@@ -309,7 +313,7 @@ def paragraph_dedup(
                 sep,
             ).alias(text_col),
             F.count("__idx").alias("n_paras"),
-            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.coalesce(F.sum(F.col("__keep").cast("long")), F.lit(0)).alias("n_kept"),
         )
         .select(*docs.columns, "n_paras", "n_kept")
     )

@@ -449,8 +449,15 @@ def dedup_keep_canonical(
     """Keep one representative per near-dup cluster: the component head
     (minimum doc id) plus every unclustered doc. Broadcast-joins the
     cluster labels (the pair graph ≪ corpus), so the corpus never
-    shuffles."""
-    non_heads = clusters.filter(F.col(id_col) != F.col("component")).select(id_col)
+    shuffles.
+
+    ``clusters`` is :func:`dedup_clusters` output, whose id column is
+    always named ``doc_id`` regardless of the caller's ``id_col`` — the
+    non-head ids are renamed to ``id_col`` for the anti-join."""
+    non_heads = (
+        clusters.filter(F.col("doc_id") != F.col("component"))
+        .select(F.col("doc_id").alias(id_col))
+    )
     return docs.join(F.broadcast(non_heads), on=id_col, how="left_anti")
 
 

@@ -29,14 +29,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-PACK_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("bucket", T.LongType(), False),
-        T.StructField("pack_idx", T.LongType(), False),
-        T.StructField("n_tokens", T.LongType(), False),
-    ]
-)
+def _pack_schema(id_type: T.DataType) -> T.StructType:
+    """Output schema for :func:`pack_sequences`; ``doc_id`` inherits the
+    input id type — a hard-coded LongType would silently NULL every
+    non-bigint key through the cast (string conv ids), breaking both the
+    join-back and the sort that packing determinism rests on."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", id_type, False),
+            T.StructField("bucket", T.LongType(), False),
+            T.StructField("pack_idx", T.LongType(), False),
+            T.StructField("n_tokens", T.LongType(), False),
+        ]
+    )
 
 
 def hash_bucket(col: Column, n_buckets: int) -> Column:
@@ -64,7 +69,7 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     keyed = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),
         hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
         # NULL token counts count as 0 — one NaN would otherwise poison
         # the greedy accumulator for the rest of the bucket
@@ -85,7 +90,9 @@ def pack_sequences(
         pdf["pack_idx"] = pd.Series(packs, dtype="int64")
         return pdf[["doc_id", "bucket", "pack_idx", "n_tokens"]]
 
-    return keyed.groupBy("bucket").applyInPandas(pack, PACK_SCHEMA)
+    return keyed.groupBy("bucket").applyInPandas(
+        pack, _pack_schema(docs.schema[id_col].dataType)
+    )
 
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
@@ -136,7 +143,13 @@ def assign_shards(
         ).cast("bigint"),
         F.lit(n_shards),
     )
-    w = Window.partitionBy("shard_id").orderBy(F.col(key_col).asc())
+    # tiebreak duplicate keys on a content hash of the full row: row_number
+    # over the key alone would break ties by partition arrival order, so a
+    # rebuild could swap positions — (shard, pos) must name the same example
+    # on every run. Full-duplicate rows remain interchangeable (identical).
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col(key_col).asc(), F.md5(F.to_json(F.struct(*df.columns))).asc()
+    )
     return (
         df.withColumn("shard_id", sid)
         .withColumn("shard_pos", F.row_number().over(w).cast("long") - 1)

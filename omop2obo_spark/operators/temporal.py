@@ -57,6 +57,10 @@ def range_join(
     no dedup is needed. Pick ``bucket_sec`` near the typical interval
     length: replication factor = interval_len/bucket_sec + 1.
     """
+    if bucket_sec <= 0:
+        # non-ANSI division by zero yields NULL buckets that join nothing:
+        # the caller would get a silently empty result instead of an error
+        raise ValueError(f"bucket_sec must be positive, got {bucket_sec}")
     lb = F.floor(_micros(F.col(left_ts)) / F.lit(bucket_sec * 1_000_000))
     l2 = left.withColumn("__b", lb.cast("long"))
     b0 = F.floor(_micros(F.col(right_start)) / F.lit(bucket_sec * 1_000_000))
@@ -111,9 +115,15 @@ def asof_join(
         F.col(right_on).alias(left_on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__src"),
-        F.struct(
-            F.col(right_ts).alias("__rts"),
-            *[F.col(c).alias(c) for c in right_cols],
+        # a NULL-ts state row has no position on the time axis and must
+        # never match (DuckDB/pandas ASOF drop such rows): NULL payload
+        # here makes last/first(ignorenulls) skip it
+        F.when(
+            F.col(right_ts).isNotNull(),
+            F.struct(
+                F.col(right_ts).alias("__rts"),
+                *[F.col(c).alias(c) for c in right_cols],
+            ),
         ).alias("__rp"),
     )
     u = l2.unionByName(r2, allowMissingColumns=True)
@@ -140,9 +150,14 @@ def asof_join(
     matched = u.withColumn("__mp", pick("__rp")).withColumn("__mts", F.col("__mp.__rts"))
 
     out = matched.filter(F.col("__src") == 1)
-    keep = F.lit(True)
+    # a NULL-ts probe has no as-of position and keeps a NULL payload: in
+    # the forward direction NULLS FIRST ordering would otherwise put it at
+    # the partition head where the following-frame window sees EVERY state
+    keep = F.col("__ts").isNotNull()
     if tolerance_sec is not None:
-        keep = F.col("__mts").isNotNull() & (gap <= F.lit(int(tolerance_sec) * 1_000_000))
+        keep = keep & F.col("__mts").isNotNull() & (
+            gap <= F.lit(int(tolerance_sec) * 1_000_000)
+        )
     return out.select(
         *left.columns,
         *[F.when(keep, F.col(f"__mp.{c}")).alias(c) for c in right_cols],
@@ -205,7 +220,10 @@ def triple_validity(
         .agg(
             F.min("__rel_s").alias("first_seen_s"),
             F.max("__rel_s").alias("last_seen_s"),
-            F.count("*").alias("n_assertions"),
+            # distinct asserting TURNS, per the contract: a triple repeated
+            # inside one turn, or a duplicated (conv_id, turn_idx)
+            # transcript row fanning the join, must not inflate the count
+            F.countDistinct("conv_id", "turn_idx").alias("n_assertions"),
         )
     )
 

@@ -40,7 +40,10 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ratios, plus a composite [0,1] quality score."""
     t = F.col(text_col)
     toks = tokens(t)
-    n_tok = F.size(toks)
+    # explicit NULL for NULL text rather than bare size(): under legacy
+    # (non-ANSI) sessions size(NULL) is -1, which would silently poison
+    # percentiles and slip past the coalesce(n_tok, 0) score guard
+    n_tok = F.when(t.isNull(), F.lit(None).cast("int")).otherwise(F.size(toks))
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
@@ -143,20 +146,27 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def top_k_vocabulary(
-    docs: DataFrame, k: int = 100, text_col: str = "text", min_count: int = 1
+    docs: DataFrame, k: int = 100, text_col: str = "text", min_count: int = 1,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Corpus vocabulary: token → document frequency and total count, top-k
-    by (count desc, token asc). One explode + one groupBy — the standard
-    map-side-combined aggregation. The top-k itself is a bounded
+    """Corpus vocabulary: ``(token, n, df, rank)`` — total occurrence count
+    and document frequency (distinct docs containing the token), top-k by
+    (count desc, token asc). One explode + one groupBy — the standard
+    map-side-combined aggregation; ``df`` is a distinct aggregate, which
+    Catalyst plans as the two-phase expand (still one logical shuffle on
+    the token key). The top-k itself is a bounded
     TakeOrdered (per-partition top-k merged on the driver, k rows), NOT a
     global row_number window — a full-vocabulary window would drag every
     distinct token into one partition at 100 TB. The rank window runs
     only over the k surviving rows."""
     toks = tokens(F.col(text_col))
-    exploded = docs.select(F.explode(toks).alias("token"))
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("token"))
     counted = (
         exploded.groupBy("token")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(id_col).alias("df"),
+        )
         .filter(F.col("n") >= min_count)
     )
     from pyspark.sql.window import Window

@@ -1048,3 +1048,95 @@ def test_compression_ratio_preserves_string_id_type(spark):
     got = {r.conv_id: r for r in compression_ratio(d, id_col="conv_id").collect()}
     assert set(got) == {"conv-1:0", "conv-2:3"}
     assert got["conv-1:0"].compress_ratio < 0.2
+
+
+def test_dedup_keep_canonical_custom_id_col(spark):
+    """dedup_clusters always labels its id column 'doc_id'; keep-canonical
+    must still work for a corpus keyed by any other column name."""
+    from omop2obo_spark.operators.dedup import dedup_keep_canonical
+
+    docs = spark.createDataFrame(
+        [("c1", "x"), ("c2", "x"), ("c9", "y")], "conv_id string, text string"
+    )
+    clusters = spark.createDataFrame(
+        [("c1", "c1"), ("c2", "c1")], "doc_id string, component string"
+    )
+    kept = sorted(r.conv_id for r in dedup_keep_canonical(docs, clusters, "conv_id").collect())
+    assert kept == ["c1", "c9"]
+
+
+def test_curate_corpus_custom_id_col(spark):
+    """The advertised id_col parameter must drive the whole funnel,
+    including the near-dedup keep-canonical stage."""
+    from omop2obo_spark.operators.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (f"c{i}", "the quick brown fox jumps over the lazy dog and runs away fast")
+            for i in range(4)
+        ]
+        + [("c9", "the small green cat sat on the warm stone wall in the sun today")],
+        "conv_id string, text string",
+    )
+    curated, funnel = curate_corpus(docs, id_col="conv_id", jaccard_threshold=0.9)
+    kept = sorted(r.conv_id for r in curated.collect())
+    # the four identical docs collapse via exact dedup to their head; c9 survives
+    assert kept == ["c0", "c9"]
+    stages = {r.stage: r.n_docs for r in funnel.collect()}
+    assert stages["s0_input"] == 5 and stages["s4_near_dedup"] == 2
+
+
+def test_pack_sequences_string_ids_preserved(spark):
+    """String ids must survive packing (a hard cast to long would NULL
+    them) and pack in lexicographic id order within each bucket."""
+    from omop2obo_spark.operators.pack import pack_sequences
+
+    docs = spark.createDataFrame(
+        [("conv_a", 3), ("conv_b", 3), ("conv_c", 5)],
+        "conv_id string, n_tokens long",
+    )
+    out = pack_sequences(docs, budget=6, id_col="conv_id", n_buckets=1).collect()
+    by_id = {r.doc_id: (r.pack_idx, r.n_tokens) for r in out}
+    assert set(by_id) == {"conv_a", "conv_b", "conv_c"}
+    assert by_id["conv_a"][0] == 0 and by_id["conv_b"][0] == 0
+    assert by_id["conv_c"][0] == 1
+
+
+def test_assign_shards_duplicate_keys_deterministic(spark):
+    """Duplicate key values must get stable positions across different
+    input partitionings (content-hash tiebreak), so (shard, pos) names
+    the same example on every rebuild."""
+    from omop2obo_spark.operators.pack import assign_shards
+
+    rows = [(i % 4, f"payload_{i}") for i in range(40)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, text string").repartition(13)
+    pos_a = {(r.doc_id, r.text): (r.shard_id, r.shard_pos) for r in assign_shards(a, 4).collect()}
+    pos_b = {(r.doc_id, r.text): (r.shard_id, r.shard_pos) for r in assign_shards(b, 4).collect()}
+    assert pos_a == pos_b
+
+
+def test_top_k_vocabulary_document_frequency(spark):
+    from omop2obo_spark.operators.textstats import top_k_vocabulary
+
+    d = spark.createDataFrame(
+        [(1, "foo foo foo bar"), (2, "foo baz")], "doc_id long, text string"
+    )
+    rows = {r.token: (r.n, r.df) for r in top_k_vocabulary(d, k=10).collect()}
+    assert rows["foo"] == (4, 2)
+    assert rows["bar"] == (1, 1)
+    assert rows["baz"] == (1, 1)
+
+
+def test_paragraph_dedup_null_text_row_survives(spark):
+    """A NULL-text document must survive paragraph dedup as an empty
+    string (posexplode_outer), never a dropped row."""
+    from omop2obo_spark.operators.curate import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta\n\ngamma"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: (r.text, r.n_paras, r.n_kept) for r in paragraph_dedup(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2] == ("", 0, 0)
+    assert rows[1][0] == "alpha beta\n\ngamma"

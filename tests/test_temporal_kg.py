@@ -250,3 +250,58 @@ def test_deterministic_walks_match_python_replay(spark):
 
     got = {r.start: r.path for r in deterministic_walks(e, walk_len=3).collect()}
     assert got == {v: replay(v) for v in nbrs}
+
+
+def test_asof_join_null_timestamps_unmatched(spark):
+    """NULL-ts probes keep NULL payload in BOTH directions (a NULL probe
+    sorts at the partition head, where a following-frame window would
+    otherwise see every state row); NULL-ts state rows never match."""
+    from datetime import datetime
+
+    from omop2obo_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10, 30)), (1, None)], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10, 0), "a"), (1, None, "ghost")],
+        "k long, rts timestamp, v string",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            (r.k, r.ts): r.v
+            for r in asof_join(
+                left, right, "k", "k", "ts", "rts", ["v"], direction=direction
+            ).collect()
+        }
+        assert got[(1, None)] is None, direction
+        expected = "a" if direction == "backward" else None
+        assert got[(1, datetime(2026, 1, 1, 10, 30))] == expected, direction
+
+
+def test_range_join_rejects_nonpositive_bucket(spark):
+    import pytest
+
+    from omop2obo_spark.operators.temporal import range_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="bucket_sec"):
+        range_join(df, df, "k", "k", "ts", "s", "e", bucket_sec=0)
+
+
+def test_triple_validity_counts_distinct_turns(spark):
+    """Same-turn duplicate assertions and duplicated transcript turn rows
+    must not inflate n_assertions (distinct asserting turns)."""
+    from omop2obo_spark.operators.temporal import triple_validity
+
+    tr = _transcripts(spark, [("c1", 0, 10), ("c1", 0, 10), ("c1", 1, 20)])
+    tp = _triples(
+        spark,
+        [
+            ("c1", 0, "s", "p", "o"),
+            ("c1", 0, "s", "p", "o"),
+            ("c1", 1, "s", "p", "o"),
+        ],
+    )
+    got = {r.subj: r.n_assertions for r in triple_validity(tp, tr, origin=ORIGIN).collect()}
+    assert got == {"s": 2}
