@@ -2019,11 +2019,15 @@ FROM all_t GROUP BY pred"""
 
     sqls["q_dedup_exact"] = """
         SELECT doc_id,
-               min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
-               count(*) OVER (PARTITION BY text_hash) AS group_size
+               min(doc_id) OVER (PARTITION BY grp) AS canonical_id,
+               count(*) OVER (PARTITION BY grp) AS group_size
         FROM (
             SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+                   -- NULL text = unknown content: singleton group per doc,
+                   -- mirroring exact_dedup's coalesced partition key
+                   coalesce(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                            'null:' || doc_id) AS grp
             FROM documents
         )
     """
@@ -2905,7 +2909,7 @@ FROM all_t GROUP BY pred"""
        len(turns[s+1 : s+3])::INT AS n_turns,
        array_to_string(turns[s+1 : s+3], chr(10)) AS text
 FROM (
-    SELECT conv_id, list(text ORDER BY turn_idx) AS turns FROM tr GROUP BY conv_id
+    SELECT conv_id, list(coalesce(text, '') ORDER BY turn_idx) AS turns FROM tr GROUP BY conv_id
 ), UNNEST(range(0, greatest(len(turns) - 1, 0) + 1, 2)) AS u(s)"""
     )
     sqls["q_conv_fingerprint"] = kg_triples_sql(

@@ -34,8 +34,16 @@ def chunk_turns(
     """
     if window <= 0 or stride <= 0:
         raise ValueError(f"window and stride must be positive, got {window}/{stride}")
+    # NULL turn text renders as '' (same contract as transcript.sft_spans):
+    # array_join would otherwise drop the element AND its separator,
+    # desynchronizing chunk text from sft_spans' character offsets
     ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))), lambda x: x["text"]
+        F.array_sort(
+            F.collect_list(
+                F.struct("turn_idx", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+            )
+        ),
+        lambda x: x["text"],
     )
     per_conv = transcripts.groupBy("conv_id").agg(ordered.alias("turns"))
     starts = F.sequence(

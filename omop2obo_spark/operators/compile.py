@@ -233,26 +233,29 @@ def wide_mapping_layout(
     column construction order.
     """
     ont_vals = [o.upper() for o in onts]
+    # symmetric block guards: exact-only compile output has no SIM_*
+    # columns, similarity-only output has no AGG_* columns — pivot only
+    # the blocks that exist instead of raising on the missing side
+    has_agg = "AGG_URI" in mappings.columns
     has_sim = "SIM_URI" in mappings.columns
+    if not has_agg and not has_sim:
+        raise ValueError(
+            "wide_mapping_layout: mappings has neither AGG_* nor SIM_* columns"
+        )
+    blocks = ([("AGGREGATED", "AGG")] if has_agg else []) + (
+        [("SIMILARITY", "SIM")] if has_sim else []
+    )
     aggs = [
-        F.first("AGG_URI").alias("AGGREGATED__URI"),
-        F.first("AGG_LABEL").alias("AGGREGATED__LABEL"),
-        F.first("AGG_MAPPING").alias("AGGREGATED__MAPPING"),
-        F.first("AGG_EVIDENCE").alias("AGGREGATED__EVIDENCE"),
+        F.first(f"{src}_{field}").alias(f"{block}__{field}")
+        for block, src in blocks
+        for field in ["URI", "LABEL", "MAPPING", "EVIDENCE"]
     ]
-    if has_sim:
-        aggs += [
-            F.first("SIM_URI").alias("SIMILARITY__URI"),
-            F.first("SIM_LABEL").alias("SIMILARITY__LABEL"),
-            F.first("SIM_MAPPING").alias("SIMILARITY__MAPPING"),
-            F.first("SIM_EVIDENCE").alias("SIMILARITY__EVIDENCE"),
-        ]
     pivoted = mappings.groupBy(*key_cols).pivot("ONT_TYPE", ont_vals).agg(*aggs)
     # spark names multi-agg pivot columns `<ont>_<alias>`; rewrite to the
     # reference layout `<BLOCK>_<ONT>_<FIELD>` in deterministic block order
     ordered = [*key_cols]
     for ont in ont_vals:
-        for block in ["AGGREGATED", "SIMILARITY"] if has_sim else ["AGGREGATED"]:
+        for block, _src in blocks:
             for field in ["URI", "LABEL", "MAPPING", "EVIDENCE"]:
                 src = f"{ont}_{block}__{field}"
                 ordered.append(F.col(src).alias(f"{block}_{ont}_{field}"))

@@ -34,7 +34,13 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     the 32-hex-char hash — never on the text itself.
     """
     hashed = docs.select(F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
-    w = Window.partitionBy("text_hash")
+    # NULL text means UNKNOWN content, not shared content: window-partition
+    # on a per-doc fallback key so every NULL-text doc is its own singleton
+    # group (text_hash itself stays NULL in the output) — otherwise all
+    # NULL-text docs would share the NULL partition and all but one would
+    # be dropped by keep-canonical
+    grp = F.coalesce(F.col("text_hash"), F.concat(F.lit("null:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(grp)
     return (
         hashed.withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("group_size", F.count("*").over(w))
@@ -43,13 +49,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Distinct token k-gram shingles of the normalized text."""
+    """Distinct token k-gram shingles of the normalized text.
+
+    NULL text yields an EMPTY array (no content → nothing to compare):
+    the naive expression would yield ``[NULL]``, whose md5 min-hash is
+    all-NULL, and ``array_join`` skipping NULLs would then collapse every
+    NULL-text doc's band keys to the same ``md5('')`` constant — making
+    all NULL-text docs mutual LSH candidates (m²/2 spurious pairs, and
+    silent data loss on the unverified cluster path)."""
     toks = F.filter(F.split(normalized_text(col), " "), lambda x: x != "")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(col.isNotNull(), F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signatures(
@@ -157,10 +172,13 @@ def ngram_jaccard_pairs(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
-    """Sign-aggregated token-hash fingerprint (``bits`` ≤ 63).
+    """Sign-aggregated token-hash fingerprint (``bits`` ≤ 60).
 
     Token hash = first 15 hex chars of md5 (portable, fits a signed
-    bigint); bit b of the fingerprint is 1 iff the sum over tokens of
+    bigint — and exactly 60 bits wide, hence the cap: positions past 60
+    would shift beyond the hash and come out constant-0, silently
+    shrinking the effective fingerprint); bit b of the fingerprint is 1
+    iff the sum over tokens of
     ±1(bit b set) is positive. One explode + one groupBy with ``bits``
     conditional sums — no UDF.
 
@@ -168,6 +186,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     there is nothing to fingerprint; join back to the corpus if you need
     them carried.
     """
+    if not (1 <= bits <= 60):
+        raise ValueError(f"bits must be in [1, 60] (60-bit token hash), got {bits}")
     toks = docs.select(
         F.col(id_col),
         F.explode(
@@ -234,20 +254,21 @@ def embedding_cosine_pairs(
     # (one aggregate per vector, not two per candidate pair) — the pair
     # stage then runs a single dot-product HOF. sqrt(agg(v*v)) of the same
     # array yields the same double either way, so results are bit-identical
-    # to the inline formula the oracle replays.
-    norm = F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
-    )
+    # to the inline formula the oracle replays. The kernels are the shared
+    # ann.dot / ann.l2norm expressions — one implementation for the ANN and
+    # dedup paths, so a numeric fix cannot drift between them.
+    from omop2obo_spark.operators.ann import dot, l2norm
+
     a = vectors.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), norm.alias("na")
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        l2norm(F.col(vec_col)).alias("na"),
     )
     b = vectors.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), norm.alias("nb")
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        l2norm(F.col(vec_col)).alias("nb"),
     )
     cos = F.round(
-        F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-                    F.lit(0.0), lambda acc, v: acc + v)
-        / (F.col("na") * F.col("nb")),
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
         6,
     )
 
@@ -497,6 +518,13 @@ def dedup_against(
     )
     if not near:
         return kept
+    # the exact-phase survivor lineage (anti-join incl. the corpus-wide
+    # distinct over content hashes) feeds three consumers below — band
+    # keys, the Jaccard-verify union, and the final anti-join; without a
+    # materialization each re-executes the full pass. localCheckpoint
+    # (house pattern, see curate_corpus): no unpersist to forget, blocks
+    # release with the plan.
+    kept = kept.localCheckpoint(eager=True)
     nb = _minhash_band_keys(kept, id_col, text_col, n_hashes, bands, k, "a")
     ob = _minhash_band_keys(corpus, id_col, text_col, n_hashes, bands, k, "b")
     cand = nb.join(ob, on=["band", "key"]).select("a", "b").distinct()

@@ -38,13 +38,17 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-FRAME_SCHEMA = T.StructType(
-    [
-        T.StructField("asset_id", T.LongType(), False),
-        T.StructField("frame_idx", T.IntegerType(), False),
-        T.StructField("frame", T.BinaryType(), False),
-    ]
-)
+def _frame_schema(id_type: T.DataType) -> T.StructType:
+    """:func:`sample_frames` output; ``asset_id`` inherits the input id
+    type (string asset ids are common — a hard-coded LongType would fail
+    Arrow conversion for them)."""
+    return T.StructType(
+        [
+            T.StructField("asset_id", id_type, False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
 
 
 def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -117,7 +121,12 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, max_frames: int = 8) 
             # zip over columns, not iterrows — iterrows materializes a
             # Series per row (per-row Python object churn in the hot path)
             for aid, dur, media in zip(pdf["asset_id"], pdf["duration_ms"], pdf["media"]):
-                n = min(max_frames, max(1, int(dur) // every_ms))
+                if media is None:
+                    continue  # no payload → no frames (row skipped, job survives)
+                # duration_ms is nullable; NULL arrives as NaN in the pandas
+                # batch and int(NaN) raises — treat unknown duration as one
+                # sampled frame instead of failing the whole task
+                n = 1 if pd.isna(dur) else min(max_frames, max(1, int(dur) // every_ms))
                 blob = bytes(media)
                 for i in range(n):
                     ids.append(aid)
@@ -126,7 +135,9 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000, max_frames: int = 8) 
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
 
     vids = assets.filter(F.col("media_type") == "video")
-    return vids.select("asset_id", "duration_ms", "media").mapInPandas(run, FRAME_SCHEMA)
+    return vids.select("asset_id", "duration_ms", "media").mapInPandas(
+        run, _frame_schema(assets.schema["asset_id"].dataType)
+    )
 
 
 def content_key_dedup(
@@ -149,7 +160,13 @@ def content_key_dedup(
     keyed = assets.select(
         F.col(id_col), F.md5(F.col(binary_col)).alias("content_key")
     )
-    w = Window.partitionBy("content_key")
+    # NULL payload = unknown content: singleton group per asset (same
+    # contract as the text-side exact_dedup) — a shared NULL partition
+    # would collapse every payload-less asset into one group
+    grp = F.coalesce(
+        F.col("content_key"), F.concat(F.lit("null:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(grp)
     return (
         keyed.withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("group_size", F.count("*").over(w))

@@ -358,6 +358,38 @@ def test_corpus_ops_null_and_empty_text_contract(spark):
     assert [r.doc_id for r in simhash(docs, bits=8).collect()] == [4]
 
 
+def test_null_text_docs_never_merge(spark):
+    """TWO NULL-text docs: unknown content must not merge — each is its
+    own exact-dedup singleton (text_hash stays NULL) and neither forms an
+    LSH candidate pair (all-NULL signatures previously collapsed every
+    band key to md5(''), pairing all NULL docs with each other)."""
+    from omop2obo_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "real text here")],
+        "doc_id long, text string",
+    )
+    ex = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert ex[1].group_size == 1 and ex[2].group_size == 1
+    assert ex[1].canonical_id == 1 and ex[2].canonical_id == 2
+    assert ex[1].text_hash is None and ex[2].text_hash is None
+    pairs = sorted((r.a, r.b) for r in minhash_lsh_pairs(docs).collect())
+    # empty-string docs have IDENTICAL (empty) content — a true dup pair;
+    # NULL docs must not appear in any pair
+    assert pairs == [(3, 4)]
+
+
+def test_simhash_rejects_bits_beyond_hash_width(spark):
+    import pytest
+
+    from omop2obo_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bits"):
+        simhash(docs, bits=61)
+    assert simhash(docs, bits=60).count() == 1
+
+
 def test_pack_sequences_null_tokens_counted_as_zero(spark):
     from omop2obo_spark.operators.pack import pack_sequences
 
@@ -1140,3 +1172,39 @@ def test_paragraph_dedup_null_text_row_survives(spark):
     assert set(rows) == {1, 2}
     assert rows[2] == ("", 0, 0)
     assert rows[1][0] == "alpha beta\n\ngamma"
+
+
+def test_content_key_dedup_null_payload_singletons(spark):
+    from omop2obo_spark.operators.multimodal import content_key_dedup
+
+    assets = spark.createDataFrame(
+        [(1, None), (2, None), (3, bytearray(b"xx")), (4, bytearray(b"xx"))],
+        "asset_id long, media binary",
+    )
+    got = {r.asset_id: (r.canonical_id, r.group_size, r.content_key)
+           for r in content_key_dedup(assets).collect()}
+    assert got[1][0:2] == (1, 1) and got[2][0:2] == (2, 1)
+    assert got[1][2] is None and got[2][2] is None
+    assert got[3][0:2] == (3, 2) and got[4][0:2] == (3, 2)
+
+
+def test_sample_frames_null_duration_and_payload(spark):
+    """A NULL duration samples one frame; a NULL payload emits no frames —
+    neither kills the task."""
+    from omop2obo_spark.operators.multimodal import sample_frames
+
+    assets = spark.createDataFrame(
+        [
+            ("a1", "video", None, bytearray(b"0123456789abcdef")),
+            ("a2", "video", 3000, bytearray(b"0123456789abcdef")),
+            ("a3", "video", 5000, None),
+        ],
+        "asset_id string, media_type string, duration_ms long, media binary",
+    )
+    rows = sample_frames(assets, every_ms=1000, max_frames=4).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.asset_id, []).append(r.frame_idx)
+    assert per["a1"] == [0]
+    assert sorted(per["a2"]) == [0, 1, 2]
+    assert "a3" not in per

@@ -86,3 +86,18 @@ def test_sft_spans_offsets_reconstruct_text(spark):
     # spans are contiguous: next start = prev end + len(sep)
     assert out[("c1", 1)].start_off == out[("c1", 0)].end_off + 1
     assert out[("c1", 2)].start_off == out[("c1", 1)].end_off + 1
+
+
+def test_chunk_turns_null_text_renders_empty(spark):
+    """NULL turn text renders as '' with its separator preserved (the
+    sft_spans contract) — array_join would otherwise silently drop the
+    element and desynchronize chunk text from span offsets."""
+    from omop2obo_spark.operators.chunk import chunk_turns
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, None), ("c1", 2, "b")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = {r.chunk_idx: r for r in chunk_turns(tr, window=3, stride=2).collect()}
+    assert rows[0].text == "a\n\nb"
+    assert rows[0].n_turns == 3

@@ -149,3 +149,31 @@ def test_lexicon_precedence_deterministic_without_rank(spark):
         dims = LexiconDims.from_lexicon(lex, vocab_map_dict())
         labels = [r.LABEL for r in dims.labels.collect()]
         assert labels == ["beta"]
+
+
+def test_wide_layout_similarity_only(spark):
+    """compile_mappings(exact_links=None, sim=...) output has only SIM_*
+    blocks — wide_mapping_layout must pivot it instead of raising on the
+    missing AGG_* columns (symmetric with the exact-only path)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.operators.compile import wide_mapping_layout
+
+    sim_only = spark.createDataFrame(
+        [("m1", "HP", "obo:HP_1", "lbl", "cat", "ev")],
+        "mention_id string, ONT_TYPE string, SIM_URI string, SIM_LABEL string, "
+        "SIM_MAPPING string, SIM_EVIDENCE string",
+    )
+    out = wide_mapping_layout(sim_only, ["mention_id"], ["hp"])
+    assert out.columns == [
+        "mention_id",
+        "SIMILARITY_HP_URI", "SIMILARITY_HP_LABEL",
+        "SIMILARITY_HP_MAPPING", "SIMILARITY_HP_EVIDENCE",
+    ]
+    row = out.collect()[0]
+    assert row.SIMILARITY_HP_URI == "obo:HP_1"
+
+    neither = spark.createDataFrame([("m1", "HP")], "mention_id string, ONT_TYPE string")
+    with pytest.raises(ValueError, match="neither"):
+        wide_mapping_layout(neither, ["mention_id"], ["hp"])
