@@ -83,16 +83,23 @@ def grouped_pivot_agg(
         .pivot(type_col, type_values)
         .agg(*[ordered_concat_expr(c, order_cols, delimiter).alias(c) for c in agg_cols])
     )
-    # pivot emits `<grp>_<aggAlias>` for multi-agg pivots; rename to the
-    # reference's `<col with ONT→grp>` convention.
+    # pivot emits `<grp>_<aggAlias>` for multi-agg pivots but just `<grp>`
+    # for a single aggregate; rename to the reference's `<col with
+    # ONT→grp>` convention in both shapes. Longest-suffix-first so one
+    # agg name being a suffix of another (URI vs AGG_URI) can't misrename.
     renames: dict[str, str] = {}
+    by_len = sorted(agg_cols, key=len, reverse=True)
     for c in pivoted.columns:
         if c == key:
             continue
-        for a in agg_cols:
+        if len(agg_cols) == 1:
+            renames[c] = agg_cols[0].replace(rename_token, c)
+            continue
+        for a in by_len:
             if c.endswith("_" + a):
                 grp = c[: -(len(a) + 1)]
                 renames[c] = a.replace(rename_token, grp)
+                break
     out = pivoted.select(
         key,
         *[

@@ -124,6 +124,10 @@ def entity_cooccurrence(
         .select("conv_id", F.col("obj").alias("ent"))
         .distinct()
     )
+    # four consumers (the scalar N below, per-entity counts, both self-join
+    # sides) would each re-execute the upstream triples lineage — often the
+    # full pipeline plan; materialize the small (conv, ent) projection once
+    ents = ents.localCheckpoint(eager=True)
     n_total = ents.select("conv_id").distinct().count()
     per_ent = ents.groupBy("ent").agg(F.count("*").alias("c"))
     l = ents.select("conv_id", F.col("ent").alias("ent_a"))
@@ -634,6 +638,10 @@ def resnik_similarity(
     straight back down on the pair key. The fact table is touched once.
     """
     maps = triples.filter(F.col("pred").isin(*preds)).select(F.col("obj").alias("ent"))
+    # three consumers (the scalar N, the rollup counts join, self_only)
+    # would each re-run the triples lineage; materialize the one-column
+    # assertion projection once before the eager count
+    maps = maps.localCheckpoint(eager=True)
     n_total = maps.count()
     # reflexive ancestor table at the triples' short-id granularity
     refl = closure.select("ent", "anc").unionByName(

@@ -155,6 +155,10 @@ def detect_mentions_arrow(
     bc = transcripts.sparkSession.sparkContext.broadcast(index)
 
     tok_re = re.compile(r"[^a-z0-9']+")
+    # \b parity verified empirically (test_detect_mentions_null_turn_key_
+    # and_unicode_parity): Java's \b is unicode-aware like Python's default
+    # — 'naïve:abc' yields no code mention in either engine; do NOT compile
+    # with re.ASCII, which WOULD make Python alone match 've:abc'
     code_re = re.compile(CODE_PATTERN)
 
     schema = T.StructType(
@@ -175,9 +179,13 @@ def detect_mentions_arrow(
             for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
                 # NULL text (e.g. a PERMISSIVE JSONL row missing the field)
                 # yields no mentions — same as the SQL engine, where
-                # F.lower(NULL) joins/matches nothing.
-                if not isinstance(text, str):
+                # F.lower(NULL) joins/matches nothing. NULL keys are
+                # unaddressable (dispatcher filters them; guard again for
+                # direct callers) — and one NaN in the batch makes pandas
+                # render EVERY turn as float ('1.0'), so re-int per row.
+                if not isinstance(text, str) or conv is None or pd.isna(turn):
                     continue
+                turn = int(turn)
                 low = text.lower()
                 # code mentions: regex match ordinal is the position
                 for p, m in enumerate(code_re.findall(low)):
@@ -218,6 +226,12 @@ def detect_mentions(
     fully declarative explode + broadcast-join + groupBy plan. Identical
     output either way.
     """
+    # rows without a turn key cannot be addressed (mention_id embeds it):
+    # drop them identically in BOTH engines — concat_ws would silently
+    # render 'c1::code:0' in SQL while the arrow scan rendered NaN
+    transcripts = transcripts.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
     if engine == "arrow":
         return detect_mentions_arrow(transcripts, term_dim, max_term_tokens)
     return detect_code_mentions(transcripts).unionByName(

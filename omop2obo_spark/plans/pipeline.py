@@ -117,9 +117,12 @@ def _expand_ancestors(exact_links: DataFrame, ancestors: DataFrame, labels: Data
     ancestor_uri) closure. Evidence keeps its structure with the level
     token rewritten CONCEPT→ANCESTOR.
     """
-    anc = exact_links.join(
-        F.broadcast(ancestors.withColumnRenamed("uri", "URI")), on="URI", how="inner"
-    )
+    # project the closure to exactly its two key columns: ancestor_closure
+    # emits (uri, ancestor_uri, depth), and any extra column (depth) would
+    # ride through the join into the unionByName with the concept-level
+    # links and fail resolution there
+    closure = ancestors.select(F.col("uri").alias("URI"), "ancestor_uri")
+    anc = exact_links.join(F.broadcast(closure), on="URI", how="inner")
     anc_labels = labels.select(F.col("URI").alias("ancestor_uri"), F.col("LABEL").alias("__anc_label"))
     return (
         anc.join(F.broadcast(anc_labels), on="ancestor_uri", how="left")

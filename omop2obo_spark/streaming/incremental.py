@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from omop2obo_spark.fixtures.generators import TRANSCRIPTS_SCHEMA
 from omop2obo_spark.operators.linking import LexiconDims, dbxref_link
+from omop2obo_spark.plans.mention import CODE_PATTERN
 
 
 def stream_code_mentions(
@@ -55,8 +56,9 @@ def stream_code_mentions(
     mentions = stream.select(
         "conv_id", "turn_idx", "ts",
         F.posexplode(
-            F.regexp_extract_all(F.lower(F.col("text")),
-                                 F.lit(r"\b([a-z][a-z0-9_.\-]*:[a-z0-9][a-z0-9.\-]*)"), 1)
+            # the batch pipeline's CODE_PATTERN — one definition, so batch
+            # backfill and incremental ingestion extract the same mentions
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(CODE_PATTERN), 1)
         ).alias("pos", "surface"),
     ).withColumn(
         "mention_id", F.concat_ws(":", "conv_id", "turn_idx", F.lit("code"), "pos")
@@ -67,7 +69,15 @@ def stream_code_mentions(
         F.lit("TURN_CODE").alias("CODE_COLUMN"),
         F.lit(0).alias("src_rank"),
     ).where(F.col("CODE").isNotNull())
-    linked = dbxref_link(stacked, dims, ["conv_id", "turn_idx", "mention_id"], "concept")
+    # dedup=False: the tier's full-row dropDuplicates would be an UNBOUNDED
+    # stateful op here (ts was projected away, so no watermark can evict
+    # its state); the watermarked (conv, turn, pos) dedup above already
+    # bounds re-delivery, and a same-mention duplicate link row is handled
+    # by the batch compaction that reads this sink (same reasoning as
+    # stream_mention_rates below)
+    linked = dbxref_link(
+        stacked, dims, ["conv_id", "turn_idx", "mention_id"], "concept", dedup=False
+    )
     return (
         linked.writeStream.format("parquet")
         .option("path", output_dir)
@@ -104,7 +114,12 @@ def stream_conversation_state(
         n, mx = 0, -1
         for pdf in pdfs:
             n += len(pdf)
-            mx = max(mx, int(pdf["turn_idx"].max()))
+            # file sources force nullability: one NULL turn_idx arrives as
+            # NaN and int(NaN) would kill the whole query — skip the dirty
+            # values, keep counting the rows
+            vals = pdf["turn_idx"].dropna()
+            if len(vals):
+                mx = max(mx, int(vals.max()))
         if state.exists:
             pn, pmx = state.get
             n += int(pn)
@@ -253,8 +268,9 @@ def stream_mention_rates(
     mentions = stream.select(
         "conv_id", "turn_idx", "ts",
         F.posexplode(
-            F.regexp_extract_all(F.lower(F.col("text")),
-                                 F.lit(r"\b([a-z][a-z0-9_.\-]*:[a-z0-9][a-z0-9.\-]*)"), 1)
+            # the batch pipeline's CODE_PATTERN — one definition, so batch
+            # backfill and incremental ingestion extract the same mentions
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(CODE_PATTERN), 1)
         ).alias("pos", "surface"),
     ).withColumn(
         "mention_id", F.concat_ws(":", "conv_id", "turn_idx", F.lit("code"), "pos")

@@ -503,3 +503,39 @@ def test_split_explode_null_cell_keeps_key(spark):
     rows = {(r.CONCEPT_ID, r.CA, r.CB) for r in out.collect()}
     assert (1, "a", None) in rows and (1, "b", None) in rows
     assert (2, "c", "d") in rows and (2, "c", "e") in rows
+
+
+def test_grouped_pivot_agg_single_agg_col(spark):
+    """Spark names single-aggregate pivot columns just '<grp>' (no alias
+    suffix) — the ONT→grp rename must still produce the reference layout."""
+    from omop2obo_spark.operators.aggregate import grouped_pivot_agg
+
+    df = spark.createDataFrame(
+        [(1, "HP", "u1", 0), (1, "MONDO", "u2", 0)],
+        "CONCEPT_ID long, ONT_TYPE string, AGG_ONT_URI string, ord int",
+    )
+    out = grouped_pivot_agg(
+        df, "CONCEPT_ID", "ONT_TYPE", ["AGG_ONT_URI"], ["ord"],
+        type_values=["HP", "MONDO"],
+    )
+    assert set(out.columns) == {"CONCEPT_ID", "AGG_HP_URI", "AGG_MONDO_URI"}
+    row = out.collect()[0]
+    assert row.AGG_HP_URI == "u1" and row.AGG_MONDO_URI == "u2"
+
+
+def test_grouped_pivot_agg_suffix_collision(spark):
+    """One agg name being a suffix of another (ONT_URI vs AGG_ONT_URI)
+    must rename via the LONGEST matching suffix."""
+    from omop2obo_spark.operators.aggregate import grouped_pivot_agg
+
+    df = spark.createDataFrame(
+        [(1, "HP", "short", "agg", 0)],
+        "CONCEPT_ID long, ONT_TYPE string, ONT_URI string, AGG_ONT_URI string, ord int",
+    )
+    out = grouped_pivot_agg(
+        df, "CONCEPT_ID", "ONT_TYPE", ["ONT_URI", "AGG_ONT_URI"], ["ord"],
+        type_values=["HP"],
+    )
+    assert set(out.columns) == {"CONCEPT_ID", "HP_URI", "AGG_HP_URI"}
+    row = out.collect()[0]
+    assert row.HP_URI == "short" and row.AGG_HP_URI == "agg"

@@ -187,3 +187,22 @@ def test_persist_false_similarity_caches_released(spark):
     # no NEW persistent RDDs outlive the run (module-scoped fixtures may
     # legitimately hold theirs)
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_run_pipeline_accepts_ancestor_closure_output(spark):
+    """ancestor_closure emits (uri, ancestor_uri, depth); _expand_ancestors
+    must project the closure to its key columns instead of letting depth
+    ride into the unionByName with the concept-level links."""
+    t = FX.transcripts_df(spark, 12, 4)
+    with_depth = FX.ancestors_df(spark).withColumn("depth", F.lit(1))
+    res_a = run_pipeline(
+        spark, t, FX.lexicon_df(spark), vocab_map_dict(),
+        ancestors=with_depth, with_similarity=False, persist=False,
+    )
+    res_b = run_pipeline(
+        spark, t, FX.lexicon_df(spark), vocab_map_dict(),
+        ancestors=FX.ancestors_df(spark), with_similarity=False, persist=False,
+    )
+    a = sorted(map(tuple, res_a.triples.collect()))
+    b = sorted(map(tuple, res_b.triples.collect()))
+    assert a == b and a

@@ -368,3 +368,29 @@ def test_label_propagation_broadcasts_labels_edges_never_sort_merge(spark):
     )
     plan = _plan(label_propagation(edges, iterations=2))
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_detect_mentions_null_turn_key_and_unicode_parity(spark):
+    """NULL turn keys are dropped identically by both engines, and the
+    ASCII \\b flag keeps code extraction identical across engines on
+    accented text; a NaN-poisoned batch must not float-render turn ids."""
+    from omop2obo_spark.plans.mention import detect_mentions
+
+    tr = spark.createDataFrame(
+        [
+            ("c1", 1, "fever snomed:123 found"),
+            ("c1", None, "snomed:999 orphan"),
+            ("c2", 2, "naïve:abc accent case"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    term_dim = spark.createDataFrame([("fever",)], "surface string")
+    outs = {}
+    for engine in ("arrow", "sql"):
+        rows = detect_mentions(tr, term_dim, engine=engine).collect()
+        outs[engine] = sorted((r.conv_id, r.turn_idx, r.mention_id, r.kind, r.surface)
+                              for r in rows)
+    assert outs["arrow"] == outs["sql"]
+    ids = [m for (_c, _t, m, _k, _s) in outs["arrow"]]
+    assert all(":None:" not in m and "nan" not in m and ".0" not in m for m in ids)
+    assert not any(c == "c1" and t is None for (c, t, _m, _k, _s) in outs["arrow"])
