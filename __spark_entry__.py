@@ -427,11 +427,16 @@ def q_negated_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dbxref_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG tier B surface: extract code mentions, normalize, link to dbxrefs."""
+    from omop2obo_spark.plans.mention import CODE_PATTERN
+
     docs = _injected_text_spark(_docs(spark, sf_dir))
+    # the canonical CODE_PATTERN (leading \b) — the oracle SQL has the \b,
+    # and an inline copy without it would match codes mid-word (e.g. after
+    # a digit) that the oracle rejects
     codes = docs.select(
         "doc_id",
         F.explode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"([a-z][a-z0-9_.\-]*:[a-z0-9][a-z0-9.\-]*)"), 1)
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(CODE_PATTERN), 1)
         ).alias("raw"),
     )
     norm = codes.select("doc_id", normalize_source_codes(F.col("raw"), vocab_map_dict()).alias("code"))
@@ -862,7 +867,10 @@ def _pipeline_result(spark: SparkSession, sf_dir: str, with_similarity: bool = F
     from omop2obo_spark import fixtures as FX
     from omop2obo_spark.plans.pipeline import run_pipeline
 
-    key = (id(spark.sparkContext), sf_dir, with_similarity)
+    # applicationId, not id(sparkContext): a freed context's address can be
+    # recycled by a later session, which would hand back checkpointed
+    # DataFrames bound to a dead block manager
+    key = (spark.sparkContext.applicationId, sf_dir, with_similarity)
     res = _PIPELINE_CACHE.get(key)
     if res is None:
         transcripts = transcripts_from_documents(spark, sf_dir)
@@ -966,7 +974,10 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.transcript import conversation_stats
 
     tr = transcripts_from_documents(spark, sf_dir)
-    did = F.substring("conv_id", 6, 8).cast("long")
+    # 2-arg substring (to end of string), matching the oracle's
+    # substr(conv_id, 6): conv_%08d widens past 8 digits at doc_id >= 1e8,
+    # and a fixed length-8 slice would silently drop the trailing digits
+    did = F.expr("substring(conv_id, 6)").cast("long")
     pert = tr.filter((did + F.col("turn_idx")) % 7 != 3).withColumn(
         "role",
         F.when((did + F.col("turn_idx")) % 11 == 5, F.lit("user")).otherwise(

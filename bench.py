@@ -10,11 +10,17 @@ and print ONE JSON line:
      "pipeline": {"turns": T, "turns_per_sec": R}}
 
 ``--scaling``: evidence for the north rule's two-cluster-size criterion —
-run the identical pipeline job at local[8] and local[32] (fresh JVM each)
-on the same input and report turns/sec at both plus scaling efficiency
-(rate_32 / rate_8) / 4, appended to BENCH/BASELINE.md.
+run the identical pipeline job as two SIMULTANEOUS local-cluster children
+(``SPARK_GRAFT_SCALE_EXECS`` executors, default 1 vs 4, each with
+``SPARK_GRAFT_SCALE_EXEC_CORES`` cores and ``..._EXEC_MEM_MB`` heap,
+taskset-pinned to disjoint host-core masks so host drift cancels) and
+report turns/sec at both plus scaling efficiency
+(rate_4N / rate_1N) / (4N/1N), appended to BENCH/BASELINE.md.
+``SPARK_GRAFT_SCALE_REPS`` pairs run; the fastest-combined pair is
+reported.
 
-``--pipeline-only --cpus N``: internal child mode for --scaling.
+``--pipeline-only --execs N``: internal child mode for --scaling
+(``--cpus N`` variant runs the single-JVM local[N] shape instead).
 """
 
 from __future__ import annotations
@@ -289,7 +295,9 @@ def main_scaling() -> None:
 
     import shutil
 
-    def spawn_child(execs: int, cpu_lo: int) -> subprocess.Popen:
+    import tempfile
+
+    def spawn_child(execs: int, cpu_lo: int):
         # Pin the whole process tree (driver JVM + executor JVMs) to a
         # host-CPU mask sized executors*cores + DRIVER_CPUS. Without the
         # pin, GC/shuffle/Netty threads spill onto all 32 host cores and
@@ -299,11 +307,25 @@ def main_scaling() -> None:
         cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only", "--execs", str(execs)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"{cpu_lo}-{cpu_lo + width - 1}"] + cmd
-        return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        # child output goes to FILES, not PIPEs: a pipe drained only after
+        # the sibling finishes backpressures the child at 64KB of stderr,
+        # stalling it mid-benchmark and corrupting the simultaneous-pair
+        # drift cancellation this whole methodology exists for
+        out_f = tempfile.NamedTemporaryFile("w+", suffix=f".x{execs}.out", delete=False)
+        err_f = tempfile.NamedTemporaryFile("w+", suffix=f".x{execs}.err", delete=False)
+        proc = subprocess.Popen(cmd, stdout=out_f, stderr=err_f,
                                 text=True, env={**os.environ})
+        return proc, out_f, err_f
 
-    def collect(proc: subprocess.Popen) -> dict:
-        out, err = proc.communicate()
+    def collect(child) -> dict:
+        proc, out_f, err_f = child
+        proc.wait()
+        for f in (out_f, err_f):
+            f.flush()
+            f.seek(0)
+        out, err = out_f.read(), err_f.read()
+        out_f.close(); err_f.close()
+        os.unlink(out_f.name); os.unlink(err_f.name)
         lines = [ln for ln in out.splitlines() if ln.startswith("{")]
         if proc.returncode != 0 or not lines:
             tail = "\n".join(err.splitlines()[-15:])
@@ -324,9 +346,16 @@ def main_scaling() -> None:
     # pair (fastest combined = least external interference) is reported.
     pairs: list[tuple[dict, dict]] = []
     for _ in range(reps):
-        p1 = spawn_child(n1, 0)
-        p2 = spawn_child(n2, n1 * EXEC_CORES + DRIVER_CPUS)
-        r_a, r_b = collect(p1), collect(p2)
+        c1 = spawn_child(n1, 0)
+        c2 = spawn_child(n2, n1 * EXEC_CORES + DRIVER_CPUS)
+        try:
+            r_a, r_b = collect(c1), collect(c2)
+        finally:
+            # if one child's collect raised, don't leave the sibling's
+            # whole local-cluster running detached on pinned cores
+            for proc, _o, _e in (c1, c2):
+                if proc.poll() is None:
+                    proc.kill()
         pairs.append((r_a, r_b))
     def pair_eff(p):
         return (p[1]["turns_per_sec"] / p[0]["turns_per_sec"]) / (n2 / n1)
@@ -345,8 +374,11 @@ def main_scaling() -> None:
                      str(n2): [p[1]["turns_per_sec"] for p in pairs]},
     }
     print(json.dumps(summary))
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "a") as f:
+    # __file__-relative, like main_bench's BENCH_r01.json read: a CWD-
+    # relative path would append the evidence row to a stray BENCH/ dir
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "BASELINE.md"), "a") as f:
         f.write(
             f"| {best_pair[0]['turns']} | {n1}x{EXEC_CORES}c | {r1} | {n2}x{EXEC_CORES}c | {r2} "
             f"| {round(eff, 3)} | pairs: {summary['pair_efficiencies']} |\n"

@@ -121,7 +121,9 @@ def cached_dims(spark: SparkSession):
     """
     from omop2obo_spark.operators.linking import LexiconDims
 
-    key = id(spark.sparkContext)
+    # applicationId, not id(): a GC'd context's address can be recycled by
+    # a later session, which would return dims holding dead broadcasts
+    key = spark.sparkContext.applicationId
     dims = _DIMS_CACHE.get(key)
     if dims is None:
         dims = LexiconDims.from_lexicon(lexicon_df(spark), vocab_map_dict())

@@ -32,6 +32,11 @@ def get_spark(
         extra_conf: additional conf overrides.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if cpus and not cpus.strip().isdigit():
+        # validate BEFORE interpolating into the master URL: 'local[auto]'
+        # dies with an opaque JVM error at startup; fall back like the
+        # shuffle-partition parse below does
+        cpus = ""
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
