@@ -469,6 +469,56 @@ def q_mapping_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_category_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/A6 full-branch gate: drive compile_exact_mappings (the REAL
+    aggregation operator, operators/compile.py) through a deterministic
+    6-case link matrix keyed on doc_id % 6, so every mapping-category
+    branch — Exact/Constructor × Concept/Ancestor, the reference's
+    partial-marker ancestor quirk, and the concept-over-ancestor kept
+    filter — is exercised against hand-computed golden strings in the
+    oracle (the funnel fixtures only ever reach 2 of the 6 branches).
+    All link fields are constants per case; the oracle is independent
+    expected VALUES, not replicated logic."""
+    from omop2obo_spark.operators.compile import compile_exact_mappings
+
+    obo = "http://purl.obolibrary.org/obo/"
+    uri_a, uri_b = obo + "HP_0000001", obo + "HP_0000002"
+
+    def lk(kind, subtype, code_col, ev, uri, label, level, tier):
+        return F.struct(
+            F.lit(kind).alias("MATCH_KIND"), F.lit(subtype).alias("MATCH_SUBTYPE"),
+            F.lit(code_col).alias("CODE_COLUMN"), F.lit(ev).alias("EVIDENCE"),
+            F.lit(uri).alias("URI"), F.lit(label).alias("LABEL"),
+            F.lit(level).alias("LEVEL"), F.lit(tier).alias("tier_rank"),
+            F.lit(0).alias("src_rank"), F.lit("HP").alias("ONT_TYPE"),
+        )
+
+    dbx_a = lk("dbxref", "DbXref", "TURN_CODE", "ANCESTOR_DBXREF_snomed:123", uri_a, "lbl a", "ancestor", 0)
+    dbx_b = lk("dbxref", "DbXref", "TURN_CODE", "ANCESTOR_DBXREF_snomed:123", uri_b, "lbl b", "ancestor", 0)
+    lab_ca = lk("label", "Label", "CONCEPT_LABEL", "x:headache", uri_a, "lbl a", "concept", 1)
+    syn_cb = lk("synonym", "hasExactSynonym", "TURN_TEXT", "x:cephalgia", uri_b, "lbl b", "concept", 2)
+    lab_aa = lk("label", "Label", "CONCEPT_LABEL", "x:headache", uri_a, "lbl a", "ancestor", 1)
+    syn_aa = lk("synonym", "hasExactSynonym", "TURN_TEXT", "x:cephalgia", uri_a, "lbl a", "ancestor", 2)
+    syn_ab = lk("synonym", "hasExactSynonym", "TURN_TEXT", "x:cephalgia", uri_b, "lbl b", "ancestor", 2)
+
+    case_arr = (
+        F.when(F.col("doc_id") % 6 == 0, F.array(lab_ca))
+        .when(F.col("doc_id") % 6 == 1, F.array(lab_ca, syn_cb))
+        .when(F.col("doc_id") % 6 == 2, F.array(dbx_a, lab_aa, syn_aa))
+        .when(F.col("doc_id") % 6 == 3, F.array(dbx_a, lab_aa, syn_ab))
+        .when(F.col("doc_id") % 6 == 4, F.array(dbx_a))
+        .otherwise(F.array(lab_ca, dbx_b))
+    )
+    links = (
+        _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 60)
+        .select("doc_id", F.explode(case_arr).alias("l"))
+        .select("doc_id", "l.*")
+    )
+    return compile_exact_mappings(links, ["doc_id"]).select(
+        "doc_id", "ONT_TYPE", "AGG_URI", "AGG_LABEL", "AGG_MAPPING", "AGG_EVIDENCE"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.dedup import exact_dedup
 
@@ -693,8 +743,7 @@ def q_tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity_scores,
     )
 
-    near = [" ".join(reversed(lb.split()))
-            for lb in (c[2].lower() for c in LD.CONCEPTS) if " " in lb]
+    near = LD.near_miss_labels()
     near_arr = F.array(*[F.lit(x) for x in near])
     d = F.col("doc_id")
     text_q = F.when(
@@ -873,6 +922,10 @@ def _pipeline_result(spark: SparkSession, sf_dir: str, with_similarity: bool = F
     key = (spark.sparkContext.applicationId, sf_dir, with_similarity)
     res = _PIPELINE_CACHE.get(key)
     if res is None:
+        # evict dead applications' entries (their checkpointed blocks died
+        # with the context; keeping the handles just pins driver memory)
+        for stale in [k for k in _PIPELINE_CACHE if k[0] != key[0]]:
+            del _PIPELINE_CACHE[stale]
         transcripts = transcripts_from_documents(spark, sf_dir)
         res = run_pipeline(
             spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
@@ -1662,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dbxref_link": q_dbxref_link,
         "q_negated_mentions": q_negated_mentions,
         "q_mapping_category": q_mapping_category,
+        "q_category_matrix": q_category_matrix,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_signatures": q_minhash_signatures,
         "q_ngram_jaccard": q_ngram_jaccard,
@@ -2001,6 +2055,37 @@ FROM all_t GROUP BY pred"""
                     ELSE 'Automatic Exact - Concept' END AS category
         FROM kept
         GROUP BY doc_id
+    """
+
+    # hand-computed golden strings per case — intentionally NOT a replica
+    # of the compile logic, so a regression in either the category CASE or
+    # the evidence formatting/sorting/dedup chain fails the gate
+    sqls["q_category_matrix"] = """
+        SELECT doc_id,
+               'HP' AS ONT_TYPE,
+               CASE doc_id % 6
+                   WHEN 1 THEN 'HP_0000001 | HP_0000002'
+                   WHEN 3 THEN 'HP_0000001 | HP_0000002'
+                   ELSE 'HP_0000001' END AS AGG_URI,
+               CASE doc_id % 6
+                   WHEN 1 THEN 'lbl a | lbl b'
+                   WHEN 3 THEN 'lbl a | lbl b'
+                   ELSE 'lbl a' END AS AGG_LABEL,
+               CASE doc_id % 6
+                   WHEN 0 THEN 'Automatic Exact - Concept'
+                   WHEN 1 THEN 'Automatic Constructor - Concept'
+                   WHEN 2 THEN 'Automatic Exact - Ancestor'
+                   WHEN 3 THEN 'Automatic Constructor - Ancestor'
+                   WHEN 4 THEN 'Automatic Exact - Concept'
+                   ELSE 'Automatic Exact - Concept' END AS AGG_MAPPING,
+               CASE doc_id % 6
+                   WHEN 0 THEN 'OBO_LABEL-OMOP_CONCEPT_LABEL:headache'
+                   WHEN 1 THEN 'OBO_LABEL-OMOP_CONCEPT_LABEL:headache | OBO_hasExactSynonym-OMOP_CONCEPT_SYNONYM:cephalgia'
+                   WHEN 2 THEN 'OBO_DbXref-OMOP_ANCESTOR_CODE:snomed_123 | OBO_LABEL-OMOP_ANCESTOR_LABEL:headache | OBO_hasExactSynonym-OMOP_ANCESTOR_SYNONYM:cephalgia'
+                   WHEN 3 THEN 'OBO_DbXref-OMOP_ANCESTOR_CODE:snomed_123 | OBO_LABEL-OMOP_ANCESTOR_LABEL:headache | OBO_hasExactSynonym-OMOP_ANCESTOR_SYNONYM:cephalgia'
+                   WHEN 4 THEN 'OBO_DbXref-OMOP_ANCESTOR_CODE:snomed_123'
+                   ELSE 'OBO_LABEL-OMOP_CONCEPT_LABEL:headache' END AS AGG_EVIDENCE
+        FROM documents WHERE doc_id < 60
     """
 
     sqls["q_dbxref_link"] = f"""

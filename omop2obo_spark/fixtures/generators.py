@@ -71,19 +71,9 @@ def ancestors_df(spark: SparkSession) -> DataFrame:
     (clinical_concept_annotator.py:348-361); in graph form that is a join
     through this closure table.
     """
-    parents = {L.OBO + sid: [L.OBO + a for a in anc] for _, sid, _, _, _, _, anc in L.CONCEPTS}
-    rows = []
-    for uri in parents:
-        seen: list[str] = []
-        stack = list(parents[uri])
-        while stack:
-            a = stack.pop(0)
-            if a not in seen:
-                seen.append(a)
-                stack.extend(parents.get(a, []))
-        for a in seen:
-            rows.append((uri, a))
-    return spark.createDataFrame(rows, "uri string, ancestor_uri string")
+    return spark.createDataFrame(
+        L.closure_pairs(), "uri string, ancestor_uri string"
+    )
 
 
 def mrconso_df(spark: SparkSession) -> DataFrame:
@@ -107,7 +97,7 @@ def vocab_map_dict() -> dict[str, str]:
     return {alias: primary for primary, aliases in L.VOCAB_MAP_ROWS for alias in aliases}
 
 
-_DIMS_CACHE: dict[int, object] = {}
+_DIMS_CACHE: dict[str, object] = {}  # applicationId -> LexiconDims
 
 
 def cached_dims(spark: SparkSession):
@@ -126,6 +116,11 @@ def cached_dims(spark: SparkSession):
     key = spark.sparkContext.applicationId
     dims = _DIMS_CACHE.get(key)
     if dims is None:
+        # evict dead applications' dims before caching the new one: a
+        # process cycling sessions (pytest, long-lived drivers) would
+        # otherwise pin every dead session's dimension frames forever
+        for stale in [k for k in _DIMS_CACHE if k != key]:
+            del _DIMS_CACHE[stale]
         dims = LexiconDims.from_lexicon(lexicon_df(spark), vocab_map_dict())
         _DIMS_CACHE[key] = dims
     return dims
@@ -221,8 +216,13 @@ def portable_hash(doc_id: Column, turn_idx: Column, salt: int) -> Column:
 
 def portable_hash_sql(doc_id: str, turn_idx: str, salt: int) -> str:
     """The same mixer as ANSI/DuckDB SQL text (operands are non-negative, so
-    ``%`` and Spark's ``pmod`` agree)."""
-    return f"(({doc_id}) * 1000003 + ({turn_idx}) * 7919 + {salt} * 104729) % 2147483647"
+    ``%`` and Spark's ``pmod`` agree). The BIGINT casts mirror the Spark
+    twin above — without them an INT32 doc_id column overflows DuckDB's
+    INT32 multiplication at doc_id >= 2148."""
+    return (
+        f"(({doc_id})::BIGINT * 1000003 + ({turn_idx})::BIGINT * 7919 "
+        f"+ {salt} * 104729) % 2147483647"
+    )
 
 
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +238,7 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     labels = [c[2].lower() for c in L.CONCEPTS]
     codes = [d.lower() for c in L.CONCEPTS for (d, _t) in c[5]]
-    near_miss = [" ".join(reversed(lb.split())) for lb in labels if " " in lb]
+    near_miss = L.near_miss_labels()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.split(F.col("text"), r"\s+")

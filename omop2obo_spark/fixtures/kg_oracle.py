@@ -89,18 +89,9 @@ def dim_rows() -> dict[str, list[tuple]]:
             cand = (dtyp, code)
             dbxref[nk] = cand if prev is None else max(prev, cand)
 
-    # transitive ancestor closure (BFS, same as fixtures.generators)
-    parents = {L.OBO + sid: [L.OBO + a for a in anc] for _, sid, _, _, _, _, anc in L.CONCEPTS}
-    closure = []
-    for uri in parents:
-        seen: list[str] = []
-        stack = list(parents[uri])
-        while stack:
-            a = stack.pop(0)
-            if a not in seen:
-                seen.append(a)
-                stack.extend(parents.get(a, []))
-        closure.extend((uri, a) for a in seen)
+    # transitive ancestor closure — the same shared builder the Spark
+    # fixture table uses (lexicon_data.closure_pairs)
+    closure = L.closure_pairs()
 
     return {
         "labels": sorted(labels.items()),
@@ -360,9 +351,7 @@ def kg_triples_sql(
 
     labels_arr = _arr([c[2].lower() for c in L.CONCEPTS])
     codes_arr = _arr([d.lower() for c in L.CONCEPTS for (d, _t) in c[5]])
-    near_arr = _arr(
-        [" ".join(reversed(lb.split())) for lb in (c[2].lower() for c in L.CONCEPTS) if " " in lb]
-    )
+    near_arr = _arr(L.near_miss_labels())
     n_lab = len(L.CONCEPTS)
     n_code = sum(len(c[5]) for c in L.CONCEPTS)
     n_near = sum(1 for c in L.CONCEPTS if " " in c[2])
@@ -444,6 +433,13 @@ code_mentions AS MATERIALIZED (
            conv_id || ':' || turn_idx::VARCHAR || ':code:' || (i - 1)::VARCHAR AS mention_id,
            arr[i] AS surface
     FROM (
+        -- KNOWN LATENT DIVERGENCE on non-ASCII text: DuckDB's RE2 \\b is
+        -- ASCII-only while Spark's Java \\b is unicode-aware, so e.g.
+        -- 'médecin:paris' would yield 'decin:paris' here but nothing in
+        -- Spark. The generated transcripts are ASCII by construction
+        -- (documents fixture text), so the two sides agree on every
+        -- input this oracle is run against; revisit if the generator
+        -- ever injects non-ASCII.
         SELECT conv_id, turn_idx,
                regexp_extract_all(lower(text), '\\b([a-z][a-z0-9_.\\-]*:[a-z0-9][a-z0-9.\\-]*)', 1) AS arr
         FROM tr

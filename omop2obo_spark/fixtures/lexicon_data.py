@@ -255,12 +255,37 @@ NOISE_WORDS = [
     "pipeline", "cluster", "notes", "status", "weekly", "quarterly",
 ]
 
-# Mention templates for the synthetic transcripts. ``{term}`` is replaced by
-# an ontology label/synonym; ``{code}`` by a source code.
-SENTENCE_TEMPLATES = [
-    "the patient reported {term} during the visit",
-    "assessment notes {term} as the chief complaint",
-    "records show a history of {term} since last year",
-    "coded as {code} in the source system",
-    "cross reference {code} for this encounter",
-]
+
+
+def near_miss_labels() -> list[str]:
+    """Word-reversed multiword concept labels — the deterministic
+    'near-miss' surfaces the generators inject so the TF-IDF tier has
+    unlinked-but-similar text to score. ONE definition: this list is
+    mirrored into SQL VALUES by the kg/sim oracles and into Spark arrays
+    by the generators, and any drift between those copies silently breaks
+    Spark-vs-oracle parity."""
+    return [
+        " ".join(reversed(lb.split()))
+        for lb in (c[2].lower() for c in CONCEPTS)
+        if " " in lb
+    ]
+
+
+def closure_pairs() -> list[tuple[str, str]]:
+    """Transitive ``(uri, ancestor_uri)`` closure over CONCEPTS' parent
+    lists (BFS, discovery order preserved). ONE definition shared by the
+    Spark fixture table (generators.ancestors_df) and the oracle's
+    dimension builder (kg_oracle) — a drifted copy would break parity in
+    exactly the ancestor tier it feeds."""
+    parents = {OBO + sid: [OBO + a for a in anc] for _, sid, _, _, _, _, anc in CONCEPTS}
+    out: list[tuple[str, str]] = []
+    for uri in parents:
+        seen: list[str] = []
+        stack = list(parents[uri])
+        while stack:
+            a = stack.pop(0)
+            if a not in seen:
+                seen.append(a)
+                stack.extend(parents.get(a, []))
+        out.extend((uri, a) for a in seen)
+    return out

@@ -81,8 +81,7 @@ def tfidf_similarity_sql(max_doc_id: int = 30, top_n: int = 10,
     )
     ont_df_v = ", ".join(f"({_q(g)}, {n})" for g, n in sorted(df_counter.items()))
 
-    near = [" ".join(reversed(lb.split()))
-            for lb in (c[2].lower() for c in L.CONCEPTS) if " " in lb]
+    near = L.near_miss_labels()
     near_arr = "[" + ", ".join(_q(x) for x in near) + "]"
     n_near = len(near)
 

@@ -71,6 +71,12 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0
+    # a misspelled name on argv must fail loudly, not silently verify
+    # nothing and exit 0
+    unknown = only - set(qs)
+    for name in sorted(unknown):
+        print(f"FAIL  {name}: unknown query name")
+        failures += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
