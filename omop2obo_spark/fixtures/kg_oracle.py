@@ -148,48 +148,23 @@ def _sim_tier_ctes() -> str:
     preprocessing + factorized cosine in SQL. Produces ``s_mappings``
     (conv_id, turn_idx, mention_id, ont_type, sim_uri, sim_label,
     sim_evidence, sim_category)."""
+    # all shared pieces come from sim_oracle's builders: the ontology-side
+    # TF/DF VALUES, the preprocessing chain, and the span enumeration are
+    # ONE definition across the standalone and integrated sim oracles
     from omop2obo_spark.fixtures.sim_oracle import (
-        lemma_case_sql,
-        ont_corpus_rows,
+        ont_tf_df_values,
+        preprocess_toks_sql,
+        span_branches_sql,
     )
-    from omop2obo_spark.functions.text import _STOPWORD_PATTERN
-    from collections import Counter
 
-    from omop2obo_spark.operators.similarity import ngrams as _ngrams
-
-    corpus = ont_corpus_rows()
-    n_ont = len(corpus)
-    tf_rows, df_counter = [], Counter()
-    for rid, sid, toks in corpus:
-        grams = _ngrams(toks)
-        for g, tf in Counter(grams).items():
-            tf_rows.append((rid, sid, g, tf))
-        for g in set(grams):
-            df_counter[g] += 1
-    ont_tf_v = ", ".join(f"({rid}, {_q(sid)}, {_q(g)}, {tf})" for rid, sid, g, tf in tf_rows)
-    ont_df_v = ", ".join(f"({_q(g)}, {n})" for g, n in sorted(df_counter.items()))
-
-    span_branches = "\n    UNION ALL\n".join(
-        f"""    SELECT toks, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
-    FROM s_dd, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS su{n}(i)
-    WHERE len(toks) >= {n}"""
-        for n in range(1, 4)
-    )
+    ont_tf_v, ont_df_v, n_ont = ont_tf_df_values()
+    span_branches = span_branches_sql("s_dd", alias_prefix="su")
 
     return f""",
 s_q AS (
     SELECT conv_id, turn_idx,
            conv_id || ':' || turn_idx::VARCHAR || ':sim:0' AS mention_id,
-           list_transform(
-               list_filter(
-                   string_split_regex(
-                       lower(regexp_replace(
-                           regexp_replace(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'),
-                                          '\\s+', ' ', 'g'),
-                           {_q(_STOPWORD_PATTERN)}, '', 'g')),
-                       '\\W+'),
-                   x -> x <> ''),
-               t -> {lemma_case_sql("t")}) AS toks
+           {preprocess_toks_sql("text")} AS toks
     FROM tr
 ),
 s_q2 AS MATERIALIZED (SELECT * FROM s_q WHERE len(toks) > 0),

@@ -61,13 +61,14 @@ def lemma_case_sql(var: str) -> str:
         ELSE {var} END"""
 
 
-def tfidf_similarity_sql(max_doc_id: int = 30, top_n: int = 10,
-                         floor: float = 0.25, percentile: float = 0.75) -> str:
-    """Full W1/W2 oracle over the injected query set (see
-    __spark_entry__.q_tfidf_similarity for the Spark twin)."""
+def ont_tf_df_values() -> tuple[str, str, int]:
+    """(ont_tf VALUES, ont_df VALUES, corpus size) — the ontology-side
+    per-row n-gram term frequencies and document frequencies, inlined as
+    SQL VALUES. ONE builder shared by the standalone W1/W2 oracle below
+    and the integrated kg pipeline oracle (kg_oracle._sim_tier_ctes):
+    a drifted copy of this enumeration silently de-synchronizes the two
+    oracles' idf bases."""
     corpus = ont_corpus_rows()
-    n_ont = len(corpus)
-    # ont-side gram tfs and dfs
     tf_rows = []
     df_counter: Counter[str] = Counter()
     for rid, sid, toks in corpus:
@@ -80,17 +81,48 @@ def tfidf_similarity_sql(max_doc_id: int = 30, top_n: int = 10,
         f"({rid}, {_q(sid)}, {_q(g)}, {tf})" for rid, sid, g, tf in tf_rows
     )
     ont_df_v = ", ".join(f"({_q(g)}, {n})" for g, n in sorted(df_counter.items()))
+    return ont_tf_v, ont_df_v, len(corpus)
+
+
+def preprocess_toks_sql(text_expr: str) -> str:
+    """The query-side preprocessing chain (ascii-fold → whitespace collapse
+    → stopword strip → lower → tokenize → lemma) as one SQL expression —
+    shared by both oracles; must stay in lock-step with
+    functions.text.preprocess_tokens_expr."""
+    return f"""list_transform(
+               list_filter(
+                   string_split_regex(
+                       lower(regexp_replace(
+                           regexp_replace(regexp_replace({text_expr}, '[^\\x00-\\x7F]', '', 'g'),
+                                          '\\s+', ' ', 'g'),
+                           {_q(_STOPWORD_PATTERN)}, '', 'g')),
+                       '\\W+'),
+                   x -> x <> ''),
+               t -> {lemma_case_sql("t")})"""
+
+
+def span_branches_sql(src: str, alias_prefix: str = "u") -> str:
+    """1/2/3-gram span enumeration over ``src(toks)`` — the SQL twin of
+    operators.similarity.ngrams, shared by both oracles."""
+    return "\n    UNION ALL\n".join(
+        f"""    SELECT toks, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+    FROM {src}, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS {alias_prefix}{n}(i)
+    WHERE len(toks) >= {n}"""
+        for n in range(1, 4)
+    )
+
+
+def tfidf_similarity_sql(max_doc_id: int = 30, top_n: int = 10,
+                         floor: float = 0.25, percentile: float = 0.75) -> str:
+    """Full W1/W2 oracle over the injected query set (see
+    __spark_entry__.q_tfidf_similarity for the Spark twin)."""
+    ont_tf_v, ont_df_v, n_ont = ont_tf_df_values()
 
     near = L.near_miss_labels()
     near_arr = "[" + ", ".join(_q(x) for x in near) + "]"
     n_near = len(near)
 
-    span_branches = "\n    UNION ALL\n".join(
-        f"""    SELECT toks, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
-    FROM ddocs, UNNEST(range(1, greatest(len(toks) - {n} + 2, 1))) AS u{n}(i)
-    WHERE len(toks) >= {n}"""
-        for n in range(1, 4)
-    )
+    span_branches = span_branches_sql("ddocs")
 
     return f"""
 WITH qraw AS (
@@ -103,16 +135,7 @@ WITH qraw AS (
 ),
 qtok AS (
     SELECT mention_id,
-           list_transform(
-               list_filter(
-                   string_split_regex(
-                       lower(regexp_replace(
-                           regexp_replace(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'),
-                                          '\\s+', ' ', 'g'),
-                           {_q(_STOPWORD_PATTERN)}, '', 'g')),
-                       '\\W+'),
-                   x -> x <> ''),
-               t -> {lemma_case_sql("t")}) AS toks
+           {preprocess_toks_sql("text")} AS toks
     FROM qraw
 ),
 qtok2 AS (SELECT * FROM qtok WHERE len(toks) > 0),
