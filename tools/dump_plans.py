@@ -151,8 +151,15 @@ def main() -> int:
         # the dossier shows the BFS rounds, not the upstream pipeline
         from omop2obo_spark.operators.hierarchy import entity_cooccurrence, k_hop
 
+        # edges come from the entry registry's CACHED pipeline result, not
+        # the deliberately-uncached kg_uncached above — the k_hop section
+        # dumps the BFS rounds over a checkpointed edge table either way,
+        # and reusing the cache avoids paying the full linking pipeline a
+        # second time per dossier regeneration
+        import __spark_entry__ as _entry
+
         edges = entity_cooccurrence(
-            qs["q_kg_triples"](spark, sf_dir)
+            _entry._pipeline_result(spark, sf_dir).triples
         ).localCheckpoint(eager=True)
         from pyspark.sql import functions as F
 
@@ -174,10 +181,15 @@ def main() -> int:
     ]
     for name, note in NOTES.items():
         df = qs[name](spark, SF_DIR)
-        df.collect()  # execute first: AQE finalizes join strategies at
-        # runtime, so the executed plan below is the FINAL adaptive plan
-        # (isFinalPlan=true), not the static candidate (which may show a
-        # sort-merge join AQE replaces with a broadcast at runtime)
+        # execute THIS DataFrame's own queryExecution first: AQE finalizes
+        # join strategies at runtime, so the executed plan below is the
+        # FINAL adaptive plan (isFinalPlan=true), not the static candidate.
+        # toLocalIterator streams partitions instead of materializing the
+        # whole result on the driver (collect() at a larger SF_DIR OOMs) —
+        # a separate action like a noop write would NOT finalize df's own
+        # plan, so it must be consumed through the DataFrame itself.
+        for _ in df.toLocalIterator():
+            pass
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = plan.splitlines()
         if len(lines) > 100:

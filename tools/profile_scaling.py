@@ -48,6 +48,9 @@ def main() -> None:
 
     tr = transcripts_df(spark, n_convs=turns // 10, turns_per_conv=10).persist()
     tr.count()
+    # delimit the timed region: stages completed before this point (warmup,
+    # dims build, generation) must not be mixed into the scaling diagnosis
+    seen_before = _completed_stage_ids(spark)
 
     timings: dict = {}
     t_all = time.time()
@@ -61,12 +64,28 @@ def main() -> None:
     timings["execute"] = round(time.time() - t, 2)
     timings["total"] = round(time.time() - t_all, 2)
     out["phases"] = timings
-    out["stages"] = _stage_metrics(spark)
+    out["stages"] = _stage_metrics(spark, exclude=seen_before)
     print(json.dumps(out))
     spark.stop()
 
 
-def _stage_metrics(spark) -> list[dict]:
+def _completed_stage_ids(spark) -> set:
+    """(stageId, attemptId) pairs completed so far — the 'before' side of
+    the timed-region delimiter (same snapshot-diff as profile_stages.py)."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            return {(s["stageId"], s["attemptId"]) for s in json.loads(r.read())}
+    except Exception:  # pragma: no cover - diagnostics only
+        return set()
+
+
+def _stage_metrics(spark, exclude: set = frozenset()) -> list[dict]:
     """Per-stage task/GC/shuffle totals from the driver's REST API —
     pinpoints which stages fail to scale with executor count."""
     try:
@@ -79,6 +98,8 @@ def _stage_metrics(spark) -> list[dict]:
             stages = json.loads(r.read())
         rows = []
         for s in stages:
+            if (s["stageId"], s["attemptId"]) in exclude:
+                continue
             rows.append({
                 "id": s["stageId"],
                 "name": s["name"].split("\n")[0][:70],

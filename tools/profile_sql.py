@@ -64,7 +64,11 @@ def main() -> None:
     import re
 
     def total_ms(val: str) -> float:
-        m = re.match(r"([\d.,]+)\s*(ms|s|m)?", val.replace("\n", " "))
+        # timing metric values lead with a header line ('total (min, med,
+        # max (stageId: taskId))\n290 ms (...)') — the number is on the
+        # LAST line; matching the raw value parsed the header and returned
+        # 0.0 for every metric, flattening the duration ranking
+        m = re.match(r"([\d.,]+)\s*(ms|s|m)?", val.splitlines()[-1].strip())
         if not m:
             return 0.0
         x = float(m.group(1).replace(",", ""))

@@ -55,21 +55,6 @@ def main() -> None:
     vm = vocab_map_dict()
     dims = LexiconDims.from_lexicon(lex, vm)
 
-    def run(n: int) -> float:
-        tr = transcripts_df(spark, n_convs=n // 10, turns_per_conv=10).persist()
-        tr.count()
-        t0 = time.time()
-        res = run_pipeline(
-            spark, tr, lex, vm, mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
-            ancestors=FX.ancestors_df(spark), with_similarity=False, dims=dims,
-        )
-        force(res.triples)
-        wall = time.time() - t0
-        tr.unpersist()
-        return wall
-
-    run(100_000)  # warm-up
-
     api = f"{spark.sparkContext.uiWebUrl}/api/v1"
     apps = json.load(urllib.request.urlopen(f"{api}/applications"))
     app_id = apps[0]["id"]
@@ -78,9 +63,27 @@ def main() -> None:
         stages = json.load(urllib.request.urlopen(f"{api}/applications/{app_id}/stages?status=complete"))
         return {(s["stageId"], s["attemptId"]): s for s in stages}
 
-    before = stage_snapshot()
-    wall = run(n_turns)
-    after = stage_snapshot()
+    def run(n: int):
+        tr = transcripts_df(spark, n_convs=n // 10, turns_per_conv=10).persist()
+        tr.count()
+        # snapshot AFTER generation/persist so the stage window matches the
+        # wall timer exactly — otherwise the generation stages inflate
+        # sum_task_sec against a wall that excludes them (utilization > 1)
+        before = stage_snapshot()
+        t0 = time.time()
+        res = run_pipeline(
+            spark, tr, lex, vm, mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+            ancestors=FX.ancestors_df(spark), with_similarity=False, dims=dims,
+        )
+        force(res.triples)
+        wall = time.time() - t0
+        after = stage_snapshot()
+        tr.unpersist()
+        return wall, before, after
+
+    run(100_000)  # warm-up
+
+    wall, before, after = run(n_turns)
 
     new_stages = [s for k, s in after.items() if k not in before]
     total_task_ms = sum(s["executorRunTime"] for s in new_stages)

@@ -41,6 +41,11 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--lexicon", default="fixture",
                    help="lexicon parquet path (sources/owl_prep.py output "
                         "shape) or 'fixture' for the built-in synthetic lexicon")
+    p.add_argument("--vocab-map", default=None,
+                   help="source_code_vocab_map.csv path (sources/readers.py:"
+                        "read_vocab_map); default = the built-in fixture map, "
+                        "which only covers the synthetic vocabularies — real "
+                        "UMLS inputs need a real map or aliases mis-normalize")
     p.add_argument("--mrconso", default=None, help="MRCONSO.RRF path (optional UMLS tier)")
     p.add_argument("--mrsty", default=None, help="MRSTY.RRF path")
     p.add_argument("--ancestors", default=None,
@@ -51,6 +56,12 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
                    help="buckets per Spark job (failure domain); default all pending")
     p.add_argument("--with-similarity", action="store_true",
                    help="enable the TF-IDF fuzzy tier (off = exact tiers only)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="durable stage-checkpoint root (HDFS/S3). Strongly "
+                        "recommended on a real cluster: the default "
+                        "localCheckpoint truncates lineage into executor "
+                        "memory, so an executor loss kills the batch instead "
+                        "of recomputing (plans/pipeline.py checkpoint_dir)")
     p.add_argument("--run-id", default=None)
     return p.parse_args(argv)
 
@@ -78,9 +89,7 @@ def main(argv: list[str]) -> int:
     from omop2obo_spark.sources.writers import GraphSink
 
     src = args.transcripts
-    if src.endswith("documents.parquet") or (
-        "/" in src and spark.sparkContext is not None and _is_sf_dir(src)
-    ):
+    if src.endswith("documents.parquet") or ("/" in src and _is_sf_dir(spark, src)):
         transcripts = transcripts_from_documents(spark, src.removesuffix("/documents.parquet"))
     else:
         transcripts = read_transcripts(spark, src)
@@ -91,7 +100,12 @@ def main(argv: list[str]) -> int:
         lexicon = lexicon_df(spark)
     else:
         lexicon = spark.read.parquet(args.lexicon)
-    vocab_map = vocab_map_dict()
+    if args.vocab_map:
+        from omop2obo_spark.sources.readers import read_vocab_map
+
+        vocab_map = read_vocab_map(spark, args.vocab_map)
+    else:
+        vocab_map = vocab_map_dict()
     dims = LexiconDims.from_lexicon(lexicon, vocab_map)
 
     mrconso = read_mrconso_rrf(spark, args.mrconso) if args.mrconso else None
@@ -103,6 +117,7 @@ def main(argv: list[str]) -> int:
             spark, tr_subset, lexicon, vocab_map,
             mrconso=mrconso, mrsty=mrsty, ancestors=ancestors,
             with_similarity=args.with_similarity, dims=dims,
+            checkpoint_dir=args.checkpoint_dir,
         ).triples
 
     sink = GraphSink(args.output, n_buckets=args.buckets)
@@ -115,10 +130,20 @@ def main(argv: list[str]) -> int:
     return 0
 
 
-def _is_sf_dir(path: str) -> bool:
+def _is_sf_dir(spark, path: str) -> bool:
+    """Is ``path`` a testdata sf directory (contains documents.parquet)?
+    Local paths use os.path; remote URIs (s3://, hdfs://) probe via a
+    zero-row schema read — os.path is always False for them, which would
+    silently misroute an sf dir on object storage into read_transcripts."""
     import os
 
-    return os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet"))
+    if "://" not in path:
+        return os.path.isdir(path) and os.path.exists(os.path.join(path, "documents.parquet"))
+    try:
+        spark.read.parquet(f"{path.rstrip('/')}/documents.parquet").limit(0).collect()
+        return True
+    except Exception:
+        return False
 
 
 if __name__ == "__main__":
