@@ -176,3 +176,108 @@ def test_pack_sequences_invariants(spark, tokens, budget):
         total = sum(r.n_tokens for r in rows_in_pack)
         # a pack only exceeds the budget when a single oversized doc owns it
         assert total <= budget or len(rows_in_pack) == 1
+
+
+# --- as-of join vs pure-Python reference ---------------------------------
+
+_asof_ts = st.one_of(st.none(), st.integers(0, 50))
+_asof_left = st.lists(
+    st.tuples(st.integers(1, 3), _asof_ts), min_size=1, max_size=12
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(1, 3), _asof_ts, st.integers(0, 99)),
+    min_size=0, max_size=12,
+)
+
+
+@PROP_SETTINGS
+@given(left=_asof_left, right=_asof_right,
+       direction=st.sampled_from(["backward", "forward"]),
+       tolerance=st.one_of(st.none(), st.integers(0, 20)))
+def test_asof_join_matches_python_reference(spark, left, right, direction, tolerance):
+    """asof_join over random keys/timestamps (including NULL ts on both
+    sides) must match a direct Python implementation of the documented
+    semantics: nearest state at-or-before/after per key, NULL-ts probes
+    and states never match, tolerance nulls far matches. Right side is
+    deduplicated per (key, ts) first, per the operator's tie contract."""
+    from datetime import datetime, timezone
+
+    from omop2obo_spark.operators.temporal import asof_join
+
+    def dt(s):
+        return None if s is None else datetime(2026, 1, 1, tzinfo=timezone.utc) \
+            .replace(hour=0).fromtimestamp(1767225600 + s, tz=timezone.utc)
+
+    # dedup right per (k, ts): keep max payload (deterministic winner)
+    best: dict[tuple, int] = {}
+    for k, ts, v in right:
+        key = (k, ts)
+        if key not in best or v > best[key]:
+            best[key] = v
+    rrows = [(k, ts, v) for (k, ts), v in best.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, dt(ts)) for i, (k, ts) in enumerate(left)],
+        "row_id long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, dt(ts), v) for k, ts, v in rrows], "k long, rts timestamp, v long"
+    )
+    got = {
+        r.row_id: r.v
+        for r in asof_join(
+            ldf, rdf, "k", "k", "ts", "rts", ["v"],
+            direction=direction, tolerance_sec=tolerance,
+        ).collect()
+    }
+
+    for i, (k, ts) in enumerate(left):
+        if ts is None:
+            expect = None
+        else:
+            if direction == "backward":
+                cands = [(rts, v) for rk, rts, v in rrows
+                         if rk == k and rts is not None and rts <= ts]
+                pick = max(cands) if cands else None
+            else:
+                cands = [(rts, v) for rk, rts, v in rrows
+                         if rk == k and rts is not None and rts >= ts]
+                pick = min(cands) if cands else None
+            expect = None if pick is None else pick[1]
+            if expect is not None and tolerance is not None and abs(pick[0] - ts) > tolerance:
+                expect = None
+        assert got[i] == expect, (i, k, ts, direction, tolerance, got[i], expect)
+
+
+# --- exact dedup NULL-singleton contract ---------------------------------
+
+_dedup_docs = st.lists(
+    st.one_of(st.none(), st.text(alphabet="ab \t", max_size=6)),
+    min_size=1, max_size=15,
+)
+
+
+@PROP_SETTINGS
+@given(texts=_dedup_docs)
+def test_exact_dedup_matches_python_reference(spark, texts):
+    """Random docs incl. NULLs and whitespace-only text: groups must equal
+    the Python reference — normalized-text equality, NULL text a singleton."""
+    import re as _re
+
+    from omop2obo_spark.operators.dedup import exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.canonical_id, r.group_size) for r in exact_dedup(df).collect()}
+
+    def norm(t):
+        return _re.sub(r"\s+", " ", t.lower()).strip()
+
+    groups: dict[object, list[int]] = {}
+    for i, t in rows:
+        key = ("null", i) if t is None else ("txt", norm(t))
+        groups.setdefault(key, []).append(i)
+    for members in groups.values():
+        head = min(members)
+        for m in members:
+            assert got[m] == (head, len(members)), (texts, m, got[m])
