@@ -281,3 +281,74 @@ def test_exact_dedup_matches_python_reference(spark, texts):
         head = min(members)
         for m in members:
             assert got[m] == (head, len(members)), (texts, m, got[m])
+
+
+# --- salted join ≡ plain join under random skew ---------------------------
+
+_fact_rows = st.lists(
+    st.tuples(st.integers(0, 99), st.sampled_from(["hot", "hot", "hot", "a", "b", "c"])),
+    min_size=1, max_size=40,
+)
+_dim_rows = st.lists(
+    st.tuples(st.sampled_from(["hot", "a", "b", "z"]), st.integers(0, 9)),
+    min_size=0, max_size=8,
+)
+
+
+@PROP_SETTINGS
+@given(fact=_fact_rows, dim=_dim_rows,
+       how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+       buckets=st.integers(1, 6))
+def test_salted_join_equals_plain_join_property(spark, fact, dim, how, buckets):
+    """Salting is a physical rewrite: for every supported join type, any
+    salt-bucket count, random skew, and duplicate dim keys, the multiset
+    of result rows must equal the plain join's."""
+    from omop2obo_spark.operators.joins import salted_join
+
+    fdf = spark.createDataFrame(fact, "id long, k string")
+    ddf = spark.createDataFrame(dim, "k string, v long") if dim else \
+        spark.createDataFrame([], "k string, v long")
+    salted = salted_join(fdf, ddf, "k", salt_buckets=buckets,
+                         fact_salt_cols=["id"], how=how)
+    plain = fdf.join(F.broadcast(ddf), on="k", how=how)
+    key = sorted(salted.columns)
+    a = sorted(tuple(r[c] for c in key) for r in salted.collect())
+    b = sorted(tuple(r[c] for c in key) for r in plain.collect())
+    assert a == b, (how, buckets, a, b)
+
+
+# --- pivot conflict guard --------------------------------------------------
+
+_pivot_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["A", "B"]),
+              st.one_of(st.none(), st.sampled_from(["x", "y"]))),
+    min_size=1, max_size=15,
+)
+
+
+@PROP_SETTINGS
+@given(rows=_pivot_rows)
+def test_unstack_columns_guard_property(spark, rows):
+    """unstack_columns raises exactly when some (index, column) cell holds
+    >1 distinct non-null value; otherwise it matches the per-cell unique
+    non-null value (or NULL)."""
+    import pytest as _pytest
+
+    from omop2obo_spark.operators.reshape import unstack_columns
+
+    df = spark.createDataFrame(rows, "idx long, col string, val string")
+    cells: dict[tuple, set] = {}
+    for i, c, v in rows:
+        if v is not None:
+            cells.setdefault((i, c), set()).add(v)
+    conflict = any(len(s) > 1 for s in cells.values())
+    if conflict:
+        with _pytest.raises(Exception, match="duplicate entries"):
+            unstack_columns(df, "idx", "col", "val", ["A", "B"]).collect()
+    else:
+        got = {r.idx: (r.A, r.B) for r in
+               unstack_columns(df, "idx", "col", "val", ["A", "B"]).collect()}
+        for i in {i for i, _c, _v in rows}:
+            a = next(iter(cells.get((i, "A"), {None})))
+            b = next(iter(cells.get((i, "B"), {None})))
+            assert got[i] == (a, b), (rows, i, got[i])
