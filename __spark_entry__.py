@@ -1698,61 +1698,27 @@ def q_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters twice: the driver's CORRECTNESS gate hashes the
+    # FIRST 50 entries, and the bench attributes one-time cache
+    # materializations to whichever query touches them first.  Round-3 order:
+    #   1-2   flagships first, so the pipeline-cache build (exact and
+    #         with-similarity) is attributed to q_kg_triples/_sim, not to a
+    #         cheap downstream graph analytic;
+    #   3-4   the two queries whose oracles were red in r1+r2 (integer-type
+    #         casts fixed this round) — in-window so the driver records the
+    #         green rows;
+    #   5-46  the 42 queries that sat outside the r2 driver window (graph /
+    #         temporal / as-of / salted / curation families) and therefore
+    #         never received a driver oracle row;
+    #   47-50 round-3 additions;
+    #   51+   queries already driver-green in r1/r2 (their CORRECTNESS rows
+    #         are on file), still run by bench + the local strict harness.
     return {
-        "q_pricing_summary": q_pricing_summary,
-        "q_broadcast_join_chain": q_broadcast_join_chain,
-        "q_topk_orders_per_customer": q_topk_orders_per_customer,
-        "q_exact_percentile": q_exact_percentile,
-        "q_sketch_quantile": q_sketch_quantile,
-        "q_ordered_concat": q_ordered_concat,
-        "q_pivot_wide": q_pivot_wide,
-        "q_unpivot_stack": q_unpivot_stack,
-        "q_semi_anti_joins": q_semi_anti_joins,
-        "q_window_events": q_window_events,
-        "q_sessionize": q_sessionize,
-        "q_normalize_codes": q_normalize_codes,
-        "q_mention_exact_link": q_mention_exact_link,
-        "q_dbxref_link": q_dbxref_link,
-        "q_negated_mentions": q_negated_mentions,
-        "q_mapping_category": q_mapping_category,
-        "q_category_matrix": q_category_matrix,
-        "q_dedup_exact": q_dedup_exact,
-        "q_minhash_signatures": q_minhash_signatures,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_set_similarity": q_set_similarity,
-        "q_bpe_encode": q_bpe_encode,
-        "q_corpus_profile": q_corpus_profile,
-        "q_pack_sequences": q_pack_sequences,
-        "q_pack_stats": q_pack_stats,
-        "q_hash_sample": q_hash_sample,
-        "q_corpus_curation": q_corpus_curation,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_simhash": q_simhash,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_repetition": q_repetition,
-        "q_boilerplate": q_boilerplate,
-        "q_token_counts": q_token_counts,
-        "q_fingerprint": q_fingerprint,
-        "q_tfidf_similarity": q_tfidf_similarity,
-        "q_pii_redact": q_pii_redact,
-        "q_vocab_topk": q_vocab_topk,
-        "q_ann_bruteforce": q_ann_bruteforce,
-        "q_embedding_dedup": q_embedding_dedup,
-        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "q_ann_quantized": q_ann_quantized,
-        "q_ann_quantized_recall": q_ann_quantized_recall,
-        # flagship runs before every other _pipeline_result consumer so the
-        # bench attributes the one-time pipeline materialization (exact and
-        # with-similarity caches) to q_kg_triples / q_kg_triples_sim, not to
-        # whichever cheap graph analytic happens to touch the cache first
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
-        "q_sketch_distinct": q_sketch_distinct,
-        "q_hierarchy_rollup": q_hierarchy_rollup,
-        "q_ancestor_closure": q_ancestor_closure,
+        "q_sessionize": q_sessionize,
+        "q_pack_stats": q_pack_stats,
+        # -- previously ungated (after position 50 in r2) ------------------
         "q_chunk_turns": q_chunk_turns,
         "q_conv_fingerprint": q_conv_fingerprint,
         "q_conv_stats": q_conv_stats,
@@ -1795,6 +1761,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_rollup_revenue": q_rollup_revenue,
+        # -- round-3 additions go here (positions 47-50) -------------------
+        # -- already driver-green in r1/r2 ---------------------------------
+        "q_pricing_summary": q_pricing_summary,
+        "q_broadcast_join_chain": q_broadcast_join_chain,
+        "q_topk_orders_per_customer": q_topk_orders_per_customer,
+        "q_exact_percentile": q_exact_percentile,
+        "q_sketch_quantile": q_sketch_quantile,
+        "q_ordered_concat": q_ordered_concat,
+        "q_pivot_wide": q_pivot_wide,
+        "q_unpivot_stack": q_unpivot_stack,
+        "q_semi_anti_joins": q_semi_anti_joins,
+        "q_window_events": q_window_events,
+        "q_normalize_codes": q_normalize_codes,
+        "q_mention_exact_link": q_mention_exact_link,
+        "q_dbxref_link": q_dbxref_link,
+        "q_negated_mentions": q_negated_mentions,
+        "q_mapping_category": q_mapping_category,
+        "q_category_matrix": q_category_matrix,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_set_similarity": q_set_similarity,
+        "q_bpe_encode": q_bpe_encode,
+        "q_corpus_profile": q_corpus_profile,
+        "q_pack_sequences": q_pack_sequences,
+        "q_hash_sample": q_hash_sample,
+        "q_corpus_curation": q_corpus_curation,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_simhash": q_simhash,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_repetition": q_repetition,
+        "q_boilerplate": q_boilerplate,
+        "q_token_counts": q_token_counts,
+        "q_fingerprint": q_fingerprint,
+        "q_tfidf_similarity": q_tfidf_similarity,
+        "q_pii_redact": q_pii_redact,
+        "q_vocab_topk": q_vocab_topk,
+        "q_ann_bruteforce": q_ann_bruteforce,
+        "q_embedding_dedup": q_embedding_dedup,
+        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "q_ann_quantized": q_ann_quantized,
+        "q_ann_quantized_recall": q_ann_quantized_recall,
+        "q_sketch_distinct": q_sketch_distinct,
+        "q_hierarchy_rollup": q_hierarchy_rollup,
+        "q_ancestor_closure": q_ancestor_closure,
     }
 
 
@@ -1949,8 +1963,8 @@ FROM all_t GROUP BY pred"""
         ),
         sess AS (
             SELECT user_id, value,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_n
+                   CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
             FROM marked
         )
         SELECT user_id, session_n, count(*) AS events,
@@ -2554,7 +2568,7 @@ FROM all_t GROUP BY pred"""
             SELECT bucket, pack_idx, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
             FROM walk GROUP BY bucket, pack_idx
         )
-        SELECT bucket, count(*) AS n_packs, sum(n_docs) AS n_docs,
+        SELECT bucket, count(*) AS n_packs, CAST(sum(n_docs) AS BIGINT) AS n_docs,
                round(avg(least(pack_tokens, 200)::DOUBLE / 200), 6) AS fill_ratio
         FROM per_pack GROUP BY bucket""",
     )
@@ -3018,13 +3032,13 @@ GROUP BY conv_id"""
     sqls["q_conv_stats"] = kg_triples_sql(
         final_select="""SELECT conv_id,
        count(*) AS n_turns,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
-       sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool_role,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_role,
        arg_min(role, turn_idx) AS first_role,
        arg_max(role, turn_idx) AS last_role,
-       sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS alternation_violations,
-       sum(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END) AS gap_violations,
+       CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS BIGINT) AS alternation_violations,
+       CAST(sum(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1 THEN 1 ELSE 0 END) AS BIGINT) AS gap_violations,
        round(avg(0.0), 6) AS tool_call_frac,
        round(avg(chars), 6) AS avg_turn_chars,
        (arg_min(role, turn_idx) = 'user'

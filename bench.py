@@ -317,15 +317,29 @@ def main_scaling() -> None:
                                 text=True, env={**os.environ})
         return proc, out_f, err_f
 
+    def cleanup_child(child) -> None:
+        """Close + unlink a child's capture files; safe to call twice."""
+        _proc, out_f, err_f = child
+        for f in (out_f, err_f):
+            try:
+                f.close()
+            except Exception:
+                pass
+            try:
+                os.unlink(f.name)
+            except FileNotFoundError:
+                pass
+
     def collect(child) -> dict:
         proc, out_f, err_f = child
         proc.wait()
-        for f in (out_f, err_f):
-            f.flush()
-            f.seek(0)
-        out, err = out_f.read(), err_f.read()
-        out_f.close(); err_f.close()
-        os.unlink(out_f.name); os.unlink(err_f.name)
+        try:
+            for f in (out_f, err_f):
+                f.flush()
+                f.seek(0)
+            out, err = out_f.read(), err_f.read()
+        finally:
+            cleanup_child(child)
         lines = [ln for ln in out.splitlines() if ln.startswith("{")]
         if proc.returncode != 0 or not lines:
             tail = "\n".join(err.splitlines()[-15:])
@@ -352,10 +366,13 @@ def main_scaling() -> None:
             r_a, r_b = collect(c1), collect(c2)
         finally:
             # if one child's collect raised, don't leave the sibling's
-            # whole local-cluster running detached on pinned cores
-            for proc, _o, _e in (c1, c2):
-                if proc.poll() is None:
-                    proc.kill()
+            # whole local-cluster running detached on pinned cores — and
+            # don't leak either child's capture files (collect cleans its
+            # own on success; cleanup_child is idempotent)
+            for child in (c1, c2):
+                if child[0].poll() is None:
+                    child[0].kill()
+                cleanup_child(child)
         pairs.append((r_a, r_b))
     def pair_eff(p):
         return (p[1]["turns_per_sec"] / p[0]["turns_per_sec"]) / (n2 / n1)

@@ -66,9 +66,12 @@ def unstack_columns(df: DataFrame, index: str, columns: str, values: str,
     cell = (
         F.when(
             F.countDistinct(F.col(values)) > 1,
+            # cast the dead raise branch to the values column's own dtype —
+            # casting to string would make CaseWhen coercion silently widen a
+            # numeric pivot output to string
             F.raise_error(F.lit(
                 "unstack_columns: duplicate entries for an (index, column) cell"
-            )).cast("string"),
+            )).cast(df.schema[values].dataType),
         )
         .otherwise(F.first(values, ignorenulls=True))
     )

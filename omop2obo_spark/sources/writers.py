@@ -30,7 +30,8 @@ class GraphSink:
         self.n_buckets = n_buckets
         self.triples_dir = os.path.join(root, "triples")
         self.manifest_path = os.path.join(root, "manifest.jsonl")
-        os.makedirs(self.root, exist_ok=True)
+        if "://" not in root:  # remote roots are created by the FS on write
+            os.makedirs(root, exist_ok=True)
 
     # -- partitioning -------------------------------------------------------
     def with_part_id(self, df: DataFrame, bucket_col: str = "conv_id") -> DataFrame:
@@ -52,7 +53,8 @@ class GraphSink:
             .parquet(self.triples_dir)
         )
 
-    def clear_partitions(self, part_ids: list[int]) -> None:
+    def clear_partitions(self, part_ids: list[int],
+                         spark: SparkSession | None = None) -> None:
         """Remove the on-disk data for ``part_ids``. Dynamic partition
         overwrite only rewrites partitions PRESENT in the written frame, so
         a batch partition that legitimately produced zero rows keeps
@@ -60,7 +62,30 @@ class GraphSink:
         clears those explicitly so "this batch's output replaces all of the
         batch's partitions" holds even for empty ones. (Iceberg spelling:
         overwritePartitions on a frame that includes the empty partitions.)
+
+        Remote roots (``hdfs://``, ``s3a://``, …) are deleted through the
+        Hadoop FileSystem API so the guarantee holds on object storage too —
+        ``shutil`` would silently no-op there and resurrect the exact orphan
+        rows this method exists to kill.  Local paths keep the cheap
+        ``shutil`` path (no JVM round-trip).
         """
+        if "://" in self.triples_dir and not self.triples_dir.startswith("file:"):
+            spark = spark or SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    f"clear_partitions on remote root {self.triples_dir!r} "
+                    "needs an active SparkSession for the Hadoop FileSystem "
+                    "API; pass spark= explicitly"
+                )
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            for p in part_ids:
+                jpath = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.triples_dir}/part_id={p}")
+                fs = jpath.getFileSystem(hconf)
+                if fs.exists(jpath):
+                    fs.delete(jpath, True)
+            return
         import shutil
 
         for p in part_ids:

@@ -21,6 +21,42 @@ TABLES = [
 ]
 
 
+def _kind_class(s: pd.Series) -> str:
+    """Coarse dtype class used for the driver-strict pre-check.
+
+    The driver hashes values after sorting columns by name, so an int column
+    on one side vs a float column on the other (e.g. DuckDB HUGEINT from
+    ``sum()`` over integers landing in pandas as float64) hash-mismatches even
+    when every value is numerically identical.  ``normalize`` below coerces
+    both sides per-side and erased that evidence — this classifier runs on the
+    RAW frames first.  Decimal-object columns class as float: both engines
+    round-trip DECIMAL aggregates through float-compatible reprs and the
+    driver has always passed those.
+    """
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k in "fc":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "O" and s.map(lambda v: isinstance(v, Decimal)).any():
+        return "float"
+    return "other"
+
+
+def strict_dtype_check(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
+    """Driver-strict: dtype-kind class must match per column BEFORE coercion."""
+    a = {c: _kind_class(spark_df[c]) for c in spark_df.columns}
+    b = {c: _kind_class(duck_df[c]) for c in duck_df.columns}
+    for c in sorted(set(a) & set(b)):
+        if a[c] != b[c]:
+            return (f"strict dtype mismatch in '{c}': spark {a[c]}"
+                    f"({spark_df[c].dtype}) vs oracle {b[c]}({duck_df[c].dtype})"
+                    " — driver hash would fail; CAST the oracle column")
+    return None
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -83,27 +119,29 @@ def main() -> int:
         import time
         t0 = time.time()
         try:
-            spark_df = normalize(fn(spark, sf_dir).toPandas())
+            spark_raw = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(spark_df)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(spark_raw)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            duck_df = normalize(con.execute(oracles[name]).df())
+            duck_raw = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures += 1
             con = fresh_con()  # a fatal error invalidates the connection
             continue
-        diff = compare(spark_df, duck_df)
+        diff = strict_dtype_check(spark_raw, duck_raw)
+        if not diff:
+            diff = compare(normalize(spark_raw), normalize(duck_raw))
         if diff:
             print(f"FAIL  {name}: {diff} [{time.time()-t0:.1f}s]")
             failures += 1
         else:
-            print(f"OK    {name}: {len(spark_df)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(spark_raw)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
     return 1 if failures else 0
 
