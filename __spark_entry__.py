@@ -1697,6 +1697,99 @@ def q_triple_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_diff(before, after)
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analysis tail (reference analytic_utils.py:199
+    chisq_and_posthoc_corrected): omnibus chi-square over the source x lang
+    contingency of documents plus a 2xC chi-square per source pair —
+    statistics, dof, and per-test n, all computed declaratively (the only
+    fact-table shuffle is the contingency groupBy; pairwise fan-out is a
+    self-join over the tiny dense-cell dimension). Yates correction applies
+    exactly when dof == 1, matching scipy's correction=True; p-values +
+    Bonferroni live in operators/analysis.py:chisq_posthoc_corrected
+    (pytest-verified — no closed-form SQL for the chi-square sf)."""
+    from omop2obo_spark.operators.analysis import chi_square_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi_square_pairs(docs, "source", "lang")
+
+
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 analysis tail (reference analytic_utils.py:289 min_max_scaler):
+    per-source min-max scaling of document length, sklearn zero-range
+    semantics (constant group scales to 0.0). Single shuffle on the group
+    key; micro-unit integer output for an engine-stable oracle hash."""
+    from omop2obo_spark.operators.analysis import min_max_scale
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return min_max_scale(docs, "source", "n_chars", out_col="scaled_e6",
+                         micro_units=True)
+
+
+def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round trip (operators/multimodal.py:png_encode/
+    png_decode): synthesize a deterministic grayscale image per document
+    (w = 4 + id%13, h = 3 + id%11, px(x,y) = (id*31 + y*7 + x) % 256),
+    encode it as a genuine PNG (zlib IDAT, CRC chunks, rotating scanline
+    filters None/Sub/Up), then decode with the full stdlib parser —
+    signature, chunk CRC verification, inflate, unfilter — and report
+    pixel statistics. The oracle recomputes the statistics closed-form, so
+    a hash match proves the bytes survived a real encode→decode cycle.
+    Payload bytes never shuffle: generate, encode, and decode all run in
+    one mapInPandas chain over the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import png_encode, png_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 11
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((did * 31 + y * 7 + x) % 256).astype(np.uint8)
+                rows.append((did, png_encode(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    assets = docs.mapInPandas(gen, "doc_id long, media binary")
+    return png_metadata(assets)
+
+
+def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round trip (operators/multimodal.py:wav_encode/
+    wav_decode): synthesize deterministic PCM16 audio per document
+    (rate = 8000 + (id%3)*4000, n = 200 + id%311,
+    sample(i) = (id*13 + i*5) % 1000 - 500), encode as a genuine RIFF/WAVE
+    file, decode with the stdlib RIFF parser, and report sample statistics
+    against a closed-form SQL oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import wav_encode, wav_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 3) * 4000
+                n = 200 + did % 311
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 13 + i * 5) % 1000 - 500).astype(np.int16)
+                rows.append((did, wav_encode(samples, rate)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    assets = docs.mapInPandas(gen, "doc_id long, media binary")
+    return wav_metadata(assets)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -1761,7 +1854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_rollup_revenue": q_rollup_revenue,
-        # -- round-3 additions go here (positions 47-50) -------------------
+        # -- round-3 additions (positions 47-50) ---------------------------
+        "q_chi_square": q_chi_square,
+        "q_minmax_scale": q_minmax_scale,
+        "q_png_meta": q_png_meta,
+        "q_wav_meta": q_wav_meta,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -3720,5 +3817,125 @@ LEFT JOIN removed USING (pred)""",
         SELECT cui AS UMLS_CUI, sab AS UMLS_SAB, count(*) AS n_rows,
                count(DISTINCT l_orderkey) AS n_orders
         FROM ann GROUP BY cui, sab ORDER BY cui, sab
+    """
+
+    # chi-square statistics mirror scipy.stats.chi2_contingency semantics:
+    # expected = row_tot * col_tot / grand, Yates (|o-e| - 0.5)^2 exactly
+    # when dof == 1. Every sum() that lands in an output column is CAST to
+    # BIGINT (DuckDB HUGEINT -> pandas float otherwise — the r1/r2 bug class).
+    sqls["q_chi_square"] = """
+        WITH cells AS (
+            SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+        ),
+        dense AS (
+            SELECT r.source, c.lang, coalesce(x.n, 0) AS n
+            FROM (SELECT DISTINCT source FROM cells) r
+            CROSS JOIN (SELECT DISTINCT lang FROM cells) c
+            LEFT JOIN cells x USING (source, lang)
+        ),
+        dims AS (
+            SELECT (SELECT count(DISTINCT source) FROM dense) AS nr,
+                   (SELECT count(DISTINCT lang) FROM dense) AS nc
+        ),
+        omni_cells AS (
+            SELECT n, rt * ct / g AS e
+            FROM (SELECT n,
+                         sum(n) OVER (PARTITION BY source) AS rt,
+                         sum(n) OVER (PARTITION BY lang) AS ct,
+                         sum(n) OVER () AS g
+                  FROM dense)
+        ),
+        omni AS (
+            SELECT 'omnibus' AS comparison,
+                   round(sum(CASE WHEN (nr - 1) * (nc - 1) = 1
+                                  THEN (abs(n - e) - 0.5) * (abs(n - e) - 0.5) / e
+                                  ELSE (n - e) * (n - e) / e END), 6) AS chi2,
+                   CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM omni_cells, dims GROUP BY nr, nc
+        ),
+        pair_cells AS (
+            SELECT a.source AS row_a, b.source AS row_b, a.n AS na, b.n AS nb
+            FROM dense a JOIN dense b ON a.lang = b.lang AND a.source < b.source
+            WHERE a.n + b.n > 0
+        ),
+        pc AS (
+            SELECT row_a, row_b, na, nb,
+                   sum(na) OVER w AS rt_a, sum(nb) OVER w AS rt_b,
+                   count(*) OVER w AS ncols,
+                   na + nb AS ct
+            FROM pair_cells WINDOW w AS (PARTITION BY row_a, row_b)
+        ),
+        pstat AS (
+            SELECT row_a || '-' || row_b AS comparison,
+                   round(sum(CASE WHEN ncols = 2
+                                  THEN (abs(na - e_a) - 0.5) * (abs(na - e_a) - 0.5) / e_a
+                                     + (abs(nb - e_b) - 0.5) * (abs(nb - e_b) - 0.5) / e_b
+                                  ELSE (na - e_a) * (na - e_a) / e_a
+                                     + (nb - e_b) * (nb - e_b) / e_b END), 6) AS chi2,
+                   CAST(ncols - 1 AS BIGINT) AS dof,
+                   CAST(sum(ct) AS BIGINT) AS n
+            FROM (SELECT *,
+                         rt_a * ct / (rt_a + rt_b) AS e_a,
+                         rt_b * ct / (rt_a + rt_b) AS e_b
+                  FROM pc)
+            GROUP BY row_a, row_b, ncols
+        )
+        SELECT * FROM omni UNION ALL SELECT * FROM pstat
+    """
+
+    # floor((x-mn)*1e6/(mx-mn)) with the SAME double ops on both engines —
+    # a round(double, 6) here can land exactly on a .5 boundary when the
+    # group range divides a power of ten, and the engines' half-rules differ
+    sqls["q_minmax_scale"] = """
+        SELECT doc_id, source, n_chars,
+               CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((n_chars - mn)::DOUBLE * 1000000.0 / (mx - mn)) AS BIGINT)
+               END AS scaled_e6
+        FROM (SELECT doc_id, source, n_chars,
+                     min(n_chars) OVER (PARTITION BY source) AS mn,
+                     max(n_chars) OVER (PARTITION BY source) AS mx
+              FROM documents)
+    """
+
+    # closed-form twin of the PNG encode->decode round trip: the Spark side
+    # re-derives these statistics from DECODED pixel bytes, so a hash match
+    # proves the real codec path end-to-end
+    sqls["q_png_meta"] = """
+        WITH rows_y AS (
+            SELECT doc_id, unnest(range(0, 3 + doc_id % 11)) AS y FROM documents
+        ),
+        px AS (
+            SELECT doc_id, y, unnest(range(0, 4 + doc_id % 13)) AS x FROM rows_y
+        )
+        SELECT doc_id,
+               CAST(4 + doc_id % 13 AS BIGINT) AS width,
+               CAST(3 + doc_id % 11 AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST(0 AS BIGINT) AS color_type,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum((doc_id * 31 + y * 7 + x) % 256) AS BIGINT) AS sum_px,
+               CAST(sum((doc_id * 31 + y * 7 + x) % 256) * 1000000
+                    // count(*) AS BIGINT) AS mean_px_e6
+        FROM px
+        GROUP BY doc_id
+    """
+
+    sqls["q_wav_meta"] = """
+        WITH samp AS (
+            SELECT doc_id, unnest(range(0, 200 + doc_id % 311)) AS i FROM documents
+        )
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits,
+               CAST(200 + doc_id % 311 AS BIGINT) AS n_samples,
+               CAST((200 + doc_id % 311) * 1000
+                    // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms,
+               CAST(sum((doc_id * 13 + i * 5) % 1000 - 500) AS BIGINT) AS sum_amp,
+               CAST(sum(abs((doc_id * 13 + i * 5) % 1000 - 500)) * 1000000
+                    // count(*) AS BIGINT) AS mean_abs_e6
+        FROM samp
+        GROUP BY doc_id
     """
     return sqls

@@ -1,0 +1,298 @@
+"""Analysis statistics: chi-square contingency tests with post-hoc pairwise
+comparisons, and grouped min-max scaling.
+
+Mirrors the reference's analysis tail
+(/root/reference/resources/analyses/analytic_utils.py:199-297):
+
+* ``chisq_and_posthoc_corrected`` — omnibus chi-square over a cross-tab plus
+  a 2xC chi-square per row pair, Bonferroni-corrected (analytic_utils.py:199)
+* ``get_asterisks_for_pval`` — p-value significance stars (analytic_utils.py:170)
+* ``min_max_scaler`` — per-list (x-min)/(max-min) scaling (analytic_utils.py:289)
+
+Spark-first shape: the only large input is the fact table feeding the
+contingency counts — that groupBy is the one real shuffle and it scales to
+any corpus size.  The contingency matrix itself is (r x c) with r, c =
+category cardinalities (single digits in the reference), so the pairwise
+test fan-out stays a declarative self-join over a tiny dimension; nothing
+row-count-dependent ever reaches the driver.
+
+The chi-square statistic matches scipy.stats.chi2_contingency semantics,
+including the Yates continuity correction applied exactly when dof == 1
+(observed shifted 0.5 toward expected).  P-values use a pure-Python
+regularized upper incomplete gamma (series + continued fraction, the
+classical Numerical Recipes formulation) because the sandbox has no scipy;
+accuracy is ~1e-12, verified against fixed reference values in tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# contingency counts
+# ---------------------------------------------------------------------------
+
+
+def contingency_cells(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Dense contingency cells ``(row_col, col_col, n)`` with zero-filled
+    holes.
+
+    The groupBy over the fact table is the scalable part; the dense
+    completion is a cross join of two tiny distinct dimensions (categorical
+    cardinalities), broadcast by AQE.
+    """
+    counts = df.groupBy(row_col, col_col).agg(F.count("*").alias("n"))
+    rows = counts.select(row_col).distinct()
+    cols = counts.select(col_col).distinct()
+    return (
+        rows.crossJoin(F.broadcast(cols))
+        .join(counts, [row_col, col_col], "left")
+        .fillna(0, ["n"])
+    )
+
+
+def _chi2_terms(n, e, dof):
+    """Per-cell chi-square contribution; Yates shift (0.5 toward expected)
+    exactly when dof == 1, matching scipy's correction=True."""
+    diff = F.abs(n - e)
+    # scipy shifts observed by 0.5*sign(expected-observed): the squared term
+    # is (|o-e| - 0.5)^2 whether or not that quantity went negative
+    corrected = (diff - F.lit(0.5)) * (diff - F.lit(0.5))
+    plain = diff * diff
+    return F.when(dof == 1, corrected / e).otherwise(plain / e)
+
+
+def chi_square_pairs(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Omnibus + all-pairs chi-square statistics over the
+    ``row_col`` x ``col_col`` contingency of ``df``.
+
+    Output: ``(comparison, chi2, dof, n)`` — one ``'omnibus'`` row for the
+    full table and one row per unordered row-category pair (named
+    ``'<a>-<b>'`` like the reference's ``'-'.join(comb)``).  Statistics
+    only; see :func:`chisq_posthoc_corrected` for p-values + correction.
+
+    Columns absent from BOTH rows of a pair are dropped before the pairwise
+    test (their expected count would be zero; scipy raises on those), so
+    each pair's dof is its own surviving-column count minus one.
+    """
+    cells = contingency_cells(df, row_col, col_col).cache()
+
+    # -- omnibus ------------------------------------------------------------
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy(row_col)
+    w_col = Window.partitionBy(col_col)
+    omni = (
+        cells.withColumn("g", F.sum("n").over(w_all))
+        .withColumn("rt", F.sum("n").over(w_row))
+        .withColumn("ct", F.sum("n").over(w_col))
+        .withColumn("e", F.col("rt") * F.col("ct") / F.col("g"))
+    )
+    omni_dims = omni.select(
+        F.countDistinct(row_col).alias("nr"), F.countDistinct(col_col).alias("nc")
+    )
+    omni_stat = (
+        omni.crossJoin(F.broadcast(omni_dims))
+        .withColumn("dof", (F.col("nr") - 1) * (F.col("nc") - 1))
+        .groupBy("dof")
+        .agg(
+            F.round(F.sum(_chi2_terms(F.col("n"), F.col("e"), F.col("dof"))), 6).alias("chi2"),
+            F.sum("n").alias("n"),
+        )
+        .select(
+            F.lit("omnibus").alias("comparison"),
+            "chi2",
+            F.col("dof").cast("long").alias("dof"),
+            "n",
+        )
+    )
+
+    # -- pairwise -----------------------------------------------------------
+    a = cells.select(
+        F.col(row_col).alias("row_a"), F.col(col_col).alias("c"), F.col("n").alias("na")
+    )
+    b = cells.select(
+        F.col(row_col).alias("row_b"), F.col(col_col).alias("c"), F.col("n").alias("nb")
+    )
+    pair_cells = (
+        a.join(b, "c")
+        .filter(F.col("row_a") < F.col("row_b"))
+        .filter(F.col("na") + F.col("nb") > 0)  # drop cols absent from both rows
+    )
+    w_pair = Window.partitionBy("row_a", "row_b")
+    pc = (
+        pair_cells.withColumn("rt_a", F.sum("na").over(w_pair))
+        .withColumn("rt_b", F.sum("nb").over(w_pair))
+        .withColumn("g", F.col("rt_a") + F.col("rt_b"))
+        .withColumn("ncols", F.count("*").over(w_pair))
+        .withColumn("dof", F.col("ncols") - 1)
+        .withColumn("ct", F.col("na") + F.col("nb"))
+        .withColumn("e_a", F.col("rt_a") * F.col("ct") / F.col("g"))
+        .withColumn("e_b", F.col("rt_b") * F.col("ct") / F.col("g"))
+    )
+    pair_stat = (
+        pc.withColumn(
+            "term",
+            _chi2_terms(F.col("na"), F.col("e_a"), F.col("dof"))
+            + _chi2_terms(F.col("nb"), F.col("e_b"), F.col("dof")),
+        )
+        .groupBy("row_a", "row_b", "dof")
+        .agg(F.round(F.sum("term"), 6).alias("chi2"), F.sum("ct").alias("n"))
+        .select(
+            F.concat_ws("-", "row_a", "row_b").alias("comparison"),
+            "chi2",
+            F.col("dof").cast("long").alias("dof"),
+            "n",
+        )
+    )
+    return omni_stat.unionByName(pair_stat)
+
+
+# ---------------------------------------------------------------------------
+# p-values (pure-Python regularized incomplete gamma; no scipy in sandbox)
+# ---------------------------------------------------------------------------
+
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) via the classical
+    series / continued-fraction split (Numerical Recipes gammp/gammq)."""
+    if x < 0 or a <= 0:
+        raise ValueError("gammainc domain")
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:
+        # lower series, then Q = 1 - P
+        ap, s, delta = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            s += delta
+            if abs(delta) < abs(s) * 1e-15:
+                break
+        p = s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return max(0.0, 1.0 - p)
+    # continued fraction (modified Lentz)
+    tiny = 1e-300
+    b0, c, d = x + 1.0 - a, 1e300, 1.0 / max(x + 1.0 - a, tiny)
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b0 += 2.0
+        d = an * d + b0
+        d = 1.0 / (d if abs(d) > tiny else tiny)
+        c = b0 + an / (c if abs(c) > tiny else tiny)
+        h *= d * c
+        if abs(d * c - 1.0) < 1e-15:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def chi2_sf(x: float, dof: int) -> float:
+    """Survival function of the chi-square distribution (scipy
+    ``chi2.sf(x, dof)`` twin)."""
+    if x <= 0:
+        return 1.0
+    return _gammainc_upper_reg(dof / 2.0, x / 2.0)
+
+
+def asterisks_for_pval(p: float) -> str:
+    """Significance stars, byte-identical to the reference's
+    get_asterisks_for_pval (analytic_utils.py:170-196)."""
+    if p > 0.05:
+        return "ns"
+    if p < 1e-4:
+        return "****"
+    if p < 1e-3:
+        return "***"
+    if p < 1e-2:
+        return "**"
+    return "*"
+
+
+def chisq_posthoc_corrected(
+    df: DataFrame, row_col: str, col_col: str, alpha: float = 0.05
+) -> list[dict]:
+    """Reference chisq_and_posthoc_corrected twin (analytic_utils.py:199):
+    pairwise chi-square p-values with Bonferroni correction over the
+    ``row_col`` x ``col_col`` contingency of ``df``.
+
+    Returns a list of dicts ``{comparison, chi2, dof, original_pvalue,
+    corrected_pvalue, reject_h0, p_text}`` sorted by comparison (plus the
+    omnibus row first).  The collect here is legitimate: the pairwise frame
+    has C(r, 2) rows where r is a categorical cardinality — a dimension, not
+    data — while all counting happened distributed in chi_square_pairs.
+    """
+    stats = chi_square_pairs(df, row_col, col_col).collect()
+    omni = [r for r in stats if r["comparison"] == "omnibus"]
+    pairs = sorted(
+        (r for r in stats if r["comparison"] != "omnibus"), key=lambda r: r["comparison"]
+    )
+    m = len(pairs)
+    out = []
+    for r in omni + pairs:
+        p = chi2_sf(r["chi2"], r["dof"])
+        if r["comparison"] == "omnibus":
+            corrected, reject = p, p <= alpha
+        else:
+            # statsmodels multipletests(method='bonferroni'):
+            # corrected = min(p*m, 1), reject = p <= alpha/m
+            corrected = min(p * m, 1.0)
+            reject = p <= alpha / m
+        out.append(
+            {
+                "comparison": r["comparison"],
+                "chi2": r["chi2"],
+                "dof": r["dof"],
+                "original_pvalue": p,
+                "corrected_pvalue": corrected,
+                "reject_h0": reject,
+                "p_text": asterisks_for_pval(corrected),
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# min-max scaling
+# ---------------------------------------------------------------------------
+
+
+def min_max_scale(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "scaled",
+    micro_units: bool = False,
+) -> DataFrame:
+    """Per-group (x - min) / (max - min) scaling — the distributed twin of
+    the reference's min_max_scaler (analytic_utils.py:289), which scales
+    each score list independently with sklearn's MinMaxScaler.
+
+    Matches sklearn's zero-range behavior: a constant group scales to 0.0.
+    One shuffle on ``group_col``; group-level min/max windows carry no
+    payload so the window form holds up to very large groups.
+
+    ``micro_units=True`` emits ``floor(scaled * 1e6)`` as a long instead of
+    a rounded double — the oracle-stable form: ``round(double, 6)`` can
+    land exactly on a .5 rounding boundary (e.g. when the group range is a
+    power of two) where Spark's HALF_UP, DuckDB's nearbyint, and Python's
+    banker's rounding all disagree.
+    """
+    w = Window.partitionBy(group_col)
+    lo = F.min(value_col).over(w)
+    rng = F.max(value_col).over(w) - lo
+    if micro_units:
+        scaled = F.when(rng == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (F.col(value_col) - lo).cast("double") * F.lit(1000000.0)
+                / rng.cast("double")
+            )
+        )
+        return df.withColumn(out_col, scaled.cast("long"))
+    scaled = F.when(rng == 0, F.lit(0.0)).otherwise(
+        (F.col(value_col) - lo).cast("double") / rng.cast("double")
+    )
+    return df.withColumn(out_col, F.round(scaled, 6))

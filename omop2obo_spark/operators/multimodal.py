@@ -1,17 +1,25 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata.
 
-The container ships no image/audio codecs, so the *decode* kernels are
-deterministic fakes (clearly marked) behind the same Arrow-batched
-``mapInPandas`` plumbing a real decoder would use — schema, partitioning,
-UDF signature, and batch shape are the real, tested part. Swapping in a
-real decoder (PIL / torchaudio / pyav) means replacing the body of one
-function per kernel and nothing else.
+Two decode tiers:
+
+* **Real stdlib codecs** — PNG (full chunk walk with CRC verification,
+  IHDR parse, zlib IDAT inflate, scanline unfiltering for all five filter
+  types) and WAV (RIFF chunk walk, fmt parse, PCM sample decode).  These
+  process real bytes end-to-end and are exercised by oracle-checked
+  queries: the encoder writes genuine files, the decoder recovers pixel /
+  sample values, and a closed-form SQL oracle checks the round trip.
+* **Fake fallbacks** — formats whose codecs aren't in this container
+  (JPEG, MP4, ...) go through deterministic ``_fake_decode`` stubs behind
+  the same Arrow-batched ``mapInPandas`` plumbing; swapping in PIL/pyav
+  means replacing one function body.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -68,6 +76,251 @@ def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     )
 
 
+# ---------------------------------------------------------------------------
+# real PNG codec (stdlib only: zlib + struct; 8-bit grayscale)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(gray: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 array as a real grayscale PNG.
+
+    Rows rotate through filter types None/Sub/Up (r % 3) so decoders must
+    actually unfilter — a filter-0-only encoder would let a broken decoder
+    pass the round-trip test.
+    """
+    if gray.ndim != 2 or gray.dtype != np.uint8:
+        raise ValueError("png_encode expects an (h, w) uint8 array")
+    h, w = gray.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        row = gray[r]
+        ft = r % 3
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub: x - left
+            filt = np.empty(w, dtype=np.uint8)
+            filt[0] = row[0]
+            filt[1:] = row[1:] - row[:-1]
+        else:  # Up: x - above
+            filt = row - prev
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Real PNG decoder: signature check, chunk walk with CRC verification,
+    IHDR parse, IDAT inflate, scanline unfiltering (all 5 filter types).
+
+    Supports 8-bit grayscale (color type 0) and 8-bit RGB (color type 2),
+    non-interlaced. Returns (width, height, bit_depth, color_type, pixels)
+    with pixels shaped (h, w*channels) uint8.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt_m, interlace = ihdr
+    if depth != 8 or ctype_n not in (0, 2) or comp or filt_m or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={ctype_n}, interlace={interlace})"
+        )
+    bpp = 1 if ctype_n == 0 else 3
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            rec = line
+        elif ft == 1:  # Sub
+            rec = line
+            if bpp == 1:
+                # recon[i] = raw[i] + recon[i-1]  ==  mod-256 prefix sum
+                rec = np.cumsum(line.astype(np.uint64)).astype(np.uint8)
+            else:
+                for i in range(bpp, stride):
+                    rec[i] = (int(rec[i]) + int(rec[i - bpp])) & 0xFF
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft == 3:  # Average
+            rec = line
+            for i in range(stride):
+                left = int(rec[i - bpp]) if i >= bpp else 0
+                rec[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = line
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+        out[r] = rec
+        prev = out[r]
+    return w, h, depth, ctype_n, out
+
+
+# ---------------------------------------------------------------------------
+# real WAV codec (stdlib only: RIFF walk + PCM16)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples as a real RIFF/WAVE file."""
+    if samples.dtype != np.int16:
+        raise ValueError("wav_encode expects int16 samples")
+    data = samples.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real WAV decoder: RIFF chunk walk, fmt parse, PCM16 sample decode.
+    Returns (channels, sample_rate, bits_per_sample, samples[int16])."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+    return channels, rate, bits, np.frombuffer(data, dtype=np.int16)
+
+
+# means are integer micro-units (floor(sum * 1e6 / n) over exact Python
+# ints), not doubles: a double mean would round at the 6th decimal with
+# three different half-rules across Python/Spark/DuckDB and flake the
+# oracle hash on representable boundaries (e.g. n_px = 128)
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("bit_depth", T.LongType(), False),
+        T.StructField("color_type", T.LongType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("mean_px_e6", T.LongType(), False),
+    ]
+)
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("channels", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("bits", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("sum_amp", T.LongType(), False),
+        T.StructField("mean_abs_e6", T.LongType(), False),
+    ]
+)
+
+
+def png_metadata(df: DataFrame, id_col: str = "doc_id", binary_col: str = "media") -> DataFrame:
+    """Decode a PNG binary column (real codec) into typed metadata +
+    pixel statistics. Arrow-batched; payload bytes never shuffle — the
+    decode runs where the scan runs and only the tiny stats move."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                w, h, depth, ctype, px = png_decode(bytes(blob))
+                s = int(px.astype(np.uint64).sum())
+                n = int(px.size)
+                rows.append((int(did), w, h, depth, ctype, n, s, s * 1_000_000 // n))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMAGE_META_SCHEMA.fields],
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def wav_metadata(df: DataFrame, id_col: str = "doc_id", binary_col: str = "media") -> DataFrame:
+    """Decode a WAV binary column (real codec) into typed metadata +
+    amplitude statistics. ``duration_ms = n_frames * 1000 // rate``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                ch, rate, bits, samples = wav_decode(bytes(blob))
+                n = len(samples) // ch
+                s = int(samples.astype(np.int64).sum())
+                sabs = int(np.abs(samples.astype(np.int64)).sum())
+                rows.append(
+                    (int(did), ch, rate, bits, n, n * 1000 // rate, s,
+                     sabs * 1_000_000 // max(len(samples), 1))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_META_SCHEMA.fields],
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     """STUB — deterministic fake decoder. A real implementation would be
     e.g. ``PIL.Image.open(io.BytesIO(payload))``; this derives a stable
@@ -80,14 +333,23 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    Real decoder goes inside ``_fake_decode``; the mapInPandas shape —
-    iterator of pandas batches in, long feature rows out — is production
-    form.
+    PNG payloads take the REAL path: decode pixels with the stdlib codec
+    and emit a ``dim``-bin normalized intensity histogram. Other formats
+    fall back to ``_fake_decode`` (no codecs in this container); the
+    mapInPandas shape — iterator of pandas batches in, long feature rows
+    out — is production form either way.
     """
+
+    def one(blob: bytes) -> list[float]:
+        if blob[:8] == _PNG_SIG:
+            _w, _h, _d, _c, px = png_decode(blob)
+            hist, _ = np.histogram(px, bins=dim, range=(0, 256))
+            return (hist / max(px.size, 1)).astype(np.float32).tolist()
+        return _fake_decode(blob, dim).tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(b), dim).tolist() for b in pdf["media"]]
+            feats = [one(bytes(b)) for b in pdf["media"]]
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "feature": feats})
 
     return assets.select("asset_id", "media").mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,315 @@
+"""Chi-square contingency + min-max scaling (operators/analysis.py) and the
+real PNG/WAV codecs (operators/multimodal.py).
+
+Chi-square statistics and p-values are checked against fixed values computed
+once with scipy.stats.chi2_contingency / statsmodels multipletests offline
+(documented inline); the codec tests exercise every PNG filter type and
+verify byte-exact round trips.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from omop2obo_spark.operators.analysis import (
+    asterisks_for_pval,
+    chi2_sf,
+    chi_square_pairs,
+    chisq_posthoc_corrected,
+    contingency_cells,
+    min_max_scale,
+)
+from omop2obo_spark.operators.multimodal import (
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+
+# ---------------------------------------------------------------------------
+# chi2 survival function vs closed forms (exact for dof 1-4):
+#   dof 1: erfc(sqrt(x/2))            dof 2: exp(-x/2)
+#   dof 3: erfc(sqrt(x/2)) + sqrt(2x/pi) * exp(-x/2)
+#   dof 4: exp(-x/2) * (1 + x/2)
+# plus the classical dof-1 95% critical value.
+# ---------------------------------------------------------------------------
+
+
+def _sf_closed(x: float, dof: int) -> float:
+    if dof == 1:
+        return math.erfc(math.sqrt(x / 2))
+    if dof == 2:
+        return math.exp(-x / 2)
+    if dof == 3:
+        return math.erfc(math.sqrt(x / 2)) + math.sqrt(2 * x / math.pi) * math.exp(-x / 2)
+    if dof == 4:
+        return math.exp(-x / 2) * (1 + x / 2)
+    raise ValueError(dof)
+
+
+def test_chi2_sf_matches_closed_forms():
+    for dof in (1, 2, 3, 4):
+        for x in (0.01, 0.5, 1.0, 3.0, 5.4, 10.0, 30.0, 100.0):
+            assert chi2_sf(x, dof) == pytest.approx(
+                _sf_closed(x, dof), rel=1e-10, abs=1e-300
+            ), (x, dof)
+    # 95% critical value at dof 1 (any stats table)
+    assert chi2_sf(3.841458820694124, 1) == pytest.approx(0.05, rel=1e-9)
+    assert chi2_sf(0.0, 7) == 1.0
+
+
+def test_asterisks_match_reference_thresholds():
+    # reference get_asterisks_for_pval (analytic_utils.py:170)
+    assert asterisks_for_pval(0.2) == "ns"
+    assert asterisks_for_pval(0.051) == "ns"
+    assert asterisks_for_pval(0.05) == "*"
+    assert asterisks_for_pval(0.009) == "**"
+    assert asterisks_for_pval(0.0009) == "***"
+    assert asterisks_for_pval(0.00009) == "****"
+
+
+# ---------------------------------------------------------------------------
+# chi-square contingency vs an inline reference implementation
+# (scipy.stats.chi2_contingency semantics, correction=True)
+# ---------------------------------------------------------------------------
+
+_ROWS = {"a": [10, 20, 30], "b": [15, 15, 30], "c": [5, 25, 20]}
+
+
+def _ref_chi2(table: list[list[int]]) -> tuple[float, int]:
+    """Plain-Python chi2_contingency(correction=True) twin."""
+    r, c = len(table), len(table[0])
+    rt = [sum(row) for row in table]
+    ct = [sum(table[i][j] for i in range(r)) for j in range(c)]
+    g = sum(rt)
+    dof = (r - 1) * (c - 1)
+    chi2 = 0.0
+    for i in range(r):
+        for j in range(c):
+            e = rt[i] * ct[j] / g
+            d = abs(table[i][j] - e)
+            if dof == 1:
+                d -= 0.5
+            chi2 += d * d / e
+    return chi2, dof
+
+
+def _cells_df(spark):
+    data = [
+        (r, f"c{j}", None)
+        for r, ns in _ROWS.items()
+        for j, n in enumerate(ns)
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(data, "row string, col string, pad string")
+
+
+def test_chi_square_omnibus_and_pairs_match_reference_impl(spark):
+    res = {
+        r["comparison"]: r
+        for r in chi_square_pairs(_cells_df(spark), "row", "col").collect()
+    }
+    omni = res["omnibus"]
+    want_chi2, want_dof = _ref_chi2(list(_ROWS.values()))
+    assert omni["dof"] == want_dof and omni["n"] == 170
+    assert omni["chi2"] == pytest.approx(want_chi2, abs=1e-6)
+    for a, b in (("a", "b"), ("a", "c"), ("b", "c")):
+        want_chi2, want_dof = _ref_chi2([_ROWS[a], _ROWS[b]])
+        got = res[f"{a}-{b}"]
+        assert got["chi2"] == pytest.approx(want_chi2, abs=1e-6)
+        assert got["dof"] == want_dof
+        assert got["n"] == sum(_ROWS[a]) + sum(_ROWS[b])
+
+
+def test_chi_square_yates_applied_at_dof_1(spark):
+    # 2x2 table [[10, 20], [20, 10]]:
+    # scipy correction=True -> chi2=5.4, p=0.020136751550289906
+    data = [("a", "x", None)] * 10 + [("a", "y", None)] * 20 + \
+           [("b", "x", None)] * 20 + [("b", "y", None)] * 10
+    df = spark.createDataFrame(data, "row string, col string, pad string")
+    res = {r["comparison"]: r for r in chi_square_pairs(df, "row", "col").collect()}
+    assert res["a-b"]["dof"] == 1
+    assert res["a-b"]["chi2"] == pytest.approx(5.4, abs=1e-6)
+    assert res["omnibus"]["chi2"] == pytest.approx(5.4, abs=1e-6)  # same table
+    ph = {r["comparison"]: r for r in chisq_posthoc_corrected(df, "row", "col")}
+    # dof 1: p = erfc(sqrt(chi2/2)) exactly
+    assert ph["a-b"]["original_pvalue"] == pytest.approx(
+        math.erfc(math.sqrt(5.4 / 2)), rel=1e-9
+    )
+    assert ph["a-b"]["reject_h0"] is True  # single pair: alpha/1
+    assert ph["a-b"]["p_text"] == "*"
+
+
+def test_chisq_posthoc_bonferroni_semantics(spark):
+    out = chisq_posthoc_corrected(_cells_df(spark), "row", "col")
+    by_name = {r["comparison"]: r for r in out}
+    m = 3  # pairs
+    for k in ("a-b", "a-c", "b-c"):
+        r = by_name[k]
+        assert r["corrected_pvalue"] == pytest.approx(
+            min(r["original_pvalue"] * m, 1.0), rel=1e-12
+        )
+        assert r["reject_h0"] == (r["original_pvalue"] <= 0.05 / m)
+        assert r["p_text"] == asterisks_for_pval(r["corrected_pvalue"])
+    # the omnibus row carries its own (uncorrected) p
+    assert by_name["omnibus"]["corrected_pvalue"] == by_name["omnibus"]["original_pvalue"]
+
+
+def test_contingency_cells_zero_fill(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x")], "row string, col string"
+    )
+    cells = {(r["row"], r["col"]): r["n"] for r in
+             contingency_cells(df, "row", "col").collect()}
+    assert cells == {("a", "x"): 1, ("a", "y"): 1, ("b", "x"): 1, ("b", "y"): 0}
+
+
+def test_pair_drops_columns_absent_from_both_rows(spark):
+    # col z appears only under row c; the a-b pair must not count it in dof
+    data = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("c", "z"), ("c", "x")]
+    df = spark.createDataFrame(data, "row string, col string")
+    res = {r["comparison"]: r for r in chi_square_pairs(df, "row", "col").collect()}
+    assert res["a-b"]["dof"] == 1  # x, y only
+    assert res["a-c"]["dof"] == 2  # x, y, z minus 1
+
+
+# ---------------------------------------------------------------------------
+# min-max scaling
+# ---------------------------------------------------------------------------
+
+
+def test_min_max_scale_sklearn_semantics(spark):
+    df = spark.createDataFrame(
+        [("g1", 0), ("g1", 5), ("g1", 10), ("g2", 7), ("g2", 7)],
+        "grp string, v int",
+    )
+    got = {(r["grp"], r["v"]): r["scaled"] for r in
+           min_max_scale(df, "grp", "v").collect()}
+    assert got[("g1", 0)] == 0.0
+    assert got[("g1", 5)] == 0.5
+    assert got[("g1", 10)] == 1.0
+    # sklearn MinMaxScaler on a constant column yields 0.0
+    assert got[("g2", 7)] == 0.0
+
+
+def test_min_max_scale_micro_units_floor(spark):
+    df = spark.createDataFrame(
+        [("g", 0), ("g", 1), ("g", 3)], "grp string, v int"
+    )
+    got = {r["v"]: r["scaled_e6"] for r in
+           min_max_scale(df, "grp", "v", out_col="scaled_e6",
+                         micro_units=True).collect()}
+    assert got[0] == 0 and got[3] == 1000000
+    assert got[1] == math.floor(1_000_000 / 3)  # 333333
+
+
+# ---------------------------------------------------------------------------
+# real codecs
+# ---------------------------------------------------------------------------
+
+
+def test_png_round_trip_all_encoder_filters():
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (2, 3), (9, 17), (33, 31)]:
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        got_w, got_h, depth, ctype, px = png_decode(png_encode(img))
+        assert (got_w, got_h, depth, ctype) == (w, h, 8, 0)
+        assert np.array_equal(px, img)
+
+
+def test_png_decode_average_and_paeth_filters():
+    # hand-encode rows with filters 3 (Average) and 4 (Paeth), which the
+    # encoder never emits, to prove the decoder unfilters all five types
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    raw = bytearray()
+    prev = np.zeros(7, dtype=np.uint8)
+    for r in range(6):
+        row, ft = img[r], 3 + (r % 2)
+        filt = np.empty(7, dtype=np.uint8)
+        for i in range(7):
+            a = int(row[i - 1]) if i else 0
+            b, c = int(prev[i]), (int(prev[i - 1]) if i else 0)
+            if ft == 3:
+                filt[i] = (int(row[i]) - (a + b) // 2) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (int(row[i]) - pred) & 0xFF
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = row
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 6, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    *_, px = png_decode(blob)
+    assert np.array_equal(px, img)
+
+
+def test_png_decode_rejects_corruption():
+    img = np.zeros((2, 2), dtype=np.uint8)
+    blob = bytearray(png_encode(img))
+    blob[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"notapng" + bytes(blob))
+
+
+def test_wav_round_trip_and_chunk_alignment():
+    rng = np.random.default_rng(5)
+    for n, rate, ch in [(1, 8000, 1), (501, 16000, 1), (64, 44100, 2)]:
+        s = rng.integers(-32768, 32768, size=n * ch, dtype=np.int16)
+        got_ch, got_rate, bits, out = wav_decode(wav_encode(s, rate, ch))
+        assert (got_ch, got_rate, bits) == (ch, rate, 16)
+        assert np.array_equal(out, s)
+    # odd-length extra chunk before data: word-alignment walk must skip it
+    s = np.arange(5, dtype=np.int16)
+    blob = wav_encode(s, 8000)
+    import struct
+    head, data_chunk = blob[:20 + 16], blob[20 + 16:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+    patched = bytearray(head + extra + data_chunk)
+    # fix RIFF size
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    got = wav_decode(bytes(patched))
+    assert np.array_equal(got[3], s)
+
+
+def test_extract_features_real_png_path(spark):
+    import pandas as pd
+
+    imgs = []
+    for i in range(4):
+        arr = np.full((8, 8), i * 60, dtype=np.uint8)
+        imgs.append((i, "image", png_encode(arr), 8, 8, 0))
+    df = spark.createDataFrame(
+        pd.DataFrame(imgs, columns=[
+            "asset_id", "media_type", "media", "width", "height", "duration_ms"
+        ])
+    )
+    from omop2obo_spark.operators.multimodal import extract_features
+
+    feats = {r["asset_id"]: r["feature"] for r in
+             extract_features(df, dim=4).collect()}
+    # constant image i*60 -> all mass in one histogram bin; bin = (i*60)//64
+    for i in range(4):
+        vec = feats[i]
+        assert vec[(i * 60) // 64] == pytest.approx(1.0)
+        assert sum(vec) == pytest.approx(1.0)
