@@ -68,22 +68,73 @@ _TOKEN_RE = re.compile(r"\w+")
 _LEMMA_EXCEPTIONS = {
     # irregular plurals (noun.exc)
     "feet": "foot", "teeth": "tooth", "women": "woman", "men": "man",
-    "children": "child", "criteria": "criterion", "phenomena": "phenomenon",
+    "children": "child", "mice": "mouse", "lice": "louse", "geese": "goose",
+    "oxen": "ox", "dice": "die",
+    "criteria": "criterion", "phenomena": "phenomenon",
     "diagnoses": "diagnosis", "metastases": "metastasis",
     "prostheses": "prosthesis", "analyses": "analysis", "crises": "crisis",
     "stenoses": "stenosis", "neuroses": "neurosis", "psychoses": "psychosis",
     "fibroses": "fibrosis", "scleroses": "sclerosis", "thromboses": "thrombosis",
+    "epiphyses": "epiphysis", "hypotheses": "hypothesis", "theses": "thesis",
+    "syntheses": "synthesis", "prognoses": "prognosis", "bases": "basis",
+    "anastomoses": "anastomosis", "apoptoses": "apoptosis",
+    "kyphoses": "kyphosis", "scolioses": "scoliosis", "ecchymoses": "ecchymosis",
+    # -us -> -i plurals
     "fungi": "fungus", "nuclei": "nucleus", "foci": "focus",
-    "vertebrae": "vertebra", "ganglia": "ganglion", "septa": "septum",
-    "ova": "ovum", "genera": "genus", "indices": "index",
-    "appendices": "appendix", "cortices": "cortex", "matrices": "matrix",
+    "bronchi": "bronchus", "alveoli": "alveolus", "glomeruli": "glomerulus",
+    "villi": "villus", "thrombi": "thrombus", "emboli": "embolus",
+    "uteri": "uterus", "radii": "radius", "stimuli": "stimulus",
+    "calculi": "calculus",
+    # -um/-on -> -a plurals (Greek/Latin neuter)
+    "ganglia": "ganglion", "septa": "septum", "ova": "ovum",
+    "genera": "genus", "corpora": "corpus", "femora": "femur",
+    "viscera": "viscus", "diverticula": "diverticulum", "labia": "labium",
+    "crura": "crus", "cilia": "cilium", "flagella": "flagellum",
+    "mitochondria": "mitochondrion", "bacteria": "bacterium",
+    "atria": "atrium",
+    # 'data' and 'media' are themselves WordNet lemmas; lemmatize() picks
+    # the SHORTEST candidate, so real WordNet returns them unchanged
+    "data": "data", "media": "media",
+    # -a -> -ae plurals
+    "vertebrae": "vertebra", "maxillae": "maxilla", "scapulae": "scapula",
+    "aortae": "aorta", "fistulae": "fistula", "sequelae": "sequela",
+    "larvae": "larva", "conjunctivae": "conjunctiva",
+    "placentae": "placenta", "ulnae": "ulna", "tibiae": "tibia",
+    "patellae": "patella", "formulae": "formula", "antennae": "antenna",
+    # -ex/-ix -> -ices
+    "indices": "index", "appendices": "appendix", "cortices": "cortex",
+    "matrices": "matrix", "apices": "apex", "helices": "helix",
+    "vortices": "vortex", "varices": "varix", "cervices": "cervix",
+    # -nx -> -nges
+    "meninges": "meninx", "phalanges": "phalanx", "larynges": "larynx",
+    "pharynges": "pharynx",
+    # -f/-fe -> -ves (a blind ves->f rule corrupts valves/nerves/curves,
+    # so these ride the exception table instead)
+    "leaves": "leaf", "knives": "knife", "wolves": "wolf", "calves": "calf",
+    "halves": "half", "shelves": "shelf", "loaves": "loaf",
+    "thieves": "thief", "wives": "wife", "lives": "life", "selves": "self",
+    "scarves": "scarf", "hooves": "hoof", "elves": "elf", "sheaves": "sheaf",
+    "midwives": "midwife",
+    # -man compounds (a blind men->man rule corrupts abdomen/lumen/
+    # specimen/regimen/foramen)
+    "gentlemen": "gentleman", "policemen": "policeman", "firemen": "fireman",
+    "spokesmen": "spokesman", "chairmen": "chairman", "freshmen": "freshman",
+    "businessmen": "businessman", "fishermen": "fisherman",
+    "craftsmen": "craftsman",
     # invariant nouns a blind -s/-es strip corrupts (lexicon-protected in
     # real morphy: the stripped form is not a WordNet lemma)
     "pancreas": "pancreas", "species": "species", "diabetes": "diabetes",
     "herpes": "herpes", "scabies": "scabies", "rabies": "rabies",
     "measles": "measles", "lens": "lens", "biceps": "biceps",
     "forceps": "forceps", "pelvis": "pelvis", "atlas": "atlas",
-    "pus": "pus", "news": "news",
+    "pus": "pus", "news": "news", "series": "series", "facies": "facies",
+    "caries": "caries", "feces": "feces", "faeces": "faeces",
+    "mumps": "mumps", "ascites": "ascites", "scissors": "scissors",
+    "shingles": "shingle",  # both forms are WN lemmas; shortest wins
+    # non-noun s-final tokens whose stripped form is not a noun lemma —
+    # real morphy (pos=n) finds nothing and returns them unchanged
+    "always": "always", "perhaps": "perhaps", "towards": "towards",
+    "besides": "besides", "whereas": "whereas", "sometimes": "sometimes",
 }
 
 

@@ -90,10 +90,27 @@ def test_lemma_wordnet_drift():
         "analyses": "analysis", "crises": "crisis", "stenoses": "stenosis",
         "fungi": "fungus", "nuclei": "nucleus", "vertebrae": "vertebra",
         "ganglia": "ganglion", "indices": "index", "cortices": "cortex",
+        "mice": "mouse", "geese": "goose", "bases": "basis",
+        "bacteria": "bacterium", "mitochondria": "mitochondrion",
+        "stimuli": "stimulus", "bronchi": "bronchus", "emboli": "embolus",
+        "meninges": "meninx", "phalanges": "phalanx",
+        "sequelae": "sequela", "vertebrae": "vertebra",
+        "apices": "apex", "cervices": "cervix",
+        # -ves irregulars (vs regular valves/nerves, which s-strip)
+        "leaves": "leaf", "wives": "wife", "lives": "life",
+        "valves": "valve", "nerves": "nerve", "curves": "curve",
+        # -man compounds (vs abdomen-class lexicon protection)
+        "policemen": "policeman", "spokesmen": "spokesman",
+        # 'data'/'media'/'shingles': shortest-candidate rule keeps/changes
+        "data": "data", "media": "media", "shingles": "shingle",
         # invariant nouns morphy's lexicon check protects
         "pancreas": "pancreas", "species": "species", "diabetes": "diabetes",
         "herpes": "herpes", "rabies": "rabies", "measles": "measles",
         "lens": "lens", "pelvis": "pelvis", "biceps": "biceps",
+        "series": "series", "facies": "facies", "caries": "caries",
+        "feces": "feces", "mumps": "mumps", "ascites": "ascites",
+        # non-noun s-final tokens: morphy(pos=n) finds nothing -> unchanged
+        "always": "always", "perhaps": "perhaps", "towards": "towards",
         # passthroughs (no plural morphology)
         "abdomen": "abdomen", "fever": "fever", "edema": "edema",
         "nausea": "nausea", "arthritis": "arthritis", "virus": "virus",
