@@ -1790,6 +1790,45 @@ def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_metadata(assets)
 
 
+def q_atlas_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3C Atlas concept-set export (reference applications/N3C/
+    n3c_mapping_conversion.py:46-133 via sources/export.py:
+    atlas_concept_sets): a deterministic mapping frame over the part dim
+    drives every layout quirk — the .title()-cased concept name, the
+    filename slug chain (lower → ' | '→'|' → '/'→'-' → ' '→'_'), the
+    lower()+space-stripped ontology URI, the int-cast concept code, the
+    explicit JSON nulls, field order. Rows cycle through three name
+    shapes (plain, ' | '-joined, '/'-joined) so the oracle checks the
+    slug/title interaction, not just the happy path. Pure scan-side
+    expressions + one bounded-dim Arrow UDF; no shuffle."""
+    from omop2obo_spark.sources.export import atlas_concept_sets
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    first_word = F.split(F.col("p_name"), " ")[0]
+    mappings = part.select(
+        F.col("p_partkey").alias("CONCEPT_ID"),
+        F.when(F.col("p_partkey") % 4 == 0,
+               F.concat(F.col("p_name"), F.lit(" | "), first_word))
+        .when(F.col("p_partkey") % 4 == 1,
+              F.replace(F.col("p_name"), F.lit(" "), F.lit("/")))
+        .otherwise(F.col("p_name")).alias("CONCEPT_NAME"),
+        (F.col("p_partkey") * 10 + 3).cast("string").alias("CONCEPT_CODE"),
+        F.col("p_brand").alias("CONCEPT_VOCAB"),
+        F.element_at(
+            F.array(F.lit("Automatic Exact - Concept"),
+                    F.lit("Automatic Constructor - Concept"),
+                    F.lit("Manual Exact - Concept")),
+            (F.col("p_partkey") % 3 + 1).cast("int"),
+        ).alias("MAPPING_CATEGORY"),
+        F.concat(F.lit("OBO_DbXRef_OMOP_"), F.col("p_size").cast("string")).alias("MAPPING_EVIDENCE"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("AND")).otherwise(F.lit("")).alias("ONTOLOGY_LOGIC"),
+        F.concat(F.lit("OBO: HP_"),
+                 F.lpad(F.col("p_partkey").cast("string"), 7, "0")).alias("ONTOLOGY_URI"),
+        F.col("p_type").alias("ONTOLOGY_LABEL"),
+    )
+    return atlas_concept_sets(mappings)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -1859,6 +1898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minmax_scale": q_minmax_scale,
         "q_png_meta": q_png_meta,
         "q_wav_meta": q_wav_meta,
+        # -- round-3 additions past the 50-row window (driver-gated on the
+        #    next rotation; strict local harness + pytest gate them now) ----
+        "q_atlas_export": q_atlas_export,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -3937,5 +3979,58 @@ LEFT JOIN removed USING (pred)""",
                     // count(*) AS BIGINT) AS mean_abs_e6
         FROM samp
         GROUP BY doc_id
+    """
+
+    # Atlas concept-set layout rebuilt by plain string concatenation over
+    # the same part-derived mapping frame: the oracle hard-codes the
+    # reference's JSON field order and spells Python str.title() as a
+    # nested space-then-'/' split (exact on this corpus: lowercase alpha
+    # words joined by ' ', '/', ' | ').
+    sqls["q_atlas_export"] = """
+        WITH m AS (
+            SELECT p_partkey AS concept_id,
+                   CASE WHEN p_partkey % 4 = 0
+                        THEN p_name || ' | ' || str_split(p_name, ' ')[1]
+                        WHEN p_partkey % 4 = 1
+                        THEN replace(p_name, ' ', '/')
+                        ELSE p_name END AS concept_name,
+                   p_partkey * 10 + 3 AS concept_code,
+                   p_brand AS vocab,
+                   ['Automatic Exact - Concept',
+                    'Automatic Constructor - Concept',
+                    'Manual Exact - Concept'][(p_partkey % 3 + 1)::INT] AS category,
+                   'OBO_DbXRef_OMOP_' || p_size AS evidence,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'AND' ELSE '' END AS logic,
+                   'obo:hp_' || lpad(p_partkey::VARCHAR, 7, '0') AS identifiers,
+                   p_type AS labels
+            FROM part
+        ),
+        t AS (
+            SELECT *,
+                   array_to_string(list_transform(str_split(concept_name, ' '),
+                       w -> array_to_string(list_transform(str_split(w, '/'),
+                           p -> CASE WHEN p = '' THEN ''
+                                     ELSE upper(substr(p, 1, 1)) || substr(p, 2) END),
+                           '/')),
+                       ' ') AS title_name
+            FROM m
+        )
+        SELECT CAST(concept_id AS BIGINT) AS concept_id,
+               concept_id || '-' ||
+                   replace(replace(replace(lower(concept_name), ' | ', '|'),
+                                   '/', '-'), ' ', '_') || '.json' AS filename,
+               '{"items":{"concept":{"CONCEPT_ID":' || concept_id
+                 || ',"CONCEPT_NAME":"' || title_name
+                 || '","STANDARD_CONCEPT":null,"STANDARD_CONCEPT_CAPTION":null,"CONCEPT_CODE":'
+                 || concept_code
+                 || ',"DOMAIN_ID":null,"VOCABULARY_ID":"' || vocab
+                 || '"},"isExcluded":false,"includeDescendants":false,"includeMapped":true,'
+                 || '"ONTOLOGY_CONCEPT_MAPPING_MEMBERS":{"identifiers":"' || identifiers
+                 || '","labels":"' || labels
+                 || '"},"ONTOLOGY_CONCEPT_MAPPING_LOGIC":"' || logic
+                 || '","MAPPING_CATEGORY":"' || category
+                 || '","MAPPING_EVIDENCE":"' || evidence
+                 || '"}}' AS atlas_json
+        FROM t
     """
     return sqls

@@ -24,10 +24,26 @@ an executor: ``applyInPandas`` materializes the group — at 10^12 docs use
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Sizing target for the derived bucket count: one applyInPandas group
+# materializes ~(id, bucket, tokens) per doc — a few dozen bytes — so
+# 250k docs/bucket keeps a group in the tens of MB, far under executor
+# memory, while still giving 4,000 buckets per 10^9 docs (ample
+# parallelism headroom at any cluster size).
+DOCS_PER_BUCKET = 250_000
+
+
+def derive_pack_buckets(n_docs: int, docs_per_bucket: int = DOCS_PER_BUCKET) -> int:
+    """Bucket count that bounds one sequential packing group's memory as a
+    function of the corpus, not of caller tuning. Always ≥ 8 so small
+    inputs still parallelize."""
+    return max(8, math.ceil(max(n_docs, 1) / docs_per_bucket))
 
 def _pack_schema(id_type: T.DataType) -> T.StructType:
     """Output schema for :func:`pack_sequences`; ``doc_id`` inherits the
@@ -57,7 +73,8 @@ def pack_sequences(
     budget: int,
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
+    max_bucket_rows: int = 4 * DOCS_PER_BUCKET,
 ) -> DataFrame:
     """Greedy first-fit packing of docs into sequences of ≤ ``budget``
     tokens, per hash bucket, in ``id_col`` order.
@@ -65,9 +82,22 @@ def pack_sequences(
     Output: ``(doc_id, bucket, pack_idx, n_tokens)`` — sequence identity
     is ``(bucket, pack_idx)``.  A doc larger than the budget gets a pack
     of its own (and overflows it — truncation is the caller's policy).
+
+    ``n_buckets=None`` (the default) derives the bucket count from a
+    ``docs.count()`` via :func:`derive_pack_buckets`, so the per-group
+    memory bound holds without caller tuning — the one extra count job is
+    an aggregate-pushdown parquet scan, noise next to the shuffle it
+    sizes. Pass an explicit ``n_buckets`` when the layout must be
+    replayable against a fixed oracle. Either way, a group that exceeds
+    ``max_bucket_rows`` fails fast with an actionable error instead of
+    silently OOMing the executor mid-``applyInPandas`` (hash skew on a
+    pathological id distribution, or a caller-pinned bucket count far too
+    small for the corpus).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_buckets is None:
+        n_buckets = derive_pack_buckets(docs.count())
     keyed = docs.select(
         F.col(id_col).alias("doc_id"),
         hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
@@ -77,6 +107,13 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_bucket_rows:
+            raise ValueError(
+                f"pack_sequences: bucket {pdf['bucket'].iat[0]} holds "
+                f"{len(pdf)} docs > max_bucket_rows={max_bucket_rows}; "
+                f"raise n_buckets (currently {n_buckets}) or leave it None "
+                "to derive from corpus size"
+            )
         pdf = pdf.sort_values("doc_id", ignore_index=True)
         packs = []
         acc = 0

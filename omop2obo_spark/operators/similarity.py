@@ -145,14 +145,28 @@ def build_ont_corpus(lexicon: DataFrame) -> list[tuple[str, list[str]]]:
     return [(r.sid, py_preprocess(r.norm_string)) for r in rows]
 
 
-def query_df_counts(queries: DataFrame, tokens_col: str = "tokens") -> tuple[dict[str, int], int]:
-    """Distributed document-frequency computation over *distinct* query docs.
+def query_df_counts(
+    queries: DataFrame, tokens_col: str = "tokens", max_docs: int = 100_000
+) -> tuple[dict[str, int], int]:
+    """Small-scale twin of :func:`distributed_query_stats`: collects the
+    full query-corpus gram vocabulary to the driver, so it is ONLY safe on
+    bounded inputs (unit tests, driver-side dictionary corpora). The
+    pipeline's scale path is :func:`distributed_query_stats`, which
+    collects nothing unbounded — the ``max_docs`` guard makes reaching for
+    this one at fact-table scale an immediate, actionable error rather
+    than a driver OOM an hour in.
 
     Dedup is by the token sequence itself (equivalent to the reference's
     md5-of-tokens corpus key).
     """
     distinct_docs = queries.select(F.col(tokens_col).alias("toks")).where(F.size("toks") > 0).distinct()
     n_docs = distinct_docs.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"query_df_counts collects the gram vocabulary of {n_docs} distinct "
+            f"docs (> max_docs={max_docs}) to the driver; use "
+            "distributed_query_stats for unbounded corpora"
+        )
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _grams(toks: pd.Series) -> pd.Series:  # once per *distinct* doc

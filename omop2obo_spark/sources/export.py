@@ -15,6 +15,10 @@ The reference ships wide CSV mapping files and per-concept JSON exports
 
 from __future__ import annotations
 
+import json
+import os
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -47,6 +51,102 @@ def explode_result_types(df: DataFrame, result_col: str = "RESULT_TYPE") -> Data
     packed = F.col(result_col).isNotNull() & F.col(result_col).contains("/")
     parts = F.when(packed, F.split(F.col(result_col), "/")).otherwise(F.array(F.col(result_col)))
     return df.withColumn(result_col, F.explode(parts))
+
+
+# ---------------------------------------------------------------------------
+# N3C / OHDSI Atlas concept-set export
+# (applications/N3C/n3c_mapping_conversion.py:46-140): each OMOP concept's
+# mapping becomes one Atlas-formatted JSON concept-set expression, filed as
+# '<concept_id>-<slugified_name>.json'. The reference builds these with a
+# driver-side iterrows loop; here the whole layout is native column
+# expressions + to_json, so the expression column materializes at the scan
+# with no shuffle — only the optional per-file writer touches the driver,
+# and the concept dimension is bounded (OMOP concept ids, ~10^6).
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.StringType())
+def _py_title(s: pd.Series) -> pd.Series:
+    # exact str.title() parity with the reference (capitalizes after ANY
+    # non-letter — '/', digits — where initcap only splits on whitespace);
+    # Arrow-vectorized and only ever applied to the bounded concept dim
+    return s.str.title()
+
+
+def atlas_filename_expr(concept_id: Column, concept_name: Column) -> Column:
+    """'{id}-{name.lower().replace(' | ','|').replace('/','-').replace(' ','_')}.json'
+    — the reference's slug chain, in its exact order (n3c_mapping_conversion.py:63-64)."""
+    slug = F.lower(concept_name)
+    slug = F.replace(slug, F.lit(" | "), F.lit("|"))
+    slug = F.replace(slug, F.lit("/"), F.lit("-"))
+    slug = F.replace(slug, F.lit(" "), F.lit("_"))
+    return F.concat(concept_id.cast("string"), F.lit("-"), slug, F.lit(".json"))
+
+
+def atlas_concept_sets(
+    mappings: DataFrame, include_descendants: bool = False
+) -> DataFrame:
+    """Mapping rows → Atlas concept-set expressions.
+
+    Input columns (the reference's mapping-file layout,
+    n3c_mapping_conversion.py:58-62): CONCEPT_ID, CONCEPT_NAME,
+    CONCEPT_CODE, CONCEPT_VOCAB, MAPPING_CATEGORY, MAPPING_EVIDENCE,
+    ONTOLOGY_LOGIC, ONTOLOGY_URI, ONTOLOGY_LABEL.
+
+    Output: (concept_id, filename, atlas_json) where atlas_json is the
+    reference's ``{'items': omop_concept_set_exp(...)}`` object
+    (n3c_mapping_conversion.py:92-133) — field order, the .title()-cased
+    concept name, the lower()+space-stripped ontology URI, the int-cast
+    concept code, and the explicit nulls all preserved. One deliberate
+    divergence: a non-numeric CONCEPT_CODE becomes JSON null instead of
+    the reference's driver-stopping ValueError — at 10^12 rows one dirty
+    code must not kill the job.
+    """
+    exp = F.struct(
+        F.struct(
+            F.col("CONCEPT_ID").cast("long").alias("CONCEPT_ID"),
+            _py_title(F.col("CONCEPT_NAME")).alias("CONCEPT_NAME"),
+            F.lit(None).cast("string").alias("STANDARD_CONCEPT"),
+            F.lit(None).cast("string").alias("STANDARD_CONCEPT_CAPTION"),
+            F.col("CONCEPT_CODE").cast("long").alias("CONCEPT_CODE"),
+            F.lit(None).cast("string").alias("DOMAIN_ID"),
+            F.col("CONCEPT_VOCAB").alias("VOCABULARY_ID"),
+        ).alias("concept"),
+        F.lit(False).alias("isExcluded"),
+        F.lit(include_descendants).alias("includeDescendants"),
+        F.lit(True).alias("includeMapped"),
+        F.struct(
+            F.replace(F.lower(F.col("ONTOLOGY_URI")), F.lit(" "), F.lit("")).alias("identifiers"),
+            F.col("ONTOLOGY_LABEL").alias("labels"),
+        ).alias("ONTOLOGY_CONCEPT_MAPPING_MEMBERS"),
+        F.col("ONTOLOGY_LOGIC").alias("ONTOLOGY_CONCEPT_MAPPING_LOGIC"),
+        F.col("MAPPING_CATEGORY").alias("MAPPING_CATEGORY"),
+        F.col("MAPPING_EVIDENCE").alias("MAPPING_EVIDENCE"),
+    )
+    return mappings.select(
+        F.col("CONCEPT_ID").cast("long").alias("concept_id"),
+        atlas_filename_expr(F.col("CONCEPT_ID"), F.col("CONCEPT_NAME")).alias("filename"),
+        F.to_json(F.struct(exp.alias("items")), {"ignoreNullFields": "false"}).alias("atlas_json"),
+    )
+
+
+def write_atlas_json(
+    concept_sets: DataFrame, output_location: str, per_file: bool = False
+) -> None:
+    """Persist Atlas concept sets. The scale path (default) writes one
+    partitioned JSONL dataset — (filename, atlas_json) rows, consumable by
+    any downstream filer. ``per_file=True`` reproduces the reference's
+    one-file-per-concept Atlas layout (indent=4, reference filename):
+    that is inherently a small-files output boundary, so it streams
+    ``toLocalIterator`` (never a full collect) and is meant for the
+    bounded curated-mapping dim, not a fact table."""
+    if not per_file:
+        concept_sets.write.mode("overwrite").json(output_location)
+        return
+    os.makedirs(output_location, exist_ok=True)
+    for row in concept_sets.select("filename", "atlas_json").toLocalIterator():
+        with open(os.path.join(output_location, row.filename), "w") as f:
+            json.dump(json.loads(row.atlas_json), f, indent=4)
 
 
 # ---------------------------------------------------------------------------

@@ -334,6 +334,36 @@ def test_pack_sequences_partitioning_independent(spark):
     assert all(0 < r.fill_ratio <= 1.0 for r in stats.values())
 
 
+def test_pack_sequences_derived_buckets_and_group_guard(spark):
+    """n_buckets=None derives the bucket count from corpus size (memory
+    bound holds without caller tuning); an over-full group fails fast with
+    an actionable error instead of OOMing mid-applyInPandas."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    from omop2obo_spark.operators.pack import (
+        DOCS_PER_BUCKET, derive_pack_buckets, pack_sequences)
+
+    # the sizing formula: floor of 8, then linear in corpus size
+    assert derive_pack_buckets(0) == 8
+    assert derive_pack_buckets(DOCS_PER_BUCKET * 8) == 8
+    assert derive_pack_buckets(DOCS_PER_BUCKET * 1000 + 1) == 1001
+    assert derive_pack_buckets(10**12) == 4_000_000
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    # default derives (small input -> 8 buckets) and matches the explicit
+    # spelling exactly — derivation must not change the layout
+    derived = pack_sequences(docs, budget=16)
+    explicit = pack_sequences(docs, budget=16, n_buckets=8)
+    assert sorted(map(tuple, derived.collect())) == sorted(map(tuple, explicit.collect()))
+
+    # OOM-shape guard: force every doc into one bucket with a tiny cap
+    with pytest.raises(PythonException, match="max_bucket_rows"):
+        pack_sequences(docs, budget=16, n_buckets=1, max_bucket_rows=50).collect()
+
+
 def test_corpus_ops_null_and_empty_text_contract(spark):
     """Pin the degenerate-input contract: NULL text never crashes a task
     (the reference's row-wise code would raise; at 10^12 rows that is not

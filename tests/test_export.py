@@ -69,3 +69,74 @@ def test_export_ntriples_roundtrip(spark, tmp_path):
     export_ntriples(triples, out)
     got = spark.read.text(out).collect()
     assert len(got) == 1 and got[0].value.endswith("> .")
+
+
+def test_atlas_concept_sets_layout_golden(spark, tmp_path):
+    """Pin the Atlas concept-set JSON against a hand-written golden built
+    from the reference's own template (n3c_mapping_conversion.py:92-133):
+    field order, explicit nulls, .title()-cased name (incl. the
+    after-digit/after-apostrophe capitalizations initcap would miss), the
+    filename slug chain, URI lowering, and int-cast concept code."""
+    import json
+
+    from omop2obo_spark.sources.export import atlas_concept_sets, write_atlas_json
+
+    mappings = spark.createDataFrame(
+        [
+            (254761, "cough at night / don't ignore | covid-19 sign",
+             "49727002", "SNOMED", "Automatic Exact - Concept",
+             "OBO_DbXRef_OMOP_1", "AND", "OBO: HP_0012735 | OBO: MONDO_0100096",
+             "cough"),
+            (22274, "neoplasm of uncertain behavior of larynx",
+             "126692004", "SNOMED", "Automatic Constructor - Concept",
+             "CONCEPT_SIMILARITY:0.75", "", "obo: HP_0002094", "neoplasm"),
+        ],
+        "CONCEPT_ID long, CONCEPT_NAME string, CONCEPT_CODE string, "
+        "CONCEPT_VOCAB string, MAPPING_CATEGORY string, MAPPING_EVIDENCE string, "
+        "ONTOLOGY_LOGIC string, ONTOLOGY_URI string, ONTOLOGY_LABEL string",
+    )
+    rows = {r.concept_id: r for r in atlas_concept_sets(mappings).collect()}
+
+    # filename: reference slug order (lower -> ' | '->'|' -> '/'->'-' -> ' '->'_')
+    assert rows[254761].filename == (
+        "254761-cough_at_night_-_don't_ignore|covid-19_sign.json")
+    assert rows[22274].filename == (
+        "22274-neoplasm_of_uncertain_behavior_of_larynx.json")
+
+    got = json.loads(rows[254761].atlas_json)
+    exp = {"items": {
+        "concept": {
+            "CONCEPT_ID": 254761,
+            # Python str.title(): capitalizes after '/', digit boundaries,
+            # and apostrophes ("Don'T", "Covid-19") — reference quirk kept
+            "CONCEPT_NAME": "cough at night / don't ignore | covid-19 sign".title(),
+            "STANDARD_CONCEPT": None, "STANDARD_CONCEPT_CAPTION": None,
+            "CONCEPT_CODE": 49727002, "DOMAIN_ID": None,
+            "VOCABULARY_ID": "SNOMED"},
+        "isExcluded": False, "includeDescendants": False, "includeMapped": True,
+        "ONTOLOGY_CONCEPT_MAPPING_MEMBERS": {
+            "identifiers": "obo:hp_0012735|obo:mondo_0100096",
+            "labels": "cough"},
+        "ONTOLOGY_CONCEPT_MAPPING_LOGIC": "AND",
+        "MAPPING_CATEGORY": "Automatic Exact - Concept",
+        "MAPPING_EVIDENCE": "OBO_DbXRef_OMOP_1"}}
+    assert got == exp
+    # field ORDER is part of the layout (json.dumps of the reference dict)
+    assert list(got["items"]) == list(exp["items"])
+    assert list(got["items"]["concept"]) == list(exp["items"]["concept"])
+
+    # per-file writer reproduces the reference's one-file-per-concept tree
+    out = str(tmp_path / "atlas")
+    write_atlas_json(atlas_concept_sets(mappings), out, per_file=True)
+    with open(f"{out}/22274-neoplasm_of_uncertain_behavior_of_larynx.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["items"]["concept"]["CONCEPT_NAME"] == (
+        "Neoplasm Of Uncertain Behavior Of Larynx")
+    assert on_disk["items"]["ONTOLOGY_CONCEPT_MAPPING_MEMBERS"]["identifiers"] == (
+        "obo:hp_0002094")
+
+    # scale path: partitioned JSONL dataset, no per-file driver loop
+    out2 = str(tmp_path / "atlas_jsonl")
+    write_atlas_json(atlas_concept_sets(mappings), out2)
+    back = spark.read.json(out2)
+    assert back.count() == 2 and set(back.columns) >= {"filename", "atlas_json"}
