@@ -417,6 +417,123 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "w0",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each row gets the key ``-ln(u)/w`` for a
+    deterministic md5-uniform ``u`` of (salt, key); the global ``k``
+    smallest keys are the sample. Inclusion probability is proportional
+    to weight, yet — unlike ``sampleBy``/rand() — the result is a pure
+    function of (salt, keys, weights): reproducible across runs,
+    partitionings, and engines, and stable under checkpoint/resume.
+
+    Rows with NULL or non-positive weight are excluded (a zero weight
+    can never win; the reference semantics of "weight" admit no
+    negatives). Scale shape: the key is a native expression at the scan;
+    global top-k compiles to TakeOrderedAndProject (per-partition heaps +
+    a k-row driver merge), never a full sort shuffle. ``es_key`` is
+    rounded to 9 decimals with a ``key_col`` tie-break so the selection
+    boundary is engine-stable (ln/div differ by ≤1 ulp across libms).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    u = (bucket.cast("double") + 0.5) / F.lit(float(2**32))
+    es_key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    return (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", es_key)
+        .orderBy("es_key", key_col)
+        .limit(k)
+    )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Token-budget domain mixture: per source, keep a deterministic
+    hash-ordered prefix of documents until that source's token budget is
+    covered — the budget-driven dual of :func:`stratified_sample`'s
+    rate-driven mix ("300B tokens of web, 50B of code"), the op that
+    compiles a mixture spec into an actual training corpus.
+
+    A doc is kept iff the cumulative tokens BEFORE it (< in md5 order)
+    are under the budget, so the straddling doc is included and every
+    listed source covers ≥ its budget when enough data exists. Sources
+    absent from ``budgets`` are dropped (the mixture is explicit).
+
+    Scale shape — the naive spelling is one window per source ordered by
+    hash, which at 100 TB sorts an entire source inside single window
+    partitions. Instead, a two-level distributed prefix sum:
+      1. each doc lands in one of ``n_buckets`` md5-prefix RANGE buckets —
+         monotone in the hash, so (bucket, hash) order IS global hash
+         order, and uniform because the hash is (unlike range-bucketing a
+         raw key, no skew risk);
+      2. per-(source, bucket) token totals aggregate map-side into a
+         ``n_sources x n_buckets`` dim, whose running offsets come from a
+         window over that tiny dim;
+      3. offsets broadcast-join back and the within-bucket cumsum runs in
+         windows bounded to 1/``n_buckets`` of a source.
+    Everything is a pure function of (salt, keys, tokens, budgets):
+    partition- and engine-independent, checkpoint/resume-stable, and
+    replayable by the SQL oracle.
+    """
+    bad = {s: b for s, b in budgets.items() if b < 0}
+    if bad:
+        raise ValueError(f"budgets must be >= 0, got {bad}")
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    # range bucket on the first hash byte: floor(byte * n / 256) is
+    # monotone in h, so the bucket order concatenates to global h order
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") * n_buckets) / F.lit(256)
+    keyed = (
+        docs.filter(F.col(source_col).isin(list(budgets)))
+        .select(
+            *docs.columns,
+            h.alias("__h"),
+            F.floor(bucket).alias("__b"),
+            F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("__t"),
+        )
+    )
+    per_bucket = keyed.groupBy(source_col, "__b").agg(F.sum("__t").alias("__bt"))
+    w_dim = Window.partitionBy(source_col).orderBy("__b")
+    offsets = per_bucket.select(
+        source_col,
+        "__b",
+        (F.sum("__bt").over(w_dim) - F.col("__bt")).alias("__off"),
+    )
+    w_in = Window.partitionBy(source_col, "__b").orderBy("__h", key_col)
+    scanned = keyed.join(F.broadcast(offsets), on=[source_col, "__b"]).withColumn(
+        "cum_tokens", F.col("__off") + F.sum("__t").over(w_in)
+    )
+    budget_expr = F.lit(None).cast("long")
+    for s in sorted(budgets):
+        budget_expr = F.when(F.col(source_col) == s, F.lit(int(budgets[s])).cast("long")).otherwise(
+            budget_expr
+        )
+    return (
+        scanned.filter(F.col("cum_tokens") - F.col("__t") < budget_expr)
+        .select(*docs.columns, "cum_tokens")
+    )
+
+
 def corpus_profile(docs: DataFrame, approx: bool = False, rsd: float = 0.05) -> DataFrame:
     """Per-source corpus profile: doc count, distinct-content count,
     whitespace-token percentiles (p50/p95), mean char length.
@@ -675,6 +792,87 @@ DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_token_chars: int = 2,
+    checkpoint_every: int = 16,
+) -> list[tuple[str, str, int]]:
+    """LEARN a BPE merge table from the corpus (Sennrich-style word-level
+    BPE) — the tokenizer-induction loop :func:`bpe_pair_counts` is round
+    zero of and :func:`bpe_apply` consumes the artifact of.
+
+    Returns ``[(left, right, pair_count), ...]`` in merge (rank) order;
+    may be shorter than ``n_merges`` if the vocabulary runs out of
+    repeated pairs.
+
+    Scale shape — the whole training loop runs over the DISTINCT-WORD
+    dimension, not the corpus: the fact table is touched exactly once to
+    build (word, freq), which for natural text is bounded by vocabulary
+    growth (~10^6-10^7 rows at 100 TB — Heaps' law), cached, and then
+    each round is one explode+sum aggregate over that dim plus a 1-row
+    driver argmax (count desc, pair asc — fully deterministic). Merges
+    apply as native literal segment replaces (the same ``_``-boundary
+    trick as :func:`bpe_apply`, so only complete segments merge); the
+    replace chain grows one node per round and is truncated every
+    ``checkpoint_every`` rounds with a localCheckpoint so plan depth and
+    re-execution stay bounded. A production 30k-merge run would switch
+    the per-round recount to incremental pair-delta updates (only words
+    containing the merged pair change); at the ~10^2-merge scale this
+    operator targets, the full recount per round is simpler and the
+    vocab-dim cost is trivial next to the one corpus scan.
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= min_token_chars)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            # trailing space kept: the merge pattern needs BOTH segment
+            # boundaries (see bpe_apply's token-boundary note)
+            F.regexp_replace(F.col("w"), "(.)", "_$1 ").alias("seg"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(n_merges):
+        arr = F.split(F.trim(F.col("seg")), " ")
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)),
+            )
+        ).alias("pair")
+        top = (
+            vocab.filter(F.size(arr) > 1)
+            .select(pair, "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        left_seg, right_seg = top[0]["pair"].split(" ")
+        merges.append((left_seg[1:], right_seg[1:], int(top[0]["n"])))
+        vocab = vocab.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f"{left_seg} {right_seg} "),
+                F.lit(f"_{left_seg[1:]}{right_seg[1:]} "),
+            ),
+        )
+        if (rnd + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
@@ -694,11 +892,13 @@ def bpe_apply(
     ratio = n_chars / n_tokens (compression the merge table bought).
 
     Token-boundary safety: each segment is prefixed with ``_`` (outside
-    the ``[a-z0-9']`` token alphabet), so the literal pattern ``_a _b``
-    matches only where ``a`` is a COMPLETE current segment — a flat
-    ``"e r"`` replace would otherwise merge the trailing ``e`` of an
-    earlier merge's output with a following ``r`` (real BPE merges
-    adjacent tokens, never substrings).
+    the ``[a-z0-9']`` token alphabet) and followed by a space — including
+    the last one — so the literal pattern ``_a _b `` matches only where
+    ``a`` AND ``b`` are COMPLETE current segments. The prefix alone is
+    not enough: without the trailing space, ``_o _r`` also matches inside
+    ``_o _re`` (a segment that merely STARTS with ``r``, e.g. after the
+    earlier ``r e`` merge on "more") and silently glues three tokens into
+    one. Real BPE merges adjacent tokens, never substrings or prefixes.
 
     Scale shape: zero joins, zero shuffles before the per-doc aggregate —
     the whole merge chain compiles into one WholeStageCodegen projection
@@ -708,13 +908,13 @@ def bpe_apply(
     to a broadcast trie in mapInPandas — same contract).
     """
     w = F.explode(tokens(F.col(text_col))).alias("w")
-    seg = F.trim(F.regexp_replace(F.col("w"), "(.)", "_$1 "))
+    seg = F.regexp_replace(F.col("w"), "(.)", "_$1 ")  # trailing space kept
     for a, b in merges:
-        seg = F.replace(seg, F.lit(f"_{a} _{b}"), F.lit(f"_{a}{b}"))
+        seg = F.replace(seg, F.lit(f"_{a} _{b} "), F.lit(f"_{a}{b} "))
     per_word = docs.select(F.col(id_col), w).select(
         id_col,
         F.length("w").alias("__chars"),
-        F.size(F.split(seg, " ")).alias("__toks"),
+        F.size(F.split(F.trim(seg), " ")).alias("__toks"),
     )
     return per_word.groupBy(id_col).agg(
         F.count("*").alias("n_words"),
