@@ -1885,6 +1885,44 @@ def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training negatives (operators/kg_train.py:
+    negative_sampling): 2 hash-seeded tail corruptions per distinct
+    mapping triple, drawn uniformly from the dense deterministic entity
+    index (two-level md5 prefix sum — never a global row_number window)
+    and filtered against the asserted triple set. The whole draw is a
+    pure function of (salt, triple, i): the oracle replays the exact
+    md5-mod arithmetic, the flat row_number spec of the index, and the
+    NOT EXISTS filter in SQL."""
+    from omop2obo_spark.operators.kg_train import negative_sampling
+
+    t = _pipeline_result(spark, sf_dir).triples.filter(
+        F.col("pred").isin("omop2obo:hasExactMapping", "omop2obo:hasConstructorMapping")
+    )
+    return negative_sampling(t.select("subj", "pred", "obj"), k=2, n_buckets=16)
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension (operators/temporal.py:
+    scd2_dimension) over the events stream: per user, consecutive runs
+    of the same event_type versioned with half-open validity intervals,
+    observation counts, and the is_current flag — the CDC dimension
+    build, gaps-and-islands formulation, ONE shuffle (lag window,
+    run-sum window, per-run aggregate, and lead window all reuse the
+    hashpartitioning(user_id) exchange; plan-asserted in
+    test_kg_train.py). Timestamps as epoch micros so both engines read
+    the identical parquet int64."""
+    from omop2obo_spark.operators.temporal import scd2_dimension
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "event_id",
+    )
+    return scd2_dimension(ev, ["user_id"], "event_type", "ts_us", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -1960,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_token_mixture": q_token_mixture,
         "q_bpe_train": q_bpe_train,
+        "q_negative_sampling": q_negative_sampling,
+        "q_scd2_user_state": q_scd2_user_state,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -3625,6 +3665,30 @@ WHERE first_seen_s > mn + (mx - mn) // 4
   AND first_seen_s <= mn + (3 * (mx - mn)) // 4
 GROUP BY pred"""
     )
+    # negative-sampling replay: flat row_number spec of the dense entity
+    # index (the Spark side's bucketed two-level prefix sum must be
+    # indistinguishable), identical md5-mod candidate arithmetic, identical
+    # own-object and asserted-triple drops
+    sqls["q_negative_sampling"] = kg_triples_sql(
+        final_select=""", pos AS (
+    SELECT DISTINCT subj, pred, obj FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+ents AS (SELECT DISTINCT obj AS ent FROM pos),
+eidx AS (SELECT ent, row_number() OVER (ORDER BY md5(ent), ent) - 1 AS idx FROM ents),
+n AS (SELECT count(*) AS n_ent FROM ents),
+cands AS (
+    SELECT subj, pred, obj, i AS neg_i,
+           ('0x' || substr(md5('neg0|' || subj || '|' || pred || '|' || obj || '|' || i),
+                           1, 15))::BIGINT % n_ent AS cand_idx
+    FROM pos, n, (SELECT unnest([0, 1]) AS i)
+)
+SELECT c.subj, c.pred, c.obj, CAST(c.neg_i AS INT) AS neg_i, e.ent AS neg_obj
+FROM cands c JOIN eidx e ON c.cand_idx = e.idx
+WHERE e.ent <> c.obj
+  AND NOT EXISTS (SELECT 1 FROM pos p
+                  WHERE p.subj = c.subj AND p.pred = c.pred AND p.obj = e.ent)"""
+    )
     sqls["q_entity_cohorts"] = kg_triples_sql(
         final_select=""", ev AS (
     SELECT DISTINCT obj AS ent,
@@ -4129,5 +4193,42 @@ LEFT JOIN removed USING (pred)""",
             FROM keyed
         )
         WHERE cum - coalesce(n_chars, 0) < budget
+    """
+
+    # SCD2 gaps-and-islands replay: identical (ts, value NULLS FIRST,
+    # tiebreak) total order, null-safe change detection (IS DISTINCT
+    # FROM), run numbering by running sum, lead() validity close
+    sqls["q_scd2_user_state"] = """
+        WITH log AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+            FROM events
+        ),
+        seq AS (
+            SELECT *,
+                   CASE WHEN lag(1) OVER w IS NULL THEN 1
+                        WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+                        THEN 1 ELSE 0 END AS is_start
+            FROM log
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_us, event_type ASC NULLS FIRST, event_id)
+        ),
+        runs AS (
+            SELECT *, sum(is_start) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts_us, event_type ASC NULLS FIRST, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+            FROM seq
+        ),
+        per AS (
+            SELECT user_id, run, min(event_type) AS event_type,
+                   min(ts_us) AS valid_from, count(*) AS n_obs
+            FROM runs GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER wr AS valid_to,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               lead(valid_from) OVER wr IS NULL AS is_current
+        FROM per
+        WINDOW wr AS (PARTITION BY user_id ORDER BY run)
     """
     return sqls

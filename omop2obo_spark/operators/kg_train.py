@@ -1,0 +1,125 @@
+"""KG-embedding training-data operators: deterministic negative sampling.
+
+The reference stops at emitting the mapping table; a knowledge-graph
+built at 10^12-turn scale is immediately training data for KG-embedding
+models (TransE/DistMult-family), and every such trainer needs corrupted
+("negative") triples sampled per positive. RNG-based corruption is
+non-reproducible across runs/partitionings and un-oracle-able; this is
+the hash-seeded formulation: negative ``i`` for a triple is a pure
+function of (salt, subj, pred, obj, i), so shards can be regenerated
+byte-identically and an independent SQL engine can replay the exact
+selection.
+
+Reference surface mirrored: none (beyond-reference training-pipeline
+operator, same family as textstats.hash_split / weighted_sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def entity_index(entities: DataFrame, ent_col: str = "ent", n_buckets: int = 256) -> DataFrame:
+    """Deterministic dense index over an entity dimension: each distinct
+    entity gets ``idx`` in [0, N) equal to its rank in ``(md5(ent),
+    ent)`` order — a pure function of the entity SET, independent of
+    partitioning, insertion order, and engine.
+
+    The naive spelling is one global ``row_number`` window — a
+    single-partition sort of the whole dimension. This is the two-level
+    prefix sum (same shape as textstats.token_budget_mixture): md5-prefix
+    RANGE buckets (monotone in the hash, so bucket order concatenates to
+    global hash order; uniform because the hash is), per-bucket counts
+    into a tiny broadcast offset dim, and a within-bucket ``row_number``
+    bounded to ~1/``n_buckets`` of the dimension.
+    """
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    h = F.md5(F.col(ent_col).cast("string"))
+    bucket = F.floor(
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") * n_buckets) / F.lit(256)
+    )
+    keyed = entities.select(F.col(ent_col).alias("ent")).distinct().select(
+        "ent", h.alias("__h"), bucket.alias("__b")
+    )
+    per_bucket = keyed.groupBy("__b").agg(F.count("*").alias("__n"))
+    w_dim = Window.orderBy("__b")  # n_buckets rows — single partition is the point
+    offsets = per_bucket.select(
+        "__b", (F.sum("__n").over(w_dim) - F.col("__n")).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy("__h", "ent")
+    return (
+        keyed.join(F.broadcast(offsets), on="__b")
+        .select("ent", (F.col("__off") + F.row_number().over(w_in) - 1).alias("idx"))
+    )
+
+
+def negative_sampling(
+    triples: DataFrame,
+    k: int = 2,
+    salt: str = "neg0",
+    n_buckets: int = 256,
+    broadcast_entities: bool = True,
+) -> DataFrame:
+    """Per positive triple, ``k`` hash-seeded tail-corrupted negatives
+    ``(subj, pred, neg_obj)``, filtered against the true triple set
+    (no corrupted triple that happens to be asserted survives — the
+    standard "filtered" protocol of the KG-embedding literature).
+
+    Candidate ``i`` maps ``conv(md5(salt|subj|pred|obj|i)[:15], 16, 10)
+    mod N`` into the dense entity index built from the distinct objects,
+    so the draw is uniform over entities and fully deterministic. Slots
+    whose candidate equals the positive's own object, or collides with
+    any asserted (subj, pred, ·), are dropped rather than re-drawn —
+    re-draw loops are data-dependent control flow that neither scales
+    nor replays; with N >> k the loss is a vanishing fraction and the
+    oracle can replay the drop exactly.
+
+    Scale shape: the fact table is touched twice (candidate explode,
+    truth anti-join). The entity index is dimension-scale and broadcast
+    (``broadcast_entities=True``, the lexicon-join shape of the linking
+    tiers — ontology vocabularies are bounded); at extreme entity
+    cardinality set it False for a shuffle equi-join on the uniform
+    ``cand_idx`` key. N reaches the plan through a 1-row broadcast
+    cross-join, never a driver collect. The anti-join key (subj, pred,
+    neg_obj) is hash-uniform by construction.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    ents = entity_index(triples.select(F.col("obj").alias("ent")), n_buckets=n_buckets)
+    n_dim = ents.agg(F.count("*").alias("__n_ent"))
+    seed = F.concat(
+        F.lit(salt + "|"),
+        F.col("subj"), F.lit("|"), F.col("pred"), F.lit("|"), F.col("obj"),
+        F.lit("|"), F.col("neg_i").cast("string"),
+    )
+    cands = (
+        triples.select("subj", "pred", "obj").distinct()
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_i"))
+        .crossJoin(F.broadcast(n_dim))
+        .select(
+            "subj", "pred", "obj", "neg_i",
+            F.pmod(
+                F.conv(F.substring(F.md5(seed), 1, 15), 16, 10).cast("bigint"),
+                F.col("__n_ent"),
+            ).alias("cand_idx"),
+        )
+    )
+    ent_side = F.broadcast(ents) if broadcast_entities else ents
+    negs = (
+        cands.join(ent_side, cands.cand_idx == ents.idx)
+        .select("subj", "pred", "obj", "neg_i", F.col("ent").alias("neg_obj"))
+        .filter(F.col("neg_obj") != F.col("obj"))
+    )
+    truth = triples.select(
+        F.col("subj").alias("t_subj"), F.col("pred").alias("t_pred"), F.col("obj").alias("t_obj")
+    ).distinct()
+    return negs.join(
+        truth,
+        (negs.subj == truth.t_subj)
+        & (negs.pred == truth.t_pred)
+        & (negs.neg_obj == truth.t_obj),
+        "left_anti",
+    )

@@ -319,3 +319,73 @@ def entity_bursts(
             )
         ).alias("is_burst"),
     )
+
+
+def scd2_dimension(
+    log: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from an observation log: per key,
+    collapse CONSECUTIVE runs of the same ``value_col`` (in ``(ts,
+    value, tiebreak)`` order) into one versioned row with
+    ``valid_from``/``valid_to`` (half-open: ``valid_to`` is the next
+    run's start, NULL on the current run), ``n_obs``, and ``is_current``
+    — the dimension-build every warehouse pipeline runs over a CDC or
+    assertion stream (here: entity-state history from the per-turn triple
+    log, or user-state history from the events table).
+
+    The reference has no temporal dimension handling (static clinical
+    table); this is the gaps-and-islands formulation: a lag window marks
+    run starts, a running sum numbers runs, one aggregate per run, and a
+    lead window attaches the successor's start. Value changes are
+    detected null-safely (``eqNullSafe``), so NULL is a real trackable
+    state, distinct from every value.
+
+    Ordering contract: ``tiebreak_col`` must make ``(ts, value,
+    tiebreak)`` a total order per key — with it the output is a pure
+    function of the input set (partitioning/engine independent; the SQL
+    oracle replays it verbatim).
+
+    Scale shape: exactly ONE shuffle (partition by key; every window and
+    the run aggregate reuse that partitioning — lag/run-sum/lead are all
+    ``partitionBy(key)``, and the groupBy keys are a superset prefixed
+    by the key, so Catalyst plans zero additional Exchanges). Output
+    cardinality is the number of state CHANGES, far below the log. Keys
+    here are user/entity-grain — high-cardinality and skew-free; a
+    pathological single-key log (billions of observations of one key)
+    serializes in the window, the same boundary as asof_join above.
+    """
+    missing = [c for c in [*key_cols, value_col, ts_col, tiebreak_col] if c not in log.columns]
+    if missing:
+        raise ValueError(f"scd2_dimension: columns absent from the log: {missing}")
+    order = [F.col(ts_col).asc(), F.col(value_col).asc_nulls_first(), F.col(tiebreak_col).asc()]
+    w_seq = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_val = F.lag(F.col(value_col)).over(w_seq)
+    prev_seen = F.lag(F.lit(1)).over(w_seq)  # distinguishes "first row" from "prev value NULL"
+    is_start = F.when(prev_seen.isNull(), F.lit(1)).otherwise(
+        (~F.col(value_col).eqNullSafe(prev_val)).cast("int")
+    )
+    runs = log.select(
+        *key_cols,
+        F.col(value_col),
+        F.col(ts_col),
+        F.sum(is_start).over(w_seq).alias("__run"),
+    )
+    per_run = runs.groupBy(*key_cols, "__run").agg(
+        F.first(value_col).alias(value_col),  # constant within a run by construction
+        F.min(ts_col).alias("valid_from"),
+        F.count("*").alias("n_obs"),
+    )
+    w_runs = Window.partitionBy(*key_cols).orderBy("__run")
+    nxt = F.lead("valid_from").over(w_runs)
+    return per_run.select(
+        *key_cols,
+        value_col,
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_obs",
+        nxt.isNull().alias("is_current"),
+    )

@@ -1,0 +1,144 @@
+"""Tests for operators/kg_train.py (deterministic negative sampling) and
+operators/temporal.py:scd2_dimension (type-2 dimension build)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop2obo_spark.operators.kg_train import entity_index, negative_sampling
+from omop2obo_spark.operators.temporal import scd2_dimension
+
+
+def _md5_int15(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --------------------------------------------------------------------------
+# entity_index
+# --------------------------------------------------------------------------
+
+def test_entity_index_matches_flat_hash_order(spark):
+    ents = [f"obo:E{i}" for i in range(97)]  # not a multiple of any bucket count
+    df = spark.createDataFrame([(e,) for e in ents], "ent string")
+    got = {r["ent"]: r["idx"] for r in entity_index(df, n_buckets=16).collect()}
+    flat = sorted(ents, key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e))
+    assert got == {e: i for i, e in enumerate(flat)}
+    assert sorted(got.values()) == list(range(97))  # dense, contiguous, [0, N)
+
+
+def test_entity_index_partitioning_and_dup_independent(spark):
+    rows = [(f"obo:E{i % 13}",) for i in range(200)]  # duplicates collapse
+    a = entity_index(spark.createDataFrame(rows, "ent string").repartition(7), n_buckets=4)
+    b = entity_index(spark.createDataFrame(rows[:13], "ent string").coalesce(1), n_buckets=256)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --------------------------------------------------------------------------
+# negative_sampling
+# --------------------------------------------------------------------------
+
+def _toy_triples(spark):
+    rows = [
+        (f"doc:{d}", "omop2obo:hasExactMapping", f"obo:HP_{d % 7}")
+        for d in range(40)
+    ] + [("doc:1", "omop2obo:hasExactMapping", "obo:HP_extra")]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_negative_sampling_python_replay(spark):
+    t = _toy_triples(spark)
+    got = negative_sampling(t, k=3, salt="neg0")
+    rows = {(r.subj, r.pred, r.obj, r.neg_i): r.neg_obj for r in got.collect()}
+
+    ents = sorted({r.obj for r in t.collect()})
+    flat = sorted(ents, key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e))
+    truth = {(r.subj, r.pred, r.obj) for r in t.collect()}
+    expected = {}
+    for (s, p, o) in truth:
+        for i in range(3):
+            cand = flat[_md5_int15(f"neg0|{s}|{p}|{o}|{i}") % len(flat)]
+            if cand != o and (s, p, cand) not in truth:
+                expected[(s, p, o, i)] = cand
+    assert rows == expected
+    assert expected  # the fixture must actually produce negatives
+
+
+def test_negative_sampling_filters_asserted_triples(spark):
+    # every entity is asserted for doc:0 -> all its candidates collide with
+    # the truth set and are dropped (the filtered protocol, not re-drawn)
+    rows = [("doc:0", "p", f"obo:HP_{i}") for i in range(5)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = negative_sampling(t, k=4).filter(F.col("subj") == "doc:0")
+    assert got.count() == 0
+
+
+def test_negative_sampling_partitioning_independent(spark):
+    t = _toy_triples(spark)
+    a = negative_sampling(t.repartition(11), k=2)
+    b = negative_sampling(t.coalesce(1), k=2, broadcast_entities=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_negative_sampling_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        negative_sampling(_toy_triples(spark), k=0)
+
+
+# --------------------------------------------------------------------------
+# scd2_dimension
+# --------------------------------------------------------------------------
+
+def _state_log(spark):
+    rows = [
+        # user 1: a -> a -> b -> a   (re-entering a state opens a NEW version)
+        (1, "a", 10, 100),
+        (1, "a", 20, 101),
+        (1, "b", 30, 102),
+        (1, "a", 40, 103),
+        # user 2: NULL is a real first state, then x
+        (2, None, 10, 200),
+        (2, "x", 20, 201),
+        # user 3: tie at ts=10 resolved by (value, tiebreak) order: m before z
+        (3, "z", 10, 302),
+        (3, "m", 10, 301),
+    ]
+    return spark.createDataFrame(rows, "user_id int, state string, ts int, event_id int")
+
+
+def test_scd2_runs_validity_and_current(spark):
+    out = scd2_dimension(_state_log(spark), ["user_id"], "state", "ts", "event_id")
+    got = {
+        (r.user_id, r.state, r.valid_from): (r.valid_to, r.n_obs, r.is_current)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, "a", 10): (30, 2, False),
+        (1, "b", 30): (40, 1, False),
+        (1, "a", 40): (None, 1, True),
+        (2, None, 10): (20, 1, False),
+        (2, "x", 20): (None, 1, True),
+        (3, "m", 10): (10, 1, False),   # half-open: closed by z's start at the same ts
+        (3, "z", 10): (None, 1, True),
+    }
+
+
+def test_scd2_partitioning_independent(spark):
+    log = _state_log(spark)
+    a = scd2_dimension(log.repartition(8), ["user_id"], "state", "ts", "event_id")
+    b = scd2_dimension(log.coalesce(1), ["user_id"], "state", "ts", "event_id")
+    assert set(map(tuple, a.collect())) == set(map(tuple, b.collect()))
+
+
+def test_scd2_single_shuffle_plan(spark):
+    log = _state_log(spark)
+    out = scd2_dimension(log, ["user_id"], "state", "ts", "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # lag window, run-sum window, per-run aggregate, and lead window all
+    # reuse the one hashpartitioning(user_id) exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_scd2_missing_column_raises(spark):
+    with pytest.raises(ValueError, match="absent"):
+        scd2_dimension(_state_log(spark), ["user_id"], "nope", "ts", "event_id")
