@@ -1923,6 +1923,31 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_dimension(ev, ["user_id"], "event_type", "ts_us", "event_id")
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus unicode normalization (operators/textstats.py:
+    unicode_clean): NFC + zero-width/control strip + whitespace
+    canonicalization as one zero-shuffle projection. A deterministic
+    messy suffix (decomposed combining accent, zero-width space, bell
+    control, CRLF runs, soft hyphen) is appended in-query so every stage
+    — including NFC composition, the one Arrow-UDF step — is live at the
+    driver gate; the oracle replays the identical step order with
+    DuckDB's nfc_normalize and the same RE2/Java dual-compatible
+    patterns."""
+    from omop2obo_spark.operators.textstats import unicode_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    messy = F.concat(
+        F.col("text"),
+        # explicit escapes: U+0301 combining acute (decomposed 'e'+accent,
+        # composes under NFC), U+200B zero-width space, BEL control,
+        # U+00AD soft hyphen
+        F.lit("  one\u0301\ttwo\u200bthree\r\n\r\n\r\n four \x07 \u00adend  "),
+    )
+    return unicode_clean(docs.select("doc_id", messy.alias("text"))).select(
+        "doc_id", "clean_text", "changed"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2000,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_train": q_bpe_train,
         "q_negative_sampling": q_negative_sampling,
         "q_scd2_user_state": q_scd2_user_state,
+        "q_unicode_clean": q_unicode_clean,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -4230,5 +4256,40 @@ LEFT JOIN removed USING (pred)""",
                lead(valid_from) OVER wr IS NULL AS is_current
         FROM per
         WINDOW wr AS (PARTITION BY user_id ORDER BY run)
+    """
+
+    # unicode-clean replay: same messy suffix byte for byte (chr() builds),
+    # nfc_normalize for the Arrow-UDF NFC step, then the identical
+    # RE2/Java dual-compatible pattern chain in the identical order
+    sqls["q_unicode_clean"] = """
+        WITH messy AS (
+            SELECT doc_id,
+                   text || '  one' || chr(769) || chr(9) || 'two' || chr(8203)
+                        || 'three' || chr(13) || chr(10) || chr(13) || chr(10)
+                        || chr(13) || chr(10) || ' four ' || chr(7) || ' '
+                        || chr(173) || 'end  ' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               clean_text,
+               clean_text IS DISTINCT FROM text AS changed
+        FROM (
+            SELECT doc_id, text,
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(nfc_normalize(text),
+                     '[\\x{00ad}\\x{200b}-\\x{200d}\\x{feff}]', '', 'g'),
+                     '[\\x{0000}-\\x{0008}\\x{000b}\\x{000c}\\x{000e}-\\x{001f}\\x{007f}]', '', 'g'),
+                     '\\r\\n|\\r', chr(10), 'g'),
+                     '[ \\t]+', ' ', 'g'),
+                     ' *\\n *', chr(10), 'g'),
+                     '\\n{3,}', chr(10) || chr(10), 'g'),
+                     '^[ \\n]+|[ \\n]+$', '', 'g') AS clean_text
+            FROM messy
+        )
     """
     return sqls

@@ -922,3 +922,58 @@ def bpe_apply(
         F.sum("__toks").alias("n_tokens"),
         F.round(F.sum("__chars") / F.sum("__toks"), 6).alias("ratio"),
     )
+
+
+# Shared by the Spark expression chain and the DuckDB oracle: Java regex
+# and RE2 both accept \x{...} classes, so one pattern string serves both.
+ZERO_WIDTH_RE = "[\\x{00ad}\\x{200b}-\\x{200d}\\x{feff}]"
+CONTROL_RE = "[\\x{0000}-\\x{0008}\\x{000b}\\x{000c}\\x{000e}-\\x{001f}\\x{007f}]"
+
+
+def unicode_clean(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Web-corpus text normalization — the first stage of every crawl
+    pipeline (mirrors CCNet/Gopher-style cleaners): NFC unicode
+    normalization, zero-width/soft-hyphen strip, control-character strip
+    (tab/newline/CR survive), CRLF→LF, horizontal-whitespace-run
+    collapse, space-around-newline strip, 3+-newline collapse to a
+    paragraph break, and edge trim — applied in that fixed order so the
+    output is a pure function of the input text, replayable by the SQL
+    oracle step for step (DuckDB ``nfc_normalize`` + the same RE2/Java
+    dual-compatible patterns).
+
+    Returns all input columns plus ``clean_text`` and ``changed``
+    (null-safe: NULL text stays NULL and counts as unchanged).
+
+    Scale shape: zero shuffle — one projection over the scan. NFC is the
+    single non-SQL step (no Spark builtin): a vectorized Arrow
+    ``pandas_udf`` over ``Series.str.normalize``; everything after it is
+    native ``regexp_replace`` inside whole-stage codegen.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # explicit non-string annotations: the module-wide `from __future__
+    # import annotations` would stringify hints, and pandas_udf cannot
+    # resolve 'pd.Series' against a function-local import
+    def _nfc_fn(s):
+        return s.str.normalize("NFC")
+
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf("string")(_nfc_fn)
+
+    c = _nfc(F.col(text_col))
+    c = F.regexp_replace(c, ZERO_WIDTH_RE, "")
+    c = F.regexp_replace(c, CONTROL_RE, "")
+    c = F.regexp_replace(c, "\r\n|\r", "\n")
+    c = F.regexp_replace(c, "[ \t]+", " ")
+    c = F.regexp_replace(c, " *\n *", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    c = F.regexp_replace(c, "^[ \n]+|[ \n]+$", "")
+    clean = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(c)
+    return docs.select(
+        *docs.columns,
+        clean.alias("clean_text"),
+        (~clean.eqNullSafe(F.col(text_col))).alias("changed"),
+    )

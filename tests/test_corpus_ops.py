@@ -1384,3 +1384,39 @@ def test_bpe_train_differential_vs_pure_python(spark):
     assert got == expected
     # partition-independent
     assert bpe_train(docs.repartition(7), n_merges=15) == expected
+
+
+def test_unicode_clean_vectors_and_idempotence(spark):
+    from omop2obo_spark.operators.textstats import unicode_clean
+
+    rows = [
+        # NFC: e + combining acute composes; zero-width and soft hyphen drop
+        (1, "café zero​width so­ft"),
+        # control chars drop, tab run collapses, CRLF normalizes
+        (2, "a\x00\x07b\t\tc\r\nd\re"),
+        # 4 newlines -> paragraph break; spaces around newlines strip; trim
+        (3, "  lead \n \n\n\n mid  end  "),
+        (4, None),
+        (5, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.clean_text, r.changed) for r in unicode_clean(df).collect()}
+    assert got[1] == ("café zero" + "width so" + "ft", True)
+    assert got[2] == ("ab c\nd\ne", True)
+    assert got[3] == ("lead\n\nmid end", True)
+    assert got[4] == (None, False)
+    assert got[5] == ("already clean", False)
+
+    # idempotence: cleaning clean text is the identity
+    once = unicode_clean(df).select("doc_id", F.col("clean_text").alias("text"))
+    twice = {r.doc_id: r.clean_text for r in unicode_clean(once).collect()}
+    assert twice == {k: v for k, (v, _) in got.items()}
+    assert unicode_clean(once).filter("changed").count() == 0
+
+
+def test_unicode_clean_no_shuffle_plan(spark):
+    from omop2obo_spark.operators.textstats import unicode_clean
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = unicode_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
