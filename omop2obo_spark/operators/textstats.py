@@ -977,3 +977,95 @@ def unicode_clean(
         clean.alias("clean_text"),
         (~clean.eqNullSafe(F.col(text_col))).alias("changed"),
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    vocab_k: int = 10_000,
+    bigram_k: int = 50_000,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated-bigram LM quality signal — the next rung above
+    :func:`unigram_logprob_score` on the CCNet ladder: each document's
+    mean cross-entropy (nats) under ``lam * P(w|prev) + (1-lam) * P(w)``
+    where both distributions are estimated from the corpus itself.
+    ``P(w|prev)`` is the MLE over the top-``bigram_k`` bigram table
+    (bigrams outside it score 0 there and fall back to the unigram term
+    — the bounded-dimension contract, the bigram analogue of unigram
+    OOV); ``P(w)`` is the top-``vocab_k`` unigram MLE with the
+    ``1/total`` floor. Repetitive text scores near zero, shuffled-word
+    salad scores high under the bigram term while staying mid-range
+    under unigrams — which is exactly the signal the unigram filter
+    cannot see.
+
+    Returns ``(id_col, n_big, xent2)``; documents with <2 tokens score
+    0.0 over 0 bigrams. Per-pair log-probs round to 9dp, the mean to
+    6dp, and the interpolation is spelled ``lam*pb + (1-lam)*pu`` in
+    both engines so the score is engine-portable.
+
+    Scale shape: bigram pairs come from a zero-shuffle
+    ``transform(slice)`` projection (no per-doc window); counting is two
+    map-side-combined shuffles (bigram key, then context key); both
+    model tables are bounded TakeOrdered dims (top-k bigrams + exact
+    context totals semi-joined to those prevs) and broadcast; scoring
+    joins are all map-side; one final per-doc aggregate. The corpus
+    total is a single driver scalar, as in the unigram op.
+    """
+    import math
+
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    toks = tokens(F.col(text_col))
+    t = docs.select(F.col(id_col), toks.alias("__toks"))
+
+    exploded = t.select(F.col(id_col), F.explode_outer("__toks").alias("token"))
+    counted = (
+        exploded.filter(F.col("token").isNotNull()).groupBy("token").agg(F.count("*").alias("n"))
+    )
+    total = counted.agg(F.sum("n")).collect()[0][0] or 1
+    uni = (
+        counted.orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_k)
+        .select(F.col("token").alias("cur"), (F.col("n") / F.lit(float(total))).alias("pu"))
+    )
+    pu_oov = 1.0 / total
+
+    pairs = (
+        t.filter(F.size("__toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks) - 1),"
+                    " (p, i) -> struct(p AS prev, __toks[i + 1] AS cur))"
+                )
+            ).alias("pr"),
+        )
+        .select(F.col(id_col), F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+    )
+    big_counts = pairs.groupBy("prev", "cur").agg(F.count("*").alias("nb"))
+    top_big = big_counts.orderBy(F.desc("nb"), "prev", "cur").limit(bigram_k)
+    # exact context totals (pre-truncation), bounded to the prevs the
+    # broadcast actually needs
+    ctx = (
+        big_counts.groupBy("prev")
+        .agg(F.sum("nb").alias("nc"))
+        .join(top_big.select("prev"), on="prev", how="left_semi")
+    )
+    pb = F.coalesce(F.col("nb") / F.col("nc"), F.lit(0.0))
+    pu = F.coalesce(F.col("pu"), F.lit(pu_oov))
+    lp = F.round(F.log(F.lit(lam) * pb + F.lit(1.0 - lam) * pu), 9)
+    per_doc = (
+        pairs.join(F.broadcast(top_big), on=["prev", "cur"], how="left")
+        .join(F.broadcast(ctx), on="prev", how="left")
+        .join(F.broadcast(uni), on="cur", how="left")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_big"), F.avg(lp).alias("__mean"))
+    )
+    return docs.select(id_col).join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_big"), F.lit(0).cast("long")).alias("n_big"),
+        F.round(F.coalesce(-F.col("__mean"), F.lit(0.0)), 6).alias("xent2"),
+    )

@@ -1420,3 +1420,61 @@ def test_unicode_clean_no_shuffle_plan(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
     plan = unicode_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_bigram_logprob_score_python_replay(spark):
+    import math
+    import re
+    from collections import Counter
+
+    from omop2obo_spark.operators.textstats import bigram_logprob_score
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat",
+        3: "mat the on sat cat the",  # same unigrams as 1, scrambled order
+        4: "zzz",                     # single token -> 0 bigrams
+        5: "",                        # empty -> 0 bigrams
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {r.doc_id: (r.n_big, r.xent2) for r in
+           bigram_logprob_score(df, vocab_k=4, bigram_k=3, lam=0.7).collect()}
+
+    def tok(s):
+        return [t for t in re.split(r"[^a-z0-9']+", s.lower()) if t]
+
+    uni = Counter(t for s in texts.values() for t in tok(s))
+    total = sum(uni.values())
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:4])
+    bigs = Counter(
+        (a, b) for s in texts.values() for a, b in zip(tok(s), tok(s)[1:])
+    )
+    top_big = dict(sorted(bigs.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    ctx = Counter()
+    for (a, _b), n in bigs.items():
+        ctx[a] += n
+
+    expected = {}
+    for d, s in texts.items():
+        ts = tok(s)
+        prs = list(zip(ts, ts[1:]))
+        if not prs:
+            expected[d] = (0, 0.0)
+            continue
+        lps = []
+        for a, b in prs:
+            pb = top_big.get((a, b), 0) / ctx[a] if (a, b) in top_big else 0.0
+            pu = vocab.get(b, 0) / total if b in vocab else 1.0 / total
+            lps.append(round(math.log(0.7 * pb + 0.3 * pu), 9))
+        expected[d] = (len(prs), round(-sum(lps) / len(lps), 6))
+    assert got == expected
+    # scrambled doc must score strictly worse than its in-order twin
+    assert got[3][1] > got[1][1]
+
+
+def test_bigram_logprob_rejects_bad_lambda(spark):
+    from omop2obo_spark.operators.textstats import bigram_logprob_score
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bigram_logprob_score(df, lam=1.0)
