@@ -1964,6 +1964,28 @@ def q_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(docs, vocab_k=20, bigram_k=40, lam=0.7)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/ann.py:pq_codebooks/pq_encode/
+    pq_topk): 64-dim embeddings split into 8 subspaces, codebooks = the
+    8 lowest-id seeds' subvectors (TakeOrdered — SQL-replayable, codes
+    labeled by seed id), encoding a zero-shuffle literal argmin, and ADC
+    ranking whose fact side moves (id, s, code) — never embeddings; the
+    corpus scan reads m codes instead of the float array, the byte win
+    that completes the ANN family (brute / IVF / IVF-kmeans / int8 /
+    PQ). Oracle replays seeds, encoding argmin, distance tables, and
+    the top-k window exactly."""
+    from omop2obo_spark.operators.ann import pq_codebooks, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    books = pq_codebooks(emb, m=8, n_codes=8)
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries_df, books, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2043,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_user_state": q_scd2_user_state,
         "q_unicode_clean": q_unicode_clean,
         "q_bigram_xent": q_bigram_xent,
+        "q_ann_pq": q_ann_pq,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -4349,5 +4372,53 @@ LEFT JOIN removed USING (pred)""",
                CAST(coalesce(cnt, 0) AS BIGINT) AS n_big,
                round(coalesce(-m, 0.0), 6) AS xent2
         FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
+
+    # PQ replay: lowest-id seeds -> per-subspace codebooks, encode argmin
+    # (round-9 distances, code-id tiebreak), ADC distance tables, sum per
+    # (query, vec), ascending top-k
+    sqls["q_ann_pq"] = """
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ),
+        seeds AS (SELECT vec_id AS code, emb FROM v ORDER BY vec_id LIMIT 8),
+        subs AS (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS s),
+        books AS (
+            SELECT subs.s, sd.code, list_slice(sd.emb, subs.s * 8 + 1, subs.s * 8 + 8) AS cw
+            FROM subs, seeds sd
+        ),
+        enc_d AS (
+            SELECT x.vec_id, b.s, b.code,
+                   round(list_sum(list_transform(
+                       list_zip(list_slice(x.emb, b.s * 8 + 1, b.s * 8 + 8), b.cw),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS d
+            FROM v x, books b
+        ),
+        enc AS (
+            SELECT vec_id, s, code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
+                FROM enc_d
+            ) WHERE rk = 1
+        ),
+        q AS (SELECT vec_id AS query_id, emb FROM v WHERE vec_id < 3),
+        dtab AS (
+            SELECT q.query_id, b.s, b.code,
+                   round(list_sum(list_transform(
+                       list_zip(list_slice(q.emb, b.s * 8 + 1, b.s * 8 + 8), b.cw),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS d
+            FROM q, books b
+        ),
+        scored AS (
+            SELECT d.query_id, e.vec_id, round(sum(d.d), 6) AS adist
+            FROM enc e JOIN dtab d ON e.s = d.s AND e.code = d.code
+            WHERE e.vec_id <> d.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, vec_id, adist, CAST(rk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adist, vec_id) AS rk
+              FROM scored)
+        WHERE rk <= 5
     """
     return sqls

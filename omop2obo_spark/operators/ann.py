@@ -232,3 +232,144 @@ def quantized_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("qcos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[object, list[float]]]]:
+    """Deterministic product-quantization codebooks: the vector dimension
+    splits into ``m`` contiguous subspaces; subspace ``s``'s codewords
+    are the ``s``-th subvectors of the ``n_codes`` lowest-id vectors
+    (the same TakeOrdered seed rule as :func:`ivf_assign`, so the whole
+    index is SQL-replayable — codes are labeled by seed id, dense
+    numbering is never needed).
+
+    Returns ``books[s] = [(code_id, subvector), ...]`` — a driver-side
+    list bounded by INDEX size (m × n_codes × dim/m doubles), never by
+    data; it is embedded into downstream plans as codegen literals, the
+    same pattern as the IVF k-means centroid table.
+    """
+    if m <= 0 or n_codes <= 0:
+        raise ValueError(f"m and n_codes must be positive, got {m}, {n_codes}")
+    seeds = (
+        vectors.orderBy(id_col)
+        .limit(n_codes)
+        .select(F.col(id_col).alias("code"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_codebooks: empty vector table")
+    dim = len(seeds[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [(r["code"], [float(x) for x in r["v"][s * sub : (s + 1) * sub]]) for r in seeds]
+        for s in range(m)
+    ]
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: list[list[tuple[object, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector becomes ``m`` code labels — per subspace,
+    the codeword minimizing squared L2 distance (ties on code id).
+    Distances round to 9dp before the argmin so the selection boundary
+    is engine-stable.
+
+    Scale shape: ZERO shuffle — the codebooks are plan literals, the
+    argmin is ``array_min`` over a literal struct array, and the output
+    row is (id, m small codes): the 100 TB point of PQ is that the
+    ranking scan then reads a few bytes per vector instead of the float
+    array. Returns ``(id, code_0 .. code_{m-1})``.
+    """
+    m = len(books)
+    sub = len(books[0][0][1])
+    cols = [F.col(id_col)]
+    for s, book in enumerate(books):
+        subv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(_sq_l2(subv, F.array(*[F.lit(x) for x in cw])), 9).alias("d"),
+                    F.lit(code).alias("c"),
+                )
+                for code, cw in book
+            ]
+        )
+        cols.append(F.array_min(cands)["c"].alias(f"code_{s}"))
+    return vectors.select(*cols)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    books: list[list[tuple[object, list[float]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: approximate squared L2 between
+    a query and a coded vector is the sum over subspaces of the exact
+    distance from the query's subvector to the vector's CODEWORD —
+    queries stay float, the corpus is read as codes only.
+
+    Scale shape: the fact side moves (id, s, code) — never embeddings;
+    the per-(query, s, code) distance table is queries × m × n_codes
+    rows, broadcast; one shuffle groups the m partial distances per
+    (query, vec) and the top-k window reuses that partitioning
+    (groupBy (query, vec) then window by query — same hash family, and
+    output cardinality is already #queries × #vectors / selectivity).
+    Output: (query_id, vec_id, adist, rank), rank 1..k ascending
+    distance, self-matches excluded.
+    """
+    m = len(books)
+    sub = len(books[0][0][1])
+    enc = pq_encode(vectors, books, id_col, vec_col)
+    enc_long = enc.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"code_{s}").alias("code"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.s").alias("s"), F.col("e.code").alias("code"))
+    entries = []
+    for s, book in enumerate(books):
+        qsub = F.slice(F.col(vec_col), s * sub + 1, sub)
+        for code, cw in book:
+            entries.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.lit(code).alias("code"),
+                    F.round(_sq_l2(qsub, F.array(*[F.lit(x) for x in cw])), 9).alias("d"),
+                )
+            )
+    dtab = queries.select(
+        F.col(query_id_col), F.explode(F.array(*entries)).alias("e")
+    ).select(query_id_col, F.col("e.s").alias("s"), F.col("e.code").alias("code"), F.col("e.d").alias("d"))
+    scored = (
+        enc_long.join(F.broadcast(dtab), on=["s", "code"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1478,3 +1478,91 @@ def test_bigram_logprob_rejects_bad_lambda(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
     with pytest.raises(ValueError):
         bigram_logprob_score(df, lam=1.0)
+
+
+def _pq_fixture(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # two tight clusters + noise so ADC ranking is meaningful
+    base = np.vstack([
+        rng.normal(0.0, 0.05, (20, 8)) + np.array([1, 0, 0, 0, 1, 0, 0, 0]),
+        rng.normal(0.0, 0.05, (20, 8)) + np.array([0, 1, 0, 0, 0, 1, 0, 0]),
+    ])
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(len(base))]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_numpy_replay(spark):
+    import numpy as np
+
+    from omop2obo_spark.operators.ann import pq_codebooks, pq_encode
+
+    rows, df = _pq_fixture(spark)
+    books = pq_codebooks(df, m=4, n_codes=8)
+    got = {r.vec_id: [r[f"code_{s}"] for s in range(4)] for r in pq_encode(df, books).collect()}
+
+    vecs = dict(rows)
+    for vid, v in vecs.items():
+        for s in range(4):
+            subv = np.array(v[s * 2 : (s + 1) * 2])
+            cands = sorted(
+                (round(float(np.sum((subv - np.array(cw)) ** 2)), 9), code)
+                for code, cw in books[s]
+            )
+            assert got[vid][s] == cands[0][1], (vid, s)
+
+
+def test_pq_topk_adc_replay_and_recall(spark):
+    import numpy as np
+
+    from omop2obo_spark.operators.ann import brute_force_topk, pq_codebooks, pq_topk
+
+    rows, df = _pq_fixture(spark)
+    books = pq_codebooks(df, m=4, n_codes=8)
+    queries = df.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding")
+    got = pq_topk(df, queries, books, k=5).collect()
+
+    # ADC replay: every reported distance equals sum of subspace distances
+    # to the ENCODED codeword
+    vecs = dict(rows)
+    enc = {}
+    for vid, v in vecs.items():
+        enc[vid] = []
+        for s in range(4):
+            subv = np.array(v[s * 2 : (s + 1) * 2])
+            cands = sorted(
+                (round(float(np.sum((subv - np.array(cw)) ** 2)), 9), code)
+                for code, cw in books[s]
+            )
+            enc[vid].append(cands[0][1])
+    cw_by = {(s, code): np.array(cw) for s in range(4) for code, cw in books[s]}
+    for r in got:
+        q = np.array(vecs[r.query_id])
+        expect = sum(
+            round(float(np.sum((q[s * 2 : (s + 1) * 2] - cw_by[(s, enc[r.vec_id][s])]) ** 2)), 9)
+            for s in range(4)
+        )
+        assert abs(r.adist - round(expect, 6)) < 1e-9
+
+    # recall vs exact cosine: clustered fixture must mostly agree
+    exact = brute_force_topk(df, queries, k=5).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    pq = {}
+    for r in got:
+        pq.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & pq[q]) / 5 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_encode_zero_shuffle_and_dim_guard(spark):
+    from omop2obo_spark.operators.ann import pq_codebooks, pq_encode
+
+    _rows, df = _pq_fixture(spark)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(df, m=3)
+    books = pq_codebooks(df, m=2, n_codes=4)
+    plan = pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
