@@ -1986,6 +1986,25 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries_df, books, k=5)
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (operators/textstats.py:
+    temperature_mixture): per-source budgets derived from the corpus's
+    OWN token totals as total*size^0.5/Σsize^0.5 (sqrt spelled in both
+    engines — IEEE correctly-rounded, unlike pow; round-6 before floor
+    absorbs summation-order ulp drift), then compiled into the
+    deterministic hash-ordered selection via the two-level prefix sum.
+    The oracle derives the identical budgets in SQL and replays the flat
+    one-window-per-source cumsum spec."""
+    from omop2obo_spark.operators.textstats import temperature_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return temperature_mixture(
+        docs, total_budget=50_000, alpha=0.5, token_col="n_chars", n_buckets=16
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2066,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unicode_clean": q_unicode_clean,
         "q_bigram_xent": q_bigram_xent,
         "q_ann_pq": q_ann_pq,
+        "q_temperature_mix": q_temperature_mix,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -4420,5 +4440,35 @@ LEFT JOIN removed USING (pred)""",
                                            ORDER BY adist, vec_id) AS rk
               FROM scored)
         WHERE rk <= 5
+    """
+
+    # temperature-mixture replay: budgets from the corpus's own totals
+    # (sqrt weights, round-6-before-floor), then the flat cumsum spec
+    sqls["q_temperature_mix"] = """
+        WITH tot AS (
+            SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t
+            FROM documents
+            WHERE source IS NOT NULL
+            GROUP BY source HAVING sum(n_chars) > 0
+        ),
+        b AS (
+            SELECT source,
+                   CAST(floor(round(50000 * sqrt(t)
+                        / (SELECT sum(sqrt(t)) FROM tot), 6)) AS BIGINT) AS budget
+            FROM tot
+        ),
+        keyed AS (
+            SELECT doc_id, d.source, n_chars,
+                   md5('mix0|' || doc_id::VARCHAR) AS h, budget
+            FROM documents d JOIN b ON d.source = b.source
+        )
+        SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum_tokens
+        FROM (
+            SELECT *, sum(coalesce(n_chars, 0)) OVER (
+                       PARTITION BY source ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM keyed
+        )
+        WHERE cum - coalesce(n_chars, 0) < budget
     """
     return sqls

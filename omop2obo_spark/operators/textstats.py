@@ -1069,3 +1069,57 @@ def bigram_logprob_score(
         F.coalesce(F.col("n_big"), F.lit(0).cast("long")).alias("n_big"),
         F.round(F.coalesce(-F.col("__mean"), F.lit(0.0)), 6).alias("xent2"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.5,
+    token_col: str = "n_tokens",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-LM sampling
+    rule: source share ∝ size^alpha, alpha<1 upweights small domains):
+    derive each source's token budget as ``floor(round(total_budget *
+    size^alpha / Σ size^alpha, 6))`` from the corpus's OWN per-source
+    token totals, then compile the selection with
+    :func:`token_budget_mixture`'s deterministic hash-ordered prefix.
+
+    The per-source totals are a dimension-bounded driver aggregate
+    (#sources rows — the same bound as the lexicon collects). For
+    ``alpha=0.5`` the weight is spelled ``sqrt`` (IEEE correctly-rounded
+    in every engine, unlike ``pow``) so the budget arithmetic is
+    engine-portable; the round-6 before floor absorbs summation-order
+    ulp drift in the denominator. Empty/zero-token sources get no
+    budget and are dropped, matching the explicit-mixture contract.
+    """
+    import math
+
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    totals = {
+        r[source_col]: r["__t"]
+        for r in docs.groupBy(source_col)
+        .agg(F.sum(F.coalesce(F.col(token_col).cast("long"), F.lit(0))).alias("__t"))
+        .collect()
+        if r[source_col] is not None and (r["__t"] or 0) > 0
+    }
+    if not totals:
+        raise ValueError("temperature_mixture: no source has a positive token total")
+    w = {
+        s: (math.sqrt(float(t)) if alpha == 0.5 else math.pow(float(t), alpha))
+        for s, t in totals.items()
+    }
+    denom = sum(w[s] for s in sorted(w))
+    budgets = {
+        s: int(math.floor(round(total_budget * w[s] / denom, 6))) for s in sorted(w)
+    }
+    return token_budget_mixture(
+        docs, budgets, token_col=token_col, source_col=source_col,
+        key_col=key_col, salt=salt, n_buckets=n_buckets,
+    )

@@ -1566,3 +1566,50 @@ def test_pq_encode_zero_shuffle_and_dim_guard(spark):
     books = pq_codebooks(df, m=2, n_codes=4)
     plan = pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_temperature_mixture_budgets_and_selection(spark):
+    import hashlib
+    import math
+
+    from omop2obo_spark.operators.textstats import temperature_mixture
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "big", 100))       # 6000 tokens
+    for i in range(60, 70):
+        rows.append((i, "small", 100))     # 1000 tokens
+    rows.append((70, "empty", 0))          # zero-token source drops
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r.doc_id for r in temperature_mixture(df, total_budget=2000, alpha=0.5,
+                                                 n_buckets=8).collect()}
+
+    # python replay of the budget rule + the hash-prefix selection
+    totals = {"big": 6000, "small": 1000}
+    w = {s: math.sqrt(t) for s, t in totals.items()}
+    denom = sum(w[s] for s in sorted(w))
+    budgets = {s: int(math.floor(round(2000 * w[s] / denom, 6))) for s in w}
+    expected = set()
+    for src in budgets:
+        docs = [r for r in rows if r[1] == src]
+        docs.sort(key=lambda r: (hashlib.md5(f"mix0|{r[0]}".encode()).hexdigest(), r[0]))
+        cum = 0
+        for d in docs:
+            if cum < budgets[src]:
+                expected.add(d[0])
+            cum += d[2]
+    assert got == expected
+    # alpha=0.5 upweights the small domain above its 1/7 natural share
+    small_kept = sum(1 for d in got if 60 <= d < 70)
+    assert small_kept / 10 > len([d for d in got if d < 60]) / 60
+
+
+def test_temperature_mixture_guards(spark):
+    from omop2obo_spark.operators.textstats import temperature_mixture
+
+    df = spark.createDataFrame([(1, "a", 0)], "doc_id long, source string, n_tokens long")
+    with pytest.raises(ValueError, match="positive token total"):
+        temperature_mixture(df, total_budget=100)
+    df2 = spark.createDataFrame([(1, "a", 5)], "doc_id long, source string, n_tokens long")
+    with pytest.raises(ValueError):
+        temperature_mixture(df2, total_budget=0)
