@@ -2005,6 +2005,20 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/temporal.py:funnel_counts):
+    users completing signup -> view -> click -> purchase in strict time
+    order under greedy-earliest matching — each stage is one equi-join
+    on the skew-free user key + a map-side-combined min, never a
+    per-user sequence scan. Epoch-micro integer comparisons keep both
+    engines on the identical parquet int64. Oracle: the same chained-min
+    CTE ladder."""
+    from omop2obo_spark.operators.temporal import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2086,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_xent": q_bigram_xent,
         "q_ann_pq": q_ann_pq,
         "q_temperature_mix": q_temperature_mix,
+        "q_funnel": q_funnel,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -4470,5 +4485,25 @@ LEFT JOIN removed USING (pred)""",
             FROM keyed
         )
         WHERE cum - coalesce(n_chars, 0) < budget
+    """
+
+    # funnel replay: chained per-key mins, strict > ordering, same
+    # epoch-micro comparisons
+    sqls["q_funnel"] = """
+        WITH ev AS (
+            SELECT user_id AS k, event_type AS ty, epoch_us(ts) AS us FROM events
+        ),
+        s0 AS (SELECT k, min(us) AS t FROM ev WHERE ty = 'signup' GROUP BY k),
+        s1 AS (SELECT e.k, min(e.us) AS t FROM ev e JOIN s0 USING (k)
+               WHERE e.ty = 'view' AND e.us > s0.t GROUP BY e.k),
+        s2 AS (SELECT e.k, min(e.us) AS t FROM ev e JOIN s1 USING (k)
+               WHERE e.ty = 'click' AND e.us > s1.t GROUP BY e.k),
+        s3 AS (SELECT e.k, min(e.us) AS t FROM ev e JOIN s2 USING (k)
+               WHERE e.ty = 'purchase' AND e.us > s2.t GROUP BY e.k)
+        SELECT 0 AS step_idx, 'signup' AS step,
+               CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_keys
+        UNION ALL SELECT 1, 'view', CAST((SELECT count(*) FROM s1) AS BIGINT)
+        UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
     """
     return sqls

@@ -389,3 +389,70 @@ def scd2_dimension(
         "n_obs",
         nxt.isNull().alias("is_current"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: how many keys complete ``steps[0] ->
+    steps[1] -> ...`` in strict time order (greedy earliest matching:
+    step k matches the MINIMUM timestamp strictly after the key's step
+    k-1 match). ``within_us`` optionally bounds the whole conversion to
+    a window after the first step (epoch-micro integer arithmetic —
+    tz-portable). Output: one row per step, ``(step_idx, step,
+    n_keys)`` — the classic conversion funnel, monotone non-increasing.
+
+    Greedy-earliest is the standard funnel semantics AND the property
+    that makes it distributable: each stage only needs the per-key MIN
+    of the previous stage, so stage k is one equi-join on the key + a
+    map-side-combined min — never a per-key sequence scan. len(steps)
+    joins total, all on the high-cardinality skew-free key; each stage's
+    frame is one row per surviving key. The SQL oracle replays the same
+    chained-min CTEs.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    if within_us is not None and within_us <= 0:
+        raise ValueError(f"within_us must be positive, got {within_us}")
+    ev = events.select(
+        F.col(key_col).alias("__k"),
+        F.col(type_col).alias("__ty"),
+        _micros(F.col(ts_col)).alias("__us"),
+    )
+    stages: list[DataFrame] = []
+    cur = (
+        ev.filter(F.col("__ty") == steps[0])
+        .groupBy("__k")
+        .agg(F.min("__us").alias("__t"))
+    )
+    if within_us is not None:
+        cur = cur.withColumn("__t0", F.col("__t"))
+    stages.append(cur)
+    for step in steps[1:]:
+        prev = stages[-1]
+        nxt = (
+            ev.filter(F.col("__ty") == step)
+            .join(prev.select("__k", F.col("__t").alias("__pt"),
+                              *(["__t0"] if within_us is not None else [])),
+                  on="__k")
+            .filter(F.col("__us") > F.col("__pt"))
+        )
+        if within_us is not None:
+            nxt = nxt.filter(F.col("__us") <= F.col("__t0") + F.lit(int(within_us)))
+        agg_cols = [F.min("__us").alias("__t")]
+        if within_us is not None:
+            agg_cols.append(F.first("__t0").alias("__t0"))  # constant per key
+        stages.append(nxt.groupBy("__k").agg(*agg_cols))
+    spark = events.sparkSession
+    counts = None
+    for i, (step, df) in enumerate(zip(steps, stages)):
+        row = df.agg(F.count("*").cast("long").alias("n_keys")).select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_keys"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts

@@ -142,3 +142,58 @@ def test_scd2_single_shuffle_plan(spark):
 def test_scd2_missing_column_raises(spark):
     with pytest.raises(ValueError, match="absent"):
         scd2_dimension(_state_log(spark), ["user_id"], "nope", "ts", "event_id")
+
+
+# --------------------------------------------------------------------------
+# funnel_counts
+# --------------------------------------------------------------------------
+
+def _funnel_events(spark):
+    rows = [
+        # user 1 completes A->B->C in order
+        (1, "A", 100), (1, "B", 200), (1, "C", 300),
+        # user 2: B before A, then no B after A -> stops at A
+        (2, "B", 50), (2, "A", 100), (2, "C", 200),
+        # user 3: A then B at the SAME ts -> strict > excludes B
+        (3, "A", 100), (3, "B", 100),
+        # user 4: A -> B -> C but C too late for the 150us window
+        (4, "A", 0), (4, "B", 100), (4, "C", 400),
+        # user 5: two A's; greedy earliest A at 10 lets B at 50 match
+        (5, "A", 10), (5, "A", 60), (5, "B", 50), (5, "C", 70),
+    ]
+    return spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "user_id int, event_type string, ts_us long",
+    ).select(
+        "user_id", "event_type",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+    )
+
+
+def test_funnel_counts_strict_order_and_greedy(spark):
+    from omop2obo_spark.operators.temporal import funnel_counts
+
+    ev = _funnel_events(spark)
+    got = {r.step: r.n_keys for r in funnel_counts(ev, ["A", "B", "C"]).collect()}
+    # A: users 1,2,3,4,5; B after A: 1,4,5; C after that B: 1,4,5
+    assert got == {"A": 5, "B": 3, "C": 3}
+
+
+def test_funnel_counts_conversion_window(spark):
+    from omop2obo_spark.operators.temporal import funnel_counts
+
+    ev = _funnel_events(spark)
+    got = {r.step: r.n_keys for r in
+           funnel_counts(ev, ["A", "B", "C"], within_us=150).collect()}
+    # user 4's C at 400 exceeds A(0)+150; user 1's C at 300 exceeds 100+150
+    assert got == {"A": 5, "B": 3, "C": 1}
+
+
+def test_funnel_counts_guards(spark):
+    from omop2obo_spark.operators.temporal import funnel_counts
+
+    ev = _funnel_events(spark)
+    with pytest.raises(ValueError):
+        funnel_counts(ev, [])
+    with pytest.raises(ValueError):
+        funnel_counts(ev, ["A"], within_us=0)
