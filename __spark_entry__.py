@@ -1864,6 +1864,22 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, k=500, weight_col="n_chars")
 
 
+def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic weighted sampling (operators/textstats.py:
+    weighted_sample_per_group): 40 docs per source drawn with probability
+    ∝ document length — the stratified dual of q_weighted_sample. Same
+    A-Res es_key; the per-group top-k is a row_number window over the
+    coarse source key (one shuffle, k rows per group out)."""
+    from omop2obo_spark.operators.textstats import weighted_sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_per_group(
+        docs, k=40, weight_col="n_chars", group_cols=["source"]
+    )
+
+
 def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget domain mixture (operators/textstats.py:
     token_budget_mixture): compile an explicit per-source token budget
@@ -2092,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    next rotation; strict local harness + pytest gate them now) ----
         "q_atlas_export": q_atlas_export,
         "q_weighted_sample": q_weighted_sample,
+        "q_weighted_sample_group": q_weighted_sample_group,
         "q_token_mixture": q_token_mixture,
         "q_bpe_train": q_bpe_train,
         "q_negative_sampling": q_negative_sampling,
@@ -4272,6 +4289,25 @@ LEFT JOIN removed USING (pred)""",
         )
         ORDER BY es_key, doc_id
         LIMIT 500
+    """
+
+    # stratified A-Res replay: identical es_key, per-source row_number
+    sqls["q_weighted_sample_group"] = f"""
+        SELECT doc_id, source, n_chars, es_key, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT doc_id, source, n_chars, es_key,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY es_key, doc_id) AS rank
+            FROM (
+                SELECT doc_id, source, n_chars,
+                       round(-ln((('0x' || substr(md5('w0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                                  + 0.5) / {float(2**32)})
+                             / n_chars::DOUBLE, 9) AS es_key
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+        )
+        WHERE rank <= 40
     """
 
     # flat-window spec of the token mixture: ONE cumulative sum per source

@@ -1123,3 +1123,42 @@ def temperature_mixture(
         docs, budgets, token_col=token_col, source_col=source_col,
         key_col=key_col, salt=salt, n_buckets=n_buckets,
     )
+
+
+def weighted_sample_per_group(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: list[str],
+    key_col: str = "doc_id",
+    salt: str = "w0",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement:
+    :func:`weighted_sample`'s A-Res keys, but the k smallest are taken
+    WITHIN each group (source, language, shard...) — the stratified dual
+    of the global top-k, e.g. "500 docs per domain, length-weighted".
+
+    Same determinism contract (pure function of (salt, keys, weights));
+    the per-group top-k is a ``row_number`` window over the group key —
+    one shuffle, bounded to k rows per group on output. Group keys are
+    corpus-partition-grain (domains/languages), far coarser than doc
+    ids; a single pathological group serializes in its window partition,
+    the same boundary as every per-group operator here.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    u = (bucket.cast("double") + 0.5) / F.lit(float(2**32))
+    es_key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(*group_cols).orderBy("es_key", key_col)
+    return (
+        docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", es_key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1613,3 +1613,59 @@ def test_temperature_mixture_guards(spark):
     df2 = spark.createDataFrame([(1, "a", 5)], "doc_id long, source string, n_tokens long")
     with pytest.raises(ValueError):
         temperature_mixture(df2, total_budget=0)
+
+
+def test_weighted_sample_per_group_stratified_topk(spark):
+    """Per-group A-Res sampling: exactly k winners inside every group,
+    winners are the k smallest es_keys of THAT group (verified against a
+    Python replay of the shared key formula), partitioning-independent,
+    and dirty weights are excluded before ranking."""
+    import hashlib
+    import math
+
+    import pytest
+
+    from omop2obo_spark.operators.textstats import weighted_sample_per_group
+
+    docs = spark.range(0, 900).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    out = weighted_sample_per_group(docs, k=25, weight_col="w", group_cols=["grp"])
+    rows = sorted((r.grp, r.doc_id) for r in out.collect())
+    # identical under a different physical partitioning
+    out2 = weighted_sample_per_group(
+        docs.repartition(13), k=25, weight_col="w", group_cols=["grp"]
+    )
+    assert rows == sorted((r.grp, r.doc_id) for r in out2.collect())
+
+    # Python replay of the es_key: the winners per group are the 25
+    # smallest (round(-ln(u)/w, 9), doc_id) pairs of that group
+    def es_key(doc_id: int, w: float) -> float:
+        bucket = int(hashlib.md5(f"w0|{doc_id}".encode()).hexdigest()[:8], 16)
+        u = (bucket + 0.5) / float(2**32)
+        return round(-math.log(u) / w, 9)
+
+    expect: dict[str, list[tuple[float, int]]] = {}
+    for i in range(900):
+        expect.setdefault(f"g{i % 3}", []).append((es_key(i, i % 7 + 1), i))
+    want = sorted(
+        (g, did) for g, ks in expect.items() for _, did in sorted(ks)[:25]
+    )
+    assert rows == want
+
+    # dirty weights never win; k validation
+    dirty = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 0.0), (3, "a", None), (4, "b", 2.0)],
+        "doc_id long, grp string, w double",
+    )
+    kept = {
+        (r.grp, r.doc_id)
+        for r in weighted_sample_per_group(
+            dirty, k=10, weight_col="w", group_cols=["grp"]
+        ).collect()
+    }
+    assert kept == {("a", 1), ("b", 4)}
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_per_group(dirty, k=0, weight_col="w", group_cols=["grp"])
