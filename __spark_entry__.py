@@ -1880,6 +1880,19 @@ def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (duplicate-span) dedup (operators/dedup.py:
+    duplicate_span_removal): every token 8-gram occurrence that repeats
+    anywhere in the corpus is removed except its (doc_id, pos)-first
+    occurrence; clean_text is the reassembled survivor. The oracle replays
+    the identical md5-gram inverted index, canonical pick, coverage
+    explode, and ordered reassembly in SQL."""
+    from omop2obo_spark.operators.dedup import duplicate_span_removal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return duplicate_span_removal(docs, k=8)
+
+
 def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget domain mixture (operators/textstats.py:
     token_budget_mixture): compile an explicit per-source token budget
@@ -2109,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_atlas_export": q_atlas_export,
         "q_weighted_sample": q_weighted_sample,
         "q_weighted_sample_group": q_weighted_sample_group,
+        "q_dup_span": q_dup_span,
         "q_token_mixture": q_token_mixture,
         "q_bpe_train": q_bpe_train,
         "q_negative_sampling": q_negative_sampling,
@@ -4308,6 +4322,59 @@ LEFT JOIN removed USING (pred)""",
             )
         )
         WHERE rank <= 40
+    """
+
+    # duplicate-span replay: identical md5 k-gram index, (doc_id, pos)-first
+    # canonical pick, coverage explode, ordered reassembly (k=8)
+    sqls["q_dup_span"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 8 + 1)) AS i
+            FROM toks
+        ),
+        occ AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(toks[i : i + 7], ' ')) AS gh
+            FROM idx
+        ),
+        marked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY gh) AS cnt
+            FROM occ
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + off AS tpos
+            FROM (SELECT doc_id, pos, unnest(generate_series(0, 7)) AS off
+                  FROM marked WHERE cnt > 1 AND rn > 1)
+        ),
+        tok_rows AS (
+            SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS i
+                  FROM toks)
+        ),
+        kept AS (
+            SELECT t.doc_id, t.tpos, t.tok
+            FROM tok_rows t
+            ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        ),
+        reass AS (
+            SELECT doc_id, count(*) AS kept_n,
+                   string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(len(t.toks) - coalesce(r.kept_n, 0) AS BIGINT) AS n_removed,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN reass r ON t.doc_id = r.doc_id
     """
 
     # flat-window spec of the token mixture: ONE cumulative sum per source

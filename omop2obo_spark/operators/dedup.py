@@ -619,3 +619,101 @@ def prefix_filter_jaccard_join(
             F.round(F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6).alias("jaccard"),
         )
     )
+
+
+def duplicate_span_removal(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring (duplicate-span) dedup: remove every token k-gram
+    occurrence that repeats anywhere in the corpus EXCEPT its corpus-global
+    first occurrence — the sub-document companion to :func:`exact_dedup`
+    (whole doc) and ``paragraph_dedup`` (paragraph), in the spirit of
+    suffix-array ExactSubstr dedup (Lee et al. 2022) re-expressed as a
+    k-gram inverted index instead of a single-machine suffix array.
+
+    Contract: tokens are whitespace-split; an occurrence ``(doc, pos)`` of
+    a k-gram that occurs >1 time corpus-wide (including within one doc) is
+    *non-canonical* unless it is the lexicographic ``(doc_id, pos)`` minimum
+    for that gram; every token position covered by >=1 non-canonical
+    occurrence is dropped; ``clean_text`` is the space-joined surviving
+    tokens (whitespace-canonicalized; NULL/empty text yields ''). Docs with
+    fewer than k tokens are untouched. Output:
+    (id_col, n_tokens, n_removed, clean_text).
+
+    Scale shape: gram strings never shuffle — occurrences move as
+    (doc_id, pos, md5). Occurrence counting is a map-side-combined groupBy;
+    only occurrences of *duplicated* grams (typically a small fraction)
+    enter the row_number window that picks the canonical one, so the sort
+    never sees the whole corpus. A pathological hot gram (mega-boilerplate)
+    serializes in its window partition — the standard per-key boundary;
+    upstream ``boilerplate_lines`` removal is the mitigation. Token
+    reassembly shuffles each doc's surviving tokens once, grouped by the
+    skew-free doc id.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("toks"),
+    )
+
+    occ = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.sequence(F.lit(1), F.size("toks") - F.lit(k) + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        F.col("toks"),
+    ).select(
+        F.col(id_col),
+        (F.col("i") - 1).alias("pos"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), k))).alias("gh"),
+    )
+
+    # map-side-combined duplicate-gram detection, THEN the canonical pick:
+    # the window sort only ever sees occurrences of duplicated grams
+    dup_gh = occ.groupBy("gh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    w = Window.partitionBy("gh").orderBy(id_col, "pos")
+    covered = (
+        occ.join(dup_gh, "gh")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("tpos"),
+        )
+        .distinct()
+    )
+
+    tok_rows = toks.select(
+        F.col(id_col), F.posexplode(F.col("toks")).alias("tpos", "tok")
+    )
+    reassembled = (
+        tok_rows.join(covered, [id_col, "tpos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = toks.select(F.col(id_col), F.size("toks").cast("bigint").alias("n_tokens"))
+    return totals.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

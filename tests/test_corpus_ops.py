@@ -1669,3 +1669,80 @@ def test_weighted_sample_per_group_stratified_topk(spark):
     assert kept == {("a", 1), ("b", 4)}
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_per_group(dirty, k=0, weight_col="w", group_cols=["grp"])
+
+
+def test_duplicate_span_removal_model_parity(spark):
+    """Exact substring dedup vs an independent Python model: corpus-first
+    occurrence kept, later (cross- and within-doc) repeats removed,
+    overlapping spans merged, short/NULL docs untouched, and the result is
+    partitioning-independent."""
+    import re
+
+    import pytest
+
+    from omop2obo_spark.operators.dedup import duplicate_span_removal
+
+    k = 3
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        # cross-doc repeat of "quick brown fox" (doc 1 pos 1 is canonical)
+        (2, "a quick brown fox appeared again today"),
+        # within-doc repeat: "x y z ... x y z"
+        (3, "x y z q r s x y z"),
+        # overlapping duplicated grams with doc 1's tail
+        (4, "over the lazy dog indeed over the lazy cat"),
+        (5, "too short"),
+        (6, None),
+        (7, ""),
+        # identical twin docs: doc 8 canonical, doc 9 fully removed
+        (8, "p q r p q r p q r"),
+        (9, "p q r p q r p q r"),
+    ]
+
+    def model(pairs):
+        toks = {
+            d: [t for t in re.split(r"\s+", txt or "") if t] for d, txt in pairs
+        }
+        occ: dict[tuple, list] = {}
+        for d, ts in sorted(toks.items()):
+            for i in range(len(ts) - k + 1):
+                occ.setdefault(tuple(ts[i : i + k]), []).append((d, i))
+        covered: dict[int, set] = {d: set() for d in toks}
+        for g, sites in occ.items():
+            if len(sites) > 1:
+                for d, p in sorted(sites)[1:]:
+                    covered[d].update(range(p, p + k))
+        return {
+            d: (
+                len(ts),
+                len(ts) - sum(1 for i in range(len(ts)) if i not in covered[d]),
+                " ".join(t for i, t in enumerate(ts) if i not in covered[d]),
+            )
+            for d, ts in toks.items()
+        }
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in duplicate_span_removal(docs, k=k).collect()
+    }
+    assert got == model(rows)
+    # spot-check the semantics the model encodes
+    assert got[1][1] == 0                       # canonical doc untouched
+    assert "quick brown fox" not in got[2][2]   # cross-doc repeat removed
+    assert got[3][1] == 3 and got[3][2] == "x y z q r s"  # within-doc repeat
+    assert got[5] == (2, 0, "too short")        # < k tokens untouched
+    assert got[6] == (0, 0, "") and got[7] == (0, 0, "")
+    # twin docs: doc 8 keeps only the first occurrence of its own repeated
+    # grams ("p q r"), doc 9 (every gram non-canonical) is fully removed
+    assert got[8] == (9, 6, "p q r") and got[9] == (9, 9, "")
+
+    # partitioning independence
+    got2 = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in duplicate_span_removal(docs.repartition(7), k=k).collect()
+    }
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="k must be"):
+        duplicate_span_removal(docs, k=1)
