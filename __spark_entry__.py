@@ -1893,6 +1893,42 @@ def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_removal(docs, k=8)
 
 
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.py): equi-width-bucket the
+    (user_id, event-time) plane of the events table from its own exact
+    min/max (1-row broadcast bounds), bit-interleave at 8 bits, and report
+    per-curve-cell (top byte) counts + per-dimension bounding boxes — the
+    footer-stats view that shows every cell is tight on BOTH dimensions.
+    The oracle replays the exact integer bucket formula and the unrolled
+    bit interleave in SQL."""
+    from omop2obo_spark.operators.layout import equiwidth_bucket, zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min("ts_us").alias("tmin"), F.max("ts_us").alias("tmax"),
+    )
+    z = zorder_key(
+        [
+            equiwidth_bucket(F.col("user_id"), F.col("umin"), F.col("umax"), 8),
+            equiwidth_bucket(F.col("ts_us"), F.col("tmin"), F.col("tmax"), 8),
+        ],
+        8,
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("zkey", z)
+        .groupBy(F.shiftright(F.col("zkey"), 8).alias("cell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("user_id").alias("u_min"), F.max("user_id").alias("u_max"),
+            F.min("ts_us").alias("t_min"), F.max("ts_us").alias("t_max"),
+        )
+    )
+
+
 def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget domain mixture (operators/textstats.py:
     token_budget_mixture): compile an explicit per-source token budget
@@ -2123,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_weighted_sample_group": q_weighted_sample_group,
         "q_dup_span": q_dup_span,
+        "q_zorder": q_zorder,
         "q_token_mixture": q_token_mixture,
         "q_bpe_train": q_bpe_train,
         "q_negative_sampling": q_negative_sampling,
@@ -4322,6 +4359,33 @@ LEFT JOIN removed USING (pred)""",
             )
         )
         WHERE rank <= 40
+    """
+
+    # Z-order replay: exact integer equi-width buckets from the corpus's own
+    # min/max + the same unrolled 8-bit interleave (dim 0 = user bucket at
+    # even bit positions, dim 1 = time bucket at odd ones)
+    _zinter = " + ".join(
+        f"(((ub >> {i}) & 1) << {2 * i}) + (((tb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    sqls["q_zorder"] = f"""
+        WITH b AS (
+            SELECT min(user_id) AS umin, max(user_id) AS umax,
+                   min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+            FROM events
+        ),
+        k AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   least(greatest(((user_id - umin) * 256) // (umax - umin + 1), 0), 255) AS ub,
+                   least(greatest(((epoch_us(ts) - tmin) * 256) // (tmax - tmin + 1), 0), 255) AS tb
+            FROM events, b
+        ),
+        z AS (SELECT user_id, ts_us, ({_zinter}) AS zkey FROM k)
+        SELECT zkey >> 8 AS cell, count(*) AS n,
+               min(user_id) AS u_min, max(user_id) AS u_max,
+               min(ts_us) AS t_min, max(ts_us) AS t_max
+        FROM z
+        GROUP BY zkey >> 8
     """
 
     # duplicate-span replay: identical md5 k-gram index, (doc_id, pos)-first
