@@ -1967,6 +1967,22 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_sampling(t.select("subj", "pred", "obj"), k=2, n_buckets=16)
 
 
+def q_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TransE scoring epoch (operators/kg_train.py:
+    transe_scores): per positive mapping triple, the L1 distance under
+    md5 pseudo-embeddings (dim 8), the mean distance of its 2 filtered
+    hash-seeded negatives, and the mean margin-ranking loss. Distances
+    are per-row codegen expressions — no UDF, no embedding shuffle; the
+    oracle replays the negative draw AND the exact embedding arithmetic
+    in SQL, both sides 9-dec-rounded."""
+    from omop2obo_spark.operators.kg_train import transe_scores
+
+    t = _pipeline_result(spark, sf_dir).triples.filter(
+        F.col("pred").isin("omop2obo:hasExactMapping", "omop2obo:hasConstructorMapping")
+    )
+    return transe_scores(t.select("subj", "pred", "obj"), k=2, dim=8, n_buckets=16)
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension (operators/temporal.py:
     scd2_dimension) over the events stream: per user, consecutive runs
@@ -2163,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_mixture": q_token_mixture,
         "q_bpe_train": q_bpe_train,
         "q_negative_sampling": q_negative_sampling,
+        "q_transe": q_transe,
         "q_scd2_user_state": q_scd2_user_state,
         "q_unicode_clean": q_unicode_clean,
         "q_bigram_xent": q_bigram_xent,
@@ -3857,6 +3874,60 @@ FROM cands c JOIN eidx e ON c.cand_idx = e.idx
 WHERE e.ent <> c.obj
   AND NOT EXISTS (SELECT 1 FROM pos p
                   WHERE p.subj = c.subj AND p.pred = c.pred AND p.obj = e.ent)"""
+    )
+    # TransE replay: the q_negative_sampling CTEs (k=2) + exact md5
+    # pseudo-embedding distances, 9-dec-rounded on both sides
+    def _emb(xcol: str, space: str) -> str:
+        return (
+            f"((('0x' || substr(md5('emb0{space}|' || {xcol} || '|' || d), 1, 8))::BIGINT"
+            " + 0.5) / 2147483648.0 - 1.0)"
+        )
+
+    _pos_dist = f"round(sum(abs({_emb('subj', 'e')} + {_emb('pred', 'r')} - {_emb('obj', 'e')})), 9)"
+    _neg_dist = f"round(sum(abs({_emb('subj', 'e')} + {_emb('pred', 'r')} - {_emb('neg_obj', 'e')})), 9)"
+    sqls["q_transe"] = kg_triples_sql(
+        final_select=f""", pos AS (
+    SELECT DISTINCT subj, pred, obj FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+ents AS (SELECT DISTINCT obj AS ent FROM pos),
+eidx AS (SELECT ent, row_number() OVER (ORDER BY md5(ent), ent) - 1 AS idx FROM ents),
+n AS (SELECT count(*) AS n_ent FROM ents),
+cands AS (
+    SELECT subj, pred, obj, i AS neg_i,
+           ('0x' || substr(md5('neg0|' || subj || '|' || pred || '|' || obj || '|' || i),
+                           1, 15))::BIGINT % n_ent AS cand_idx
+    FROM pos, n, (SELECT unnest([0, 1]) AS i)
+),
+negs AS (
+    SELECT c.subj, c.pred, c.obj, c.neg_i, e.ent AS neg_obj
+    FROM cands c JOIN eidx e ON c.cand_idx = e.idx
+    WHERE e.ent <> c.obj
+      AND NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.subj = c.subj AND p.pred = c.pred AND p.obj = e.ent)
+),
+dims AS (SELECT unnest(range(8)) AS d),
+pos_d AS (
+    SELECT subj, pred, obj, {_pos_dist} AS pos_dist
+    FROM pos, dims GROUP BY subj, pred, obj
+),
+neg_d AS (
+    SELECT subj, pred, obj, neg_i, {_neg_dist} AS neg_dist
+    FROM negs, dims GROUP BY subj, pred, obj, neg_i
+),
+agg AS (
+    SELECT n.subj, n.pred, n.obj, count(*) AS n_neg,
+           round(avg(n.neg_dist), 9) AS avg_neg_dist,
+           round(avg(greatest(0.0, 1.0 + p.pos_dist - n.neg_dist)), 9) AS avg_margin_loss
+    FROM neg_d n
+    JOIN pos_d p ON n.subj = p.subj AND n.pred = p.pred AND n.obj = p.obj
+    GROUP BY n.subj, n.pred, n.obj
+)
+SELECT p.subj, p.pred, p.obj, p.pos_dist,
+       CAST(coalesce(a.n_neg, 0) AS BIGINT) AS n_neg,
+       a.avg_neg_dist, a.avg_margin_loss
+FROM pos_d p
+LEFT JOIN agg a ON p.subj = a.subj AND p.pred = a.pred AND p.obj = a.obj"""
     )
     sqls["q_entity_cohorts"] = kg_triples_sql(
         final_select=""", ev AS (

