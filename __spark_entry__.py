@@ -1267,6 +1267,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/hierarchy.py:hits, 3 fixed
+    L1-normalized iterations) over the DIRECTED mapping graph
+    (subj -> obj of the mapping triples): hubs are source concepts
+    mapping onto many authoritative ontology classes. Edge table keeps
+    its partitioning; hub/auth vectors broadcast; normalization totals
+    are 1-row broadcast cross-joins. Oracle: kg CTE chain + unrolled
+    per-iteration CTEs."""
+    from omop2obo_spark.operators.hierarchy import hits
+
+    t = _pipeline_result(spark, sf_dir).triples.filter(
+        F.col("pred").isin("omop2obo:hasExactMapping", "omop2obo:hasConstructorMapping")
+    )
+    return hits(t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+
+
 def q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-hop subgraph extraction (operators/hierarchy.py:k_hop): BFS
     min-distance (≤2 hops) from every MONDO entity over the co-mention
@@ -2136,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_cooccurrence": q_entity_cooccurrence,
         "q_sameas_bridge": q_sameas_bridge,
         "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
         "q_propagate_sameas": q_propagate_sameas,
         "q_canonical_graph": q_canonical_graph,
         "q_k_hop": q_k_hop,
@@ -3676,6 +3693,30 @@ h2 AS (
 SELECT ent, 0 AS hop FROM h0
 UNION ALL SELECT ent, 1 AS hop FROM h1
 UNION ALL SELECT ent, 2 AS hop FROM h2"""
+    )
+    # HITS replay: unrolled L1-normalized iterations over the directed
+    # mapping graph (normalization via scalar subqueries)
+    _hits_iters = ""
+    _prev_h = "h0"
+    for _it in (1, 2, 3):
+        _hits_iters += f""",
+a{_it}r AS (SELECT dst, sum(h) AS r FROM e JOIN {_prev_h} USING (src) GROUP BY dst),
+a{_it} AS (SELECT dst, r / (SELECT sum(r) FROM a{_it}r) AS a FROM a{_it}r),
+h{_it}r AS (SELECT src, sum(a) AS r FROM e JOIN a{_it} USING (dst) GROUP BY src),
+h{_it} AS (SELECT src, r / (SELECT sum(r) FROM h{_it}r) AS h FROM h{_it}r)"""
+        _prev_h = f"h{_it}"
+    sqls["q_hits"] = kg_triples_sql(
+        final_select=""", e AS (
+    SELECT DISTINCT subj AS src, obj AS dst FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+h0 AS (SELECT DISTINCT src, 1.0 AS h FROM e)"""
+        + _hits_iters
+        + """
+SELECT coalesce(h3.src, a3.dst) AS ent,
+       round(coalesce(h3.h, 0.0), 9) AS hub,
+       round(coalesce(a3.a, 0.0), 9) AS auth
+FROM h3 FULL JOIN a3 ON h3.src = a3.dst"""
     )
     sqls["q_bpe_pairs"] = """
         WITH words AS (

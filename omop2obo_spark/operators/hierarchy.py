@@ -774,3 +774,72 @@ def deterministic_walks(edges: DataFrame, walk_len: int = 3) -> DataFrame:
             F.concat(F.col("path"), F.lit("->"), F.col("__next")).alias("path"),
         )
     return walks.select("start", "path")
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    round_dp: int = 9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) over a DIRECTED edge
+    list — the directed complement of :func:`pagerank`. On the mapping
+    graph (source concept -> ontology class) hubs are concepts that map
+    onto many authoritative classes and authorities are classes that
+    well-connected concepts map onto.
+
+    Each iteration: ``a(v) = sum_{u->v} h(u)`` then L1-normalize,
+    ``h(u) = sum_{u->v} a(v)`` then L1-normalize. L1 (not the textbook
+    L2) keeps the update rational in the inputs, so the unrolled SQL
+    twin agrees to terminal rounding. Output: (ent, hub, auth) with 0.0
+    for pure sinks/sources (e.g. in a bipartite graph every src has
+    auth 0). Deterministic: fixed iterations + terminal rounding.
+
+    Scale shape: the (deduplicated) edge table keeps its partitioning
+    across all iterations; hub/authority vectors are node-cardinality,
+    broadcast into the edge joins; normalization totals enter as 1-row
+    broadcast cross-joins (never a driver collect); per iteration the
+    cost is one groupBy on dst + one on src. ``localCheckpoint`` per
+    iteration bounds lineage like :func:`pagerank`.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    hubs = e.select("src").distinct().select("src", F.lit(1.0).alias("h"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(F.broadcast(hubs), on="src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_sum = a_raw.agg(F.sum("a_raw").alias("__s"))
+        auth = a_raw.crossJoin(F.broadcast(a_sum)).select(
+            "dst", (F.col("a_raw") / F.col("__s")).alias("a")
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+        h_raw = (
+            e.join(F.broadcast(auth), on="dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_sum = h_raw.agg(F.sum("h_raw").alias("__s"))
+        hubs = h_raw.crossJoin(F.broadcast(h_sum)).select(
+            "src", (F.col("h_raw") / F.col("__s")).alias("h")
+        )
+        if checkpoint:
+            hubs = hubs.localCheckpoint(eager=True)
+    return (
+        hubs.select(F.col("src").alias("ent"), F.col("h"))
+        .join(auth.select(F.col("dst").alias("ent"), F.col("a")), on="ent", how="full")
+        .select(
+            "ent",
+            F.round(F.coalesce("h", F.lit(0.0)), round_dp).alias("hub"),
+            F.round(F.coalesce("a", F.lit(0.0)), round_dp).alias("auth"),
+        )
+    )

@@ -267,3 +267,56 @@ def test_canonicalize_entities_rewrites_components(spark):
         ("m2", "omop2obo:hasExactMapping", "obo:CHEBI_9"),
         ("obo:HP_1", "owl:sameAs", "obo:HP_1"),
     }
+
+
+def test_hits_matches_python_model(spark):
+    """HITS on a known directed graph vs a Python replay of the exact
+    L1-normalized iteration; bipartite roles (pure sources have auth 0,
+    pure sinks hub 0); partitioning-independent."""
+    import pytest
+
+    from omop2obo_spark.operators.hierarchy import hits
+
+    edges = [
+        ("d1", "c1"), ("d1", "c2"), ("d1", "c3"),
+        ("d2", "c1"), ("d2", "c2"),
+        ("d3", "c3"),
+        ("c1", "c3"),  # non-bipartite edge: c1 is both hub and authority
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def model(iters: int = 3):
+        srcs = sorted({s for s, _ in edges})
+        h = {s: 1.0 for s in srcs}
+        a = {}
+        for _ in range(iters):
+            a = {}
+            for s, d in edges:
+                a[d] = a.get(d, 0.0) + h.get(s, 0.0)
+            tot = sum(a.values())
+            a = {k: v / tot for k, v in a.items()}
+            h = {}
+            for s, d in edges:
+                h[s] = h.get(s, 0.0) + a.get(d, 0.0)
+            tot = sum(h.values())
+            h = {k: v / tot for k, v in h.items()}
+        ents = set(h) | set(a)
+        return {e: (round(h.get(e, 0.0), 9), round(a.get(e, 0.0), 9)) for e in ents}
+
+    got = {r.ent: (r.hub, r.auth) for r in hits(df).collect()}
+    want = model()
+    assert set(got) == set(want)
+    for ent in want:
+        assert got[ent][0] == pytest.approx(want[ent][0], abs=2e-9), ent
+        assert got[ent][1] == pytest.approx(want[ent][1], abs=2e-9), ent
+    # pure sources never gain authority; pure sinks never gain hubness
+    assert got["d1"][1] == 0.0 and got["d2"][1] == 0.0 and got["d3"][1] == 0.0
+    assert got["c2"][0] == 0.0 and got["c3"][0] == 0.0
+    # c1 has both roles in this graph
+    assert got["c1"][0] > 0.0 and got["c1"][1] > 0.0
+
+    got2 = {r.ent: (r.hub, r.auth) for r in hits(df.repartition(5)).collect()}
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="iterations"):
+        hits(df, iterations=0)
