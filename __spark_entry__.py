@@ -1909,6 +1909,63 @@ def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_removal(docs, k=8)
 
 
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (operators/analysis.py:binary_auc,
+    Mann-Whitney with exact tie handling): md5-uniform scores vs a
+    length-derived label over documents. The numerator is an integer by
+    construction (2*cum+nn trick), so both engines produce the identical
+    double; the prefix sum is two-level range-bucketed — no global sort.
+    Oracle: one-window SQL replay of the same rational formula."""
+    from omop2obo_spark.operators.analysis import binary_auc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("n_chars").isNotNull()
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("auc0|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint").cast("double") + 0.5
+    ) / F.lit(float(2**32))
+    scored = docs.select(
+        u.alias("score"), (F.col("n_chars") > 250).cast("int").alias("y")
+    )
+    return binary_auc(scored, "score", "y", n_buckets=64)
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/analysis.py:calibration_bins)
+    for a synthetically well-calibrated scorer: score = clamped length
+    fraction, label drawn as (md5-uniform < score) — so per-bin confidence
+    tracks accuracy and the gap column stays small. One map-side-combined
+    groupBy on the bin id. Oracle: identical bin arithmetic in SQL."""
+    from omop2obo_spark.operators.analysis import calibration_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("n_chars").isNotNull()
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cal0|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint").cast("double") + 0.5
+    ) / F.lit(float(2**32))
+    score = F.least(F.col("n_chars") / F.lit(600.0), F.lit(1.0))
+    scored = docs.select(score.alias("score"), (u < score).cast("int").alias("y"))
+    return calibration_bins(scored, "score", "y", n_bins=10)
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift terms (operators/analysis.py:
+    psi_drift) between two deterministic document snapshots (doc_id mod 3
+    split) over the language column — the corpus-drift monitor a refreshed
+    crawl pipeline runs per ingest. Two map-side-combined counts + a tiny
+    full-outer category join; totals via 1-row broadcast cross-joins.
+    Oracle: identical share/eps/ln arithmetic in SQL."""
+    from omop2obo_spark.operators.analysis import psi_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    act = docs.filter(F.col("doc_id") % 3 != 0)
+    return psi_drift(base, act, "lang")
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key (operators/layout.py): equi-width-bucket the
     (user_id, event-time) plane of the events table from its own exact
@@ -2193,6 +2250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample_group": q_weighted_sample_group,
         "q_dup_span": q_dup_span,
         "q_zorder": q_zorder,
+        "q_auc": q_auc,
+        "q_calibration": q_calibration,
+        "q_psi": q_psi,
         "q_token_mixture": q_token_mixture,
         "q_bpe_train": q_bpe_train,
         "q_negative_sampling": q_negative_sampling,
@@ -4471,6 +4531,73 @@ LEFT JOIN removed USING (pred)""",
             )
         )
         WHERE rank <= 40
+    """
+
+    # AUC replay: same md5-uniform score, same integer-numerator rank-sum
+    sqls["q_auc"] = """
+        WITH scored AS (
+            SELECT (('0x' || substr(md5('auc0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0 AS score,
+                   CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS y
+            FROM documents
+            WHERE n_chars IS NOT NULL
+        ),
+        per AS (SELECT score, sum(y) AS np, sum(1 - y) AS nn FROM scored GROUP BY score),
+        cum AS (
+            SELECT score, np, nn,
+                   coalesce(sum(nn) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM per
+        )
+        SELECT CAST(sum(np * (2 * cb + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)) AS auc,
+               CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg
+        FROM cum
+    """
+
+    # calibration replay: identical clamp/bin/md5-label arithmetic
+    sqls["q_calibration"] = """
+        WITH scored AS (
+            SELECT least(n_chars / 600.0, 1.0) AS score,
+                   CASE WHEN (('0x' || substr(md5('cal0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                              + 0.5) / 4294967296.0 < least(n_chars / 600.0, 1.0)
+                        THEN 1 ELSE 0 END AS y
+            FROM documents
+            WHERE n_chars IS NOT NULL
+        ),
+        binned AS (
+            SELECT least(greatest(CAST(floor(score * 10) AS BIGINT), 0), 9) AS bin,
+                   score, y
+            FROM scored
+        ),
+        agg AS (
+            SELECT bin, count(*) AS n,
+                   round(avg(score), 9) AS conf,
+                   round(avg(y), 9) AS acc
+            FROM binned GROUP BY bin
+        )
+        SELECT bin, n, conf, acc, round(abs(conf - acc), 9) AS gap FROM agg
+    """
+
+    # PSI replay: identical share/eps-floor/ln arithmetic, NULL bucket kept
+    sqls["q_psi"] = """
+        WITH b AS (
+            SELECT coalesce(lang, '__null__') AS cat, count(*) AS n
+            FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+        ),
+        a AS (
+            SELECT coalesce(lang, '__null__') AS cat, count(*) AS n
+            FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1
+        ),
+        sh AS (
+            SELECT coalesce(b.cat, a.cat) AS cat,
+                   greatest(coalesce(CAST(b.n AS DOUBLE) / (SELECT sum(n) FROM b), 0.0), 1e-6) AS p,
+                   greatest(coalesce(CAST(a.n AS DOUBLE) / (SELECT sum(n) FROM a), 0.0), 1e-6) AS q
+            FROM b FULL JOIN a ON b.cat = a.cat
+        )
+        SELECT cat, round(p, 9) AS p, round(q, 9) AS q,
+               round((p - q) * ln(p / q), 9) AS psi_term
+        FROM sh
     """
 
     # Z-order replay: exact integer equi-width buckets from the corpus's own

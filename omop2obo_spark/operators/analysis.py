@@ -296,3 +296,158 @@ def min_max_scale(
         (F.col(value_col) - lo).cast("double") / rng.cast("double")
     )
     return df.withColumn(out_col, F.round(scaled, 6))
+
+
+# ---------------------------------------------------------------------------
+# training-eval metrics: exact AUC, calibration/ECE, PSI drift
+# ---------------------------------------------------------------------------
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact ROC-AUC of a binary classifier (quality model, dedup scorer)
+    over an arbitrarily large frame — the Mann-Whitney rank-sum
+    formulation with exact tie handling:
+
+        AUC = sum_s  np(s) * (2 * cum_nn_below(s) + nn(s))  /  (2 * P * N)
+
+    where the sum runs over DISTINCT scores. The numerator is an integer,
+    so the result is a rational number both engines compute bit-identically
+    (one double division at the end).
+
+    Scale shape: one map-side-combined groupBy on the score value, then a
+    two-level prefix sum for the cumulative negative count — scores are
+    range-bucketed by value (``lo``/``hi`` bound the score domain, e.g.
+    [0,1] for probabilities; out-of-range clamps into the edge buckets),
+    per-bucket totals broadcast as offsets, and the within-bucket window
+    sees only ~1/``n_buckets`` of the distinct scores. No global sort, no
+    single-partition window, NULL scores/labels excluded. Output: one row
+    (auc, n_pos, n_neg).
+    """
+    if hi <= lo:
+        raise ValueError(f"hi must exceed lo, got [{lo}, {hi}]")
+    if not 1 <= n_buckets <= 100_000:
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    per_score = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("score"))
+        .agg(
+            F.sum(y).cast("bigint").alias("np"),
+            F.sum(1 - y).cast("bigint").alias("nn"),
+        )
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("score") - F.lit(lo)) / F.lit(hi - lo) * n_buckets).cast("bigint"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    keyed = per_score.withColumn("__b", bucket)
+    per_bucket = keyed.groupBy("__b").agg(F.sum("nn").alias("__bn"))
+    w_dim = Window.orderBy("__b")  # n_buckets rows — single partition is the point
+    offsets = per_bucket.select(
+        "__b", (F.sum("__bn").over(w_dim) - F.col("__bn")).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy("score")
+    cum = (
+        keyed.join(F.broadcast(offsets), on="__b")
+        .withColumn(
+            "cum_nn_below",
+            F.col("__off") + F.sum("nn").over(w_in) - F.col("nn"),
+        )
+    )
+    return cum.agg(
+        (
+            F.sum(F.col("np") * (2 * F.col("cum_nn_below") + F.col("nn"))).cast("double")
+            / (2.0 * F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Reliability diagram cells for a probability-scored classifier:
+    equi-width bins over [0, 1], per bin the count, mean predicted score
+    (confidence) and mean label (accuracy), and the |conf - acc| gap —
+    the per-bin form of expected calibration error; ``ECE`` is then
+    ``sum(n/total * gap)`` (one more aggregate, see q_calibration).
+
+    One map-side-combined groupBy on the bin id; means are 9-dec-rounded
+    so cross-engine float-sum order can't cross a compare boundary.
+    NULL scores/labels excluded; scores clamp into the edge bins.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.greatest(F.floor(s * n_bins).cast("bigint"), F.lit(0)), F.lit(n_bins - 1)
+    )
+    out = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(s), round_dp).alias("conf"),
+            F.round(F.avg(y), round_dp).alias("acc"),
+        )
+    )
+    return out.withColumn("gap", F.round(F.abs(F.col("conf") - F.col("acc")), round_dp))
+
+
+def psi_drift(
+    baseline: DataFrame,
+    actual: DataFrame,
+    cat_col: str,
+    eps: float = 1e-6,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Population stability index terms between two corpus snapshots over
+    a categorical column (source, language, quality bin): per category,
+    baseline share ``p``, actual share ``q`` (both floored at ``eps`` so
+    one-sided categories stay finite — the standard PSI convention), and
+    the term ``(p - q) * ln(p / q)``; total PSI is ``sum(term)``
+    (>0.25 = major shift in the usual reading).
+
+    Scale shape: one map-side-combined count per side on the coarse
+    category key, full-outer joined on the category dimension (tiny);
+    totals enter as 1-row broadcast cross-joins. NULL categories count as
+    their own bucket (drift in missingness is drift).
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps}")
+
+    def shares(frame: DataFrame, name: str) -> DataFrame:
+        c = frame.groupBy(
+            F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias("cat")
+        ).agg(F.count("*").alias("__n"))
+        tot = c.agg(F.sum("__n").alias("__t"))
+        return c.crossJoin(F.broadcast(tot)).select(
+            "cat", (F.col("__n") / F.col("__t")).alias(name)
+        )
+
+    joined = shares(baseline, "p").join(shares(actual, "q"), on="cat", how="full")
+    p = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(float(eps)))
+    q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(float(eps)))
+    return joined.select(
+        "cat",
+        F.round(p, round_dp).alias("p"),
+        F.round(q, round_dp).alias("q"),
+        F.round((p - q) * F.log(p / q), round_dp).alias("psi_term"),
+    )

@@ -313,3 +313,93 @@ def test_extract_features_real_png_path(spark):
         vec = feats[i]
         assert vec[(i * 60) // 64] == pytest.approx(1.0)
         assert sum(vec) == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# training-eval metrics: binary_auc / calibration_bins / psi_drift
+# ---------------------------------------------------------------------------
+
+
+def test_binary_auc_matches_pairwise_definition(spark):
+    """Exact AUC vs the brute-force pairwise definition
+    (wins + ties/2) / (P*N), including tied scores; NULLs excluded;
+    perfect and inverted classifiers hit 1.0 / 0.0; bucketing choice
+    cannot change the result."""
+    from omop2obo_spark.operators.analysis import binary_auc
+
+    rows = [
+        (0.1, 0), (0.2, 0), (0.2, 1), (0.35, 0), (0.5, 1), (0.5, 0),
+        (0.5, 1), (0.7, 1), (0.9, 1), (0.9, 0), (None, 1), (0.4, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = binary_auc(df, "score", "label").collect()[0]
+
+    clean = [(s, y) for s, y in rows if s is not None and y is not None]
+    pos = [s for s, y in clean if y == 1]
+    neg = [s for s, y in clean if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + ties / 2) / (len(pos) * len(neg))
+    assert got.auc == pytest.approx(want, abs=1e-12)
+    assert got.n_pos == len(pos) and got.n_neg == len(neg)
+
+    # bucketing granularity must not matter (two-level prefix sum is exact)
+    got2 = binary_auc(df.repartition(7), "score", "label", n_buckets=3).collect()[0]
+    assert got2.auc == pytest.approx(want, abs=1e-12)
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, label int"
+    )
+    assert binary_auc(perfect, "score", "label").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "score double, label int"
+    )
+    assert binary_auc(inverted, "score", "label").collect()[0].auc == 0.0
+    with pytest.raises(ValueError, match="hi must exceed lo"):
+        binary_auc(df, "score", "label", lo=1.0, hi=0.0)
+
+
+def test_calibration_bins_and_ece(spark):
+    from omop2obo_spark.operators.analysis import calibration_bins
+
+    rows = [(0.05, 0), (0.08, 0), (0.55, 1), (0.52, 0), (1.0, 1), (0.95, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r.bin: (r.n, r.conf, r.acc, r.gap) for r in calibration_bins(df, "score", "label", n_bins=10).collect()}
+    # score 1.0 clamps into bin 9
+    assert set(got) == {0, 5, 9}
+    assert got[0] == (2, round((0.05 + 0.08) / 2, 9), 0.0, round((0.05 + 0.08) / 2, 9))
+    assert got[5][0] == 2 and got[5][2] == 0.5
+    assert got[9] == (2, round((1.0 + 0.95) / 2, 9), 1.0, round(abs(0.975 - 1.0), 9))
+    # ECE composition: sum(n/N * gap)
+    ece = sum(n * gap for n, _, _, gap in got.values()) / sum(n for n, *_ in got.values())
+    assert 0.0 <= ece <= 1.0
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "score", "label", n_bins=0)
+
+
+def test_psi_drift_terms(spark):
+    from omop2obo_spark.operators.analysis import psi_drift
+
+    base = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "cat string"
+    )
+    same = psi_drift(base, base, "cat").collect()
+    assert all(r.psi_term == 0.0 for r in same)  # identical shares -> 0 exactly
+
+    act = spark.createDataFrame(
+        [("a",)] * 20 + [("b",)] * 30 + [("d",)] * 50, "cat string"
+    )
+    got = {r.cat: r for r in psi_drift(base, act, "cat").collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    # hand-computed: p_a=0.5, q_a=0.2 -> (0.3)*ln(2.5)
+    assert got["a"].psi_term == pytest.approx(0.3 * math.log(2.5), abs=1e-9)
+    assert got["b"].psi_term == 0.0
+    # one-sided categories floored at eps, still finite and positive
+    assert got["c"].psi_term > 0 and got["d"].psi_term > 0
+    assert got["c"].q == 1e-6 and got["d"].p == 1e-6
+
+    # NULL categories are their own drift bucket
+    base_n = spark.createDataFrame([("a",), (None,)], "cat string")
+    act_n = spark.createDataFrame([("a",), ("a",)], "cat string")
+    cats = {r.cat for r in psi_drift(base_n, act_n, "cat").collect()}
+    assert "__null__" in cats
