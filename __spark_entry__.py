@@ -1966,6 +1966,23 @@ def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(base, act, "lang")
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/pack.py:curriculum_order): global
+    0-based training position of every document in (length, doc_id)
+    order via the two-level range-bucketed prefix sum — no global sort,
+    no single-partition window. Oracle: the naive one-window
+    row_number, which the bucketed spelling must be indistinguishable
+    from."""
+    from omop2obo_spark.operators.pack import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return curriculum_order(docs, "n_chars", n_buckets=32).select(
+        "doc_id", "n_chars", "pos"
+    )
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key (operators/layout.py): equi-width-bucket the
     (user_id, event-time) plane of the events table from its own exact
@@ -2253,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc": q_auc,
         "q_calibration": q_calibration,
         "q_psi": q_psi,
+        "q_curriculum": q_curriculum,
         "q_token_mixture": q_token_mixture,
         "q_bpe_train": q_bpe_train,
         "q_negative_sampling": q_negative_sampling,
@@ -4531,6 +4549,15 @@ LEFT JOIN removed USING (pred)""",
             )
         )
         WHERE rank <= 40
+    """
+
+    # curriculum replay: the flat one-window global row_number spec
+    sqls["q_curriculum"] = """
+        SELECT doc_id, n_chars,
+               CAST(row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM documents
+        WHERE n_chars IS NOT NULL
     """
 
     # AUC replay: same md5-uniform score, same integer-numerator rank-sum

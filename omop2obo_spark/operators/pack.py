@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 # Sizing target for the derived bucket count: one applyInPandas group
 # materializes ~(id, bucket, tokens) per doc — a few dozen bytes — so
@@ -190,4 +191,65 @@ def assign_shards(
     return (
         df.withColumn("shard_id", sid)
         .withColumn("shard_pos", F.row_number().over(w).cast("long") - 1)
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    order_col: str,
+    key_col: str = "doc_id",
+    n_buckets: int = 256,
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Global 0-based training position of every row in ``(order_col,
+    key_col)`` ascending order — curriculum ordering (easy-to-hard by a
+    difficulty score) as a deterministic column, WITHOUT a global sort.
+
+    The naive spelling is ``row_number() OVER (ORDER BY score)`` — a
+    single-partition sort of the corpus. This is the two-level prefix sum
+    (the :func:`~omop2obo_spark.operators.kg_train.entity_index` shape,
+    generalized to an arbitrary numeric order): value-monotone range
+    buckets, per-bucket counts broadcast as offsets, and a within-bucket
+    row_number bounded to ~1/``n_buckets`` of the corpus. Equi-width
+    buckets come from the corpus's own min/max (1-row broadcast bounds);
+    for skewed scores pass ``boundaries`` (e.g. from
+    ``layout.quantile_buckets``) to equi-populate the buckets instead.
+    NULL scores are excluded (no defined position). Descending curricula:
+    negate the score. Output: input columns + ``pos`` (bigint).
+
+    Ties order by ``key_col``, so the result is a pure function of the
+    data — partitioning- and engine-independent.
+    """
+    if not 1 <= n_buckets <= 100_000:
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    from omop2obo_spark.operators.layout import rank_bucket
+
+    v = F.col(order_col).cast("double")
+    clean = docs.filter(v.isNotNull())
+    if boundaries is not None:
+        keyed = clean.withColumn("__b", rank_bucket(v, boundaries))
+    else:
+        bounds = clean.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        span = F.col("__hi") - F.col("__lo")
+        b = F.when(span <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.floor((v - F.col("__lo")) / span * n_buckets).cast("bigint"),
+                F.lit(n_buckets - 1),
+            )
+        )
+        keyed = (
+            clean.crossJoin(F.broadcast(bounds))
+            .withColumn("__b", b)
+            .drop("__lo", "__hi")
+        )
+    per_bucket = keyed.groupBy("__b").agg(F.count("*").alias("__n"))
+    w_dim = Window.orderBy("__b")  # n_buckets rows — single partition is the point
+    offsets = per_bucket.select(
+        "__b", (F.sum("__n").over(w_dim) - F.col("__n")).alias("__off")
+    )
+    w_in = Window.partitionBy("__b").orderBy(v.asc(), F.col(key_col).asc())
+    return (
+        keyed.join(F.broadcast(offsets), on="__b")
+        .withColumn("pos", (F.col("__off") + F.row_number().over(w_in) - 1).cast("bigint"))
+        .drop("__b", "__off")
     )

@@ -1746,3 +1746,62 @@ def test_duplicate_span_removal_model_parity(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         duplicate_span_removal(docs, k=1)
+
+
+def test_curriculum_order_matches_global_sort(spark):
+    """Two-level prefix-sum curriculum position == the naive global
+    row_number, under equi-width AND quantile boundaries, with skewed
+    scores, ties broken by key, NULLs excluded, partitioning-independent."""
+    from omop2obo_spark.operators.layout import quantile_buckets
+    from omop2obo_spark.operators.pack import curriculum_order
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        # 90% of mass at small scores, ties everywhere, a long tail
+        F.when(F.col("id") < 1800, (F.col("id") % 7).cast("double"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("score"),
+    )
+    with_null = docs.union(
+        spark.createDataFrame([(99999, None)], "doc_id long, score double")
+    )
+
+    rows = sorted(
+        (r.pos, r.doc_id)
+        for r in curriculum_order(with_null, "score").collect()
+    )
+    want = [
+        (i, d)
+        for i, (s, d) in enumerate(
+            sorted((r.score, r.doc_id) for r in docs.collect())
+        )
+    ]
+    assert rows == want                      # exact global order, NULL dropped
+    assert len(rows) == 2000
+
+    # quantile boundaries give the identical positions (order is order)
+    bounds = quantile_buckets(docs, "score", bits=4)
+    rows_q = sorted(
+        (r.pos, r.doc_id)
+        for r in curriculum_order(docs, "score", boundaries=bounds).collect()
+    )
+    assert rows_q == want
+
+    # partitioning independence
+    rows_p = sorted(
+        (r.pos, r.doc_id)
+        for r in curriculum_order(docs.repartition(13), "score", n_buckets=5).collect()
+    )
+    assert rows_p == want
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        curriculum_order(docs, "score", n_buckets=0)
+
+
+def test_curriculum_order_constant_score(spark):
+    """A constant score column (span 0) degrades to key order, not a crash."""
+    from omop2obo_spark.operators.pack import curriculum_order
+
+    df = spark.createDataFrame([(3, 1.0), (1, 1.0), (2, 1.0)], "doc_id long, score double")
+    got = sorted((r.pos, r.doc_id) for r in curriculum_order(df, "score").collect())
+    assert got == [(0, 1), (1, 2), (2, 3)]
