@@ -305,3 +305,89 @@ def stream_mention_rates(
         .outputMode("append")
         .trigger(availableNow=True)
     )
+
+
+def stream_drift_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    baseline: DataFrame,
+    schema,
+    cat_col: str = "lang",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    eps: float = 1e-6,
+):
+    """Streaming corpus-drift monitor — the incremental face of
+    operators/analysis.py:psi_drift. Per closed event-time window, emit
+    the PSI terms of the window's category shares against a STATIC
+    baseline snapshot: ingestion keeps flowing, and a window whose total
+    PSI spikes (>0.25 in the usual reading) flags a crawl/source shift
+    the moment its watermark closes.
+
+    Structure: a watermarked tumbling-window count per (window, cat) is
+    the only stateful operator (state bounded by live windows x category
+    cardinality); append mode hands each closed window to ``foreachBatch``
+    exactly once and in full, so the batch side can compute per-window
+    totals, full-outer-join the (tiny, precomputed-once) baseline share
+    dim, and apply the identical eps-floor/ln arithmetic as the batch
+    operator — then append to parquet. Late rows inside the horizon count;
+    later ones are dropped, never double-emitted.
+
+    NULL categories count as their own bucket ('__null__'), like the
+    batch operator. Baseline categories with no traffic in a window get
+    an emitted row too (q floored at eps) — silence on a formerly-major
+    source IS drift.
+    """
+    base_counts = baseline.groupBy(
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias("cat")
+    ).agg(F.count("*").alias("__n"))
+    base_tot = base_counts.agg(F.sum("__n").alias("__t"))
+    base_shares = (
+        base_counts.crossJoin(F.broadcast(base_tot))
+        .select("cat", (F.col("__n") / F.col("__t")).alias("p"))
+        .localCheckpoint(eager=True)  # compute the dim once, not per batch
+    )
+
+    stream = (
+        spark.readStream.schema(schema).parquet(input_dir)
+        .withWatermark(ts_col, watermark)
+    )
+    win_counts = stream.groupBy(
+        F.window(F.col(ts_col), window).alias("win"),
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias("cat"),
+    ).agg(F.count("*").alias("n"))
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w_tot = batch_df.groupBy("win").agg(F.sum("n").alias("__t"))
+        shares = (
+            batch_df.join(w_tot, on="win")
+            .select("win", "cat", (F.col("n") / F.col("__t")).alias("q"))
+        )
+        # every closed window must see every baseline category
+        wins = batch_df.select("win").distinct()
+        full = wins.crossJoin(F.broadcast(base_shares)).join(
+            shares, on=["win", "cat"], how="full"
+        )
+        p = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(float(eps)))
+        q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(float(eps)))
+        out = full.select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "cat",
+            F.round(p, 9).alias("p"),
+            F.round(q, 9).alias("q"),
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        win_counts.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )

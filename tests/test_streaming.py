@@ -195,3 +195,63 @@ def test_stream_mention_rates_windowed_append(spark, tmp_path):
         (r.win_start.hour, r.n_links) for r in spark.read.parquet(out).collect()
     )
     assert got2 == [(0, 2), (1, 1), (2, 1)]
+
+
+def test_stream_drift_monitor_psi_per_closed_window(spark, tmp_path):
+    """Streaming PSI: each closed window emits its category-share drift vs
+    the static baseline exactly once — including eps-floored rows for
+    baseline categories absent from the window; open windows emit
+    nothing; values match the batch psi_drift arithmetic."""
+    import math
+    from datetime import datetime
+
+    import pytest
+
+    from omop2obo_spark.streaming.incremental import stream_drift_monitor
+
+    src = str(tmp_path / "din")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    schema = "doc_id long, lang string, ts timestamp"
+
+    baseline = spark.createDataFrame(
+        [(i, "en") for i in range(50)] + [(i, "fr") for i in range(50, 100)],
+        "doc_id long, lang string",
+    )
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, lang, datetime(2026, 1, 1, h, m)) for i, (lang, h, m) in enumerate(rows)],
+            schema,
+        ).write.mode("append").parquet(src)
+
+    # hour-0 window: 3 en, 1 de (a category the baseline lacks; fr silent)
+    # hour-1 row only advances the watermark enough to close hour 0
+    write([("en", 0, 5), ("en", 0, 15), ("en", 0, 25), ("de", 0, 35),
+           ("en", 1, 45)])
+    q = stream_drift_monitor(
+        spark, src, out, ckpt, baseline, schema, cat_col="lang"
+    ).start()
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.win_start.hour, r.cat): (r.p, r.q, r.psi_term) for r in rows}
+    assert set(got) == {(0, "en"), (0, "de"), (0, "fr")}
+
+    # batch-identical arithmetic
+    assert got[(0, "en")][0] == 0.5 and got[(0, "en")][1] == 0.75
+    assert got[(0, "en")][2] == pytest.approx(-0.25 * math.log(0.5 / 0.75), abs=1e-9)
+    assert got[(0, "de")][0] == 1e-6 and got[(0, "de")][1] == 0.25  # unseen in baseline
+    assert got[(0, "fr")][0] == 0.5 and got[(0, "fr")][1] == 1e-6   # silent source drifts
+    assert got[(0, "fr")][2] > 0
+
+    # advancing the watermark far closes hour 1; hour 0 is NOT re-emitted
+    write([("fr", 5, 0)])
+    q = stream_drift_monitor(
+        spark, src, out, ckpt, baseline, schema, cat_col="lang"
+    ).start()
+    q.awaitTermination(180)
+    rows2 = spark.read.parquet(out).collect()
+    hours = sorted(r.win_start.hour for r in rows2 if r.cat == "en")
+    assert hours == [0, 1]  # exactly once each
+    g1 = {r.cat: (r.p, r.q) for r in rows2 if r.win_start.hour == 1}
+    assert g1["en"] == (0.5, 1.0) and g1["fr"] == (0.5, 1e-6)
