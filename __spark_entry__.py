@@ -2254,14 +2254,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_umls_link": q_salted_umls_link,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
-        "q_rollup_revenue": q_rollup_revenue,
-        # -- round-3 additions (positions 47-50) ---------------------------
+        # -- round-3 additions (positions 47-50; q_rollup_revenue yields its
+        #    slot to q_wav_meta — it is the window's most standard-SQL entry,
+        #    tri-scale green in the strict local harness) -------------------
         "q_chi_square": q_chi_square,
         "q_minmax_scale": q_minmax_scale,
         "q_png_meta": q_png_meta,
         "q_wav_meta": q_wav_meta,
         # -- round-3 additions past the 50-row window (driver-gated on the
         #    next rotation; strict local harness + pytest gate them now) ----
+        "q_rollup_revenue": q_rollup_revenue,
         "q_atlas_export": q_atlas_export,
         "q_weighted_sample": q_weighted_sample,
         "q_weighted_sample_group": q_weighted_sample_group,
@@ -4344,8 +4346,9 @@ LEFT JOIN removed USING (pred)""",
     """
 
     # chi-square statistics mirror scipy.stats.chi2_contingency semantics:
-    # expected = row_tot * col_tot / grand, Yates (|o-e| - 0.5)^2 exactly
-    # when dof == 1. Every sum() that lands in an output column is CAST to
+    # expected = row_tot * col_tot / grand, Yates max(|o-e| - 0.5, 0)^2
+    # exactly when dof == 1 (the shift is clamped at |o-e|, like scipy's
+    # min(0.5, |o-e|)). Every sum() that lands in an output column is CAST to
     # BIGINT (DuckDB HUGEINT -> pandas float otherwise — the r1/r2 bug class).
     sqls["q_chi_square"] = """
         WITH cells AS (
@@ -4372,7 +4375,7 @@ LEFT JOIN removed USING (pred)""",
         omni AS (
             SELECT 'omnibus' AS comparison,
                    round(sum(CASE WHEN (nr - 1) * (nc - 1) = 1
-                                  THEN (abs(n - e) - 0.5) * (abs(n - e) - 0.5) / e
+                                  THEN greatest(abs(n - e) - 0.5, 0) * greatest(abs(n - e) - 0.5, 0) / e
                                   ELSE (n - e) * (n - e) / e END), 6) AS chi2,
                    CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
                    CAST(sum(n) AS BIGINT) AS n
@@ -4393,8 +4396,8 @@ LEFT JOIN removed USING (pred)""",
         pstat AS (
             SELECT row_a || '-' || row_b AS comparison,
                    round(sum(CASE WHEN ncols = 2
-                                  THEN (abs(na - e_a) - 0.5) * (abs(na - e_a) - 0.5) / e_a
-                                     + (abs(nb - e_b) - 0.5) * (abs(nb - e_b) - 0.5) / e_b
+                                  THEN greatest(abs(na - e_a) - 0.5, 0) * greatest(abs(na - e_a) - 0.5, 0) / e_a
+                                     + greatest(abs(nb - e_b) - 0.5, 0) * greatest(abs(nb - e_b) - 0.5, 0) / e_b
                                   ELSE (na - e_a) * (na - e_a) / e_a
                                      + (nb - e_b) * (nb - e_b) / e_b END), 6) AS chi2,
                    CAST(ncols - 1 AS BIGINT) AS dof,

@@ -44,8 +44,16 @@ def contingency_cells(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     The groupBy over the fact table is the scalable part; the dense
     completion is a cross join of two tiny distinct dimensions (categorical
     cardinalities), broadcast by AQE.
+
+    NULL categories count as their own ``'__null__'`` bucket (like
+    :func:`psi_drift`): the dense completion joins on equality, where a
+    raw NULL key would never match its own count row and ``fillna`` would
+    silently zero it out of the statistic.
     """
-    counts = df.groupBy(row_col, col_col).agg(F.count("*").alias("n"))
+    counts = df.select(
+        F.coalesce(F.col(row_col).cast("string"), F.lit("__null__")).alias(row_col),
+        F.coalesce(F.col(col_col).cast("string"), F.lit("__null__")).alias(col_col),
+    ).groupBy(row_col, col_col).agg(F.count("*").alias("n"))
     rows = counts.select(row_col).distinct()
     cols = counts.select(col_col).distinct()
     return (
@@ -59,9 +67,11 @@ def _chi2_terms(n, e, dof):
     """Per-cell chi-square contribution; Yates shift (0.5 toward expected)
     exactly when dof == 1, matching scipy's correction=True."""
     diff = F.abs(n - e)
-    # scipy shifts observed by 0.5*sign(expected-observed): the squared term
-    # is (|o-e| - 0.5)^2 whether or not that quantity went negative
-    corrected = (diff - F.lit(0.5)) * (diff - F.lit(0.5))
+    # scipy shifts observed by min(0.5, |o-e|) toward expected (the shift is
+    # CLAMPED — a cell already within 0.5 of expected contributes exactly 0,
+    # never a positive overshoot), so the squared term is max(|o-e|-0.5, 0)^2
+    shifted = F.greatest(diff - F.lit(0.5), F.lit(0.0))
+    corrected = shifted * shifted
     plain = diff * diff
     return F.when(dof == 1, corrected / e).otherwise(plain / e)
 

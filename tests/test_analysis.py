@@ -92,7 +92,7 @@ def _ref_chi2(table: list[list[int]]) -> tuple[float, int]:
             e = rt[i] * ct[j] / g
             d = abs(table[i][j] - e)
             if dof == 1:
-                d -= 0.5
+                d = max(d - 0.5, 0.0)  # scipy clamps the Yates shift at |o-e|
             chi2 += d * d / e
     return chi2, dof
 
