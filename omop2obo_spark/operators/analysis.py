@@ -89,7 +89,11 @@ def chi_square_pairs(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     test (their expected count would be zero; scipy raises on those), so
     each pair's dof is its own surviving-column count minus one.
     """
-    cells = contingency_cells(df, row_col, col_col).cache()
+    # Not cached: the cells plan is consumed exactly twice (omnibus +
+    # pairwise) and recomputing it is one small groupBy + broadcast cross
+    # join, whereas a .cache() here pins storage for the life of a
+    # long-running session with no owner to unpersist it.
+    cells = contingency_cells(df, row_col, col_col)
 
     # -- omnibus ------------------------------------------------------------
     w_all = Window.partitionBy()

@@ -141,6 +141,8 @@ def png_decode(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG: chunk {ctype!r} overruns payload")
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -231,8 +233,12 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + length > len(payload):
+            raise ValueError(f"truncated WAV: chunk {cid!r} overruns payload")
         body = payload[pos + 8 : pos + 8 + length]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV: fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

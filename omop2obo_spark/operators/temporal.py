@@ -448,7 +448,6 @@ def funnel_counts(
         if within_us is not None:
             agg_cols.append(F.first("__t0").alias("__t0"))  # constant per key
         stages.append(nxt.groupBy("__k").agg(*agg_cols))
-    spark = events.sparkSession
     counts = None
     for i, (step, df) in enumerate(zip(steps, stages)):
         row = df.agg(F.count("*").cast("long").alias("n_keys")).select(

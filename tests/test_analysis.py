@@ -270,6 +270,25 @@ def test_png_decode_rejects_corruption():
         png_decode(bytes(blob))
     with pytest.raises(ValueError, match="signature"):
         png_decode(b"notapng" + bytes(blob))
+    # blob cut mid-chunk must raise the documented ValueError, not struct.error
+    whole = png_encode(img)
+    for cut in (len(whole) - 3, 14, 9):
+        with pytest.raises(ValueError, match="truncated|missing IHDR"):
+            png_decode(whole[:cut])
+
+
+def test_wav_decode_rejects_truncation():
+    import struct as _struct
+
+    s = np.arange(8, dtype=np.int16)
+    whole = wav_encode(s, 8000)
+    # cut inside the data chunk body
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(whole[:-3])
+    # fmt chunk declaring 16 bytes but holding fewer
+    short_fmt = b"RIFF" + _struct.pack("<I", 16) + b"WAVE" + b"fmt " + _struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError, match="truncated WAV: fmt"):
+        wav_decode(short_fmt)
 
 
 def test_wav_round_trip_and_chunk_alignment():
