@@ -28,9 +28,11 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from omop2obo_spark.operators.prefix import two_level_prefix
 
 # ---------------------------------------------------------------------------
 # contingency counts
@@ -366,19 +368,7 @@ def binary_auc(
         F.lit(n_buckets - 1),
     )
     keyed = per_score.withColumn("__b", bucket)
-    per_bucket = keyed.groupBy("__b").agg(F.sum("nn").alias("__bn"))
-    w_dim = Window.orderBy("__b")  # n_buckets rows — single partition is the point
-    offsets = per_bucket.select(
-        "__b", (F.sum("__bn").over(w_dim) - F.col("__bn")).alias("__off")
-    )
-    w_in = Window.partitionBy("__b").orderBy("score")
-    cum = (
-        keyed.join(F.broadcast(offsets), on="__b")
-        .withColumn(
-            "cum_nn_below",
-            F.col("__off") + F.sum("nn").over(w_in) - F.col("nn"),
-        )
-    )
+    cum = two_level_prefix(keyed, ["score"], "cum_nn_below", weight_col="nn")
     return cum.agg(
         (
             F.sum(F.col("np") * (2 * F.col("cum_nn_below") + F.col("nn"))).cast("double")
@@ -447,21 +437,40 @@ def psi_drift(
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
 
-    def shares(frame: DataFrame, name: str) -> DataFrame:
-        c = frame.groupBy(
-            F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias("cat")
-        ).agg(F.count("*").alias("__n"))
-        tot = c.agg(F.sum("__n").alias("__t"))
-        return c.crossJoin(F.broadcast(tot)).select(
-            "cat", (F.col("__n") / F.col("__t")).alias(name)
-        )
+    joined = psi_category_shares(baseline, cat_col, "p").join(
+        psi_category_shares(actual, cat_col, "q"), on="cat", how="full"
+    )
+    return joined.select("cat", *psi_term_columns(eps, round_dp))
 
-    joined = shares(baseline, "p").join(shares(actual, "q"), on="cat", how="full")
+
+def psi_category_shares(frame: DataFrame, cat_col: str, name: str) -> DataFrame:
+    """``(cat, <name>)`` share dimension for PSI: map-side-combined count
+    per category (NULL → ``'__null__'`` bucket) divided by a 1-row
+    broadcast total. Shared by :func:`psi_drift` and the streaming face
+    (``streaming.incremental.stream_drift_monitor``) so the two can never
+    drift apart arithmetically.
+    """
+    c = frame.groupBy(
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias("cat")
+    ).agg(F.count("*").alias("__n"))
+    tot = c.agg(F.sum("__n").alias("__t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "cat", (F.col("__n") / F.col("__t")).alias(name)
+    )
+
+
+def psi_term_columns(eps: float, round_dp: int = 9) -> list[Column]:
+    """The PSI output columns ``[p, q, psi_term]`` over input columns
+    ``p``/``q`` (either may be NULL from a full-outer join): both floored
+    at ``eps``, term ``(p - q) * ln(p / q)``, all rounded to ``round_dp``.
+    One definition for the batch operator and the streaming monitor —
+    the streaming docstring's "batch-identical eps/ln arithmetic"
+    guarantee is enforced here, not by copy-paste.
+    """
     p = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(float(eps)))
     q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(float(eps)))
-    return joined.select(
-        "cat",
+    return [
         F.round(p, round_dp).alias("p"),
         F.round(q, round_dp).alias("q"),
         F.round((p - q) * F.log(p / q), round_dp).alias("psi_term"),
-    )
+    ]

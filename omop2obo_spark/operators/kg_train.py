@@ -18,7 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from omop2obo_spark.operators.prefix import two_level_prefix
 
 
 def entity_index(entities: DataFrame, ent_col: str = "ent", n_buckets: int = 256) -> DataFrame:
@@ -28,12 +29,10 @@ def entity_index(entities: DataFrame, ent_col: str = "ent", n_buckets: int = 256
     partitioning, insertion order, and engine.
 
     The naive spelling is one global ``row_number`` window — a
-    single-partition sort of the whole dimension. This is the two-level
-    prefix sum (same shape as textstats.token_budget_mixture): md5-prefix
-    RANGE buckets (monotone in the hash, so bucket order concatenates to
-    global hash order; uniform because the hash is), per-bucket counts
-    into a tiny broadcast offset dim, and a within-bucket ``row_number``
-    bounded to ~1/``n_buckets`` of the dimension.
+    single-partition sort of the whole dimension. This uses the shared
+    :func:`~omop2obo_spark.operators.prefix.two_level_prefix` scaffold
+    over md5-prefix RANGE buckets (monotone in the hash, so bucket order
+    concatenates to global hash order; uniform because the hash is).
     """
     if not 1 <= n_buckets <= 256:
         raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
@@ -44,16 +43,7 @@ def entity_index(entities: DataFrame, ent_col: str = "ent", n_buckets: int = 256
     keyed = entities.select(F.col(ent_col).alias("ent")).distinct().select(
         "ent", h.alias("__h"), bucket.alias("__b")
     )
-    per_bucket = keyed.groupBy("__b").agg(F.count("*").alias("__n"))
-    w_dim = Window.orderBy("__b")  # n_buckets rows — single partition is the point
-    offsets = per_bucket.select(
-        "__b", (F.sum("__n").over(w_dim) - F.col("__n")).alias("__off")
-    )
-    w_in = Window.partitionBy("__b").orderBy("__h", "ent")
-    return (
-        keyed.join(F.broadcast(offsets), on="__b")
-        .select("ent", (F.col("__off") + F.row_number().over(w_in) - 1).alias("idx"))
-    )
+    return two_level_prefix(keyed, ["__h", "ent"], "idx").select("ent", "idx")
 
 
 def negative_sampling(

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from omop2obo_spark.operators.prefix import two_level_prefix
+
 # Sizing target for the derived bucket count: one applyInPandas group
 # materializes ~(id, bucket, tokens) per doc — a few dozen bytes — so
 # 250k docs/bucket keeps a group in the tens of MB, far under executor
@@ -242,14 +244,8 @@ def curriculum_order(
             .withColumn("__b", b)
             .drop("__lo", "__hi")
         )
-    per_bucket = keyed.groupBy("__b").agg(F.count("*").alias("__n"))
-    w_dim = Window.orderBy("__b")  # n_buckets rows — single partition is the point
-    offsets = per_bucket.select(
-        "__b", (F.sum("__n").over(w_dim) - F.col("__n")).alias("__off")
-    )
-    w_in = Window.partitionBy("__b").orderBy(v.asc(), F.col(key_col).asc())
     return (
-        keyed.join(F.broadcast(offsets), on="__b")
-        .withColumn("pos", (F.col("__off") + F.row_number().over(w_in) - 1).cast("bigint"))
-        .drop("__b", "__off")
+        two_level_prefix(keyed, [v.asc(), F.col(key_col).asc()], "pos")
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .drop("__b")
     )

@@ -417,6 +417,25 @@ def stratified_sample(
     )
 
 
+def _ares_key(key_col: str, weight_col: str, salt: str) -> Column:
+    """Efraimidis–Spirakis A-Res selection key as one deterministic native
+    expression: ``round(-ln(u)/w, 9)`` with ``u`` the md5-uniform of
+    (salt, key) — ``(bucket + 0.5) / 2^32`` over the first 8 hex digits.
+
+    Shared by :func:`weighted_sample` and :func:`weighted_sample_per_group`
+    — the two MUST stay bit-identical (their DuckDB oracles replay this
+    exact arithmetic in SQL), so the expression lives in one place. The
+    9-decimal rounding keeps the selection boundary engine-stable
+    (ln/div differ by ≤1 ulp across libms).
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    u = (bucket.cast("double") + 0.5) / F.lit(float(2**32))
+    return F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+
+
 def weighted_sample(
     docs: DataFrame,
     k: int,
@@ -442,15 +461,9 @@ def weighted_sample(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
-        16, 10,
-    ).cast("bigint")
-    u = (bucket.cast("double") + 0.5) / F.lit(float(2**32))
-    es_key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
     return (
         docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("es_key", es_key)
+        .withColumn("es_key", _ares_key(key_col, weight_col, salt))
         .orderBy("es_key", key_col)
         .limit(k)
     )
@@ -497,7 +510,7 @@ def token_budget_mixture(
         raise ValueError(f"budgets must be >= 0, got {bad}")
     if not 1 <= n_buckets <= 256:
         raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
-    from pyspark.sql.window import Window
+    from omop2obo_spark.operators.prefix import two_level_prefix
 
     h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
     # range bucket on the first hash byte: floor(byte * n / 256) is
@@ -512,16 +525,13 @@ def token_budget_mixture(
             F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("__t"),
         )
     )
-    per_bucket = keyed.groupBy(source_col, "__b").agg(F.sum("__t").alias("__bt"))
-    w_dim = Window.partitionBy(source_col).orderBy("__b")
-    offsets = per_bucket.select(
-        source_col,
-        "__b",
-        (F.sum("__bt").over(w_dim) - F.col("__bt")).alias("__off"),
-    )
-    w_in = Window.partitionBy(source_col, "__b").orderBy("__h", key_col)
-    scanned = keyed.join(F.broadcast(offsets), on=[source_col, "__b"]).withColumn(
-        "cum_tokens", F.col("__off") + F.sum("__t").over(w_in)
+    scanned = two_level_prefix(
+        keyed,
+        ["__h", key_col],
+        "cum_tokens",
+        weight_col="__t",
+        group_cols=[source_col],
+        inclusive=True,
     )
     budget_expr = F.lit(None).cast("long")
     for s in sorted(budgets):
@@ -1149,16 +1159,10 @@ def weighted_sample_per_group(
         raise ValueError(f"k must be positive, got {k}")
     from pyspark.sql.window import Window
 
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))), 1, 8),
-        16, 10,
-    ).cast("bigint")
-    u = (bucket.cast("double") + 0.5) / F.lit(float(2**32))
-    es_key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
     w = Window.partitionBy(*group_cols).orderBy("es_key", key_col)
     return (
         docs.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("es_key", es_key)
+        .withColumn("es_key", _ares_key(key_col, weight_col, salt))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

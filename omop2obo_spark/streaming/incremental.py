@@ -341,14 +341,13 @@ def stream_drift_monitor(
     an emitted row too (q floored at eps) — silence on a formerly-major
     source IS drift.
     """
-    base_counts = baseline.groupBy(
-        F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias("cat")
-    ).agg(F.count("*").alias("__n"))
-    base_tot = base_counts.agg(F.sum("__n").alias("__t"))
-    base_shares = (
-        base_counts.crossJoin(F.broadcast(base_tot))
-        .select("cat", (F.col("__n") / F.col("__t")).alias("p"))
-        .localCheckpoint(eager=True)  # compute the dim once, not per batch
+    from omop2obo_spark.operators.analysis import (
+        psi_category_shares,
+        psi_term_columns,
+    )
+
+    base_shares = psi_category_shares(baseline, cat_col, "p").localCheckpoint(
+        eager=True  # compute the dim once, not per batch
     )
 
     stream = (
@@ -373,15 +372,11 @@ def stream_drift_monitor(
         full = wins.crossJoin(F.broadcast(base_shares)).join(
             shares, on=["win", "cat"], how="full"
         )
-        p = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(float(eps)))
-        q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(float(eps)))
         out = full.select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
             "cat",
-            F.round(p, 9).alias("p"),
-            F.round(q, 9).alias("q"),
-            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+            *psi_term_columns(eps),  # identical arithmetic to psi_drift
         )
         out.write.mode("append").parquet(output_dir)
 
