@@ -2190,6 +2190,37 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["signup", "view", "click", "purchase"])
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle
+    (operators/pack.py:epoch_shuffle): every document's global position
+    in (md5('ep|1|'||doc_id), doc_id) order via the shared two-level
+    range-bucketed prefix sum — no global sort, no rand(). Oracle: the
+    naive one-window row_number over the identical hash, which the
+    bucketed spelling must be indistinguishable from."""
+    from omop2obo_spark.operators.pack import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return epoch_shuffle(docs, epoch=1, n_buckets=32).select("doc_id", "pos")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier flags (operators/curate.py:
+    mad_outlier_flags): Iglewicz-Hoaglin modified z-score of n_chars
+    within each source — median/MAD via exact interpolated percentiles
+    (the oracle twin; approx=True is the sketch-bounded 100-TB path),
+    0.6745*|v-med|/mad rounded to 9 decimals on both engines, mad=0
+    groups pinned to NULL z / false. Oracle: DuckDB quantile_cont
+    replay of the same two-level median arithmetic."""
+    from omop2obo_spark.operators.curate import mad_outlier_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return mad_outlier_flags(docs, "n_chars", ["source"], k=3.5).select(
+        "doc_id", "source", "robust_z", "is_outlier"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2283,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_pq": q_ann_pq,
         "q_temperature_mix": q_temperature_mix,
         "q_funnel": q_funnel,
+        "q_epoch_shuffle": q_epoch_shuffle,
+        "q_mad_outliers": q_mad_outliers,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -4941,5 +4974,42 @@ LEFT JOIN removed USING (pred)""",
         UNION ALL SELECT 1, 'view', CAST((SELECT count(*) FROM s1) AS BIGINT)
         UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
         UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """
+
+    # epoch-shuffle replay: the flat one-window global row_number over the
+    # identical md5('ep|1|'||key) order that the bucketed prefix sum computes
+    sqls["q_epoch_shuffle"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5('ep|1|' || doc_id), doc_id) - 1
+                    AS BIGINT) AS pos
+        FROM documents
+    """
+
+    # MAD outlier replay: quantile_cont interpolates identically to Spark's
+    # exact percentile; z rounded to 9 dp on BOTH engines before the k
+    # comparison so the flag boundary is engine-stable; mad=0 -> NULL/false
+    sqls["q_mad_outliers"] = """
+        WITH vals AS (
+            SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS v FROM documents
+        ),
+        med AS (
+            SELECT source, quantile_cont(v, 0.5) AS med
+            FROM vals WHERE v IS NOT NULL GROUP BY source
+        ),
+        mad AS (
+            SELECT v2.source, quantile_cont(abs(v2.v - med.med), 0.5) AS mad
+            FROM vals v2 JOIN med ON v2.source = med.source
+            WHERE v2.v IS NOT NULL GROUP BY v2.source
+        )
+        SELECT doc_id, vals.source,
+               CASE WHEN v IS NOT NULL AND mad > 0
+                    THEN round(0.6745 * abs(v - med) / mad, 9) END AS robust_z,
+               coalesce(
+                   CASE WHEN v IS NOT NULL AND mad > 0
+                        THEN round(0.6745 * abs(v - med) / mad, 9) > 3.5 END,
+                   false) AS is_outlier
+        FROM vals
+        JOIN med ON vals.source = med.source
+        JOIN mad ON vals.source = mad.source
     """
     return sqls

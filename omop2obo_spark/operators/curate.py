@@ -317,3 +317,74 @@ def paragraph_dedup(
         )
         .select(*docs.columns, "n_paras", "n_kept")
     )
+
+
+def mad_outlier_flags(
+    docs: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+    approx: bool = False,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Robust per-group outlier flagging by the modified z-score
+    (Iglewicz-Hoaglin): per group, median ``med`` and median absolute
+    deviation ``mad`` of ``value_col``; each row gets ``robust_z =
+    0.6745 * |v - med| / mad`` and ``is_outlier = robust_z > k`` (their
+    recommended k=3.5 is the default). Median/MAD survive the heavy-tail
+    length and score distributions of web corpora where mean/stddev
+    rules (mu + 3 sigma) are dragged by the very outliers they hunt.
+
+    Degenerate groups (``mad = 0``: over half the group shares one
+    value) yield ``robust_z`` NULL and ``is_outlier = false`` — no
+    robust scale estimate means no evidence of outlierness; flagging
+    every non-modal row would be the wrong failure mode for a filter
+    that drops data. NULL values likewise get NULL z and false.
+
+    ``approx=False`` (default) uses exact interpolated percentiles —
+    the oracle-checkable twin (DuckDB ``quantile_cont`` interpolates
+    identically). ``approx=True`` switches both quantiles to
+    ``percentile_approx`` (GK sketch) — the 100-TB path: bounded memory
+    per group, no per-group value buffering. Group keys are
+    corpus-partition grain (source, language); two grouped aggregates +
+    two broadcast joins back, the fact table never re-shuffles.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    pct = (
+        (lambda c: F.percentile_approx(c, 0.5, 10_000))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(0.5)))
+    )
+
+    def grouped(frame: DataFrame, agg: Column):
+        return frame.groupBy(*gcols).agg(agg) if gcols else frame.agg(agg)
+
+    def attach(frame: DataFrame, dim: DataFrame) -> DataFrame:
+        return (
+            frame.join(F.broadcast(dim), on=gcols)
+            if gcols
+            else frame.crossJoin(F.broadcast(dim))
+        )
+
+    med_dim = grouped(docs.filter(v.isNotNull()), pct(v).alias("__med"))
+    with_med = attach(docs, med_dim)
+    dev = F.abs(v - F.col("__med"))
+    mad_dim = grouped(
+        with_med.filter(v.isNotNull()),
+        pct(F.abs(v - F.col("__med"))).alias("__mad"),
+    )
+    out = attach(with_med, mad_dim)
+    z = F.when(
+        v.isNotNull() & (F.col("__mad") > 0),
+        F.round(F.lit(0.6745) * dev / F.col("__mad"), round_dp),
+    )
+    return (
+        out.withColumn("robust_z", z)
+        .withColumn(
+            "is_outlier", F.coalesce(F.col("robust_z") > F.lit(float(k)), F.lit(False))
+        )
+        .drop("__med", "__mad")
+    )

@@ -249,3 +249,46 @@ def curriculum_order(
         .withColumn("pos", F.col("pos").cast("bigint"))
         .drop("__b")
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    key_col: str = "doc_id",
+    salt: str = "ep",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets ``pos``
+    in [0, N) equal to its rank in ``(md5(salt|epoch|key), key)`` order —
+    a different pseudorandom permutation per epoch, yet a pure function
+    of (salt, epoch, key set): reproducible across runs, partitionings,
+    and engines, so a crashed epoch resumes with the identical order and
+    an independent engine can replay it.
+
+    ``rand()``-based shuffles are none of those things, and a naive
+    ``row_number() OVER (ORDER BY hash)`` is a single-partition sort of
+    the corpus; this is the shared
+    :func:`~omop2obo_spark.operators.prefix.two_level_prefix` scaffold
+    over md5-prefix RANGE buckets (monotone in the hash, so bucket order
+    concatenates to global hash order; uniform because the hash is).
+    Duplicate keys get adjacent positions, tie-broken by the key itself.
+
+    Compose with :func:`assign_shards` downstream (shuffle first, shard
+    second) for per-epoch shard layouts.
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    h = F.md5(
+        F.concat(F.lit(f"{salt}|{epoch}|"), F.col(key_col).cast("string"))
+    )
+    bucket = F.floor(
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") * n_buckets) / F.lit(256)
+    )
+    keyed = docs.select(*docs.columns, h.alias("__h"), bucket.alias("__b"))
+    return (
+        two_level_prefix(keyed, ["__h", key_col], "pos")
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .drop("__b", "__h")
+    )

@@ -1805,3 +1805,87 @@ def test_curriculum_order_constant_score(spark):
     df = spark.createDataFrame([(3, 1.0), (1, 1.0), (2, 1.0)], "doc_id long, score double")
     got = sorted((r.pos, r.doc_id) for r in curriculum_order(df, "score").collect())
     assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_epoch_shuffle_permutation_and_determinism(spark):
+    """epoch_shuffle is a bijection onto [0, N), equals the naive global
+    hash-order row_number, differs across epochs, and is independent of
+    input partitioning."""
+    import hashlib
+
+    from omop2obo_spark.operators.pack import epoch_shuffle
+
+    docs = spark.range(0, 500).select(F.col("id").cast("string").alias("doc_id"))
+
+    def naive(epoch):
+        keys = [f"{i}" for i in range(500)]
+        ranked = sorted(keys, key=lambda k: (hashlib.md5(f"ep|{epoch}|{k}".encode()).hexdigest(), k))
+        return {k: i for i, k in enumerate(ranked)}
+
+    got0 = {r.doc_id: r.pos for r in epoch_shuffle(docs, 0).collect()}
+    assert got0 == naive(0)                      # exact engine-replayable rank
+    assert sorted(got0.values()) == list(range(500))  # bijection
+
+    got1 = {r.doc_id: r.pos for r in epoch_shuffle(docs, 1).collect()}
+    assert got1 == naive(1)
+    assert got1 != got0                          # epochs permute differently
+
+    got_p = {
+        r.doc_id: r.pos
+        for r in epoch_shuffle(docs.repartition(7), 0, n_buckets=5).collect()
+    }
+    assert got_p == got0                         # partitioning-independent
+
+    with pytest.raises(ValueError, match="epoch"):
+        epoch_shuffle(docs, -1)
+
+
+def test_mad_outlier_flags_model_parity(spark):
+    """Per-group modified z-score vs a pure-Python median/MAD model,
+    including the mad=0 degenerate group, NULL values, and the
+    ungrouped (whole-corpus) spelling."""
+    import statistics
+
+    from omop2obo_spark.operators.curate import mad_outlier_flags
+
+    rows = [
+        # group a: spread values + one whopping outlier
+        *[("a", f"a{i}", float(v)) for i, v in enumerate([10, 12, 11, 13, 9, 300])],
+        # group b: constant (mad = 0) plus one different value
+        *[("b", f"b{i}", 5.0) for i in range(5)],
+        ("b", "b9", 50.0),
+        # NULL value
+        ("a", "a_null", None),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id string, v double")
+    got = {
+        r.doc_id: (r.robust_z, r.is_outlier)
+        for r in mad_outlier_flags(df, "v", ["src"], k=3.5).collect()
+    }
+
+    a_vals = [10.0, 12.0, 11.0, 13.0, 9.0, 300.0]
+    med = statistics.median(a_vals)
+    mad = statistics.median(abs(x - med) for x in a_vals)
+    for i, v in enumerate(a_vals):
+        z = round(0.6745 * abs(v - med) / mad, 9)
+        assert got[f"a{i}"] == (z, z > 3.5)
+    assert got["a5"][1] is True                  # 300 flagged
+    assert got["a0"][1] is False
+    # mad=0 group: no scale estimate -> NULL z, never flagged
+    assert got["b9"] == (None, False)
+    assert got["b0"] == (None, False)
+    assert got["a_null"] == (None, False)
+
+    # ungrouped spelling runs and flags the same extreme point
+    flat = {r.doc_id: r.is_outlier for r in mad_outlier_flags(df, "v", k=3.5).collect()}
+    assert flat["a5"] is True
+
+    # approx twin agrees on this small input (sketch is exact here)
+    ap = {
+        r.doc_id: r.is_outlier
+        for r in mad_outlier_flags(df, "v", ["src"], k=3.5, approx=True).collect()
+    }
+    assert ap == {k: o for k, (_, o) in got.items()}
+
+    with pytest.raises(ValueError, match="k must be"):
+        mad_outlier_flags(df, "v", k=0)
