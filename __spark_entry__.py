@@ -2221,6 +2221,22 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair mining (operators/transcript.py:
+    preference_pairs): conversations posing the identical user prompt
+    pair their best- and worst-scored assistant replies (score =
+    response length here; any scorer column composes). One skew-free
+    (conv, turn) join + ONE map-side-combinable min/max-struct aggregate
+    on the md5 prompt key — hot template prompts partial-aggregate
+    before the shuffle instead of serializing a window. Oracle: the
+    window-function spelling over the tr rebuild, which the struct
+    min/max must be indistinguishable from."""
+    from omop2obo_spark.operators.transcript import preference_pairs
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return preference_pairs(tr, F.length("text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2316,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_mad_outliers": q_mad_outliers,
+        "q_preference_pairs": q_preference_pairs,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -5012,4 +5029,43 @@ LEFT JOIN removed USING (pred)""",
         JOIN med ON vals.source = med.source
         JOIN mad ON vals.source = mad.source
     """
+
+    # preference-pair replay over the tr rebuild: window-function spelling
+    # of the struct min/max (score tie-break conv_id then turn_idx); role is
+    # turn_idx % 3 in the generator (0=user, 1=assistant)
+    sqls["q_preference_pairs"] = kg_triples_sql(
+        final_select="""SELECT prompt_key, prompt, n_responses,
+       chosen_conv, chosen_turn, chosen, chosen_score,
+       rejected_conv, rejected_turn, rejected, rejected_score
+FROM (
+    SELECT md5(prompt) AS prompt_key, prompt,
+           count(*) OVER w_k AS n_responses,
+           first_value(conv_id) OVER w_desc AS chosen_conv,
+           first_value(turn_idx) OVER w_desc AS chosen_turn,
+           first_value(response) OVER w_desc AS chosen,
+           first_value(score) OVER w_desc AS chosen_score,
+           first_value(conv_id) OVER w_asc AS rejected_conv,
+           first_value(turn_idx) OVER w_asc AS rejected_turn,
+           first_value(response) OVER w_asc AS rejected,
+           first_value(score) OVER w_asc AS rejected_score,
+           row_number() OVER w_asc AS rn
+    FROM (
+        SELECT p.text AS prompt, r.conv_id, r.turn_idx, r.text AS response,
+               CAST(length(r.text) AS DOUBLE) AS score
+        FROM tr p
+        JOIN tr r ON p.conv_id = r.conv_id AND r.turn_idx = p.turn_idx + 1
+        WHERE p.turn_idx % 3 = 0 AND r.turn_idx % 3 = 1
+          AND p.text IS NOT NULL AND r.text IS NOT NULL
+    )
+    WINDOW
+        w_k AS (PARTITION BY md5(prompt)),
+        w_desc AS (PARTITION BY md5(prompt)
+                   ORDER BY score DESC, conv_id DESC, turn_idx DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        w_asc AS (PARTITION BY md5(prompt)
+                  ORDER BY score ASC, conv_id ASC, turn_idx ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
+    )
     return sqls

@@ -114,3 +114,89 @@ def sft_spans(
         (prior + chars).cast("long").alias("end_off"),
         F.col("role").isin(*trainable_roles).alias("trainable"),
     )
+
+
+def preference_pairs(
+    turns: DataFrame,
+    score,
+    margin: float = 0.0,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Mine (chosen, rejected) preference pairs from transcripts — the
+    DPO/RLHF construction: conversations that posed the SAME prompt
+    (identical ``prompt_role`` turn text) but got differently-scored
+    ``response_role`` replies yield one pair per distinct prompt, chosen
+    = highest-scored reply, rejected = lowest, kept only when
+    ``chosen_score - rejected_score > margin``.
+
+    ``score`` is a Column (or column name) evaluated on the response
+    turn — compose with any scorer in this package
+    (``textstats.unigram_logprob_score``, ``quality_features``, a reward
+    column from upstream). Responses pair with the immediately preceding
+    prompt turn (``turn_idx - 1``, same conversation).
+
+    Determinism: ties in score break on (conv_id, turn_idx) via struct
+    ordering, so the pair set is a pure function of the data. Groups
+    with one response, or where every response scores equal, emit
+    nothing (margin is a strict >; a pair needs an actual preference).
+
+    Scale shape: one skew-free (conv, turn) equi-join to pair
+    prompt/response, then ONE map-side-combinable min/max-struct
+    aggregate on the md5 prompt key — a hot template prompt (the skew
+    case: millions of identical "summarize this" prompts) partial-
+    aggregates down to one row per partition before the shuffle, where
+    a row_number-window spelling would serialize the hot key. Response
+    text crosses the wire once, inside the struct.
+    """
+    s = F.col(score) if isinstance(score, str) else score
+    # NULL prompts can't key a group and a NULL score can't be ranked —
+    # both would poison struct comparison semantics; excluded explicitly.
+    prompts = turns.filter(
+        (F.col(role_col) == prompt_role) & F.col(text_col).isNotNull()
+    ).select(
+        F.col(conv_col).alias("__c"),
+        F.col(turn_col).alias("__t"),
+        F.col(text_col).alias("prompt"),
+    )
+    resps = turns.filter(
+        (F.col(role_col) == response_role) & s.isNotNull()
+    ).select(
+        F.col(conv_col).alias("__c"),
+        (F.col(turn_col) - 1).alias("__t"),
+        F.struct(
+            s.cast("double").alias("score"),
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).alias("turn_idx"),
+            F.col(text_col).alias("response"),
+        ).alias("cand"),
+    )
+    grouped = (
+        prompts.join(resps, on=["__c", "__t"])
+        .groupBy(F.md5("prompt").alias("prompt_key"))
+        .agg(
+            F.min("prompt").alias("prompt"),  # identical within a key
+            F.max("cand").alias("__ch"),
+            F.min("cand").alias("__rj"),
+            F.count("*").cast("long").alias("n_responses"),
+        )
+    )
+    return grouped.filter(
+        F.col("__ch.score") - F.col("__rj.score") > F.lit(float(margin))
+    ).select(
+        "prompt_key",
+        "prompt",
+        "n_responses",
+        F.col("__ch.conv_id").alias("chosen_conv"),
+        F.col("__ch.turn_idx").alias("chosen_turn"),
+        F.col("__ch.response").alias("chosen"),
+        F.col("__ch.score").alias("chosen_score"),
+        F.col("__rj.conv_id").alias("rejected_conv"),
+        F.col("__rj.turn_idx").alias("rejected_turn"),
+        F.col("__rj.response").alias("rejected"),
+        F.col("__rj.score").alias("rejected_score"),
+    )

@@ -101,3 +101,52 @@ def test_chunk_turns_null_text_renders_empty(spark):
     rows = {r.chunk_idx: r for r in chunk_turns(tr, window=3, stride=2).collect()}
     assert rows[0].text == "a\n\nb"
     assert rows[0].n_turns == 3
+
+
+def test_preference_pairs_construction(spark):
+    """DPO pair mining: same-prompt responses pair best-vs-worst by score,
+    margin is strict, ties break on (conv, turn), single-response and
+    all-equal groups emit nothing, NULL scores/prompts excluded."""
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.operators.transcript import preference_pairs
+
+    rows = [
+        # prompt P1 asked in three conversations, replies of length 2/6/10
+        ("c1", 0, "user", "P1", None), ("c1", 1, "assistant", "xx", None),
+        ("c2", 0, "user", "P1", None), ("c2", 1, "assistant", "yyyyyy", None),
+        ("c3", 0, "user", "P1", None), ("c3", 1, "assistant", "z" * 10, None),
+        # prompt P2: two equal-length replies -> no preference, no pair
+        ("c4", 0, "user", "P2", None), ("c4", 1, "assistant", "aa", None),
+        ("c5", 0, "user", "P2", None), ("c5", 1, "assistant", "bb", None),
+        # prompt P3: single response -> no pair
+        ("c6", 0, "user", "P3", None), ("c6", 1, "assistant", "only", None),
+        # NULL prompt and a response with NULL text (NULL score) -> excluded
+        ("c7", 0, "user", None, None), ("c7", 1, "assistant", "ghost", None),
+        ("c8", 0, "user", "P1", None), ("c8", 1, "assistant", None, None),
+        # tool turn after prompt: not a response role, ignored
+        ("c9", 0, "user", "P1", None), ("c9", 1, "tool", "t" * 99, None),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = preference_pairs(tr, F.length("text")).collect()
+    assert len(got) == 1
+    p = got[0]
+    assert p.prompt == "P1" and p.n_responses == 3
+    assert (p.chosen_conv, p.chosen, p.chosen_score) == ("c3", "z" * 10, 10.0)
+    assert (p.rejected_conv, p.rejected, p.rejected_score) == ("c1", "xx", 2.0)
+
+    # margin strictly greater: 8.0 margin excludes the 10-vs-2 pair
+    assert preference_pairs(tr, F.length("text"), margin=8.0).count() == 0
+    assert preference_pairs(tr, F.length("text"), margin=7.9).count() == 1
+
+    # score ties break deterministically on (conv, turn): P2 with margin<0
+    # would pair, chosen = greater conv id — pin via margin=-1
+    tie = preference_pairs(tr, F.length("text"), margin=-1.0).collect()
+    p2 = [r for r in tie if r.prompt == "P2"][0]
+    assert (p2.chosen_conv, p2.rejected_conv) == ("c5", "c4")
+
+    # partitioning independence
+    got_p = preference_pairs(tr.repartition(7), F.length("text")).collect()
+    assert sorted(map(tuple, got_p)) == sorted(map(tuple, got))
