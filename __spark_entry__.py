@@ -2237,6 +2237,20 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preference_pairs(tr, F.length("text"))
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/joins.py:skew_profile): the 10
+    hottest user_id keys of the events stream with count, share, multiple
+    of the average key frequency, and the salt_buckets value that bounds
+    each key's heaviest shuffle partition to the target — the number fed
+    to salted_join. Map-side-combined count + 1-row broadcast totals +
+    TakeOrderedAndProject; never a full sort. Oracle: the same count/
+    ratio arithmetic with ORDER BY n DESC, key LIMIT 10."""
+    from omop2obo_spark.operators.joins import skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_profile(ev, "user_id", top_n=10, target_rows_per_task=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2333,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_mad_outliers": q_mad_outliers,
         "q_preference_pairs": q_preference_pairs,
+        "q_skew_profile": q_skew_profile,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -5068,4 +5083,23 @@ FROM (
 )
 WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
     )
+
+    # skew-profile replay: identical count/share/x_avg/salt arithmetic
+    # (double division, same operand order) and the same deterministic
+    # (n DESC, key ASC) cut
+    sqls["q_skew_profile"] = """
+        WITH c AS (
+            SELECT coalesce(CAST(user_id AS VARCHAR), '__null__') AS key,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        ),
+        t AS (SELECT sum(n) AS rows_, count(*) AS keys_ FROM c)
+        SELECT key, CAST(n AS BIGINT) AS n,
+               round(CAST(n AS DOUBLE) / rows_, 9) AS share,
+               round(CAST(n AS DOUBLE) * keys_ / rows_, 6) AS x_avg,
+               CAST(ceil(CAST(n AS DOUBLE) / 100.0) AS BIGINT) AS salt_buckets
+        FROM c, t
+        ORDER BY n DESC, key
+        LIMIT 10
+    """
     return sqls

@@ -74,3 +74,56 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Key-skew diagnostic for a planned join/groupBy key: the ``top_n``
+    hottest keys with absolute count, corpus share, multiple of the
+    average key frequency, and the ``salt_buckets`` value that would
+    bound each key's heaviest shuffle partition to
+    ``target_rows_per_task`` rows — i.e. the number to hand
+    :func:`salted_join` (size the target to what one task should sort
+    or hash-probe in memory).
+
+    Run this BEFORE committing to a plain shuffle join at a new data
+    scale: skew that is invisible at test SF (x_avg ~ 1) and ruinous at
+    10^12 rows shows up here as a constant-size report. NULL keys count
+    as their own ``'__null__'`` key — NULL-heavy fact tables are the
+    classic surprise straggler.
+
+    Scale shape: one map-side-combinable count per key, totals via a
+    1-row broadcast cross join, and a TakeOrderedAndProject top-n
+    (per-partition heaps + an n-row driver merge) — never a full sort.
+    Ties at the cut break on the key string, so the report is a pure
+    function of the data.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    if target_rows_per_task <= 0:
+        raise ValueError(
+            f"target_rows_per_task must be positive, got {target_rows_per_task}"
+        )
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("__null__")).alias("key")
+    ).agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("__rows"), F.count("*").alias("__keys")
+    )
+    nd = F.col("n").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(nd / F.col("__rows"), 9).alias("share"),
+            F.round(nd * F.col("__keys") / F.col("__rows"), 6).alias("x_avg"),
+            F.ceil(nd / F.lit(float(target_rows_per_task))).cast("bigint").alias("salt_buckets"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(top_n)
+    )

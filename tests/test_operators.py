@@ -539,3 +539,33 @@ def test_grouped_pivot_agg_suffix_collision(spark):
     assert set(out.columns) == {"CONCEPT_ID", "HP_URI", "AGG_HP_URI"}
     row = out.collect()[0]
     assert row.HP_URI == "short" and row.AGG_HP_URI == "agg"
+
+
+def test_skew_profile_report(spark):
+    """skew_profile: counts/shares/x_avg/salt_buckets vs hand arithmetic,
+    NULL bucket, deterministic tie-break at the cut, top_n bound."""
+    from omop2obo_spark.operators.joins import skew_profile
+
+    rows = (
+        [("hot",)] * 60
+        + [("warm",)] * 20
+        + [("a",)] * 10 + [("b",)] * 10
+        + [(None,)] * 0
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_profile(df, "k", top_n=3, target_rows_per_task=25).collect()
+    assert [(r.key, r.n) for r in got] == [("hot", 60), ("warm", 20), ("a", 10)]
+    top = got[0]
+    assert top.share == round(60 / 100, 9)
+    assert top.x_avg == round(60 * 4 / 100, 6)     # 2.4x the average key
+    assert top.salt_buckets == 3                   # ceil(60/25)
+    # tie at the cut: "a" beats "b" by key order
+    assert got[2].key == "a"
+
+    nulls = spark.createDataFrame([("x",), (None,), (None,)], "k string")
+    gn = {r.key: r.n for r in skew_profile(nulls, "k").collect()}
+    assert gn == {"__null__": 2, "x": 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top_n"):
+        skew_profile(df, "k", top_n=0)
