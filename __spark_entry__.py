@@ -5041,8 +5041,8 @@ LEFT JOIN removed USING (pred)""",
                         THEN round(0.6745 * abs(v - med) / mad, 9) > 3.5 END,
                    false) AS is_outlier
         FROM vals
-        JOIN med ON vals.source = med.source
-        JOIN mad ON vals.source = mad.source
+        LEFT JOIN med ON vals.source = med.source
+        LEFT JOIN mad ON vals.source = mad.source
     """
 
     # preference-pair replay over the tr rebuild: window-function spelling

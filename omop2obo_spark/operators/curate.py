@@ -363,8 +363,11 @@ def mad_outlier_flags(
         return frame.groupBy(*gcols).agg(agg) if gcols else frame.agg(agg)
 
     def attach(frame: DataFrame, dim: DataFrame) -> DataFrame:
+        # LEFT join: rows with a NULL group key (or a group absent from the
+        # dim because every value was NULL) pass through with NULL z /
+        # false, rather than vanishing from the output of a FLAGGING op
         return (
-            frame.join(F.broadcast(dim), on=gcols)
+            frame.join(F.broadcast(dim), on=gcols, how="left")
             if gcols
             else frame.crossJoin(F.broadcast(dim))
         )

@@ -1856,6 +1856,8 @@ def test_mad_outlier_flags_model_parity(spark):
         ("b", "b9", 50.0),
         # NULL value
         ("a", "a_null", None),
+        # NULL group key: flagging op must pass it through, not drop it
+        (None, "n0", 7.0),
     ]
     df = spark.createDataFrame(rows, "src string, doc_id string, v double")
     got = {
@@ -1875,6 +1877,8 @@ def test_mad_outlier_flags_model_parity(spark):
     assert got["b9"] == (None, False)
     assert got["b0"] == (None, False)
     assert got["a_null"] == (None, False)
+    assert got["n0"] == (None, False)            # NULL group key kept
+    assert len(got) == len(rows)                 # nothing dropped
 
     # ungrouped spelling runs and flags the same extreme point
     flat = {r.doc_id: r.is_outlier for r in mad_outlier_flags(df, "v", k=3.5).collect()}

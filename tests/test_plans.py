@@ -394,3 +394,56 @@ def test_detect_mentions_null_turn_key_and_unicode_parity(spark):
     ids = [m for (_c, _t, m, _k, _s) in outs["arrow"]]
     assert all(":None:" not in m and "nan" not in m and ".0" not in m for m in ids)
     assert not any(c == "c1" and t is None for (c, t, _m, _k, _s) in outs["arrow"])
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """epoch_shuffle's only unbounded-window input is the n_buckets-row
+    offset dimension: the corpus side must never see a single-partition
+    Exchange or a global Sort, and the offsets must come back as a
+    broadcast join."""
+    from omop2obo_spark.operators.pack import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = _plan(epoch_shuffle(docs, epoch=0, n_buckets=32))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly one SinglePartition exchange: the tiny per-bucket-counts dim
+    assert plan.count("Exchange SinglePartition") == 1, plan
+
+
+def test_preference_pairs_partial_aggregate_and_no_window(spark):
+    """preference_pairs must plan the prompt-key reduction as a partial
+    (map-side) aggregate — the hot-template-prompt defense — and never as
+    a window; the prompt/response pairing is the plan's only join."""
+    from omop2obo_spark.operators.transcript import preference_pairs
+
+    tr = transcripts_df(spark, n_convs=20, turns_per_conv=6)
+    plan = _plan(preference_pairs(tr, F.length("text")))
+    assert "Window" not in plan, plan
+    # partial_ min/max on the candidate struct before the key exchange
+    assert "partial_" in plan and ("partial_max" in plan or "partial_min" in plan), plan
+
+
+def test_skew_profile_takeordered_no_full_sort(spark):
+    """skew_profile's top-n must compile to TakeOrderedAndProject
+    (per-partition heaps + an n-row driver merge), never a global Sort."""
+    from omop2obo_spark.operators.joins import skew_profile
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(skew_profile(ev, "user_id", top_n=5))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mad_outliers_fact_table_never_reshuffles(spark):
+    """mad_outlier_flags: the two percentile dims come back as broadcast
+    joins; the fact table itself must plan zero hash exchanges (the only
+    exchanges feed the grouped percentile aggregates)."""
+    from omop2obo_spark.operators.curate import mad_outlier_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(mad_outlier_flags(docs, "n_chars", ["source"]))
+    assert "SortMergeJoin" not in plan, plan
+    # 3 broadcast joins: med + mad onto the fact, and med again inside the
+    # deviation aggregate feeding mad; every Exchange keys the tiny grouped
+    # percentile dims, never the fact table
+    assert plan.count("BroadcastHashJoin") == 3, plan
