@@ -14,8 +14,12 @@ backfill. Two modes:
   pipeline (exact tiers) per micro-batch: the idiomatic escape hatch for
   logic that needs self-joins/windows a pure stream can't express. Each
   micro-batch append is idempotent per (subj, pred, obj) on read.
+* ``stream_dedup_against`` — ``foreachBatch`` incremental dedup against
+  an accumulating content-hash ledger (all history, no watermark
+  horizon), with batch_id-partitioned dynamic-overwrite writes for
+  idempotent retries.
 
-Both default to ``Trigger.AvailableNow`` — drain what exists, then stop —
+All default to ``Trigger.AvailableNow`` — drain what exists, then stop —
 which is also how the tests drive them deterministically.
 """
 
@@ -384,5 +388,103 @@ def stream_drift_monitor(
         win_counts.writeStream.foreachBatch(emit)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
+def seed_dedup_ledger(
+    corpus: DataFrame, ledger_dir: str, text_col: str = "text"
+) -> None:
+    """Initialize the content-hash ledger for
+    :func:`stream_dedup_against` from an existing kept corpus: its
+    distinct normalized-content md5 hashes under ``batch_id=-1``. The
+    ledger is the dedup state — 32 hex chars per distinct document,
+    orders of magnitude smaller than the corpus it summarizes — and the
+    ONLY thing later batches read; corpus text is never re-scanned.
+    """
+    from omop2obo_spark.operators.dedup import normalized_text
+
+    (
+        corpus.select(
+            F.md5(normalized_text(F.col(text_col))).alias("text_hash")
+        )
+        .filter(F.col("text_hash").isNotNull())
+        .distinct()
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .write.partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(ledger_dir)
+    )
+
+
+def stream_dedup_against(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    ledger_dir: str,
+):
+    """Streaming incremental exact dedup against ALL history — the
+    crawl-refresh face of ``operators.dedup.dedup_against``: each
+    micro-batch of new documents drops (a) duplicates of anything in the
+    hash ledger (the seeded corpus plus every previously kept batch) and
+    (b) within-batch duplicates (keeping the deterministic min-id
+    canonical, the batch funnel's contract — unlike
+    ``dropDuplicatesWithinWatermark``'s arrival-order winner), then
+    appends its survivors' hashes to the ledger, so state accumulates
+    across batches without any watermark horizon.
+
+    Seed the ledger first with :func:`seed_dedup_ledger` (an empty
+    corpus works: ``corpus.limit(0)``).
+
+    Idempotence: output and ledger are PARTITIONED BY batch_id and
+    written with dynamic partition overwrite, so a retried micro-batch
+    replaces its own partitions byte-identically instead of appending
+    twice — the same overwrite-then-commit shape as the batch resume
+    layer (plans/checkpoint.py).
+
+    Scale shape: the per-batch ledger read scans hashes only (32 hex
+    chars per distinct doc ever kept); the anti-join shuffles the batch
+    on the hash, never its text; the within-batch canonical is
+    exact_dedup's min-struct (one hash shuffle, NULL-text singletons
+    preserved).
+    """
+    from omop2obo_spark.operators.dedup import exact_dedup, normalized_text
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ledger = spark.read.parquet(ledger_dir).select("text_hash")
+        canon = exact_dedup(batch_df)
+        in_batch_kept = canon.filter(F.col("doc_id") == F.col("canonical_id"))
+        kept = (
+            batch_df.join(
+                in_batch_kept.select("doc_id", "text_hash"), on="doc_id"
+            )
+            .join(ledger, on="text_hash", how="left_anti")
+        )
+        (
+            kept.drop("text_hash")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(output_dir)
+        )
+        (
+            kept.select("text_hash")
+            .filter(F.col("text_hash").isNotNull())
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(ledger_dir)
+        )
+
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )

@@ -255,3 +255,53 @@ def test_stream_drift_monitor_psi_per_closed_window(spark, tmp_path):
     assert hours == [0, 1]  # exactly once each
     g1 = {r.cat: (r.p, r.q) for r in rows2 if r.win_start.hour == 1}
     assert g1["en"] == (0.5, 1.0) and g1["fr"] == (0.5, 1e-6)
+
+
+def test_stream_dedup_against_accumulating_ledger(spark, tmp_path):
+    """Incremental dedup against ALL history: the seeded corpus drops its
+    duplicates, within-batch dups keep the min-id canonical, the ledger
+    accumulates so a later trigger dedups against earlier KEPT batches,
+    and output/ledger are batch_id-partitioned for idempotent retries."""
+    from omop2obo_spark.streaming.incremental import (
+        seed_dedup_ledger,
+        stream_dedup_against,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    corpus = spark.createDataFrame(
+        [(100, "already kept document about rivers", "en", "web", 34)], schema
+    )
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt, ledger = str(tmp_path / "ckpt"), str(tmp_path / "ledger")
+    seed_dedup_ledger(corpus, ledger)
+
+    batch1 = [
+        (1, "already kept document about rivers", "en", "web", 34),   # corpus dup
+        (3, "a brand new document about mountains", "en", "web", 36), # in-batch dup, min id
+        (7, "a brand new document about mountains", "en", "web", 36),
+        (5, "another fresh document about forests", "en", "ehr", 36),
+        (9, None, "en", "web", 0),                                    # NULL text: kept singleton
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    stream_dedup_against(spark, src, out, ckpt, ledger).start().awaitTermination(120)
+    kept1 = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept1 == [3, 5, 9]
+
+    # second trigger: dup of batch-1 KEPT doc drops via the grown ledger;
+    # NULL text stays un-dedupable (unknown content is never "a duplicate")
+    batch2 = [
+        (11, "a brand new document about mountains", "en", "web", 36),
+        (13, "genuinely unseen text about deserts", "en", "web", 35),
+        (15, None, "en", "web", 0),
+    ]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    stream_dedup_against(spark, src, out, ckpt, ledger).start().awaitTermination(120)
+    kept_all = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept_all == [3, 5, 9, 13, 15]
+
+    # ledger holds exactly the distinct hashes of corpus + kept docs with text
+    n_hashes = spark.read.parquet(ledger).count()
+    assert n_hashes == 4  # rivers, mountains, forests, deserts
+    # partitioned layout: one batch_id partition per trigger + the seed
+    bids = sorted(r.batch_id for r in spark.read.parquet(ledger).select("batch_id").distinct().collect())
+    assert bids[0] == -1 and len(bids) == 3
