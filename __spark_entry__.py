@@ -2251,6 +2251,19 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, "user_id", top_n=10, target_rows_per_task=100)
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data-quality profile (operators/analysis.py:
+    table_profile): rows, non-nulls, exact distincts, native-type min/max
+    of every documents column — the ingest sanity report. approx=True is
+    the single-pass HLL scale path (error-bounded vs exact in pytest);
+    the exact twin is the oracle face. Oracle: per-column UNION ALL of
+    the same aggregates."""
+    from omop2obo_spark.operators.analysis import table_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return table_profile(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2348,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mad_outliers": q_mad_outliers,
         "q_preference_pairs": q_preference_pairs,
         "q_skew_profile": q_skew_profile,
+        "q_table_profile": q_table_profile,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -5102,4 +5116,15 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         ORDER BY n DESC, key
         LIMIT 10
     """
+
+    # table-profile replay: identical aggregates per column, unioned
+    prof_cols = ["doc_id", "lang", "source", "n_chars"]
+    sqls["q_table_profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+               count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM documents"""
+        for c in prof_cols
+    )
     return sqls

@@ -474,3 +474,62 @@ def psi_term_columns(eps: float, round_dp: int = 9) -> list[Column]:
         F.round(q, round_dp).alias("q"),
         F.round((p - q) * F.log(p / q), round_dp).alias("psi_term"),
     ]
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column data-quality profile in ONE aggregation pass:
+    ``(column, n_rows, n_nonnull, n_distinct, min_str, max_str)`` — the
+    ingest-time sanity report (null explosions, cardinality collapses,
+    out-of-range keys) a pipeline should check before spending cluster
+    time on a new snapshot.
+
+    min/max are computed on the native type and THEN cast to string for
+    the uniform output schema (string-casting first would order "10"
+    before "9"). ``approx=False`` uses exact countDistinct — Spark plans
+    multi-column distinct aggregates via an Expand (input duplicated per
+    profiled column), exact but column-count-amplified; ``approx=True``
+    switches to HyperLogLog++ sketches (``rsd`` relative error) — a true
+    single pass with bounded memory, the 100-TB default. NULL handling:
+    ``n_distinct`` counts distinct non-null values (both engines'
+    ``count(distinct)`` convention).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("table_profile needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+
+    def distinct_of(c: str) -> Column:
+        return (
+            F.approx_count_distinct(c, rsd) if approx else F.countDistinct(c)
+        )
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__c{i}"),
+            distinct_of(c).alias(f"__d{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__lo{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__hi{i}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__c{i}").cast("long").alias("n_nonnull"),
+                F.col(f"__d{i}").cast("long").alias("n_distinct"),
+                F.col(f"__lo{i}").alias("min_str"),
+                F.col(f"__hi{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -422,3 +422,33 @@ def test_psi_drift_terms(spark):
     act_n = spark.createDataFrame([("a",), ("a",)], "cat string")
     cats = {r.cat for r in psi_drift(base_n, act_n, "cat").collect()}
     assert "__null__" in cats
+
+
+def test_table_profile_exact_and_approx(spark):
+    """table_profile: exact counts/distincts/min-max vs hand values, NULL
+    conventions, native-type min/max (not string order), approx twin
+    error-bounded, guards."""
+    from omop2obo_spark.operators.analysis import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 9.0), (2, "a", 10.0), (3, None, None), (10, "b", 2.5)],
+        "id long, cat string, v double",
+    )
+    got = {r.column: r for r in table_profile(df).collect()}
+    assert set(got) == {"id", "cat", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["cat"].n_nonnull, got["cat"].n_distinct) == (3, 2)
+    assert (got["v"].n_nonnull, got["v"].n_distinct) == (3, 3)
+    # native-type ordering: max id is 10, which string order would lose
+    assert (got["id"].min_str, got["id"].max_str) == ("1", "10")
+    assert (got["v"].min_str, got["v"].max_str) == ("2.5", "10.0")
+
+    ap = {r.column: r for r in table_profile(df, approx=True).collect()}
+    for c in got:
+        assert abs(ap[c].n_distinct - got[c].n_distinct) <= 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in frame"):
+        table_profile(df, columns=["nope"])
+    with _pytest.raises(ValueError, match="at least one"):
+        table_profile(df.select("id"), columns=[])

@@ -447,3 +447,43 @@ def test_mad_outliers_fact_table_never_reshuffles(spark):
     # deviation aggregate feeding mad; every Exchange keys the tiny grouped
     # percentile dims, never the fact table
     assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_plan_guard_report_and_budgets(spark):
+    """plans.guard: the public face of these plan assertions — report
+    counts match the pinned shapes, budget violations raise with the
+    offending counts, legitimate exceptions pass when budgeted."""
+    from omop2obo_spark.operators.pack import epoch_shuffle
+    from omop2obo_spark.plans.guard import assert_scale_safe, plan_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # a clean aggregate: one hash exchange, nothing forbidden
+    agg = docs.groupBy("source").count()
+    rep = plan_report(agg)
+    assert rep["hash_exchanges"] == 1 and rep["single_partition_exchanges"] == 0
+    assert assert_scale_safe(agg) == rep
+
+    # a cross join trips the nested-loop budget, and the error names it
+    import pytest as _pytest
+
+    cross = docs.crossJoin(docs.select(F.col("doc_id").alias("d2")))
+    with _pytest.raises(AssertionError, match="nested_loop_joins=1"):
+        assert_scale_safe(cross)
+
+    # global sort: range exchange reported, single-partition budget clean
+    assert plan_report(docs.orderBy("doc_id"))["range_exchanges"] == 1
+
+    # the two-level prefix sum needs exactly its documented exception
+    es = epoch_shuffle(docs.select("doc_id"), epoch=0, n_buckets=16)
+    with _pytest.raises(AssertionError, match="single_partition_exchanges=1"):
+        assert_scale_safe(es)
+    rep2 = assert_scale_safe(es, max_single_partition_exchanges=1)
+    assert rep2["broadcast_joins"] >= 1 and rep2["sort_merge_joins"] == 0
+
+    # row-at-a-time Python UDF is flagged; Arrow is sanctioned
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x, LongType())
+    with _pytest.raises(AssertionError, match="row_python_evals=1"):
+        assert_scale_safe(docs.select(slow("doc_id").alias("d")))
