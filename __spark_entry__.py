@@ -2251,6 +2251,49 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, "user_id", top_n=10, target_rows_per_task=100)
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-grain aggregation (A5 family, completing rollup):
+    GROUPING SETS over ((returnflag, linestatus), (linestatus), ()) in
+    ONE pass via DataFrame.groupingSets — the grains a rollup cannot
+    express (it would force the (returnflag) grain in between).
+    grouping_id disambiguates a real NULL key from a superaggregate row.
+    Oracle: SQL GROUP BY GROUPING SETS with the same GROUPING() id
+    arithmetic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("grain"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(
+            F.col("grain"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid regularization with forward fill (operators/temporal.py:
+    resample_forward_fill): per user, one row per hour from first to last
+    event carrying the last observed value — per-bucket winners via ONE
+    map-side-combinable max-struct aggregate (hot buckets combine before
+    the shuffle), grid exploded from a per-key bounds dim, fill as one
+    window over the bucket-grained grid. Integer micro arithmetic both
+    engines. Oracle: row_number per-bucket winner + range() grid +
+    last_value IGNORE NULLS."""
+    from omop2obo_spark.operators.temporal import resample_forward_fill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return resample_forward_fill(ev, "user_id", "ts", "value", 3600)
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass per-column data-quality profile (operators/analysis.py:
     table_profile): rows, non-nulls, exact distincts, native-type min/max
@@ -2362,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_preference_pairs": q_preference_pairs,
         "q_skew_profile": q_skew_profile,
         "q_table_profile": q_table_profile,
+        "q_grouping_sets": q_grouping_sets,
+        "q_resample_ffill": q_resample_ffill,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -5127,4 +5172,42 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         FROM documents"""
         for c in prof_cols
     )
+
+    # grouping-sets replay: DuckDB GROUPING() bit order matches Spark's
+    # grouping_id() (first listed column = most significant bit)
+    sqls["q_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grain,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY grain, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """
+
+    # resample replay: identical double-division bucketing, per-bucket
+    # winner by (us DESC, v DESC), range() grid, IGNORE NULLS forward fill
+    sqls["q_resample_ffill"] = """
+        WITH e AS (
+            SELECT user_id AS key, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v,
+                   CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS bucket
+            FROM events WHERE ts IS NOT NULL
+        ),
+        last_per AS (
+            SELECT key, bucket, v FROM (
+                SELECT key, bucket, v,
+                       row_number() OVER (PARTITION BY key, bucket
+                                          ORDER BY us DESC, v DESC) AS rn
+                FROM e
+            ) WHERE rn = 1
+        ),
+        bounds AS (SELECT key, min(bucket) AS b0, max(bucket) AS b1 FROM e GROUP BY key),
+        grid AS (SELECT key, UNNEST(range(b0, b1 + 1)) AS bucket FROM bounds)
+        SELECT g.key AS user_id,
+               CAST(g.bucket * 3600000000 AS BIGINT) AS bucket_us,
+               last_value(l.v IGNORE NULLS) OVER (
+                   PARTITION BY g.key ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM grid g LEFT JOIN last_per l ON g.key = l.key AND g.bucket = l.bucket
+    """
     return sqls

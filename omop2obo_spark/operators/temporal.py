@@ -455,3 +455,67 @@ def funnel_counts(
         )
         counts = row if counts is None else counts.unionByName(row)
     return counts
+
+
+def resample_forward_fill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_sec: int,
+) -> DataFrame:
+    """Regularize an irregular event stream onto a fixed time grid with
+    forward fill: per key, one row per ``interval_sec`` bucket from that
+    key's first to last event (``bucket_us`` = epoch micros of the bucket
+    start), carrying the LAST observed ``value_col`` in or before the
+    bucket — the resample step every time-series feature pipeline runs
+    before windowed aggregation or model input, and the batch analogue
+    of a stream's state carry-over.
+
+    Within a bucket the winner is the max ``(ts, value)`` struct —
+    latest event, value as the deterministic tie-break for simultaneous
+    events — so the grid is a pure function of the data. Buckets with no
+    events forward-fill from the nearest earlier bucket; the first
+    bucket of a key always has an event by construction.
+
+    Scale shape: the per-bucket winner is ONE map-side-combinable
+    min/max-struct aggregate (never a window over raw events — a hot
+    (key, bucket) combines before the shuffle); the grid explodes from a
+    2-column per-key bounds dim, so grid size is span/interval per key,
+    independent of event count; the forward fill is one window over the
+    already-bucket-grained grid. Integer micro arithmetic end to end —
+    no timestamp-type drift between engines.
+    """
+    if interval_sec <= 0:
+        raise ValueError(f"interval_sec must be positive, got {interval_sec}")
+    step = int(interval_sec) * 1_000_000
+    e = events.select(
+        F.col(key_col).alias("key"),
+        _micros(F.col(ts_col)).alias("__us"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__us").isNotNull())
+    e = e.withColumn("bucket", F.floor(F.col("__us") / F.lit(step)))
+    last_per_bucket = (
+        e.groupBy("key", "bucket")
+        .agg(F.max(F.struct("__us", "__v")).alias("__m"))
+        .select("key", "bucket", F.col("__m.__v").alias("__bv"))
+    )
+    bounds = e.groupBy("key").agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.sequence("__b0", "__b1")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(last_per_bucket, on=["key", "bucket"], how="left")
+        .select(
+            F.col("key").alias(key_col),
+            (F.col("bucket") * F.lit(step)).cast("long").alias("bucket_us"),
+            F.last("__bv", ignorenulls=True).over(w).alias(value_col),
+        )
+    )

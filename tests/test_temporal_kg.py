@@ -305,3 +305,45 @@ def test_triple_validity_counts_distinct_turns(spark):
     )
     got = {r.subj: r.n_assertions for r in triple_validity(tp, tr, origin=ORIGIN).collect()}
     assert got == {"s": 2}
+
+
+def test_resample_forward_fill_model(spark):
+    """Grid regularization vs a hand-computed model: per-key bounds, last
+    value within a bucket (ts winner, value tie-break), forward fill
+    through empty buckets, integer micro grid."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.operators.temporal import resample_forward_fill
+
+    rows = [
+        # key a: events at t=5s (v=1), 7s (v=2), 125s (v=9) with 60s buckets
+        ("a", "2024-01-01 00:00:05", 1.0),
+        ("a", "2024-01-01 00:00:07", 2.0),
+        ("a", "2024-01-01 00:02:05", 9.0),
+        # simultaneous events: larger value wins the (ts, value) struct max
+        ("b", "2024-01-01 00:00:10", 3.0),
+        ("b", "2024-01-01 00:00:10", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = {
+        (r.k, r.bucket_us): r.v
+        for r in resample_forward_fill(ev, "k", "ts", "v", 60).collect()
+    }
+    base = 1704067200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    assert got == {
+        ("a", base): 2.0,                    # last of bucket 0 (t=7s)
+        ("a", base + 60_000_000): 2.0,       # empty bucket forward-fills
+        ("a", base + 120_000_000): 9.0,
+        ("b", base): 4.0,                    # tie on ts -> larger value
+    }
+    # partitioning independence
+    got_p = {
+        (r.k, r.bucket_us): r.v
+        for r in resample_forward_fill(ev.repartition(5), "k", "ts", "v", 60).collect()
+    }
+    assert got_p == got
+    with _pytest.raises(ValueError, match="interval_sec"):
+        resample_forward_fill(ev, "k", "ts", "v", 0)
