@@ -650,6 +650,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 100), bits=16)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (operators/dedup.py:simhash_pairs):
+    pigeonhole Hamming banding — any pair within Hamming 3 of the 16-bit
+    fingerprint agrees exactly on one of 4 bands, so the candidate join is
+    per-band equi, never all-pairs, with exact recall (unlike MinHash
+    banding's probabilistic recall); bit_count(xor) verifies. Oracle: the
+    identical fingerprint + band + verify arithmetic in SQL."""
+    from omop2obo_spark.operators.dedup import simhash, simhash_pairs
+
+    fps = simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 300), bits=16)
+    return simhash_pairs(fps, max_hamming=3, bits=16)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.textstats import quality_features
 
@@ -2407,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_profile": q_table_profile,
         "q_grouping_sets": q_grouping_sets,
         "q_resample_ffill": q_resample_ffill,
+        "q_simhash_pairs": q_simhash_pairs,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -2900,6 +2914,31 @@ FROM all_t GROUP BY pred"""
         sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
         SELECT doc_id, ({fp_expr})::BIGINT AS simhash FROM sums
     """
+
+    # simhash Hamming-band pair replay: same 16-bit fingerprints, 4x4-bit
+    # pigeonhole bands, exact bit_count(xor) verify
+    sqls["q_simhash_pairs"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                x -> x <> '')) AS tok
+            FROM documents WHERE doc_id < 300
+        ),
+        hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+        ),
+        sums AS (SELECT doc_id, {{bit_sums}} FROM hashed GROUP BY doc_id),
+        fps AS (SELECT doc_id AS id, ({{fp_expr}})::BIGINT AS fp FROM sums),
+        bands AS (
+            SELECT id, fp, band, (fp >> (band * 4)) & 15 AS val
+            FROM fps, UNNEST([0, 1, 2, 3]) AS u(band)
+        )
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """.format(bit_sums=bit_sums, fp_expr=fp_expr)
 
     sqls["q_text_quality"] = """
         SELECT doc_id,

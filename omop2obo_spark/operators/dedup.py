@@ -211,6 +211,80 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return sums.select(id_col, fp.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 60,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Candidate near-dup pairs from :func:`simhash` fingerprints at
+    Hamming distance ≤ ``max_hamming`` — the pigeonhole banding that
+    makes SimHash usable at scale: split the ``bits``-wide fingerprint
+    into ``max_hamming + 1`` contiguous bands; any pair differing in at
+    most ``max_hamming`` bits agrees EXACTLY on at least one band (k
+    differing bits cannot touch all k+1 bands), so a per-band equi-join
+    on (band_idx, band_value) finds every qualifying pair — never
+    all-pairs — and an exact ``bit_count(xor)`` filter removes the false
+    candidates. Output: ``(id_a, id_b, hamming)``, ``id_a < id_b``,
+    distinct.
+
+    Recall is exact (pigeonhole guarantees no misses), unlike MinHash
+    banding's probabilistic recall. Skew: band width is
+    ``bits // (k+1)`` — keep it ≥ 15 (the default 60/4) so band-value
+    buckets stay fine-grained; near-constant corpora (boilerplate
+    fingerprints) still hot-spot the matching band, the same boundary as
+    every bucketed candidate join here (pre-drop exact dups first —
+    identical fingerprints belong to :func:`exact_dedup`, not this).
+    """
+    if not 1 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [1, {bits - 1}], got {max_hamming}")
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    offsets, widths, off = [], [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+    bands = fps.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col(fp_col), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", "b.band", "b.val")
+    a = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
+    )
+    return (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )
+
+
 def _hyperplane_signs(bit: int, dim: int) -> list[int]:
     """Deterministic ±1 hyperplane components from md5 — no RNG state, so
     the same (bit, dim) always yields the same plane on every executor and

@@ -1893,3 +1893,66 @@ def test_mad_outlier_flags_model_parity(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         mad_outlier_flags(df, "v", k=0)
+
+
+def test_simhash_pairs_pigeonhole_vs_brute_force(spark):
+    """Banded Hamming join finds EXACTLY the pairs brute-force xor
+    bit_count finds at the threshold (pigeonhole recall is exact, the
+    verify filter kills false candidates), and is partitioning-
+    independent."""
+    from itertools import combinations
+
+    from omop2obo_spark.operators.dedup import simhash_pairs
+
+    # hand-built 12-bit fingerprints with known Hamming structure
+    fps_rows = [
+        (1, 0b000000000000),
+        (2, 0b000000000001),   # d(1,2)=1
+        (3, 0b000000000111),   # d(1,3)=3, d(2,3)=2
+        (4, 0b111100000000),   # d(1,4)=4 -> excluded at k=3
+        (5, 0b000000000111),   # identical to 3: d=0
+        (6, 0b101010101010),
+    ]
+    fps = spark.createDataFrame(fps_rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(fps, max_hamming=3, bits=12).collect()
+    }
+    want = {
+        (a, b): bin(fa ^ fb).count("1")
+        for (a, fa), (b, fb) in combinations(fps_rows, 2)
+        if bin(fa ^ fb).count("1") <= 3
+    }
+    assert got == want
+    assert (1, 2) in got and (3, 5) in got and got[(3, 5)] == 0
+    assert (1, 4) not in got
+
+    got_p = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(fps.repartition(7), max_hamming=3, bits=12).collect()
+    }
+    assert got_p == got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(fps, max_hamming=0, bits=12)
+
+
+def test_simhash_pairs_end_to_end_near_dup_text(spark):
+    """simhash -> simhash_pairs over real text: a one-token edit stays
+    within the Hamming ball, unrelated text falls outside it."""
+    from omop2obo_spark.operators.dedup import simhash, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("today", "tonight")),       # near-dup
+            (3, "completely different content about molecular biology and gene expression patterns"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = simhash(docs, bits=48)
+    pairs = {(r.id_a, r.id_b) for r in simhash_pairs(fps, max_hamming=6, bits=48).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
