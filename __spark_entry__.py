@@ -2086,6 +2086,25 @@ def q_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_scores(t.select("subj", "pred", "obj"), k=2, dim=8, n_buckets=16)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled link-prediction eval (operators/kg_train.py:
+    link_prediction_metrics): per predicate, MRR and Hits@1/3 of every
+    positive mapping triple ranked against 4 filtered hash-seeded
+    negatives under the TransE pseudo-embedding scorer — the standard
+    KG-embedding quality report, as a pure function of (salts, triple
+    set). Optimistic rank (1 + strictly-closer at 9-dec distances);
+    zero-negative positives counted in n_skipped, never ranked. Oracle:
+    the full negative-draw + embedding + rank replay in SQL."""
+    from omop2obo_spark.operators.kg_train import link_prediction_metrics
+
+    t = _pipeline_result(spark, sf_dir).triples.filter(
+        F.col("pred").isin("omop2obo:hasExactMapping", "omop2obo:hasConstructorMapping")
+    )
+    return link_prediction_metrics(
+        t.select("subj", "pred", "obj"), k=4, dim=8, n_buckets=16, hits_at=(1, 3)
+    )
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension (operators/temporal.py:
     scd2_dimension) over the events stream: per user, consecutive runs
@@ -2421,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_resample_ffill": q_resample_ffill,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_link_prediction": q_link_prediction,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -4212,6 +4232,63 @@ SELECT p.subj, p.pred, p.obj, p.pos_dist,
        a.avg_neg_dist, a.avg_margin_loss
 FROM pos_d p
 LEFT JOIN agg a ON p.subj = a.subj AND p.pred = a.pred AND p.obj = a.obj"""
+    )
+    sqls["q_link_prediction"] = kg_triples_sql(
+        final_select=f""", pos AS (
+    SELECT DISTINCT subj, pred, obj FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+ents AS (SELECT DISTINCT obj AS ent FROM pos),
+eidx AS (SELECT ent, row_number() OVER (ORDER BY md5(ent), ent) - 1 AS idx FROM ents),
+n AS (SELECT count(*) AS n_ent FROM ents),
+cands AS (
+    SELECT subj, pred, obj, i AS neg_i,
+           ('0x' || substr(md5('neg0|' || subj || '|' || pred || '|' || obj || '|' || i),
+                           1, 15))::BIGINT % n_ent AS cand_idx
+    FROM pos, n, (SELECT unnest(range(4)) AS i)
+),
+negs AS (
+    SELECT c.subj, c.pred, c.obj, c.neg_i, e.ent AS neg_obj
+    FROM cands c JOIN eidx e ON c.cand_idx = e.idx
+    WHERE e.ent <> c.obj
+      AND NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.subj = c.subj AND p.pred = c.pred AND p.obj = e.ent)
+),
+dims AS (SELECT unnest(range(8)) AS d),
+pos_d AS (
+    SELECT subj, pred, obj, {_pos_dist} AS pos_dist
+    FROM pos, dims GROUP BY subj, pred, obj
+),
+neg_d AS (
+    SELECT subj, pred, obj, neg_i, {_neg_dist} AS neg_dist
+    FROM negs, dims GROUP BY subj, pred, obj, neg_i
+),
+ranked AS (
+    SELECT n.subj, n.pred, n.obj, count(*) AS n_neg,
+           1 + sum(CASE WHEN n.neg_dist < p.pos_dist THEN 1 ELSE 0 END) AS rank
+    FROM neg_d n
+    JOIN pos_d p ON n.subj = p.subj AND n.pred = p.pred AND n.obj = p.obj
+    GROUP BY n.subj, n.pred, n.obj
+),
+skipped AS (
+    SELECT pred, count(*) AS n_skipped FROM pos_d p
+    WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                      WHERE r.subj = p.subj AND r.pred = p.pred AND r.obj = p.obj)
+    GROUP BY pred
+),
+scored AS (
+    SELECT pred, count(*) AS n_scored,
+           round(avg(n_neg), 9) AS avg_n_neg,
+           round(avg(1.0 / rank), 9) AS mrr,
+           round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 9) AS hits1,
+           round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 9) AS hits3
+    FROM ranked GROUP BY pred
+)
+SELECT coalesce(s.pred, k.pred) AS pred,
+       CAST(coalesce(s.n_scored, 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(k.n_skipped, 0) AS BIGINT) AS n_skipped,
+       s.avg_n_neg, s.mrr, s.hits1, s.hits3
+FROM scored s FULL JOIN skipped k ON s.pred = k.pred"""
     )
     sqls["q_entity_cohorts"] = kg_triples_sql(
         final_select=""", ev AS (

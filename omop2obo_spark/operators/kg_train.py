@@ -205,3 +205,83 @@ def transe_scores(
         F.coalesce(F.col("n_neg"), F.lit(0)).cast("bigint").alias("n_neg"),
         "avg_neg_dist", "avg_margin_loss",
     )
+
+
+def link_prediction_metrics(
+    triples: DataFrame,
+    k: int = 8,
+    dim: int = 16,
+    salt: str = "emb0",
+    neg_salt: str = "neg0",
+    n_buckets: int = 256,
+    hits_at: tuple[int, ...] = (1, 3),
+) -> DataFrame:
+    """Sampled link-prediction evaluation — the standard KG-embedding
+    quality report: per predicate, MRR and Hits@N of each positive
+    triple ranked against its ``k`` filtered hash-seeded negatives
+    (:func:`negative_sampling`) under the :func:`transe_distance`
+    scorer.
+
+    Rank = 1 + #negatives strictly closer than the positive (the
+    optimistic convention; distances are 9-dec-rounded on both engines,
+    so "strictly closer" is an engine-stable comparison). Positives
+    whose negatives were ALL dropped by the filtered protocol have no
+    ranking signal and are excluded from the metrics but counted in
+    ``n_skipped`` — silently ranking them 1 would inflate every metric.
+
+    Output per pred: ``(pred, n_scored, n_skipped, avg_n_neg, mrr,
+    hits1, hits3, ...)`` — one tiny row per relation type.
+
+    Scale shape: inherits :func:`transe_scores`' physics — distances are
+    per-row codegen expressions (no UDF, no embedding shuffle), the rank
+    reduction is one groupBy on the (subj, pred, obj) grain, and the
+    final per-pred rollup is map-side combinable.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    pos = triples.select("subj", "pred", "obj").distinct()
+    pos_d = pos.withColumn(
+        "pos_dist", transe_distance(F.col("subj"), F.col("pred"), F.col("obj"), dim, salt)
+    )
+    negs = negative_sampling(triples, k=k, salt=neg_salt, n_buckets=n_buckets)
+    neg_d = negs.withColumn(
+        "neg_dist", transe_distance(F.col("subj"), F.col("pred"), F.col("neg_obj"), dim, salt)
+    )
+    ranked = (
+        neg_d.join(pos_d, ["subj", "pred", "obj"])
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").alias("n_neg"),
+            F.sum(
+                F.when(F.col("neg_dist") < F.col("pos_dist"), 1).otherwise(0)
+            ).alias("n_closer"),
+        )
+        .withColumn("rank", F.lit(1) + F.col("n_closer"))
+    )
+    # positives with zero surviving negatives never reach `ranked` (inner
+    # join); count them from the positive side instead
+    skipped = pos_d.join(
+        ranked.select("subj", "pred", "obj"), ["subj", "pred", "obj"], "left_anti"
+    ).groupBy("pred").agg(F.count("*").alias("n_skipped"))
+    hit_cols = [
+        F.round(
+            F.avg(F.when(F.col("rank") <= h, 1.0).otherwise(0.0)), 9
+        ).alias(f"hits{h}")
+        for h in hits_at
+    ]
+    scored = ranked.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(F.avg("n_neg"), 9).alias("avg_n_neg"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 9).alias("mrr"),
+        *hit_cols,
+    )
+    # full outer: a pred whose positives were ALL skipped still reports
+    # (n_scored=0, n_skipped=n) instead of vanishing from the eval
+    return scored.join(skipped, on="pred", how="full").select(
+        "pred",
+        F.coalesce(F.col("n_scored"), F.lit(0)).cast("long").alias("n_scored"),
+        F.coalesce(F.col("n_skipped"), F.lit(0)).cast("long").alias("n_skipped"),
+        "avg_n_neg",
+        "mrr",
+        *[f"hits{h}" for h in hits_at],
+    )

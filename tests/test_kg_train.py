@@ -273,3 +273,56 @@ def test_transe_scores_python_replay(spark):
         for r in transe_scores(t.repartition(9), k=3).collect()
     }
     assert got2 == got
+
+
+def test_link_prediction_metrics_python_replay(spark):
+    """MRR/Hits@N per pred vs a full Python model: same negatives, same
+    distances, optimistic rank (1 + strictly-closer), zero-negative
+    positives excluded but counted."""
+    from omop2obo_spark.operators.kg_train import link_prediction_metrics
+
+    t = _toy_triples(spark)
+    got = {r.pred: r for r in link_prediction_metrics(t, k=3, hits_at=(1, 3)).collect()}
+
+    truth = {(r.subj, r.pred, r.obj) for r in t.collect()}
+    ents = sorted({o for _, _, o in truth})
+    flat = sorted(ents, key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e))
+    per_pred: dict[str, list] = {}
+    skipped: dict[str, int] = {}
+    for (s, p, o) in truth:
+        pos = _py_dist(s, p, o)
+        negs = []
+        for i in range(3):
+            cand = flat[_md5_int15(f"neg0|{s}|{p}|{o}|{i}") % len(flat)]
+            if cand != o and (s, p, cand) not in truth:
+                negs.append(_py_dist(s, p, cand))
+        if not negs:
+            skipped[p] = skipped.get(p, 0) + 1
+            continue
+        rank = 1 + sum(1 for nd in negs if nd < pos)
+        per_pred.setdefault(p, []).append((rank, len(negs)))
+
+    for p, rows in per_pred.items():
+        g = got[p]
+        assert g.n_scored == len(rows)
+        assert g.n_skipped == skipped.get(p, 0)
+        assert g.avg_n_neg == pytest.approx(
+            round(sum(n for _, n in rows) / len(rows), 9), abs=2e-9
+        )
+        assert g.mrr == pytest.approx(
+            round(sum(1.0 / r for r, _ in rows) / len(rows), 9), abs=2e-9
+        )
+        assert g.hits1 == pytest.approx(
+            round(sum(r <= 1 for r, _ in rows) / len(rows), 9), abs=2e-9
+        )
+        assert g.hits3 == pytest.approx(
+            round(sum(r <= 3 for r, _ in rows) / len(rows), 9), abs=2e-9
+        )
+    assert set(got) == set(per_pred) | set(skipped)
+
+    # partitioning independence
+    got2 = {
+        r.pred: tuple(r) for r in
+        link_prediction_metrics(t.repartition(9), k=3, hits_at=(1, 3)).collect()
+    }
+    assert got2 == {p: tuple(r) for p, r in got.items()}
