@@ -30,12 +30,18 @@ def plan_report(df: DataFrame) -> dict[str, int]:
         an n_buckets-row dimension, fatal for a fact table
       * ``broadcast_joins`` / ``sort_merge_joins`` — join strategies
       * ``nested_loop_joins`` — BroadcastNestedLoopJoin + CartesianProduct:
-        O(n*m) comparisons, almost always a missing equi-condition
+        O(n*m) comparisons. Almost always a missing equi-condition — the
+        one legitimate appearance is a 1-ROW broadcast totals cross join
+        (the `crossJoin(F.broadcast(totals))` idiom used throughout this
+        package), which callers budget with ``max_nested_loop_joins=1``
       * ``row_python_evals`` — row-at-a-time Python UDFs (BatchEvalPython);
         the slow path this package bans from fact-table plans
       * ``arrow_python_evals`` — Arrow-vectorized Python (pandas UDFs,
         mapInPandas/applyInPandas); the sanctioned escape hatch
-      * ``codegen_spans`` — WholeStageCodegen regions (wider is better)
+      * ``codegen_spans`` — WholeStageCodegen regions (wider is better).
+        Under AQE the INITIAL plan has not collapsed codegen stages yet,
+        so this reads 0 before the first action — meaningful only with
+        AQE off or on an executed plan; the other counts are unaffected
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
