@@ -2283,6 +2283,68 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, "user_id", top_n=10, target_rows_per_task=100)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the real codec (operators/multimodal.py:
+    image_resize): the q_png_meta deterministic grayscale images are
+    encoded as genuine PNGs, nearest-neighbor resized to 4x3 (integer
+    src_i = i*src//out mapping), re-encoded, and the resized pixel sum
+    reported. The oracle recomputes the sum closed-form from the pixel
+    formula — a hash match proves the bytes survived decode -> resample
+    -> re-encode. Payload bytes never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import image_resize, png_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 11
+                y, x = np.mgrid[0:h, 0:w]
+                img = ((did * 31 + y * 7 + x) % 256).astype(np.uint8)
+                rows.append((did, png_encode(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    assets = docs.mapInPandas(gen, "doc_id long, media binary")
+    return image_resize(assets, 4, 3).select(
+        "doc_id", "src_w", "src_h", "out_w", "out_h", "px_sum"
+    )
+
+
+def q_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample through the real codec (operators/
+    multimodal.py:audio_downsample): deterministic PCM16 mono signals
+    (s_i = (id*7 + i*13) % 65536 - 32768, n = 20 + id%10 frames) encoded
+    as genuine WAVs, box-averaged 4:1 (trunc-toward-zero integer mean,
+    trailing partial group dropped), re-encoded at 2 kHz. Oracle:
+    closed-form replay of the grouped mean and abs-sum."""
+    import numpy as np
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import audio_downsample, wav_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 20 + did % 10
+                s = ((did * 7 + np.arange(n) * 13) % 65536 - 32768).astype(np.int16)
+                rows.append((did, wav_encode(s, 8000, 1)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    assets = docs.mapInPandas(gen, "doc_id long, media binary")
+    return audio_downsample(assets, 4).select(
+        "doc_id", "src_rate", "out_rate", "n_frames", "abs_sum"
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-grain aggregation (A5 family, completing rollup):
     GROUPING SETS over ((returnflag, linestatus), (linestatus), ()) in
@@ -2441,6 +2503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_ffill": q_resample_ffill,
         "q_simhash_pairs": q_simhash_pairs,
         "q_link_prediction": q_link_prediction,
+        "q_image_resize": q_image_resize,
+        "q_audio_downsample": q_audio_downsample,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -5288,6 +5352,51 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         FROM documents"""
         for c in prof_cols
     )
+
+    # image-resize replay: closed-form pixel formula through the integer
+    # nearest-neighbor mapping src_i = i*src//out — a hash match proves the
+    # bytes survived the real decode -> resample -> re-encode cycle
+    sqls["q_image_resize"] = """
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(4 + doc_id % 13 AS INT) AS src_w,
+                   CAST(3 + doc_id % 11 AS INT) AS src_h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.src_w, d.src_h,
+                   (d.doc_id * 31 + ((j * d.src_h) // 3) * 7 + ((i * d.src_w) // 4)) % 256 AS v
+            FROM dims d,
+                 UNNEST(range(4)) AS ui(i),
+                 UNNEST(range(3)) AS uj(j)
+        )
+        SELECT doc_id, src_w, src_h,
+               CAST(4 AS INT) AS out_w, CAST(3 AS INT) AS out_h,
+               CAST(sum(v) AS BIGINT) AS px_sum
+        FROM px GROUP BY doc_id, src_w, src_h
+    """
+
+    # audio-downsample replay: grouped trunc-toward-zero mean + abs sum
+    sqls["q_audio_downsample"] = """
+        WITH n AS (SELECT doc_id, 20 + doc_id % 10 AS n_in FROM documents),
+        samp AS (
+            SELECT doc_id, (f * 4 + k) AS i,
+                   (doc_id * 7 + (f * 4 + k) * 13) % 65536 - 32768 AS s,
+                   f
+            FROM n,
+                 UNNEST(range((n_in // 4))) AS uf(f),
+                 UNNEST(range(4)) AS uk(k)
+        ),
+        frames AS (
+            SELECT doc_id, f, CAST(trunc(sum(s) / 4.0) AS BIGINT) AS v
+            FROM samp GROUP BY doc_id, f
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS src_rate, CAST(2000 AS INT) AS out_rate,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+        FROM frames GROUP BY doc_id
+    """
 
     # grouping-sets replay: DuckDB GROUPING() bit order matches Spark's
     # grouping_id() (first listed column = most significant bit)

@@ -83,16 +83,25 @@ def synthetic_assets(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def png_encode(gray: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 array as a real grayscale PNG.
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a real
+    PNG (color type 0 or 2).
 
     Rows rotate through filter types None/Sub/Up (r % 3) so decoders must
     actually unfilter — a filter-0-only encoder would let a broken decoder
-    pass the round-trip test.
+    pass the round-trip test. The Sub filter subtracts the pixel ``bpp``
+    bytes left (per the spec), so RGB channels filter against their own
+    channel.
     """
-    if gray.ndim != 2 or gray.dtype != np.uint8:
-        raise ValueError("png_encode expects an (h, w) uint8 array")
-    h, w = gray.shape
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("png_encode expects an (h, w) or (h, w, 3) uint8 array")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError(f"3-d input must have 3 channels, got {img.shape[2]}")
+    bpp = 1 if img.ndim == 2 else 3
+    ctype_n = 0 if bpp == 1 else 2
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h, w * bpp)
+    stride = w * bpp
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -102,18 +111,18 @@ def png_encode(gray: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
     raw = bytearray()
-    prev = np.zeros(w, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for r in range(h):
-        row = gray[r]
+        row = flat[r]
         ft = r % 3
         if ft == 0:
             filt = row
-        elif ft == 1:  # Sub: x - left
-            filt = np.empty(w, dtype=np.uint8)
-            filt[0] = row[0]
-            filt[1:] = row[1:] - row[:-1]
+        elif ft == 1:  # Sub: x - left (bpp bytes back)
+            filt = np.empty(stride, dtype=np.uint8)
+            filt[:bpp] = row[:bpp]
+            filt[bpp:] = row[bpp:] - row[:-bpp]
         else:  # Up: x - above
             filt = row - prev
         raw.append(ft)
@@ -439,4 +448,130 @@ def content_key_dedup(
         keyed.withColumn("canonical_id", F.min(id_col).over(w))
         .withColumn("group_size", F.count("*").over(w))
         .select(id_col, "content_key", "canonical_id", "group_size")
+    )
+
+
+IMAGE_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+    ]
+)
+
+
+def image_resize(
+    assets: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    binary_col: str = "media",
+) -> DataFrame:
+    """REAL image resize over the real codec: decode each PNG, nearest-
+    neighbor sample to ``(out_w, out_h)`` with the integer mapping
+    ``src_i = i * src // out`` (floor — deterministic, no float
+    rounding), re-encode as a genuine PNG, and report the resized pixel
+    sum so correctness is checkable without re-decoding downstream.
+    Grayscale and RGB (the codec's supported color types) both work —
+    channels are sampled together.
+
+    This is the thumbnail/normalize step of a multimodal training
+    pipeline. Arrow-batched ``mapInPandas``: payload bytes never shuffle
+    — decode, resample, and re-encode run where the scan runs; the only
+    thing that ever moves is whatever the caller selects downstream.
+    """
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"output dims must be positive, got {out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                w, h, _depth, ctype, px = png_decode(bytes(blob))
+                ch = 1 if ctype == 0 else 3
+                img = px.reshape(h, w, ch)
+                xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                out = img[yi][:, xi]  # nearest-neighbor gather
+                flat = out.reshape(out_h, out_w * ch)
+                rows.append(
+                    (
+                        int(did), w, h, out_w, out_h,
+                        png_encode(flat if ch == 1 else out.reshape(out_h, out_w, 3)),
+                        int(out.astype(np.uint64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_RESIZE_SCHEMA.fields])
+
+    return assets.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, IMAGE_RESIZE_SCHEMA
+    )
+
+
+AUDIO_DOWNSAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_rate", T.IntegerType(), False),
+        T.StructField("out_rate", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField("abs_sum", T.LongType(), False),
+    ]
+)
+
+
+def audio_downsample(
+    assets: DataFrame,
+    factor: int,
+    id_col: str = "doc_id",
+    binary_col: str = "media",
+) -> DataFrame:
+    """REAL audio downsample over the real codec: decode each PCM16 WAV,
+    box-average every ``factor`` consecutive frames per channel (the
+    anti-aliasing low-pass a bare stride decimation lacks; integer
+    floor-toward-zero mean, deterministic), re-encode at
+    ``rate // factor``, and report the new amplitude sum. A trailing
+    partial group shorter than ``factor`` is dropped — every output
+    frame averages exactly ``factor`` inputs, so the arithmetic is
+    engine-replayable.
+
+    Arrow-batched ``mapInPandas``; payload bytes never shuffle.
+    """
+    if factor <= 0:
+        raise ValueError(f"factor must be positive, got {factor}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[binary_col]):
+                ch, rate, _bits, samples = wav_decode(bytes(blob))
+                if rate % factor:
+                    raise ValueError(
+                        f"factor {factor} does not divide rate {rate}"
+                    )
+                frames = samples.reshape(-1, ch)
+                n_out = len(frames) // factor
+                grouped = frames[: n_out * factor].reshape(n_out, factor, ch)
+                # int32 sums can't overflow (factor * 32767 << 2^31);
+                # Python-style floor division would round toward -inf —
+                # use trunc toward zero to match the obvious SQL replay
+                sums = grouped.astype(np.int32).sum(axis=1)
+                out = (np.trunc(sums / factor)).astype(np.int16)
+                rows.append(
+                    (
+                        int(did), rate, rate // factor, n_out,
+                        wav_encode(out.reshape(-1), rate // factor, ch),
+                        int(np.abs(out.astype(np.int64)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_DOWNSAMPLE_SCHEMA.fields]
+            )
+
+    return assets.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, AUDIO_DOWNSAMPLE_SCHEMA
     )

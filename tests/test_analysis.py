@@ -452,3 +452,92 @@ def test_table_profile_exact_and_approx(spark):
         table_profile(df, columns=["nope"])
     with _pytest.raises(ValueError, match="at least one"):
         table_profile(df.select("id"), columns=[])
+
+
+def test_png_rgb_round_trip():
+    """RGB (color type 2) encode -> decode recovers exact pixels through
+    the per-channel Sub filter and the Up filter."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    w, h, depth, ctype, px = png_decode(png_encode(img))
+    assert (w, h, depth, ctype) == (5, 7, 8, 2)
+    assert np.array_equal(px, img.reshape(7, 15))
+
+
+def test_image_resize_real_roundtrip(spark):
+    """image_resize: decoded output pixels equal the numpy nearest-
+    neighbor model, the re-encoded payload is a valid PNG, px_sum
+    matches, grayscale and RGB paths both work."""
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import image_resize
+
+    imgs = {}
+    rows = []
+    rng = np.random.default_rng(3)
+    for did in range(4):
+        if did % 2 == 0:
+            arr = rng.integers(0, 256, size=(11, 9), dtype=np.uint8)
+        else:
+            arr = rng.integers(0, 256, size=(6, 13, 3), dtype=np.uint8)
+        imgs[did] = arr
+        rows.append((did, png_encode(arr)))
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media"]), "doc_id long, media binary"
+    )
+    got = {r.doc_id: r for r in image_resize(assets, 4, 5).collect()}
+    for did, arr in imgs.items():
+        h, w = arr.shape[0], arr.shape[1]
+        a3 = arr if arr.ndim == 3 else arr[:, :, None]
+        xi = (np.arange(4) * w) // 4
+        yi = (np.arange(5) * h) // 5
+        want = a3[yi][:, xi]
+        r = got[did]
+        assert (r.src_w, r.src_h, r.out_w, r.out_h) == (w, h, 4, 5)
+        assert r.px_sum == int(want.astype(np.uint64).sum())
+        _, _, _, _, px = png_decode(bytes(r.media))
+        assert np.array_equal(px, want.reshape(5, 4 * a3.shape[2]))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        image_resize(assets, 0, 5)
+
+
+def test_audio_downsample_real_roundtrip(spark):
+    """audio_downsample: box-averaged frames equal the numpy model
+    (trunc-toward-zero), trailing partial group dropped, stereo channels
+    averaged independently, re-encoded WAV decodes back."""
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import audio_downsample
+
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-32768, 32768, size=17, dtype=np.int16)          # 17 frames
+    stereo = rng.integers(-32768, 32768, size=10 * 2, dtype=np.int16)    # 10 frames
+    rows = [(0, wav_encode(mono, 8000, 1)), (1, wav_encode(stereo, 8000, 2))]
+    assets = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media"]), "doc_id long, media binary"
+    )
+    got = {r.doc_id: r for r in audio_downsample(assets, 4).collect()}
+
+    def model(frames):
+        n = len(frames) // 4
+        g = frames[: n * 4].reshape(n, 4, -1).astype(np.int32).sum(axis=1)
+        return np.trunc(g / 4).astype(np.int16)
+
+    m0 = model(mono.reshape(-1, 1))
+    r0 = got[0]
+    assert (r0.src_rate, r0.out_rate, r0.n_frames) == (8000, 2000, 4)
+    ch, rate, _, out = wav_decode(bytes(r0.media))
+    assert (ch, rate) == (1, 2000) and np.array_equal(out, m0.reshape(-1))
+    assert r0.abs_sum == int(np.abs(m0.astype(np.int64)).sum())
+
+    m1 = model(stereo.reshape(-1, 2))
+    r1 = got[1]
+    assert r1.n_frames == 2
+    ch, rate, _, out = wav_decode(bytes(r1.media))
+    assert (ch, rate) == (2, 2000) and np.array_equal(out.reshape(-1, 2), m1)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="factor"):
+        audio_downsample(assets, 0)
