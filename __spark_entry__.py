@@ -2283,6 +2283,33 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(ev, "user_id", top_n=10, target_rows_per_task=100)
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/aggregate.py:
+    aggregate_state/merge_aggregate_states): the mergeable partial-
+    aggregate state computed over two disjoint halves of lineitem
+    (l_orderkey parity) and MERGED must equal the state of the whole
+    table — proven here against an independent engine: Spark runs the
+    split-and-merge, the oracle runs the direct one-pass GROUP BY. At
+    100 TB this is the algebra that refreshes a rollup from the new
+    partition alone, never rescanning history."""
+    from omop2obo_spark.operators.aggregate import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        # TPC-H quantities are integral-valued doubles; the state keeps
+        # sums as exact longs (float partial sums would make the merge
+        # order observable — the algebra the docstring forbids)
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    s0 = aggregate_state(li.filter(F.col("l_orderkey") % 2 == 0), keys, "l_quantity")
+    s1 = aggregate_state(li.filter(F.col("l_orderkey") % 2 == 1), keys, "l_quantity")
+    return merge_aggregate_states(s0, s1, keys)
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize through the real codec (operators/multimodal.py:
     image_resize): the q_png_meta deterministic grayscale images are
@@ -2505,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_link_prediction": q_link_prediction,
         "q_image_resize": q_image_resize,
         "q_audio_downsample": q_audio_downsample,
+        "q_incremental_agg": q_incremental_agg,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -5352,6 +5380,21 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         FROM documents"""
         for c in prof_cols
     )
+
+    # incremental-agg replay: the DIRECT one-pass aggregate — hash-matching
+    # the Spark side's split-and-merge proves the partial-aggregate algebra
+    # against an independent engine. Integer sums CAST (HUGEINT bug class).
+    sqls["q_incremental_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(q) AS BIGINT) AS n_nonnull,
+               CAST(sum(q) AS BIGINT) AS sum_v,
+               CAST(min(q) AS BIGINT) AS min_v,
+               CAST(max(q) AS BIGINT) AS max_v
+        FROM (SELECT l_returnflag, l_linestatus,
+                     CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        GROUP BY l_returnflag, l_linestatus
+    """
 
     # image-resize replay: closed-form pixel formula through the integer
     # nearest-neighbor mapping src_i = i*src//out — a hash match proves the

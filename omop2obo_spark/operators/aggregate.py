@@ -109,3 +109,48 @@ def grouped_pivot_agg(
         ],
     )
     return out
+
+
+AGG_STATE_COLS = ["n", "n_nonnull", "sum_v", "min_v", "max_v"]
+
+
+def aggregate_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate state ``(keys..., n, n_nonnull, sum_v,
+    min_v, max_v)`` — the partial-aggregate algebra behind incremental
+    materialized-view maintenance: states computed over disjoint slices
+    of a table merge (:func:`merge_aggregate_states`) into exactly the
+    state of their union, so a 100-TB rollup refreshes by aggregating
+    ONLY the new partition and merging, never rescanning history.
+
+    Sums are kept as exact long integers when the input is integral
+    (cast to long) — float partial sums would make the merge order
+    observable. Derived metrics (avg = sum/n) belong at read time, not
+    in the state: avg is not mergeable, its ingredients are.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(v).alias("n_nonnull"),
+        F.sum(v).alias("sum_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+    )
+
+
+def merge_aggregate_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two :func:`aggregate_state` frames over the same keys:
+    counts/sums add, min/max combine, keys present in only one side pass
+    through — ``merge(state(A), state(B)) == state(A UNION ALL B)``
+    exactly (property-tested). One union + one map-side-combinable
+    groupBy; at refresh time ``b`` is the delta and is usually tiny.
+    """
+    u = a.select(*keys, *AGG_STATE_COLS).unionByName(
+        b.select(*keys, *AGG_STATE_COLS)
+    )
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("n_nonnull").alias("n_nonnull"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

@@ -569,3 +569,40 @@ def test_skew_profile_report(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="top_n"):
         skew_profile(df, "k", top_n=0)
+
+
+def test_aggregate_state_merge_equals_union(spark):
+    """The partial-aggregate algebra: merge(state(A), state(B)) ==
+    state(A UNION ALL B) exactly, including NULL values, disjoint keys,
+    and negative sums; a second merge stays associative."""
+    from omop2obo_spark.operators.aggregate import (
+        aggregate_state,
+        merge_aggregate_states,
+    )
+
+    schema = "k string, v long"
+    a = spark.createDataFrame(
+        [("x", 5), ("x", -2), ("y", 7), ("z", None)], schema
+    )
+    b = spark.createDataFrame(
+        [("x", 100), ("w", 1), ("z", None), ("z", 3)], schema
+    )
+    c = spark.createDataFrame([("w", -50), ("q", 0)], schema)
+
+    def rows(df):
+        return {
+            r.k: (r.n, r.n_nonnull, r.sum_v, r.min_v, r.max_v)
+            for r in df.collect()
+        }
+
+    sa, sb, sc = (aggregate_state(d, ["k"], "v") for d in (a, b, c))
+    merged = merge_aggregate_states(sa, sb, ["k"])
+    direct = aggregate_state(a.unionByName(b), ["k"], "v")
+    assert rows(merged) == rows(direct)
+    assert rows(merged)["x"] == (3, 3, 103, -2, 100)
+    assert rows(merged)["z"] == (3, 1, 3, 3, 3)      # NULLs counted in n only
+    assert rows(merged)["w"] == (1, 1, 1, 1, 1)      # single-side key
+
+    # associativity: (A+B)+C == state(A+B+C)
+    m3 = merge_aggregate_states(merged, sc, ["k"])
+    assert rows(m3) == rows(aggregate_state(a.unionByName(b).unionByName(c), ["k"], "v"))
