@@ -4684,7 +4684,14 @@ LEFT JOIN removed USING (pred)""",
     # BIGINT (DuckDB HUGEINT -> pandas float otherwise — the r1/r2 bug class).
     sqls["q_chi_square"] = """
         WITH cells AS (
-            SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+            -- NULL categories are their own '__null__' bucket, mirroring the
+            -- operator's contingency_cells coalesce — without this, the
+            -- USING join below would zero-fill NULL-key cells and
+            -- count(DISTINCT) would drop the NULL column from dof.
+            SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS source,
+                   coalesce(CAST(lang AS VARCHAR), '__null__') AS lang,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
         ),
         dense AS (
             SELECT r.source, c.lang, coalesce(x.n, 0) AS n

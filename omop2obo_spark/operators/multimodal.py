@@ -353,11 +353,20 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     fall back to ``_fake_decode`` (no codecs in this container); the
     mapInPandas shape — iterator of pandas batches in, long feature rows
     out — is production form either way.
+
+    A payload that LOOKS like a PNG but fails to decode (truncated IDAT,
+    corrupt chunk — routine in crawled corpora) falls back to the hash
+    feature instead of raising: at 10^12 rows one dirty asset must not
+    kill the job. The crawl-hygiene funnel is where corrupt assets get
+    dropped; feature extraction stays total.
     """
 
     def one(blob: bytes) -> list[float]:
         if blob[:8] == _PNG_SIG:
-            _w, _h, _d, _c, px = png_decode(blob)
+            try:
+                _w, _h, _d, _c, px = png_decode(blob)
+            except Exception:
+                return _fake_decode(blob, dim).tolist()
             hist, _ = np.histogram(px, bins=dim, range=(0, 256))
             return (hist / max(px.size, 1)).astype(np.float32).tolist()
         return _fake_decode(blob, dim).tolist()

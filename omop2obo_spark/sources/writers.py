@@ -63,13 +63,15 @@ class GraphSink:
         batch's partitions" holds even for empty ones. (Iceberg spelling:
         overwritePartitions on a frame that includes the empty partitions.)
 
-        Remote roots (``hdfs://``, ``s3a://``, …) are deleted through the
-        Hadoop FileSystem API so the guarantee holds on object storage too —
-        ``shutil`` would silently no-op there and resurrect the exact orphan
-        rows this method exists to kill.  Local paths keep the cheap
+        ANY scheme-qualified root (``hdfs://``, ``s3a://``, and also
+        ``file://``) is deleted through the Hadoop FileSystem API so the
+        guarantee holds everywhere Spark can write — ``os.path.isdir`` on a
+        ``file:///…/part_id=N`` string is always False, so the shutil branch
+        would silently no-op and resurrect the exact orphan rows this method
+        exists to kill. Only scheme-less local paths keep the cheap
         ``shutil`` path (no JVM round-trip).
         """
-        if "://" in self.triples_dir and not self.triples_dir.startswith("file:"):
+        if "://" in self.triples_dir:
             spark = spark or SparkSession.getActiveSession()
             if spark is None:
                 raise RuntimeError(

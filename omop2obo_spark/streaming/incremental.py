@@ -337,8 +337,11 @@ def stream_drift_monitor(
     exactly once and in full, so the batch side can compute per-window
     totals, full-outer-join the (tiny, precomputed-once) baseline share
     dim, and apply the identical eps-floor/ln arithmetic as the batch
-    operator — then append to parquet. Late rows inside the horizon count;
-    later ones are dropped, never double-emitted.
+    operator — then write to parquet PARTITIONED BY batch_id with dynamic
+    partition overwrite, so a retried micro-batch (foreachBatch is
+    at-least-once) replaces its own partition byte-identically instead of
+    appending a second copy of every window's rows. Late rows inside the
+    horizon count; later ones are dropped, never double-emitted.
 
     NULL categories count as their own bucket ('__null__'), like the
     batch operator. Baseline categories with no traffic in a window get
@@ -363,7 +366,7 @@ def stream_drift_monitor(
         F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias("cat"),
     ).agg(F.count("*").alias("n"))
 
-    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         w_tot = batch_df.groupBy("win").agg(F.sum("n").alias("__t"))
@@ -382,7 +385,13 @@ def stream_drift_monitor(
             "cat",
             *psi_term_columns(eps),  # identical arithmetic to psi_drift
         )
-        out.write.mode("append").parquet(output_dir)
+        (
+            out.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(output_dir)
+        )
 
     return (
         win_counts.writeStream.foreachBatch(emit)
@@ -454,7 +463,16 @@ def stream_dedup_against(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ledger = spark.read.parquet(ledger_dir).select("text_hash")
+        # Only FULLY-COMMITTED earlier batches: a retried batch must not
+        # anti-join against its own partially-committed ledger partition,
+        # or docs whose hashes survived the partial commit would vanish
+        # from the rewritten output partition. batch_id is the partition
+        # key, so this filter prunes at the source.
+        ledger = (
+            spark.read.parquet(ledger_dir)
+            .filter(F.col("batch_id") < F.lit(batch_id))
+            .select("text_hash")
+        )
         canon = exact_dedup(batch_df)
         in_batch_kept = canon.filter(F.col("doc_id") == F.col("canonical_id"))
         kept = (

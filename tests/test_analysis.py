@@ -334,6 +334,28 @@ def test_extract_features_real_png_path(spark):
         assert sum(vec) == pytest.approx(1.0)
 
 
+def test_extract_features_survives_corrupt_png(spark):
+    """A payload with a valid PNG signature but corrupt body (truncated
+    IDAT — routine in crawled corpora) must fall back to the hash
+    feature, not abort the whole mapInPandas task."""
+    import pandas as pd
+
+    good = png_encode(np.full((4, 4), 7, dtype=np.uint8))
+    corrupt = good[:20]  # signature + partial IHDR, nothing else
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "image", good, 4, 4, 0), (1, "image", corrupt, 0, 0, 0)],
+            columns=["asset_id", "media_type", "media", "width", "height", "duration_ms"],
+        )
+    )
+    from omop2obo_spark.operators.multimodal import _fake_decode, extract_features
+
+    feats = {r["asset_id"]: r["feature"] for r in
+             extract_features(df, dim=4).collect()}
+    assert sum(feats[0]) == pytest.approx(1.0)          # real path intact
+    assert feats[1] == pytest.approx(_fake_decode(corrupt, 4).tolist())
+
+
 # ---------------------------------------------------------------------------
 # training-eval metrics: binary_auc / calibration_bins / psi_drift
 # ---------------------------------------------------------------------------

@@ -1,6 +1,8 @@
 """Checkpoint/resume: kill mid-run, resume, assert identical output and no
 duplicates — the north rule's resumability gate."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -174,6 +176,24 @@ def test_stale_crash_window_files_cleared_on_rerun(spark, tmp_path):
     import glob
 
     leftover = glob.glob(str(tmp_path / "stale" / "triples" / "part_id=*" / "*.parquet"))
+    assert leftover == [], leftover
+
+
+def test_clear_partitions_file_scheme_uri(spark, tmp_path):
+    """A ``file://``-scheme root (a valid Spark output URI) must route to
+    the Hadoop FileSystem delete: os.path.isdir('file:///…') is always
+    False, so the shutil branch would silently no-op and resurrect the
+    orphan rows clear_partitions exists to kill."""
+    t = FX.transcripts_df(spark, 10, 2)
+    sink = GraphSink(f"file://{tmp_path}/furi", n_buckets=2)
+    triples = sink.with_part_id(_builder(spark)(t))
+    sink.write_partitions(triples)
+    local = str(tmp_path / "furi" / "triples")
+    parts_before = sorted(os.listdir(local))
+    assert parts_before, "fixture wrote no partitions"
+
+    sink.clear_partitions([0, 1], spark=spark)
+    leftover = [d for d in os.listdir(local) if d.startswith("part_id=")]
     assert leftover == [], leftover
 
 

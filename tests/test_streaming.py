@@ -305,3 +305,74 @@ def test_stream_dedup_against_accumulating_ledger(spark, tmp_path):
     # partitioned layout: one batch_id partition per trigger + the seed
     bids = sorted(r.batch_id for r in spark.read.parquet(ledger).select("batch_id").distinct().collect())
     assert bids[0] == -1 and len(bids) == 3
+
+
+def test_stream_dedup_against_retry_ignores_own_ledger_partition(spark, tmp_path):
+    """A retried micro-batch must NOT anti-join against its own
+    partially-committed ledger partition: batch 0's retry sees a stale
+    ledger partition batch_id=0 holding its own hashes (crash between
+    ledger commit and checkpoint commit) and must still keep the docs,
+    overwriting both partitions byte-identically."""
+    from omop2obo_spark.operators.dedup import normalized_text
+    from omop2obo_spark.streaming.incremental import (
+        seed_dedup_ledger,
+        stream_dedup_against,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt, ledger = str(tmp_path / "ckpt"), str(tmp_path / "ledger")
+    seed_dedup_ledger(spark.createDataFrame([], schema), ledger)
+
+    batch = [(1, "fresh text about glaciers", "en", "web", 25),
+             (2, "fresh text about fjords", "en", "web", 23)]
+    bdf = spark.createDataFrame(batch, schema)
+    bdf.write.mode("append").parquet(src)
+
+    # simulate the crashed first attempt of batch 0: its ledger partition
+    # is committed, but the streaming checkpoint is not → replay runs 0 again
+    (
+        bdf.select(F.md5(normalized_text(F.col("text"))).alias("text_hash"))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.partitionBy("batch_id").mode("append").parquet(ledger)
+    )
+
+    stream_dedup_against(spark, src, out, ckpt, ledger).start().awaitTermination(120)
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]  # NOT dropped against their own partial commit
+    # the retry's dynamic overwrite replaced the partial partition exactly
+    n0 = spark.read.parquet(ledger).filter(F.col("batch_id") == 0).count()
+    assert n0 == 2
+
+
+def test_stream_drift_monitor_replayed_batch_overwrites_not_appends(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch must replace
+    its own batch_id partition, not append a second copy of every
+    window's PSI rows."""
+    from datetime import datetime
+
+    from omop2obo_spark.streaming.incremental import stream_drift_monitor
+
+    src, out, ckpt = str(tmp_path / "din"), str(tmp_path / "dout"), str(tmp_path / "dckpt")
+    schema = "doc_id long, lang string, ts timestamp"
+    baseline = spark.createDataFrame([(0, "en")], "doc_id long, lang string")
+    # the 2:10 row advances the watermark (2:10 - 30 min = 1:40) past the
+    # hour-0 window's end so that window actually closes and emits
+    spark.createDataFrame(
+        [(0, "en", datetime(2026, 1, 1, 0, 10)), (1, "en", datetime(2026, 1, 1, 2, 10))],
+        schema,
+    ).write.mode("append").parquet(src)
+
+    stream_drift_monitor(spark, src, out, ckpt, baseline, schema, cat_col="lang")\
+        .start().awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    assert len(first) > 0
+
+    # replay the same batch with a FRESH checkpoint (same deterministic
+    # batch ids) against the same output dir — the overwrite must leave
+    # exactly one copy, where a blind append would double every row
+    stream_drift_monitor(
+        spark, src, out, str(tmp_path / "dckpt2"), baseline, schema, cat_col="lang"
+    ).start().awaitTermination(120)
+    again = spark.read.parquet(out).collect()
+    assert len(again) == len(first)
