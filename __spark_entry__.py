@@ -812,6 +812,21 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_vocabulary(_docs(spark, sf_dir), k=50).select("token", "n", "df", "rank")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with a checkable error contract:
+    top-20 tokens by exact count alongside the CMS estimate (depth 4,
+    width 1024, md5 buckets — deterministic and engine-portable), with
+    ``no_undercount`` (the CMS one-sided guarantee) and ``within_eps``
+    (overcount <= ceil(2N/width)). The oracle rebuilds the identical
+    sketch in SQL, so the driver hash-compares the estimates themselves.
+    At 100 TB the sketch is the scale path for token-frequency point
+    queries: depth*width counters, map-side mergeable, no vocabulary
+    shuffle."""
+    from omop2obo_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), k=20, depth=4, width=1024)
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.ann import brute_force_topk
 
@@ -2533,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_resize": q_image_resize,
         "q_audio_downsample": q_audio_downsample,
         "q_incremental_agg": q_incremental_agg,
+        "q_heavy_hitters": q_heavy_hitters,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -3551,6 +3567,51 @@ FROM all_t GROUP BY pred"""
         FROM ({stages[-1]})
     """
 
+    # q_heavy_hitters: rebuild the identical count-min sketch (md5 buckets,
+    # depth 4 x width 1024) in SQL and compare the ESTIMATES exactly, not
+    # just the contract booleans. rank CAST to INT (DuckDB row_number is
+    # BIGINT, Spark's is int); counts CAST to BIGINT (the r1/r2 bug class).
+    sqls["q_heavy_hitters"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS tok
+            FROM documents
+        ),
+        hrows AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        cells AS (
+            SELECT d,
+                   ('0x' || substr(md5('cms' || d || '|' || tok), 1, 15))::BIGINT % 1024 AS bucket,
+                   count(*) AS c
+            FROM toks CROSS JOIN hrows
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT count(*) AS n_total FROM toks),
+        exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok),
+        topk AS (
+            SELECT tok, n_exact,
+                   CAST(row_number() OVER (ORDER BY n_exact DESC, tok ASC) AS INT) AS rank
+            FROM exact
+            ORDER BY n_exact DESC, tok ASC
+            LIMIT 20
+        ),
+        est AS (
+            SELECT t.tok, t.rank, t.n_exact,
+                   min(coalesce(c.c, 0)) AS cms_est
+            FROM topk t
+            CROSS JOIN hrows r
+            LEFT JOIN cells c
+              ON c.d = r.d
+             AND c.bucket = ('0x' || substr(md5('cms' || r.d || '|' || t.tok), 1, 15))::BIGINT % 1024
+            GROUP BY 1, 2, 3
+        )
+        SELECT tok AS token, rank,
+               CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               cms_est >= n_exact AS no_undercount,
+               (cms_est - n_exact) <= CAST(ceil(2.0 * n_total / 1024) AS BIGINT) AS within_eps
+        FROM est, tot
+        ORDER BY rank
+    """
     sqls["q_vocab_topk"] = """
         SELECT token, n, df, rank FROM (
             SELECT token, n, df, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
