@@ -812,6 +812,51 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_vocabulary(_docs(spark, sf_dir), k=50).select("token", "n", "df", "rank")
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-screen for incremental dedup, per-doc verdicts hash-
+    compared against a full SQL replay: documents split deterministically
+    into kept corpus (doc_id % 3 == 0) and a new crawl batch — the batch
+    additionally RE-CRAWLS the whole corpus under shifted ids (+10^7), so
+    true duplicates exist by construction at every fixture scale. Each new
+    doc gets ``maybe_dup`` (the Bloom verdict — packed 32-bit words, md5
+    bit positions, m=1024/k=4 sized so the sf0.01 gate fixture exercises
+    real false positives too), ``is_dup`` (exact normalized-hash
+    membership), ``kept``, and ``no_false_negative`` (is_dup implies
+    maybe_dup — the guarantee that makes the pre-screen lossless). At
+    100 TB the Bloom probe replaces the per-batch anti-join against a
+    billions-row ledger for the definitely-new majority."""
+    from omop2obo_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_dup,
+        normalized_text,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    recrawl = corpus.withColumn("doc_id", (F.col("doc_id") + F.lit(10000000)).cast("long"))
+    new = docs.filter(F.col("doc_id") % 3 != 0).unionByName(recrawl)
+    m_bits, k = 1 << 10, 4
+    flags = bloom_maybe_dup(new, bloom_build(corpus, m_bits, k), m_bits, k)
+    h = F.md5(normalized_text(F.col("text")))
+    ch = corpus.select(h.alias("__h")).filter(F.col("__h").isNotNull()).distinct()
+    isdup = (
+        new.select("doc_id", h.alias("__h"))
+        .join(ch.withColumn("__dup", F.lit(True)), "__h", "left")
+        .select("doc_id", F.coalesce("__dup", F.lit(False)).alias("is_dup"))
+    )
+    return (
+        flags.join(isdup, "doc_id")
+        .select(
+            "doc_id",
+            "maybe_dup",
+            "is_dup",
+            (~F.col("is_dup")).alias("kept"),
+            (F.col("maybe_dup") | ~F.col("is_dup")).alias("no_false_negative"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters with a checkable error contract:
     top-20 tokens by exact count alongside the CMS estimate (depth 4,
@@ -2549,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_downsample": q_audio_downsample,
         "q_incremental_agg": q_incremental_agg,
         "q_heavy_hitters": q_heavy_hitters,
+        "q_bloom_dedup": q_bloom_dedup,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -3567,6 +3613,55 @@ FROM all_t GROUP BY pred"""
         FROM ({stages[-1]})
     """
 
+    # q_bloom_dedup: SQL replay of the packed-word Bloom filter (32-bit
+    # words via bit_or, md5 bit positions) — verdicts hash-compared per doc.
+    sqls["q_bloom_dedup"] = """
+        WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        newd AS (
+            SELECT * FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM corpus
+        ),
+        chash AS (
+            SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+            FROM corpus WHERE text IS NOT NULL
+        ),
+        hj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        cpos AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5('bf' || j || '|' || h), 1, 15))::BIGINT % 1024 AS pos
+            FROM chash CROSS JOIN hj
+        ),
+        words AS (
+            SELECT pos // 32 AS bucket,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+            FROM cpos GROUP BY 1
+        ),
+        nh AS (
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+            FROM newd
+        ),
+        nprobe AS (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5('bf' || j || '|' || h), 1, 15))::BIGINT % 1024 AS pos
+            FROM nh CROSS JOIN hj WHERE h IS NOT NULL
+        ),
+        nflag AS (
+            SELECT p.doc_id,
+                   min(CASE WHEN coalesce(w.word, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)) <> 0
+                            THEN 1 ELSE 0 END) = 1 AS maybe_dup
+            FROM nprobe p LEFT JOIN words w ON w.bucket = p.pos // 32
+            GROUP BY 1
+        )
+        SELECT n.doc_id,
+               coalesce(f.maybe_dup, FALSE) AS maybe_dup,
+               coalesce(n.h IN (SELECT h FROM chash), FALSE) AS is_dup,
+               NOT coalesce(n.h IN (SELECT h FROM chash), FALSE) AS kept,
+               coalesce(f.maybe_dup, FALSE)
+                   OR NOT coalesce(n.h IN (SELECT h FROM chash), FALSE) AS no_false_negative
+        FROM nh n LEFT JOIN nflag f USING (doc_id)
+        ORDER BY n.doc_id
+    """
     # q_heavy_hitters: rebuild the identical count-min sketch (md5 buckets,
     # depth 4 x width 1024) in SQL and compare the ESTIMATES exactly, not
     # just the contract booleans. rank CAST to INT (DuckDB row_number is

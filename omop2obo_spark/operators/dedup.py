@@ -791,3 +791,126 @@ def duplicate_span_removal(
         (F.col("n_tokens") - F.coalesce(F.col("kept"), F.lit(0))).alias("n_removed"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom pre-screen for incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(hash_col: Column, m_bits: int, k_hashes: int) -> Column:
+    """k bit positions for one content hash: md5('bf{j}|' || hash) first
+    15 hex chars -> signed-64 (always non-negative) mod m_bits. Engine-
+    portable; a NULL hash yields all-NULL positions (callers filter)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{j}|"), hash_col)), 1, 15), 16, 10
+            ).cast("bigint")
+            % F.lit(m_bits)
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    corpus: DataFrame, m_bits: int = 1 << 20, k_hashes: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Bloom filter over the kept corpus's normalized content hashes, as a
+    packed word table ``(bucket bigint, word bigint)`` — 32 bits per word,
+    at most m_bits/32 rows regardless of corpus size.
+
+    ``bit_or`` is associative/commutative, so the build is map-side
+    mergeable: each input partition collapses to <= m_bits/32 rows before
+    the shuffle — the same bounded-state shape as the CMS sketch. At 10^9
+    kept docs, m_bits = 2^33 (1% FPR) packs to ~256M words (~3 GB); past
+    the broadcast budget the probe join falls back to a shuffle on the
+    bucket key, still never touching text. NULL-text rows contribute no
+    bits (NULL hash -> NULL positions, filtered).
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    pos = (
+        corpus.select(F.explode(_bloom_positions(h, m_bits, k_hashes)).alias("pos"))
+        .filter(F.col("pos").isNotNull())
+    )
+    words = pos.select(
+        F.floor(F.col("pos") / 32).cast("bigint").alias("bucket"),
+        # shiftleft's amount arg must be a column here (F.shiftleft takes a
+        # Python int only), so spell it in SQL
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("w"),
+    )
+    return words.groupBy("bucket").agg(F.bit_or("w").alias("word"))
+
+
+def bloom_maybe_dup(
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per new doc, the Bloom membership verdict: ``(id_col, maybe_dup)``.
+
+    maybe_dup is true iff ALL k probed bits are set — so an actual dup
+    (whose positions were all set by the corpus build) can NEVER flag
+    false: no false negatives, by construction. False positives are
+    expected (rate ~ (set_fraction)^k) and harmless — they only route a
+    doc to the exact verify. NULL-text docs flag false (no content to
+    collide).
+    """
+    h = F.md5(normalized_text(F.col(text_col)))
+    probes = (
+        new_docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_bloom_positions(h, m_bits, k_hashes))).alias("pos"),
+        )
+        .filter(F.col("pos").isNotNull())
+        .select(
+            id_col,
+            F.floor(F.col("pos") / 32).cast("bigint").alias("bucket"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        )
+    )
+    j = probes.join(F.broadcast(bloom), "bucket", "left")
+    hit = (
+        F.coalesce(F.col("word"), F.lit(0).cast("bigint")).bitwiseAND(F.col("mask")) != 0
+    ).cast("int")
+    flags = j.groupBy(id_col).agg((F.min(hit) == 1).alias("maybe_dup"))
+    return (
+        new_docs.select(id_col)
+        .join(flags, id_col, "left")
+        .select(id_col, F.coalesce("maybe_dup", F.lit(False)).alias("maybe_dup"))
+    )
+
+
+def dedup_against_bloom(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`dedup_against` (exact phase), result-identical, with a Bloom
+    pre-screen: only the maybe-dup fraction of the batch reaches the hash
+    anti-join against the full corpus ledger.
+
+    Why it matters at scale: a crawl-refresh batch is mostly NEW content;
+    the plain anti-join shuffles every new doc's hash against the
+    billions-row ledger each round, while the Bloom verdict is a
+    broadcast/bucket probe against a fixed m_bits/32-word table, so the
+    expensive join sees only true dups + the FPR-sized sliver. The Bloom
+    no-false-negative guarantee makes the split lossless: definitely-new
+    docs skip the verify because they CANNOT be in the corpus.
+    """
+    flags = bloom_maybe_dup(
+        new_docs, bloom_build(corpus, m_bits, k_hashes, text_col), m_bits, k_hashes,
+        id_col, text_col,
+    )
+    tagged = new_docs.join(flags, id_col)
+    definite = tagged.filter(~F.col("maybe_dup")).drop("maybe_dup")
+    maybe = tagged.filter(F.col("maybe_dup")).drop("maybe_dup")
+    return definite.unionByName(
+        dedup_against(maybe, corpus, id_col=id_col, text_col=text_col)
+    )
