@@ -1073,6 +1073,19 @@ def q_chunk_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_turns(transcripts_from_documents(spark, sf_dir), window=3, stride=2)
 
 
+def q_context_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-bounded context assembly (operators/transcript.py:
+    context_spans): per turn, the maximal span of immediately-preceding
+    turns whose whitespace-token total fits a 32-token budget — the
+    primitive that turns transcripts into fixed-budget SFT / eval
+    examples. Prefix sums + value-RANGE window frames only (no
+    self-join, no explode, one conv_id shuffle); the oracle replays the
+    identical window arithmetic in SQL."""
+    from omop2obo_spark.operators.transcript import context_spans
+
+    return context_spans(transcripts_from_documents(spark, sf_dir), budget=32)
+
+
 def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation content fingerprint: md5 over the turn texts in
     (turn_idx) order — the north rule's per-turn text-equality invariant
@@ -2595,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_heavy_hitters": q_heavy_hitters,
         "q_bloom_dedup": q_bloom_dedup,
+        "q_context_spans": q_context_spans,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -3973,6 +3987,36 @@ FROM all_t GROUP BY pred"""
 FROM (
     SELECT conv_id, list(coalesce(text, '') ORDER BY turn_idx) AS turns FROM tr GROUP BY conv_id
 ), UNNEST(range(0, greatest(len(turns) - 1, 0) + 1, 2)) AS u(s)"""
+    )
+    # q_context_spans: identical prefix-sum + value-RANGE window arithmetic
+    # in SQL (budget 32 -> frames 32/33 PRECEDING); counts CAST to BIGINT.
+    sqls["q_context_spans"] = kg_triples_sql(
+        final_select="""SELECT conv_id, turn_idx,
+       CAST(ntok AS BIGINT) AS n_turn_tokens,
+       CAST(pos - n_out AS BIGINT) AS n_ctx_turns,
+       CAST(q - minq AS BIGINT) AS ctx_tokens,
+       CAST(first_ctx AS INT) AS first_ctx_turn_idx
+FROM (
+    SELECT conv_id, turn_idx, ntok, pos, q,
+           count(*) OVER (PARTITION BY conv_id ORDER BY q
+                          RANGE BETWEEN UNBOUNDED PRECEDING AND 33 PRECEDING) AS n_out,
+           min(q) OVER (PARTITION BY conv_id ORDER BY q
+                        RANGE BETWEEN 32 PRECEDING AND CURRENT ROW) AS minq,
+           min(turn_idx) OVER (PARTITION BY conv_id ORDER BY q
+                               RANGE BETWEEN 32 PRECEDING AND CURRENT ROW) AS first_ctx
+    FROM (
+        SELECT conv_id, turn_idx, ntok,
+               CAST(row_number() OVER w AS BIGINT) - 1 AS pos,
+               CAST(coalesce(sum(ntok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS q
+        FROM (
+            SELECT conv_id, turn_idx,
+                   CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS ntok
+            FROM tr
+        ) WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+)"""
     )
     sqls["q_conv_fingerprint"] = kg_triples_sql(
         final_select="""SELECT conv_id,

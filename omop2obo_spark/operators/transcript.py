@@ -200,3 +200,62 @@ def preference_pairs(
         F.col("__rj.response").alias("rejected"),
         F.col("__rj.score").alias("rejected_score"),
     )
+
+
+def context_spans(
+    transcripts: DataFrame,
+    budget: int = 64,
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per turn, the maximal span of immediately-preceding turns whose
+    total whitespace-token count fits ``budget`` — the context-assembly
+    primitive for turning transcripts into budget-bounded SFT / eval
+    examples (each example = context span + current turn as target).
+
+    Pure prefix-sum + value-RANGE window frames; no self-join, no
+    explode, one conv_id shuffle. Let Q_i be the EXCLUSIVE prefix token
+    sum (tokens of all turns before i). Token counts are non-negative so
+    Q is non-decreasing, and the turns that fit form a suffix of the
+    prior turns: exactly those j with Q_j >= Q_i - budget. Both outputs
+    read that suffix straight off RANGE frames ordered by Q:
+
+      * ``n_ctx_turns``  = pos_i - count{ j : Q_j <= Q_i - budget - 1 }
+        (frame: unbounded preceding .. (budget+1) preceding)
+      * ``ctx_tokens``   = Q_i - min(Q) over [-budget, current]
+      * ``first_ctx_turn_idx`` = min(turn_idx) over the same frame —
+        equals the turn's own index when no prior turn fits, so the span
+        is always the half-open [first_ctx_turn_idx, turn_idx).
+
+    Zero-token turns tie on Q; value-RANGE frames include peers on both
+    engines, so free-rider empty turns inside the window are counted
+    identically (they add nothing to ctx_tokens). The whole operator is
+    window arithmetic over integers — engine-portable, exact SQL oracle.
+    """
+    ntok = F.size(
+        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    wq = Window.partitionBy("conv_id").orderBy(order_col)
+    pre = transcripts.select(
+        "conv_id", order_col, ntok.alias("ntok")
+    ).select(
+        "conv_id",
+        order_col,
+        "ntok",
+        (F.row_number().over(wq) - 1).cast("bigint").alias("pos"),
+        F.coalesce(
+            F.sum("ntok").over(wq.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("q"),
+    )
+    wr = Window.partitionBy("conv_id").orderBy("q")
+    out_frame = wr.rangeBetween(Window.unboundedPreceding, -(budget + 1))
+    in_frame = wr.rangeBetween(-budget, 0)
+    return pre.select(
+        "conv_id",
+        order_col,
+        F.col("ntok").alias("n_turn_tokens"),
+        (F.col("pos") - F.count("*").over(out_frame)).alias("n_ctx_turns"),
+        (F.col("q") - F.min("q").over(in_frame)).alias("ctx_tokens"),
+        F.min(order_col).over(in_frame).alias("first_ctx_turn_idx"),
+    )

@@ -150,3 +150,76 @@ def test_preference_pairs_construction(spark):
     # partitioning independence
     got_p = preference_pairs(tr.repartition(7), F.length("text")).collect()
     assert sorted(map(tuple, got_p)) == sorted(map(tuple, got))
+
+
+# ---------------------------------------------------------------------------
+# context_spans
+# ---------------------------------------------------------------------------
+
+
+def _brute_context(turn_tokens: list[int], budget: int) -> list[tuple[int, int]]:
+    """(n_ctx_turns, ctx_tokens) per turn by direct scan."""
+    out = []
+    for i in range(len(turn_tokens)):
+        total, n = 0, 0
+        for j in range(i - 1, -1, -1):
+            if total + turn_tokens[j] > budget:
+                break
+            total += turn_tokens[j]
+            n += 1
+        out.append((n, total))
+    return out
+
+
+def test_context_spans_matches_bruteforce(spark):
+    from omop2obo_spark.operators.transcript import context_spans
+
+    texts = [
+        "one two three",              # 3 tokens
+        "a b c d e f g h",            # 8
+        "",                           # 0 — free rider
+        "x " * 5,                     # 5
+        None,                         # 0 — NULL text
+        "w1 w2 w3 w4 w5 w6 w7",       # 7
+        "solo",                       # 1
+    ]
+    rows = [("c1", i, t) for i, t in enumerate(texts)] + [
+        ("c2", 0, "only turn in this conversation"),
+        ("c2", 1, "q r s"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for budget in (0, 3, 8, 11, 100):
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["n_ctx_turns"], r["ctx_tokens"])
+            for r in context_spans(df, budget=budget).collect()
+        }
+        toks1 = [len([w for w in (t or "").split() if w]) for t in texts]
+        want = {("c1", i): v for i, v in enumerate(_brute_context(toks1, budget))}
+        want[("c2", 0)] = (0, 0)
+        want[("c2", 1)] = _brute_context([5, 3], budget)[1]
+        assert got == want, (budget, got, want)
+
+
+def test_context_spans_half_open_span_and_budget_bound(spark):
+    from omop2obo_spark.operators.transcript import context_spans
+
+    rows = [("c", i, "t " * (i + 1)) for i in range(10)]  # turn i has i+1 tokens
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = context_spans(df, budget=7).collect()
+    for r in out:
+        assert r["ctx_tokens"] <= 7
+        assert r["first_ctx_turn_idx"] == r["turn_idx"] - r["n_ctx_turns"]
+        # maximality: one more preceding turn would blow the budget
+        if r["n_ctx_turns"] < r["turn_idx"]:
+            prev_tokens = r["first_ctx_turn_idx"]  # turn j has j+1 tokens
+            assert r["ctx_tokens"] + prev_tokens > 7
+
+
+def test_context_spans_single_shuffle_no_join(spark):
+    from omop2obo_spark.operators.transcript import context_spans
+
+    df = spark.createDataFrame(
+        [("c", 0, "a b"), ("c", 1, "c")], "conv_id string, turn_idx int, text string"
+    )
+    plan = context_spans(df, budget=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
