@@ -1829,21 +1829,17 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                          micro_units=True)
 
 
-def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image codec round trip (operators/multimodal.py:png_encode/
-    png_decode): synthesize a deterministic grayscale image per document
-    (w = 4 + id%13, h = 3 + id%11, px(x,y) = (id*31 + y*7 + x) % 256),
-    encode it as a genuine PNG (zlib IDAT, CRC chunks, rotating scanline
-    filters None/Sub/Up), then decode with the full stdlib parser —
-    signature, chunk CRC verification, inflate, unfilter — and report
-    pixel statistics. The oracle recomputes the statistics closed-form, so
-    a hash match proves the bytes survived a real encode→decode cycle.
-    Payload bytes never shuffle: generate, encode, and decode all run in
-    one mapInPandas chain over the scan."""
+def _synthetic_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic grayscale PNG per document — the ONE spelling of
+    the synthetic-image contract (w = 4 + id%13, h = 3 + id%11,
+    px(x,y) = (id*31 + y*7 + x) % 256) shared by q_png_meta and
+    q_image_resize; their SQL oracles replay the same closed form.
+    Generate + encode run inside mapInPandas over the scan — payload
+    bytes never shuffle."""
     import numpy as np
     import pandas as pd
 
-    from omop2obo_spark.operators.multimodal import png_encode, png_metadata
+    from omop2obo_spark.operators.multimodal import png_encode
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
@@ -1858,8 +1854,23 @@ def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((did, png_encode(img)))
             yield pd.DataFrame(rows, columns=["doc_id", "media"])
 
-    assets = docs.mapInPandas(gen, "doc_id long, media binary")
-    return png_metadata(assets)
+    return docs.mapInPandas(gen, "doc_id long, media binary")
+
+
+def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round trip (operators/multimodal.py:png_encode/
+    png_decode): synthesize a deterministic grayscale image per document
+    (w = 4 + id%13, h = 3 + id%11, px(x,y) = (id*31 + y*7 + x) % 256),
+    encode it as a genuine PNG (zlib IDAT, CRC chunks, rotating scanline
+    filters None/Sub/Up), then decode with the full stdlib parser —
+    signature, chunk CRC verification, inflate, unfilter — and report
+    pixel statistics. The oracle recomputes the statistics closed-form, so
+    a hash match proves the bytes survived a real encode→decode cycle.
+    Payload bytes never shuffle: generate, encode, and decode all run in
+    one mapInPandas chain over the scan."""
+    from omop2obo_spark.operators.multimodal import png_metadata
+
+    return png_metadata(_synthetic_png_assets(spark, sf_dir))
 
 
 def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2391,26 +2402,9 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported. The oracle recomputes the sum closed-form from the pixel
     formula — a hash match proves the bytes survived decode -> resample
     -> re-encode. Payload bytes never shuffle."""
-    import numpy as np
-    import pandas as pd
+    from omop2obo_spark.operators.multimodal import image_resize
 
-    from omop2obo_spark.operators.multimodal import image_resize, png_encode
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = 4 + did % 13, 3 + did % 11
-                y, x = np.mgrid[0:h, 0:w]
-                img = ((did * 31 + y * 7 + x) % 256).astype(np.uint8)
-                rows.append((did, png_encode(img)))
-            yield pd.DataFrame(rows, columns=["doc_id", "media"])
-
-    assets = docs.mapInPandas(gen, "doc_id long, media binary")
-    return image_resize(assets, 4, 3).select(
+    return image_resize(_synthetic_png_assets(spark, sf_dir), 4, 3).select(
         "doc_id", "src_w", "src_h", "out_w", "out_h", "px_sum"
     )
 

@@ -369,9 +369,16 @@ def binary_auc(
     )
     keyed = per_score.withColumn("__b", bucket)
     cum = two_level_prefix(keyed, ["score"], "cum_nn_below", weight_col="nn")
+    # the Mann-Whitney numerator is ~2*n_pos*n_neg, which blows past int64
+    # at ~2e9 rows per class — well inside the target scale. decimal(38,0)
+    # keeps the sum EXACT to 1e38 (n ~ 1e18 per class) and at fixture scale
+    # yields bit-identical doubles to the old int64 path, so oracles hold.
+    term = F.col("np").cast("decimal(38,0)") * (
+        2 * F.col("cum_nn_below") + F.col("nn")
+    ).cast("decimal(38,0)")
     return cum.agg(
         (
-            F.sum(F.col("np") * (2 * F.col("cum_nn_below") + F.col("nn"))).cast("double")
+            F.sum(term).cast("double")
             / (2.0 * F.sum("np") * F.sum("nn"))
         ).alias("auc"),
         F.sum("np").cast("bigint").alias("n_pos"),

@@ -849,6 +849,7 @@ def bloom_maybe_dup(
     k_hashes: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_bits: int = 1 << 28,
 ) -> DataFrame:
     """Per new doc, the Bloom membership verdict: ``(id_col, maybe_dup)``.
 
@@ -858,6 +859,13 @@ def bloom_maybe_dup(
     expected (rate ~ (set_fraction)^k) and harmless — they only route a
     doc to the exact verify. NULL-text docs flag false (no content to
     collide).
+
+    The word table is force-broadcast only while ``m_bits`` stays within
+    ``broadcast_max_bits`` (default 2^28 bits -> 8M words, ~100 MB);
+    larger filters probe through a plain bucket-key join — the filter is
+    the fixed small side, so AQE still picks broadcast when it actually
+    fits, and the fallback degrades to one narrow shuffle of (id, bucket,
+    mask) probes rather than a driver OOM from an 8-GB forced broadcast.
     """
     h = F.md5(normalized_text(F.col(text_col)))
     probes = (
@@ -872,7 +880,8 @@ def bloom_maybe_dup(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
         )
     )
-    j = probes.join(F.broadcast(bloom), "bucket", "left")
+    filt = F.broadcast(bloom) if m_bits <= broadcast_max_bits else bloom
+    j = probes.join(filt, "bucket", "left")
     hit = (
         F.coalesce(F.col("word"), F.lit(0).cast("bigint")).bitwiseAND(F.col("mask")) != 0
     ).cast("int")
@@ -891,6 +900,7 @@ def dedup_against_bloom(
     k_hashes: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_bits: int = 1 << 28,
 ) -> DataFrame:
     """:func:`dedup_against` (exact phase), result-identical, with a Bloom
     pre-screen: only the maybe-dup fraction of the batch reaches the hash
@@ -906,7 +916,7 @@ def dedup_against_bloom(
     """
     flags = bloom_maybe_dup(
         new_docs, bloom_build(corpus, m_bits, k_hashes, text_col), m_bits, k_hashes,
-        id_col, text_col,
+        id_col, text_col, broadcast_max_bits,
     )
     tagged = new_docs.join(flags, id_col)
     definite = tagged.filter(~F.col("maybe_dup")).drop("maybe_dup")

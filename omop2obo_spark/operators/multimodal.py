@@ -264,29 +264,31 @@ def wav_decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 # ints), not doubles: a double mean would round at the 6th decimal with
 # three different half-rules across Python/Spark/DuckDB and flake the
 # oracle hash on representable boundaries (e.g. n_px = 128)
+# metric fields are NULLABLE: a corrupt asset emits a NULL-metadata row
+# (totality policy — see the kernels), never a stage failure
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("width", T.LongType(), False),
-        T.StructField("height", T.LongType(), False),
-        T.StructField("bit_depth", T.LongType(), False),
-        T.StructField("color_type", T.LongType(), False),
-        T.StructField("n_px", T.LongType(), False),
-        T.StructField("sum_px", T.LongType(), False),
-        T.StructField("mean_px_e6", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("bit_depth", T.LongType(), True),
+        T.StructField("color_type", T.LongType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("mean_px_e6", T.LongType(), True),
     ]
 )
 
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("channels", T.LongType(), False),
-        T.StructField("sample_rate", T.LongType(), False),
-        T.StructField("bits", T.LongType(), False),
-        T.StructField("n_samples", T.LongType(), False),
-        T.StructField("duration_ms", T.LongType(), False),
-        T.StructField("sum_amp", T.LongType(), False),
-        T.StructField("mean_abs_e6", T.LongType(), False),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("bits", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sum_amp", T.LongType(), True),
+        T.StructField("mean_abs_e6", T.LongType(), True),
     ]
 )
 
@@ -300,13 +302,21 @@ def png_metadata(df: DataFrame, id_col: str = "doc_id", binary_col: str = "media
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[binary_col]):
-                w, h, depth, ctype, px = png_decode(bytes(blob))
-                s = int(px.astype(np.uint64).sum())
-                n = int(px.size)
-                rows.append((int(did), w, h, depth, ctype, n, s, s * 1_000_000 // n))
+                # totality: corrupt PNGs emit a NULL-metadata row instead of
+                # failing the stage (same policy as extract_features).
+                try:
+                    w, h, depth, ctype, px = png_decode(bytes(blob))
+                    s = int(px.astype(np.uint64).sum())
+                    n = int(px.size)
+                    if n == 0:
+                        raise ValueError("zero-pixel image")
+                    rows.append((int(did), w, h, depth, ctype, n, s, s * 1_000_000 // n))
+                except Exception:
+                    rows.append((int(did),) + (None,) * 7)
             yield pd.DataFrame(
                 rows,
                 columns=[f.name for f in IMAGE_META_SCHEMA.fields],
+                dtype=object,
             )
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, IMAGE_META_SCHEMA)
@@ -320,17 +330,28 @@ def wav_metadata(df: DataFrame, id_col: str = "doc_id", binary_col: str = "media
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[binary_col]):
-                ch, rate, bits, samples = wav_decode(bytes(blob))
-                n = len(samples) // ch
-                s = int(samples.astype(np.int64).sum())
-                sabs = int(np.abs(samples.astype(np.int64)).sum())
-                rows.append(
-                    (int(did), ch, rate, bits, n, n * 1000 // rate, s,
-                     sabs * 1_000_000 // max(len(samples), 1))
-                )
+                # totality: one corrupt crawled asset (truncated chunks,
+                # fmt claiming rate=0, odd-length PCM data — WAV has no
+                # checksum) must emit a NULL-metadata row, not kill the
+                # stage at 10^12 rows. rate==0 passes wav_decode (it only
+                # validates structure) and would ZeroDivide the duration.
+                try:
+                    ch, rate, bits, samples = wav_decode(bytes(blob))
+                    if rate <= 0 or ch <= 0:
+                        raise ValueError(f"non-positive rate/channels: {rate}/{ch}")
+                    n = len(samples) // ch
+                    s = int(samples.astype(np.int64).sum())
+                    sabs = int(np.abs(samples.astype(np.int64)).sum())
+                    rows.append(
+                        (int(did), ch, rate, bits, n, n * 1000 // rate, s,
+                         sabs * 1_000_000 // max(len(samples), 1))
+                    )
+                except Exception:
+                    rows.append((int(did),) + (None,) * 7)
             yield pd.DataFrame(
                 rows,
                 columns=[f.name for f in AUDIO_META_SCHEMA.fields],
+                dtype=object,
             )
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(run, AUDIO_META_SCHEMA)

@@ -10,6 +10,10 @@ needs (SURVEY.md §4.2 "Checkpoint/resume + lineage").
 Layout:
     <root>/triples/part_id=<k>/...parquet
     <root>/manifest.jsonl      — one record per (run_id, part_id) attempt
+                                 (local roots; append)
+    <root>/manifest/<ts>-<uuid>.json — same records, one immutable file
+                                 each (scheme-qualified roots — object
+                                 stores have no append)
 """
 
 from __future__ import annotations
@@ -99,22 +103,71 @@ class GraphSink:
         return spark.read.parquet(self.triples_dir)
 
     # -- manifest -----------------------------------------------------------
-    def record(self, run_id: str, part_id: int, status: str, **metrics) -> None:
+    # Local roots append to one JSONL file. Scheme-qualified roots (hdfs://,
+    # s3a://, file://) cannot rely on POSIX append — object stores don't
+    # have it — so each record is its own immutable file under
+    # <root>/manifest/, named by a zero-padded nanosecond timestamp so a
+    # lexicographic listing replays append order. Without this, record()
+    # on a remote root would raise (or worse, write to a bogus local path
+    # named "s3a:/...") and completed_partitions() would silently return
+    # empty — re-running every partition on every resume.
+    def _fs(self, spark: SparkSession | None, path_str: str):
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"manifest I/O on remote root {self.root!r} needs an active "
+                "SparkSession for the Hadoop FileSystem API; pass spark="
+            )
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+        return jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), spark
+
+    def record(self, run_id: str, part_id: int, status: str,
+               spark: SparkSession | None = None, **metrics) -> None:
         rec = {"run_id": run_id, "part_id": part_id, "status": status,
                "ts": time.time(), **metrics}
+        if "://" in self.root:
+            import uuid
+
+            name = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.json"
+            jpath, fs, _ = self._fs(spark, f"{self.root}/manifest/{name}")
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(json.dumps(rec).encode("utf-8")))
+            finally:
+                out.close()
+            return
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    def manifest(self) -> list[dict]:
+    def manifest(self, spark: SparkSession | None = None) -> list[dict]:
+        if "://" in self.root:
+            jdir, fs, spark = self._fs(spark, f"{self.root}/manifest")
+            if not fs.exists(jdir):
+                return []
+            names = sorted(
+                st.getPath().getName() for st in fs.listStatus(jdir)
+                if st.isFile() and st.getPath().getName().endswith(".json")
+            )
+            recs = []
+            io_utils = spark._jvm.org.apache.commons.io.IOUtils
+            for name in names:
+                jp = spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{self.root}/manifest/{name}")
+                stream = fs.open(jp)
+                try:
+                    recs.append(json.loads(bytes(io_utils.toByteArray(stream))))
+                finally:
+                    stream.close()
+            return recs
         if not os.path.exists(self.manifest_path):
             return []
         with open(self.manifest_path) as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def completed_partitions(self) -> set[int]:
+    def completed_partitions(self, spark: SparkSession | None = None) -> set[int]:
         """Partitions whose *latest* manifest record is 'done'."""
         latest: dict[int, str] = {}
-        for rec in self.manifest():
+        for rec in self.manifest(spark=spark):
             latest[rec["part_id"]] = rec["status"]
         return {p for p, s in latest.items() if s == "done"}
 

@@ -353,9 +353,14 @@ def stream_drift_monitor(
         psi_term_columns,
     )
 
-    base_shares = psi_category_shares(baseline, cat_col, "p").localCheckpoint(
-        eager=True  # compute the dim once, not per batch
-    )
+    # Materialize the tiny baseline-share dim to DRIVER-side literals, not a
+    # localCheckpoint: checkpoint blocks live on executors and are not
+    # recoverable, so in a long-running stream one decommissioned executor
+    # would fail every later micro-batch ("checkpoint block not found")
+    # until restart. Collected rows rebuilt as a local relation survive any
+    # executor churn and broadcast for free in each emit().
+    base_dim = psi_category_shares(baseline, cat_col, "p")
+    base_shares = spark.createDataFrame(base_dim.collect(), base_dim.schema)
 
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)

@@ -563,3 +563,42 @@ def test_audio_downsample_real_roundtrip(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="factor"):
         audio_downsample(assets, 0)
+
+
+def test_wav_and_png_metadata_total_on_corrupt_assets(spark):
+    """Codec kernels must emit NULL-metadata rows for corrupt assets
+    (truncated chunks, rate=0 fmt, odd PCM lengths), never fail the
+    stage."""
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import (
+        png_encode,
+        png_metadata,
+        wav_encode,
+        wav_metadata,
+    )
+
+    good_png = png_encode(np.full((2, 2), 9, dtype=np.uint8))
+    png_df = spark.createDataFrame(
+        pd.DataFrame([(0, good_png), (1, good_png[:20])], columns=["doc_id", "media"]),
+        "doc_id long, media binary",
+    )
+    pm = {r["doc_id"]: r for r in png_metadata(png_df).collect()}
+    assert pm[0]["sum_px"] == 36
+    assert pm[1]["width"] is None and pm[1]["sum_px"] is None
+
+    good_wav = wav_encode(np.array([1, -2, 3, -4], dtype=np.int16), 8000, 1)
+    # fmt chunk at offset 12: id(4) size(4) fmt(2) ch(2) rate(4) — zero the rate
+    zero_rate = bytearray(good_wav)
+    zero_rate[24:28] = (0).to_bytes(4, "little")
+    wav_df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, good_wav), (1, bytes(zero_rate)), (2, good_wav[:10])],
+            columns=["doc_id", "media"],
+        ),
+        "doc_id long, media binary",
+    )
+    wm = {r["doc_id"]: r for r in wav_metadata(wav_df).collect()}
+    assert wm[0]["n_samples"] == 4 and wm[0]["duration_ms"] == 0
+    assert wm[1]["duration_ms"] is None, "rate=0 must not ZeroDivide"
+    assert wm[2]["channels"] is None

@@ -80,3 +80,21 @@ def test_bloom_probe_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_falls_back_to_plain_join_past_broadcast_budget(spark):
+    """Past broadcast_max_bits the probe must NOT force a broadcast (an
+    8-GB forced broadcast is a driver OOM at production m_bits); the plan
+    may still broadcast via AQE when the table actually fits, so assert
+    on the optimized logical plan's hint, not the physical operator."""
+    corpus = spark.createDataFrame(CORPUS, SCHEMA)
+    new = spark.createDataFrame(NEW, SCHEMA)
+    big = bloom_maybe_dup(
+        new, bloom_build(corpus, m_bits=1 << 12), m_bits=1 << 12,
+        broadcast_max_bits=1 << 10,
+    )
+    logical = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnresolvedHint" not in logical
+    # result parity regardless of join strategy
+    small = bloom_maybe_dup(new, bloom_build(corpus, m_bits=1 << 12), m_bits=1 << 12)
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, small.collect()))

@@ -211,3 +211,28 @@ def test_foreign_partition_rows_fail_loudly(spark, tmp_path):
 
     with pytest.raises(ValueError, match="outside the current batch"):
         run_partitioned(spark, t, bad_build, sink, batch_partitions=2)
+
+
+def test_manifest_on_file_scheme_root_round_trips(spark, tmp_path):
+    """A scheme-qualified root must route manifest records through the
+    Hadoop FileSystem API (one immutable file per record — object stores
+    have no append); the local-JSONL branch would write to a bogus path
+    and completed_partitions would silently return empty, re-running
+    every partition on resume."""
+    sink = GraphSink(f"file://{tmp_path}/muri", n_buckets=2)
+    sink.record("run1", 0, "pending", spark=spark)
+    sink.record("run1", 0, "done", rows=5, spark=spark)
+    sink.record("run1", 1, "pending", spark=spark)
+    recs = sink.manifest(spark=spark)
+    assert [(r["part_id"], r["status"]) for r in recs] == [
+        (0, "pending"), (0, "done"), (1, "pending")]
+    assert recs[1]["rows"] == 5
+    assert sink.completed_partitions(spark=spark) == {0}
+    # records are individual files under <root>/manifest/
+    import os
+    # ignore Hadoop LocalFileSystem's .crc sidecars
+    names = sorted(
+        n for n in os.listdir(str(tmp_path / "muri" / "manifest"))
+        if not n.startswith(".")
+    )
+    assert len(names) == 3 and all(n.endswith(".json") for n in names)
