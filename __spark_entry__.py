@@ -1086,6 +1086,18 @@ def q_context_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_spans(transcripts_from_documents(spark, sf_dir), budget=32)
 
 
+def q_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical topic segmentation (operators/transcript.py:
+    topic_segments): boundary where consecutive-turn token-set Jaccard
+    drops below 0.15, segment_id as the running boundary count. In-row
+    array set ops + lag/running-sum windows sharing one conv_id
+    shuffle — no token explode, no self-join. Oracle replays the same
+    lag/Jaccard/prefix arithmetic with DuckDB list functions."""
+    from omop2obo_spark.operators.transcript import topic_segments
+
+    return topic_segments(transcripts_from_documents(spark, sf_dir), threshold=0.15)
+
+
 def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation content fingerprint: md5 over the turn texts in
     (turn_idx) order — the north rule's per-turn text-equality invariant
@@ -2603,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_bloom_dedup": q_bloom_dedup,
         "q_context_spans": q_context_spans,
+        "q_topic_segments": q_topic_segments,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -4009,6 +4022,39 @@ FROM (
                                         x -> x <> '')) AS BIGINT) AS ntok
             FROM tr
         ) WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+)"""
+    )
+    # q_topic_segments: identical lag/Jaccard/prefix arithmetic with DuckDB
+    # list functions; boundary decided on the UNROUNDED jaccard, output
+    # rounded 6dp; running sum CAST BIGINT (DuckDB sum -> HUGEINT).
+    sqls["q_topic_segments"] = kg_triples_sql(
+        final_select="""SELECT conv_id, turn_idx,
+       round(jacc, 6) AS jacc_prev,
+       boundary AS is_boundary,
+       CAST(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
+            (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS segment_id
+FROM (
+    SELECT conv_id, turn_idx, jacc,
+           (jacc IS NULL OR jacc < 0.15) AS boundary
+    FROM (
+        SELECT conv_id, turn_idx,
+               CASE WHEN ptoks IS NULL THEN NULL
+                    WHEN len(list_distinct(toks || ptoks)) = 0 THEN 1.0
+                    ELSE len(list_intersect(toks, ptoks))::DOUBLE
+                         / len(list_distinct(toks || ptoks)) END AS jacc
+        FROM (
+            SELECT conv_id, turn_idx, toks,
+                   lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ptoks
+            FROM (
+                SELECT conv_id, turn_idx,
+                       list_distinct(list_filter(
+                           string_split_regex(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+                           x -> x <> '')) AS toks
+                FROM tr
+            )
+        )
     )
 )"""
     )

@@ -259,3 +259,56 @@ def context_spans(
         (F.col("q") - F.min("q").over(in_frame)).alias("ctx_tokens"),
         F.min(order_col).over(in_frame).alias("first_ctx_turn_idx"),
     )
+
+
+def topic_segments(
+    transcripts: DataFrame,
+    threshold: float = 0.15,
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical topic segmentation: split each conversation where the
+    token-set Jaccard between consecutive turns drops below ``threshold``
+    (the classic TextTiling-style boundary signal, reduced to its
+    shuffle-minimal core) — the unit curation and chunking want when a
+    single conversation spans several unrelated tasks.
+
+    Per turn: ``jacc_prev`` (Jaccard of this turn's distinct token set vs
+    the previous turn's; NULL on the first turn; 1.0 when both sets are
+    empty — identical emptiness is not a shift), ``is_boundary`` (first
+    turn or jacc_prev < threshold), ``segment_id`` (0-based running count
+    of boundaries).
+
+    One conv_id shuffle; the lag and the running sum share the same
+    window sort. Set ops run on the in-row token arrays (array_intersect/
+    array_union) — no token explode, no self-join; token arrays move
+    through exactly one exchange.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9']+"),
+            lambda x: x != "",
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select("conv_id", "turn_idx", toks.alias("toks"))
+    prev = F.lag("toks").over(w)
+    inter = F.size(F.array_intersect(F.col("toks"), prev))
+    uni = F.size(F.array_union(F.col("toks"), prev))
+    jacc = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(uni == 0, F.lit(1.0))
+        .otherwise(inter.cast("double") / uni)
+    )
+    flagged = t.select(
+        "conv_id",
+        "turn_idx",
+        F.round(jacc, 6).alias("jacc_prev"),
+        (prev.isNull() | (jacc < F.lit(threshold))).alias("is_boundary"),
+    )
+    return flagged.withColumn(
+        "segment_id",
+        F.sum(F.col("is_boundary").cast("bigint")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        - 1,
+    )

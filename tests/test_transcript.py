@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from omop2obo_spark.operators.transcript import conversation_stats
 
 
@@ -223,3 +225,63 @@ def test_context_spans_single_shuffle_no_join(spark):
     )
     plan = context_spans(df, budget=4)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# topic_segments
+# ---------------------------------------------------------------------------
+
+
+def test_topic_segments_matches_python_model(spark):
+    import re
+
+    from omop2obo_spark.operators.transcript import topic_segments
+
+    texts = [
+        "book a flight to paris tomorrow morning",
+        "paris flight tomorrow yes book it",          # same topic
+        "what is the capital of mongolia",             # shift
+        "mongolia capital is ulaanbaatar",             # same topic
+        "",                                            # empty -> jacc 0 vs prev
+        "",                                            # empty vs empty -> 1.0
+        "completely different subject now entirely",   # shift
+    ]
+    rows = [("c1", i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        r["turn_idx"]: (r["jacc_prev"], r["is_boundary"], r["segment_id"])
+        for r in topic_segments(df, threshold=0.15).collect()
+    }
+
+    def tset(t):
+        return {x for x in re.split(r"[^a-z0-9']+", t.lower()) if x}
+
+    seg = -1
+    for i, t in enumerate(texts):
+        if i == 0:
+            j = None
+        else:
+            a, b = tset(t), tset(texts[i - 1])
+            j = 1.0 if not (a | b) else round(len(a & b) / len(a | b), 6)
+        boundary = j is None or j < 0.15
+        if boundary:
+            seg += 1
+        gj, gb, gs = got[i]
+        assert gb == boundary and gs == seg, (i, got[i], (j, boundary, seg))
+        assert (gj is None) == (j is None)
+        if j is not None:
+            assert gj == pytest.approx(j, abs=1e-6)
+    # sanity: the intended shape actually happened
+    assert got[0][1] and got[2][1] and got[6][1]
+    assert not got[1][1] and not got[3][1] and not got[5][1]
+
+
+def test_topic_segments_one_shuffle_no_join(spark):
+    from omop2obo_spark.operators.transcript import topic_segments
+
+    df = spark.createDataFrame(
+        [("c", 0, "a b"), ("c", 1, "a b")], "conv_id string, turn_idx int, text string"
+    )
+    plan = topic_segments(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # one hash exchange (+AQE read)
