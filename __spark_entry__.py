@@ -857,6 +857,21 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/textstats.py:bm25_search):
+    top-15 documents for the query {data, hash, spark} with
+    Robertson/Sparck-Jones idf, k1=1.2, b=0.75. Scale shape: the token
+    stream filters to the query's terms BEFORE any shuffle (only touched
+    postings move), doc length rides the explode (no corpus-wide length
+    join), N/avgdl and per-term df are broadcast dims, top-k is
+    TakeOrdered. Scores round 6dp and rank by (score desc, id asc) so
+    the ranking is engine-portable; the oracle replays the identical
+    formula."""
+    from omop2obo_spark.operators.textstats import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters with a checkable error contract:
     top-20 tokens by exact count alongside the CMS estimate (depth 4,
@@ -2616,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bloom_dedup": q_bloom_dedup,
         "q_context_spans": q_context_spans,
         "q_topic_segments": q_topic_segments,
+        "q_bm25_search": q_bm25_search,
         # -- already driver-green in r1/r2 ---------------------------------
         "q_pricing_summary": q_pricing_summary,
         "q_broadcast_join_chain": q_broadcast_join_chain,
@@ -3634,6 +3650,40 @@ FROM all_t GROUP BY pred"""
         FROM ({stages[-1]})
     """
 
+    # q_bm25_search: identical BM25 formula in SQL; scores rounded 6dp
+    # BEFORE ranking on both engines so the top-k cut is portable.
+    sqls["q_bm25_search"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '[^a-z0-9'']+'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM base),
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+            FROM (
+                SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM base
+            )
+            WHERE term IN ('data', 'hash', 'spark')
+            GROUP BY doc_id, term
+        ),
+        dfd AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matched_terms,
+                   round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                             * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))), 6) AS score
+            FROM tf t JOIN dfd d USING (term) CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_matched_terms, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 15
+    """
     # q_bloom_dedup: SQL replay of the packed-word Bloom filter (32-bit
     # words via bit_or, md5 bit positions) — verdicts hash-compared per doc.
     sqls["q_bloom_dedup"] = """

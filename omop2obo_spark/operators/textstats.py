@@ -1166,3 +1166,79 @@ def weighted_sample_per_group(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for one term query.
+
+    idf is the Robertson/Sparck-Jones form ln(1 + (N - df + 0.5) /
+    (df + 0.5)); per-term score tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape: the token stream is FILTERED to the query's terms before
+    anything shuffles — only the postings the query touches move (a
+    |terms|-element isin over the exploded scan, pushed into the same
+    codegen stage); doc length rides along in the explode so no join back
+    to a corpus-wide length table; N/avgdl is a 1-row broadcast dim and
+    per-term df a <= |terms|-row broadcast dim; top-k is TakeOrdered.
+    Scores round to 6dp and order by (rounded score desc, id asc) so the
+    ranking is engine-portable.
+
+    Output: ``(id_col, n_matched_terms, score, rank)``, rank 1..k.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    # coalesce BEFORE tokenizing: tokens(NULL) is a NULL array whose
+    # F.size is -1 (legacy sizeOfNull), which would poison avgdl
+    base = docs.select(
+        F.col(id_col), tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks")
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            id_col,
+            F.size("__toks").cast("double").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_dim = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    per_term = (
+        tf.join(F.broadcast(df_dim), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("__s"),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matched_terms"),
+        F.round(F.sum("__s"), 6).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    order = [F.desc("score"), F.asc(id_col)]
+    w = Window.orderBy(*order)
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -1956,3 +1956,68 @@ def test_simhash_pairs_end_to_end_near_dup_text(spark):
     pairs = {(r.id_a, r.id_b) for r in simhash_pairs(fps, max_hamming=6, bits=48).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# bm25_search
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_search_matches_python_model(spark):
+    import math
+    import re
+
+    from omop2obo_spark.operators.textstats import bm25_search
+
+    texts = {
+        1: "spark joins data with hash join strategies",
+        2: "the cat sat on the mat",
+        3: "hash hash hash everywhere hash",
+        4: "data data spark data pipelines move data",
+        5: None,
+        6: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    terms, k1, b = ["hash", "data", "spark"], 1.2, 0.75
+
+    tok = {
+        d: [x for x in re.split(r"[^a-z0-9']+", (t or "").lower()) if x]
+        for d, t in texts.items()
+    }
+    n = len(texts)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    want = {}
+    for d, toks in tok.items():
+        s, m = 0.0, 0
+        for t in set(terms):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            dfreq = sum(1 for v in tok.values() if t in v)
+            idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            m += 1
+        if m:
+            want[d] = (m, round(s, 6))
+
+    got = {
+        r["doc_id"]: (r["n_matched_terms"], r["score"], r["rank"])
+        for r in bm25_search(df, terms, k=10).collect()
+    }
+    assert set(got) == set(want)
+    for d, (m, s) in want.items():
+        assert got[d][0] == m and got[d][1] == pytest.approx(s, abs=1e-6), d
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    assert [d for d, _ in ranked] == [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][2])]
+
+
+def test_bm25_topk_truncation_and_plan(spark):
+    from omop2obo_spark.operators.textstats import bm25_search
+
+    rows = [(i, "common word here") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_search(df, ["common"], k=5)
+    assert [r["rank"] for r in out.collect()] == [1, 2, 3, 4, 5]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
