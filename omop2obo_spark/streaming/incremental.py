@@ -511,3 +511,73 @@ def stream_dedup_against(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    input_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming count-min maintenance: each micro-batch's token stream
+    becomes one CMS cell table (``operators.sketch.cms_build``) written
+    PARTITIONED BY batch_id with dynamic partition overwrite — the
+    replay-idempotent ledger shape shared with :func:`stream_dedup_against`.
+
+    Why this shape: CMS cells are SUMMABLE (the sketch of a union is the
+    cell-wise sum of the sketches), so the reader merges all history with
+    one bounded groupBy — no per-batch rescans of text, no unbounded
+    streaming state, no watermark horizon. Stream state on disk is at
+    most n_batches * depth * width rows of three integers, independent of
+    corpus size; :func:`merged_sketch` collapses it to depth*width.
+
+    Query the merged sketch with ``operators.sketch.cms_estimate``; the
+    mergeability contract (merged estimate == batch-built estimate over
+    the union corpus, exactly) is pinned in tests.
+
+    Idempotency scope (same as the other foreachBatch ledgers): a RETRY
+    of a micro-batch within one checkpoint lineage replaces its own
+    partition byte-identically. Reprocessing from a FRESH checkpoint may
+    group the same files into different batch ids — clear the sketch dir
+    when restarting from scratch.
+    """
+    from omop2obo_spark.operators.sketch import cms_build
+    from omop2obo_spark.operators.textstats import tokens
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+        )
+        (
+            cms_build(toks, depth=depth, width=width)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(emit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def merged_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Collapse the per-batch CMS ledger to one depth*width sketch:
+    cell-wise sum (CMS mergeability). Bounded output regardless of how
+    many batches have run."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -376,3 +376,48 @@ def test_stream_drift_monitor_replayed_batch_overwrites_not_appends(spark, tmp_p
     ).start().awaitTermination(120)
     again = spark.read.parquet(out).collect()
     assert len(again) == len(first)
+
+
+def test_stream_heavy_hitters_merge_equals_batch_sketch(spark, tmp_path):
+    """CMS mergeability across micro-batches: the cell-wise sum of the
+    per-batch sketches must equal the sketch built in one pass over the
+    union corpus, EXACTLY — and a replayed stream (fresh checkpoint, same
+    deterministic batch ids) must leave the ledger unchanged (dynamic
+    overwrite, not append)."""
+    from omop2obo_spark.operators.sketch import cms_build
+    from omop2obo_spark.operators.textstats import tokens
+    from omop2obo_spark.streaming.incremental import (
+        merged_sketch,
+        stream_heavy_hitters,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src, sk = str(tmp_path / "hin"), str(tmp_path / "hsk")
+    b1 = [(1, "the cat sat on the mat", "en", "web", 22),
+          (2, "dogs chase the cat", "en", "web", 18)]
+    b2 = [(3, "the mat was red", "en", "web", 15),
+          (4, None, "en", "web", 0)]
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    stream_heavy_hitters(spark, src, sk, str(tmp_path / "c1"), schema,
+                         depth=4, width=64).start().awaitTermination(120)
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    # simulate the crashed first attempt of batch 1: a stale PARTIAL cell
+    # partition is already committed (here: garbage — b1's sketch under
+    # batch_id=1), but the streaming checkpoint is not -> the next run
+    # reprocesses batch 1 and its dynamic overwrite must REPLACE the
+    # partition, not add to it
+    toks_b1 = spark.createDataFrame(b1, schema).select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"))
+    (
+        cms_build(toks_b1, depth=4, width=64)
+        .withColumn("batch_id", F.lit(1).cast("long"))
+        .write.partitionBy("batch_id").mode("append").parquet(sk)
+    )
+    stream_heavy_hitters(spark, src, sk, str(tmp_path / "c1"), schema,
+                         depth=4, width=64).start().awaitTermination(120)
+
+    union = spark.createDataFrame(b1 + b2, schema)
+    toks = union.select(F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"))
+    want = sorted(map(tuple, cms_build(toks, depth=4, width=64).collect()))
+    got = sorted(map(tuple, merged_sketch(spark, sk).select("row", "bucket", "c").collect()))
+    assert got == want
