@@ -816,8 +816,9 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom pre-screen for incremental dedup, per-doc verdicts hash-
     compared against a full SQL replay: documents split deterministically
     into kept corpus (doc_id % 3 == 0) and a new crawl batch — the batch
-    additionally RE-CRAWLS the whole corpus under shifted ids (+10^7), so
-    true duplicates exist by construction at every fixture scale. Each new
+    additionally RE-CRAWLS the whole corpus under reflected ids
+    (-(doc_id+1), disjoint from any non-negative id space at ANY scale),
+    so true duplicates exist by construction at every fixture scale. Each new
     doc gets ``maybe_dup`` (the Bloom verdict — packed 32-bit words, md5
     bit positions, m=1024/k=4 sized so the sf0.01 gate fixture exercises
     real false positives too), ``is_dup`` (exact normalized-hash
@@ -833,7 +834,7 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 3 == 0)
-    recrawl = corpus.withColumn("doc_id", (F.col("doc_id") + F.lit(10000000)).cast("long"))
+    recrawl = corpus.withColumn("doc_id", (-(F.col("doc_id") + 1)).cast("long"))
     new = docs.filter(F.col("doc_id") % 3 != 0).unionByName(recrawl)
     m_bits, k = 1 << 10, 4
     flags = bloom_maybe_dup(new, bloom_build(corpus, m_bits, k), m_bits, k)
@@ -3691,7 +3692,7 @@ FROM all_t GROUP BY pred"""
         newd AS (
             SELECT * FROM documents WHERE doc_id % 3 <> 0
             UNION ALL
-            SELECT * REPLACE (doc_id + 10000000 AS doc_id) FROM corpus
+            SELECT * REPLACE (-(doc_id + 1) AS doc_id) FROM corpus
         ),
         chash AS (
             SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h

@@ -918,7 +918,10 @@ def dedup_against_bloom(
         new_docs, bloom_build(corpus, m_bits, k_hashes, text_col), m_bits, k_hashes,
         id_col, text_col, broadcast_max_bits,
     )
-    tagged = new_docs.join(flags, id_col)
+    # both union branches consume this lineage — materialize once (house
+    # localCheckpoint pattern, see dedup_against's near phase) or the
+    # batch scan + probe pipeline re-executes per branch
+    tagged = new_docs.join(flags, id_col).localCheckpoint(eager=True)
     definite = tagged.filter(~F.col("maybe_dup")).drop("maybe_dup")
     maybe = tagged.filter(F.col("maybe_dup")).drop("maybe_dup")
     return definite.unionByName(

@@ -136,7 +136,9 @@ def heavy_hitters(
         .select(F.col("tok").alias("token"), "rank", "n_exact")
     )
     est = cms_estimate(cms_build(toks, depth=depth, width=width), topk, depth=depth, width=width)
-    totals = toks.agg(F.count("*").alias("n_total"))
+    # n_total from the exact aggregate, not a third corpus scan — the three
+    # toks subtrees are not identical so ReuseExchange would not fire
+    totals = exact.agg(F.sum("n_exact").alias("n_total"))
     bound = F.ceil(F.lit(2.0) * F.col("n_total") / F.lit(width)).cast("bigint")
     return (
         est.crossJoin(F.broadcast(totals))

@@ -232,9 +232,11 @@ def context_spans(
     identically (they add nothing to ctx_tokens). The whole operator is
     window arithmetic over integers — engine-portable, exact SQL oracle.
     """
-    ntok = F.size(
-        F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda x: x != "")
-    ).cast("bigint")
+    from omop2obo_spark.operators.textstats import whitespace_token_count
+
+    # ONE spelling of the whitespace token-count contract (textstats owns
+    # it); coalesce first — counting NULL text must yield 0, not NULL
+    ntok = whitespace_token_count(F.coalesce(F.col(text_col), F.lit(""))).cast("bigint")
     wq = Window.partitionBy("conv_id").orderBy(order_col)
     pre = transcripts.select(
         "conv_id", order_col, ntok.alias("ntok")
@@ -283,12 +285,11 @@ def topic_segments(
     array_union) — no token explode, no self-join; token arrays move
     through exactly one exchange.
     """
-    toks = F.array_distinct(
-        F.filter(
-            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9']+"),
-            lambda x: x != "",
-        )
-    )
+    from omop2obo_spark.operators.textstats import tokens as word_tokens
+
+    # textstats.tokens is THE corpus tokenizer (sketch/bm25/vocab share it);
+    # composing it here keeps the boundary signal on the same token stream
+    toks = F.array_distinct(word_tokens(F.coalesce(F.col(text_col), F.lit(""))))
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     t = transcripts.select("conv_id", "turn_idx", toks.alias("toks"))
     prev = F.lag("toks").over(w)
