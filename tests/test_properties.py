@@ -352,3 +352,69 @@ def test_unstack_columns_guard_property(spark, rows):
             a = next(iter(cells.get((i, "A"), {None})))
             b = next(iter(cells.get((i, "B"), {None})))
             assert got[i] == (a, b), (rows, i, got[i])
+
+
+# --- context_spans vs a direct-scan model ----------------------------------
+
+
+@given(
+    data=st.lists(  # one conversation: token count per turn
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=12
+    ),
+    budget=st.integers(min_value=0, max_value=30),
+)
+@PROP_SETTINGS
+def test_context_spans_property(spark, data, budget):
+    """For ANY token-length profile and budget, the window-frame
+    formulation must equal the quadratic direct scan (greedy-maximal
+    preceding span), including zero-token free-riders and budget 0."""
+    from omop2obo_spark.operators.transcript import context_spans
+
+    rows = [("c", i, "t " * n if n else "") for i, n in enumerate(data)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {
+        r["turn_idx"]: (r["n_ctx_turns"], r["ctx_tokens"], r["first_ctx_turn_idx"])
+        for r in context_spans(df, budget=budget).collect()
+    }
+    for i in range(len(data)):
+        total, n = 0, 0
+        for j in range(i - 1, -1, -1):
+            if total + data[j] > budget:
+                break
+            total += data[j]
+            n += 1
+        assert got[i] == (n, total, i - n), (i, data, budget, got[i])
+
+
+# --- Bloom pre-screen parity with the plain anti-join -----------------------
+
+
+@given(
+    corpus_texts=st.lists(
+        st.sampled_from(["alpha beta", "gamma", "delta eps", "zeta", ""]),
+        min_size=0, max_size=5,
+    ),
+    new_texts=st.lists(
+        st.sampled_from(["alpha beta", "gamma", "NEW thing", "other new", "", None]),
+        min_size=1, max_size=6,
+    ),
+    m_bits=st.sampled_from([32, 64, 1 << 12]),
+)
+@PROP_SETTINGS
+def test_dedup_against_bloom_property(spark, corpus_texts, new_texts, m_bits):
+    """For ANY corpus/new split and filter size (including saturated
+    32-bit filters where nearly everything false-positives), the Bloom
+    split must keep exactly the docs the plain exact anti-join keeps."""
+    from omop2obo_spark.operators.dedup import dedup_against, dedup_against_bloom
+
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(corpus_texts)], schema
+    )
+    new = spark.createDataFrame(list(enumerate(new_texts)), schema)
+    want = sorted(r["doc_id"] for r in dedup_against(new, corpus).collect())
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_against_bloom(new, corpus, m_bits=m_bits).collect()
+    )
+    assert got == want, (corpus_texts, new_texts, m_bits)
