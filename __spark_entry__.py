@@ -2523,6 +2523,71 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(docs, ["doc_id", "lang", "source", "n_chars"])
 
 
+def q_cycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy-input DAG validation (operators/hierarchy.py:
+    cycle_members): every node on a directed cycle with its shortest
+    cycle length — the certification a production pipeline runs BEFORE
+    ancestor closure (the reference walks rdflib parents with no cycle
+    guard, ontology_utils.py:229-266; one bad curated edge = infinite
+    loop there, silent wrong ancestors anywhere else). Edge fixture:
+    the q_ancestor_closure binary forest over customer keys plus
+    deterministic corrupting back-edges (every 97th key k gets an edge
+    from its grand-ancestor back down to k; alternating k//8 / k//4
+    targets make 3- AND 4-cycles that share nodes, so the min-fold is
+    exercised). Same iterative-doubling rounds as the closure, one
+    self-pair filter at the end. Oracle: depth-bounded recursive CTE
+    with the identical uri = ancestor_uri terminal filter."""
+    from omop2obo_spark.operators.hierarchy import cycle_members
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tree = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("uri"),
+        (F.col("c_custkey") / 2).cast("long").alias("parent_uri"),
+    )
+    back = (
+        c.filter((F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") >= 8))
+        .select(
+            F.when(
+                F.floor(F.col("c_custkey") / 97) % 2 == 0,
+                (F.col("c_custkey") / 8).cast("long"),
+            )
+            .otherwise((F.col("c_custkey") / 4).cast("long"))
+            .alias("uri"),
+            F.col("c_custkey").cast("long").alias("parent_uri"),
+        )
+    )
+    return cycle_members(tree.unionByName(back)).withColumn(
+        "cycle_len", F.col("cycle_len").cast("long")
+    )
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style star BGP over the materialized graph
+    (operators/hierarchy.py:star_join): subjects holding an
+    'Automatic Exact - Concept' category triple, projected to their
+    exact-mapping class and conversation — the canonical triple-store
+    access pattern (?m category 'exact' . ?m maps ?cls . ?m of ?conv).
+    Conditional aggregation folds the 3-pattern star into ONE subj-keyed
+    shuffle (vs 2 fact-scale self-joins in a naive RDF plan); predicates
+    outside the pattern are pruned at the scan. Oracle: the kg CTE chain
+    with the same CASE-aggregation star in SQL."""
+    from omop2obo_spark.operators.hierarchy import star_join
+
+    t = _pipeline_result(spark, sf_dir).triples
+    return star_join(
+        t,
+        required={
+            "omop2obo:hasMappingCategory": "Automatic Exact - Concept",
+            "omop2obo:hasExactMapping": None,
+            "omop2obo:mentionOf": None,
+        },
+        select={
+            "omop2obo:hasExactMapping": "cls",
+            "omop2obo:mentionOf": "conv",
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2680,6 +2745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sketch_distinct": q_sketch_distinct,
         "q_hierarchy_rollup": q_hierarchy_rollup,
         "q_ancestor_closure": q_ancestor_closure,
+        # -- new in round 3, after the driver window ------------------------
+        "q_cycle_check": q_cycle_check,
+        "q_star_join": q_star_join,
     }
 
 
@@ -4899,6 +4967,55 @@ LEFT JOIN removed USING (pred)""",
         SELECT uri, ancestor_uri, CAST(MIN(depth) AS BIGINT) AS depth
         FROM walk GROUP BY uri, ancestor_uri
     """
+
+    # q_cycle_check: same forest + deterministic back-edges; the walk is
+    # depth-bounded (every constructed cycle is length 3 or 4 — one
+    # back-edge down 2 or 3 levels plus the tree path back up — so 12 is
+    # a safe horizon and keeps the cyclic recursion finite in SQL).
+    sqls["q_cycle_check"] = """
+        WITH RECURSIVE edges AS (
+            SELECT c_custkey AS uri, c_custkey // 2 AS parent_uri
+            FROM customer WHERE c_custkey >= 2
+            UNION ALL
+            SELECT CASE WHEN (c_custkey // 97) % 2 = 0
+                        THEN c_custkey // 8 ELSE c_custkey // 4 END AS uri,
+                   c_custkey AS parent_uri
+            FROM customer WHERE c_custkey % 97 = 0 AND c_custkey >= 8
+        ), walk AS (
+            SELECT uri, parent_uri AS ancestor_uri, 1 AS depth FROM edges
+            UNION
+            SELECT w.uri, e.parent_uri AS ancestor_uri, w.depth + 1
+            FROM walk w JOIN edges e ON w.ancestor_uri = e.uri
+            WHERE w.depth < 12
+        )
+        SELECT uri, CAST(MIN(depth) AS BIGINT) AS cycle_len
+        FROM walk WHERE uri = ancestor_uri GROUP BY uri
+    """
+
+    # q_star_join: the identical CASE-aggregation star over the distinct
+    # triple set the kg CTE chain produces.
+    sqls["q_star_join"] = kg_triples_sql(
+        final_select="""SELECT subj,
+       min(CASE WHEN pred = 'omop2obo:hasExactMapping' THEN obj END) AS cls,
+       min(CASE WHEN pred = 'omop2obo:mentionOf' THEN obj END) AS conv
+FROM (
+    SELECT DISTINCT subj, pred, obj
+    FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )
+    WHERE pred IN ('omop2obo:hasMappingCategory',
+                   'omop2obo:hasExactMapping', 'omop2obo:mentionOf')
+)
+GROUP BY subj
+HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
+                 AND obj = 'Automatic Exact - Concept'
+                THEN 1 ELSE 0 END) = 1
+   AND max(CASE WHEN pred = 'omop2obo:hasExactMapping' THEN 1 ELSE 0 END) = 1
+   AND max(CASE WHEN pred = 'omop2obo:mentionOf' THEN 1 ELSE 0 END) = 1"""
+    )
 
     sqls["q_rollup_revenue"] = """
         SELECT p_brand, l_returnflag,

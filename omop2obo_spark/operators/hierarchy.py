@@ -843,3 +843,90 @@ def hits(
             F.round(F.coalesce("a", F.lit(0.0)), round_dp).alias("auth"),
         )
     )
+
+
+def cycle_members(
+    edges: DataFrame,
+    child_col: str = "uri",
+    parent_col: str = "parent_uri",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """DAG validation for hierarchy inputs: every node on a directed
+    cycle, with its shortest cycle length.
+
+    The closure tier assumes ``subClassOf`` edges form a DAG (the
+    reference takes rdflib's word for it — ontology_utils.py walks
+    parents without a cycle guard and would loop forever on a cyclic
+    input). A production KG pipeline has to VALIDATE that before
+    running closure/rollup, because a single bad edge in a curated
+    ontology release silently turns "ancestors of X" into "everything
+    on X's cycle". Empty result == certified DAG.
+
+    A node is on a cycle iff the transitive closure contains its self
+    pair, and :func:`ancestor_closure`'s min-fold depth of that pair is
+    exactly the shortest cycle length through the node (iterative
+    doubling prices every pair exactly on first appearance — see the
+    module docstring). So this is one filter over the closure: no new
+    distributed algorithm, same O(log diameter) rounds at dimension
+    scale, and the same recursive-CTE oracle shape with a
+    ``uri = ancestor_uri`` terminal filter.
+
+    Output: ``(uri, cycle_len)``, one row per cycle node.
+    """
+    cl = ancestor_closure(edges, child_col=child_col, parent_col=parent_col,
+                          max_rounds=max_rounds)
+    return cl.filter(F.col("uri") == F.col("ancestor_uri")).select(
+        "uri", F.col("depth").alias("cycle_len")
+    )
+
+
+def star_join(
+    triples: DataFrame,
+    required: dict[str, str | None],
+    select: dict[str, str],
+) -> DataFrame:
+    """SPARQL-style star basic-graph-pattern over ``(subj, pred, obj)``:
+    subjects matching EVERY pattern in ``required`` — ``{pred: None}``
+    means "subject has some triple with this predicate", ``{pred:
+    literal}`` pins the object — projected to one column per entry of
+    ``select`` (``{pred: out_col}``, the min object per predicate as the
+    deterministic representative).
+
+    This is the access path a triple store must serve: a k-pattern star
+    (``?m :cat 'exact' . ?m :maps ?cls . ?m :of ?conv``) is textbook-
+    executed as k-1 self-joins of the triple table on subj — k-1
+    shuffles of fact-scale data, or zero exchanges only when the sink's
+    subj-bucketed layout is available (sources/writers.py). Conditional
+    aggregation folds the whole star into ONE subj-keyed shuffle with
+    map-side partial aggregation, independent of k: each partition
+    reduces to at most one row per local subject before the exchange,
+    and the HAVING-style filter runs on the aggregated row. Predicates
+    not named in either dict are pruned at the scan.
+
+    At 10^12-turn scale subj (a per-mention URI) is skew-free by
+    construction, so the single hash exchange is balanced.
+    """
+    if not required:
+        raise ValueError("star_join requires at least one pattern")
+    preds = sorted(set(required) | set(select))
+    t = (
+        triples.select("subj", "pred", "obj")
+        .filter(F.col("pred").isin(preds))
+        .distinct()
+    )
+    aggs = []
+    for p, out in sorted(select.items()):
+        aggs.append(F.min(F.when(F.col("pred") == p, F.col("obj"))).alias(out))
+    conds = []
+    for p, want in sorted(required.items()):
+        hit = (F.col("pred") == p) if want is None else (
+            (F.col("pred") == p) & (F.col("obj") == want)
+        )
+        flag = f"__has_{len(conds)}"
+        aggs.append(F.max(F.when(hit, F.lit(True)).otherwise(F.lit(False))).alias(flag))
+        conds.append(flag)
+    out_cols = ["subj"] + [c for c in (v for _, v in sorted(select.items()))]
+    res = t.groupBy("subj").agg(*aggs)
+    for flag in conds:
+        res = res.filter(F.col(flag))
+    return res.select(*out_cols)

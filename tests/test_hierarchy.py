@@ -320,3 +320,51 @@ def test_hits_matches_python_model(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         hits(df, iterations=0)
+
+
+def test_cycle_members_detects_min_cycle_lengths(spark):
+    from omop2obo_spark.operators.hierarchy import cycle_members
+
+    # DAG part (x→y→z) plus two overlapping cycles: a→b→c→a (len 3) and
+    # a→b→a (len 2). Min per node: a,b → 2 (the short cycle), c → 3.
+    edges = [("x", "y"), ("y", "z"),
+             ("a", "b"), ("b", "c"), ("c", "a"), ("b", "a")]
+    df = spark.createDataFrame(edges, "uri string, parent_uri string")
+    got = {(r.uri, r.cycle_len) for r in cycle_members(df).collect()}
+    assert got == {("a", 2), ("b", 2), ("c", 3)}
+
+
+def test_cycle_members_empty_on_dag(spark):
+    from omop2obo_spark.operators.hierarchy import cycle_members
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]
+    df = spark.createDataFrame(edges, "uri string, parent_uri string")
+    assert cycle_members(df).count() == 0
+
+
+def test_star_join_patterns_and_projection(spark):
+    import pytest
+
+    from omop2obo_spark.operators.hierarchy import star_join
+
+    rows = [
+        # s1 matches all three patterns; :maps is multi-valued → min obj
+        ("s1", ":cat", "exact"), ("s1", ":maps", "B"), ("s1", ":maps", "A"),
+        ("s1", ":of", "c1"),
+        # s2 fails the pinned-literal pattern
+        ("s2", ":cat", "fuzzy"), ("s2", ":maps", "C"), ("s2", ":of", "c2"),
+        # s3 lacks :of entirely
+        ("s3", ":cat", "exact"), ("s3", ":maps", "D"),
+        # duplicate assertions collapse before aggregation
+        ("s1", ":cat", "exact"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = star_join(
+        t,
+        required={":cat": "exact", ":maps": None, ":of": None},
+        select={":maps": "cls", ":of": "conv"},
+    )
+    assert set(got.columns) == {"subj", "cls", "conv"}
+    assert [tuple(r) for r in got.collect()] == [("s1", "A", "c1")]
+    with pytest.raises(ValueError):
+        star_join(t, required={}, select={})
