@@ -39,7 +39,9 @@ from omop2obo_spark.operators.prefix import two_level_prefix
 # ---------------------------------------------------------------------------
 
 
-def contingency_cells(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+def contingency_cells(
+    df: DataFrame, row_col: str, col_col: str, weight_col: str | None = None
+) -> DataFrame:
     """Dense contingency cells ``(row_col, col_col, n)`` with zero-filled
     holes.
 
@@ -47,15 +49,22 @@ def contingency_cells(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     completion is a cross join of two tiny distinct dimensions (categorical
     cardinalities), broadcast by AQE.
 
+    ``weight_col`` accepts PRE-AGGREGATED counts — the shape contingency
+    data actually arrives in at scale (an upstream job's count table, or a
+    published analysis fixture like the reference's
+    tests/data/chi_square_test_data.txt) — summed instead of row-counted.
+
     NULL categories count as their own ``'__null__'`` bucket (like
     :func:`psi_drift`): the dense completion joins on equality, where a
     raw NULL key would never match its own count row and ``fillna`` would
     silently zero it out of the statistic.
     """
+    agg = F.sum(F.col(weight_col)) if weight_col else F.count("*")
     counts = df.select(
         F.coalesce(F.col(row_col).cast("string"), F.lit("__null__")).alias(row_col),
         F.coalesce(F.col(col_col).cast("string"), F.lit("__null__")).alias(col_col),
-    ).groupBy(row_col, col_col).agg(F.count("*").alias("n"))
+        *([F.col(weight_col)] if weight_col else []),
+    ).groupBy(row_col, col_col).agg(agg.alias("n"))
     rows = counts.select(row_col).distinct()
     cols = counts.select(col_col).distinct()
     return (
@@ -78,7 +87,9 @@ def _chi2_terms(n, e, dof):
     return F.when(dof == 1, corrected / e).otherwise(plain / e)
 
 
-def chi_square_pairs(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+def chi_square_pairs(
+    df: DataFrame, row_col: str, col_col: str, weight_col: str | None = None
+) -> DataFrame:
     """Omnibus + all-pairs chi-square statistics over the
     ``row_col`` x ``col_col`` contingency of ``df``.
 
@@ -95,7 +106,7 @@ def chi_square_pairs(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     # pairwise) and recomputing it is one small groupBy + broadcast cross
     # join, whereas a .cache() here pins storage for the life of a
     # long-running session with no owner to unpersist it.
-    cells = contingency_cells(df, row_col, col_col)
+    cells = contingency_cells(df, row_col, col_col, weight_col=weight_col)
 
     # -- omnibus ------------------------------------------------------------
     w_all = Window.partitionBy()
@@ -229,7 +240,11 @@ def asterisks_for_pval(p: float) -> str:
 
 
 def chisq_posthoc_corrected(
-    df: DataFrame, row_col: str, col_col: str, alpha: float = 0.05
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    alpha: float = 0.05,
+    weight_col: str | None = None,
 ) -> list[dict]:
     """Reference chisq_and_posthoc_corrected twin (analytic_utils.py:199):
     pairwise chi-square p-values with Bonferroni correction over the
@@ -241,7 +256,7 @@ def chisq_posthoc_corrected(
     has C(r, 2) rows where r is a categorical cardinality — a dimension, not
     data — while all counting happened distributed in chi_square_pairs.
     """
-    stats = chi_square_pairs(df, row_col, col_col).collect()
+    stats = chi_square_pairs(df, row_col, col_col, weight_col=weight_col).collect()
     omni = [r for r in stats if r["comparison"] == "omnibus"]
     pairs = sorted(
         (r for r in stats if r["comparison"] != "omnibus"), key=lambda r: r["comparison"]

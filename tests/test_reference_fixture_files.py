@@ -135,3 +135,58 @@ def test_mrsty_reader_matches_reference_on_its_own_fixture(spark):
     ).drop_duplicates().astype(str)
     assert ours == set(map(tuple, theirs.itertuples(index=False)))
     assert len(ours) > 0
+
+
+CHI_FIXTURE = f"{REF_ROOT}/tests/data/chi_square_test_data.txt"
+
+
+def test_chi_square_on_reference_analysis_fixture(spark):
+    """Drive the reference's shipped contingency fixture
+    (tests/data/chi_square_test_data.txt — per-ontology dbxref/label/
+    synonym counts) through the weighted chi-square path and require the
+    scipy-semantics statistic per pair (the same arithmetic
+    analytic_utils.py:199 feeds to chi2_contingency)."""
+    from omop2obo_spark.operators.analysis import chi_square_pairs
+
+    wide = pd.read_csv(CHI_FIXTURE)
+    kinds = ["dbxref", "label", "synonym"]
+    long_rows = [
+        (r["ontology"], k, int(r[k])) for _, r in wide.iterrows() for k in kinds
+    ]
+    df = spark.createDataFrame(long_rows, "ontology string, kind string, n long")
+    got = {
+        r["comparison"]: r
+        for r in chi_square_pairs(df, "ontology", "kind", weight_col="n").collect()
+    }
+
+    def ref_chi2(table):
+        # plain-Python chi2_contingency(correction=True) twin (scipy absent)
+        r, c = len(table), len(table[0])
+        rt = [sum(row) for row in table]
+        ct = [sum(table[i][j] for i in range(r)) for j in range(c)]
+        g = sum(rt)
+        dof = (r - 1) * (c - 1)
+        chi2 = 0.0
+        for i in range(r):
+            for j in range(c):
+                e = rt[i] * ct[j] / g
+                d = abs(table[i][j] - e)
+                if dof == 1:
+                    d = max(d - 0.5, 0.0)
+                chi2 += d * d / e
+        return chi2, dof
+
+    onts = list(wide["ontology"])
+    table = {o: [int(wide[wide.ontology == o][k].iloc[0]) for k in kinds] for o in onts}
+    want_omni, want_dof = ref_chi2([table[o] for o in onts])
+    assert got["omnibus"]["dof"] == want_dof
+    assert got["omnibus"]["chi2"] == pytest.approx(want_omni, rel=1e-9)
+    assert got["omnibus"]["n"] == int(wide[kinds].to_numpy().sum())
+    # every unordered ontology pair, including the VO row with a 0 cell
+    import itertools
+
+    for a, b in itertools.combinations(sorted(onts), 2):
+        want_chi2, want_pair_dof = ref_chi2([table[a], table[b]])
+        r = got[f"{a}-{b}"]
+        assert r["dof"] == want_pair_dof
+        assert r["chi2"] == pytest.approx(want_chi2, rel=1e-9)
