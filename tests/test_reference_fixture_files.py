@@ -190,3 +190,102 @@ def test_chi_square_on_reference_analysis_fixture(spark):
         r = got[f"{a}-{b}"]
         assert r["dof"] == want_pair_dof
         assert r["chi2"] == pytest.approx(want_chi2, rel=1e-9)
+
+
+CLIN_CSV = f"{REF_ROOT}/tests/data/clinical_data/sample_omop_condition_occurrence_data.csv"
+REF_ANNOTATOR = f"{REF_ROOT}/omop2obo/clinical_concept_annotator.py"
+
+
+def _load_reference_annotator_class():
+    """Import the reference's ConceptAnnotator with a package shim for its
+    ``from omop2obo.utils import *`` (backed by the shimmed data_utils
+    module — reference code imported and executed, never copied)."""
+    ref_utils = _load_reference_data_utils()
+    pkg = types.ModuleType("omop2obo")
+    pkg.__path__ = []  # mark as package
+    utils_mod = types.ModuleType("omop2obo.utils")
+    for name in dir(ref_utils):
+        if not name.startswith("_"):
+            setattr(utils_mod, name, getattr(ref_utils, name))
+    sys.modules.setdefault("omop2obo", pkg)
+    sys.modules["omop2obo.utils"] = utils_mod
+    spec = importlib.util.spec_from_file_location("ref_annotator_fx", REF_ANNOTATOR)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.ConceptAnnotator, ref_utils
+
+
+def _reference_umls_tables(ref, vm):
+    """The reference's own MRCONSO/MRSTY prep recipes
+    (clinical_concept_annotator.py:158-170, :183-185) on its own files,
+    with ITS normalizes_source_codes."""
+    headers = ["CUI", "LANG", "SAB", "CODE"]
+    raw = pd.read_csv(
+        MRCONSO_FAKE, sep="|", names=headers, low_memory=False, header=None,
+        usecols=[0, 1, 11, 13],
+    ).drop_duplicates().astype(str)
+    df = raw[(raw.CODE != "NOCODE") & (raw.LANG == "ENG")]
+    cui = df[["CUI", "SAB", "CODE"]].drop_duplicates().copy()
+    cui["CODE"] = cui["SAB"] + ":" + cui["CODE"].str.lower()
+    cui["CODE"] = cui["CODE"].apply(
+        lambda j: ":".join(j.split(":")[1:]) if len(j.split(":")) > 2 else j
+    )
+    cui["CODE"] = ref.normalizes_source_codes(cui["CODE"].to_frame(), vm)
+    tui = pd.read_csv(
+        MRSTY_FAKE, header=None, sep="|", names=["CUI", "STY"],
+        low_memory=False, usecols=[0, 3],
+    ).drop_duplicates().astype(str)
+    return cui, tui
+
+
+@pytest.mark.parametrize("double_merge,ref_expected_rows", [(True, 66), (False, 3)])
+def test_umls_annotate_matches_annotator_on_reference_fixtures(
+    spark, double_merge, ref_expected_rows
+):
+    """End-to-end J1/J2/J3 differential on the reference's OWN fixture
+    stack: its clinical sample CSV + MRCONSO_FAKE/MRSTY_FAKE through its
+    own ConceptAnnotator.umls_cui_annotator (executed in-process) vs our
+    umls_annotate — row-set equality, plus the reference test-suite's own
+    pinned cardinalities (test_clinical_concept_annotator.py:241, :260)."""
+    from omop2obo_spark.operators.linking import prepare_mrconso, umls_annotate
+    from omop2obo_spark.sources.readers import (
+        read_mrconso_rrf,
+        read_mrsty_rrf,
+        read_vocab_map,
+    )
+
+    Annotator, ref = _load_reference_annotator_class()
+    vm = read_vocab_map(spark, VOCAB_CSV)
+
+    # identical pre-normalized clinical input on both sides (the reference's
+    # own test normalizes codes first, test_clinical_concept_annotator.py:236)
+    clin = pd.read_csv(CLIN_CSV, header=0, low_memory=False).astype(str)
+    clin["CONCEPT_SOURCE_CODE"] = ref.normalizes_source_codes(
+        clin["CONCEPT_SOURCE_CODE"].to_frame(), vm
+    )
+
+    # reference side: the real method on an attribute-stub instance (its
+    # __init__ only validates paths and loads the same three tables)
+    cui, tui = _reference_umls_tables(ref, vm)
+    ann = object.__new__(Annotator)
+    ann.umls_double_merge = double_merge
+    ann.umls_cui_data = cui
+    ann.umls_tui_data = tui
+    theirs = ann.umls_cui_annotator(clin, "CONCEPT_ID", "CONCEPT_SOURCE_CODE")
+    assert len(theirs) == ref_expected_rows  # the reference's own pins
+
+    # our side: Spark readers + prep + annotate on the same files
+    codes = spark.createDataFrame(clin[["CONCEPT_ID", "CONCEPT_SOURCE_CODE"]])
+    umls = prepare_mrconso(read_mrconso_rrf(spark, MRCONSO_FAKE), vm)
+    ours_df = umls_annotate(
+        codes, umls, read_mrsty_rrf(spark, MRSTY_FAKE),
+        ["CONCEPT_ID"], "CONCEPT_SOURCE_CODE", double_merge=double_merge,
+    )
+
+    def rowset(frame: pd.DataFrame) -> set[tuple]:
+        cols = ["CONCEPT_ID", "CONCEPT_SOURCE_CODE", "UMLS_CUI", "UMLS_SAB",
+                "UMLS_CODE", "UMLS_SEM_TYPE"]
+        f = frame[cols].where(pd.notna(frame[cols]), None)
+        return set(map(tuple, f.itertuples(index=False)))
+
+    assert rowset(ours_df.toPandas()) == rowset(theirs)
