@@ -914,9 +914,10 @@ def star_join(
         .filter(F.col("pred").isin(preds))
         .distinct()
     )
-    aggs = []
-    for p, out in sorted(select.items()):
-        aggs.append(F.min(F.when(F.col("pred") == p, F.col("obj"))).alias(out))
+    sel = sorted(select.items())
+    aggs = [
+        F.min(F.when(F.col("pred") == p, F.col("obj"))).alias(out) for p, out in sel
+    ]
     conds = []
     for p, want in sorted(required.items()):
         hit = (F.col("pred") == p) if want is None else (
@@ -925,7 +926,7 @@ def star_join(
         flag = f"__has_{len(conds)}"
         aggs.append(F.max(F.when(hit, F.lit(True)).otherwise(F.lit(False))).alias(flag))
         conds.append(flag)
-    out_cols = ["subj"] + [c for c in (v for _, v in sorted(select.items()))]
+    out_cols = ["subj", *(v for _, v in sel)]
     res = t.groupBy("subj").agg(*aggs)
     for flag in conds:
         res = res.filter(F.col(flag))

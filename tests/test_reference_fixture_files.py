@@ -199,7 +199,9 @@ REF_ANNOTATOR = f"{REF_ROOT}/omop2obo/clinical_concept_annotator.py"
 def _load_reference_annotator_class():
     """Import the reference's ConceptAnnotator with a package shim for its
     ``from omop2obo.utils import *`` (backed by the shimmed data_utils
-    module — reference code imported and executed, never copied)."""
+    module — reference code imported and executed, never copied). The
+    shim modules are removed from sys.modules after the import so they
+    cannot leak into other tests."""
     ref_utils = _load_reference_data_utils()
     pkg = types.ModuleType("omop2obo")
     pkg.__path__ = []  # mark as package
@@ -207,11 +209,19 @@ def _load_reference_annotator_class():
     for name in dir(ref_utils):
         if not name.startswith("_"):
             setattr(utils_mod, name, getattr(ref_utils, name))
-    sys.modules.setdefault("omop2obo", pkg)
+    saved = {k: sys.modules.get(k) for k in ("omop2obo", "omop2obo.utils")}
+    sys.modules["omop2obo"] = pkg
     sys.modules["omop2obo.utils"] = utils_mod
-    spec = importlib.util.spec_from_file_location("ref_annotator_fx", REF_ANNOTATOR)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    try:
+        spec = importlib.util.spec_from_file_location("ref_annotator_fx", REF_ANNOTATOR)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
     return mod.ConceptAnnotator, ref_utils
 
 
