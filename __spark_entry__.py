@@ -990,6 +990,36 @@ def q_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, threshold=0.4, bucketed=True, dim=64, n_bits=8, band_bits=4)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semdedup): cluster embeddings into 8
+    deterministic IVF cells, then mark within-cluster cosine>=0.4
+    near-dups (keep-lowest-id). The cluster-then-prune structure is the
+    scale path for corpus-level SEMANTIC dedup — the only data-sized
+    shuffle keys vectors by centroid, and per-cluster pair cost is held
+    constant by growing n_centroids with the corpus. Verdict per vector:
+    (centroid_id, dup_of, kept). Oracle replays assignment + the
+    within-cluster prune in SQL."""
+    from omop2obo_spark.operators.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    return semdedup(emb, n_centroids=8, threshold=0.4)
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit (operators/dedup.py:blocking_quality):
+    reduction ratio + pair completeness of the banded MinHash-LSH
+    candidate generator vs exact 3-gram-Jaccard ground truth (>=0.05) on
+    a bounded document sample — the evaluation an operator runs before
+    trusting LSH parameters at full scale (truth is quadratic-ish, so it
+    runs on samples; candidates are the production LSH plan)."""
+    from omop2obo_spark.operators.dedup import blocking_quality
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return blocking_quality(docs, n_hashes=8, bands=8, k=3, threshold=0.05)
+
+
 _PIPELINE_CACHE: dict[tuple, object] = {}
 
 
@@ -2662,6 +2692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-3 additions past the 50-row window (driver-gated on the
         #    next rotation; strict local harness + pytest gate them now) ----
         "q_rollup_revenue": q_rollup_revenue,
+        "q_semdedup": q_semdedup,
+        "q_blocking_quality": q_blocking_quality,
         "q_atlas_export": q_atlas_export,
         "q_weighted_sample": q_weighted_sample,
         "q_weighted_sample_group": q_weighted_sample_group,
@@ -3146,6 +3178,84 @@ FROM all_t GROUP BY pred"""
         JOIN sizes nb ON nb.doc = b
         WHERE inter / (na.n + nb.n - inter) >= 0.02
     """
+
+    # SemDeDup: deterministic IVF assignment (seeds = 8 lowest-id vectors)
+    # then within-cluster cosine prune, keep-lowest-id; cosine rounded to
+    # 6dp before the threshold compare on both engines.
+    _sdcos = ("list_dot_product({a}, {b}) / "
+              "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))")
+    sqls["q_semdedup"] = f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        c AS (SELECT vec_id AS cid, e AS cv FROM v ORDER BY vec_id LIMIT 8),
+        assign AS (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_sdcos.format(a="v.e", b="c.cv")} DESC, c.cid ASC) AS r
+                FROM v CROSS JOIN c
+            ) WHERE r = 1
+        ),
+        va AS (SELECT v.vec_id, v.e, a.cid FROM v JOIN assign a USING (vec_id)),
+        dup AS (
+            SELECT l.vec_id AS vid, min(r.vec_id) AS dup_of
+            FROM va l JOIN va r ON l.cid = r.cid AND l.vec_id > r.vec_id
+            WHERE round({_sdcos.format(a="l.e", b="r.e")}, 6) >= 0.4
+            GROUP BY l.vec_id
+        )
+        SELECT va.vec_id, va.cid AS centroid_id, dup.dup_of AS dup_of,
+               dup.dup_of IS NULL AS kept
+        FROM va LEFT JOIN dup ON va.vec_id = dup.vid
+    """
+
+    # Blocking-quality audit: 8-hash/8-band MinHash LSH candidates vs exact
+    # 3-gram Jaccard >= 0.05 truth on doc_id < 400 — metrics only, so the
+    # single-hash band key (h{{b}}) is pair-equivalent to Spark's md5(h{{b}}).
+    _bq_minhash8 = ", ".join(f"min(md5('{h}|' || g)) AS h{h}" for h in range(8))
+    _bq_band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{b} AS key FROM sigs" for b in range(8)
+    )
+    sqls["q_blocking_quality"] = (
+        _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < 400)")
+        + f"""
+        , sigs AS (
+            SELECT doc_id, {_bq_minhash8}
+            FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+            GROUP BY doc_id
+        ),
+        bands AS ({_bq_band_rows}),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        sh AS (SELECT doc_id AS doc, unnest(gs) AS shingle FROM grams),
+        sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+            SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+            FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc < r.doc
+            GROUP BY l.doc, r.doc
+        ),
+        truth AS (
+            SELECT a, b FROM inter
+            JOIN sizes na ON na.doc = a
+            JOIN sizes nb ON nb.doc = b
+            WHERE inter / (na.n + nb.n - inter) >= 0.05
+        ),
+        hits AS (SELECT t.a FROM truth t JOIN cand c ON t.a = c.a AND t.b = c.b),
+        m AS (SELECT
+            (SELECT count(DISTINCT doc_id) FROM documents WHERE doc_id < 400) AS n_docs,
+            (SELECT count(*) FROM cand) AS n_candidates,
+            (SELECT count(*) FROM truth) AS n_truth,
+            (SELECT count(*) FROM hits) AS n_hits)
+        SELECT n_docs,
+               CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS total_pairs,
+               n_candidates, n_truth, n_hits,
+               round(1.0 - n_candidates / (n_docs * (n_docs - 1) / 2), 6) AS reduction_ratio,
+               CASE WHEN n_truth = 0 THEN 1.0
+                    ELSE round(n_hits / n_truth, 6) END AS pair_completeness
+        FROM m
+    """
+    )
 
     sqls["q_bpe_encode"] = """
         SELECT doc_id,

@@ -927,3 +927,117 @@ def dedup_against_bloom(
     return definite.unionByName(
         dedup_against(maybe, corpus, id_col=id_col, text_col=text_col)
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster embeddings, then prune
+    within-cluster cosine near-duplicates (Abbas et al. 2023,
+    arXiv:2303.09540 — the method used to shrink LAION/web-text corpora).
+
+    Clustering reuses :func:`omop2obo_spark.operators.ann.ivf_assign`
+    (deterministic seeds = lowest-id vectors, optional Lloyd's
+    refinement). Within each cluster, a row is a duplicate iff some
+    LOWER-id cluster member has cosine >= ``threshold`` with it; the
+    lowest such id is reported as ``dup_of``.  Keep-lowest-id is the same
+    deterministic winner rule the exact/paragraph dedups use, and makes
+    the operator engine-portable: cosine is rounded to 6dp before the
+    threshold compare, so Spark and the SQL oracle agree at the boundary.
+
+    Output: (id, centroid_id, dup_of, kept) — one row per input vector.
+
+    Scale shape: the only data-sized shuffle keys embeddings by
+    centroid_id (each cluster is processed independently — the SemDeDup
+    partition structure). Per-cluster cost is |c|² dot products, so at
+    corpus scale n_centroids grows with n to hold |c| ~ constant (the
+    paper runs 50k clusters for 5B docs); the centroid table itself stays
+    a broadcast dim. No all-pairs stage exists at any size.
+    """
+    from omop2obo_spark.operators.ann import cosine, ivf_assign
+
+    _, assign = ivf_assign(vectors, n_centroids, id_col, vec_col, kmeans_iters)
+    v = vectors.select(id_col, vec_col).join(assign, on=id_col)
+    a = v.select(
+        F.col(id_col).alias("a"), F.col("centroid_id"), F.col(vec_col).alias("va")
+    )
+    b = v.select(
+        F.col(id_col).alias("b"), F.col("centroid_id"), F.col(vec_col).alias("vb")
+    )
+    dup = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("a") > F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .groupBy("a")
+        .agg(F.min("b").alias("dup_of"))
+        .select(F.col("a").alias(id_col), "dup_of")
+    )
+    return (
+        v.select(id_col, "centroid_id")
+        .join(dup, on=id_col, how="left")
+        .select(
+            id_col,
+            "centroid_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+    )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Blocking-quality audit: how good is the banded-LSH candidate
+    generator, measured against exact n-gram-Jaccard ground truth?
+
+    The two standard entity-resolution blocking metrics:
+
+      * reduction_ratio   = 1 - |candidates| / (n·(n-1)/2)
+        (how much of the all-pairs quadratic the blocker avoided)
+      * pair_completeness = |candidates ∩ truth| / |truth|
+        (recall of true near-dup pairs — the number a dedup operator
+        watches before trusting LSH parameters at full scale)
+
+    Truth = all pairs with exact Jaccard >= ``threshold`` (generated by
+    shingle co-occurrence — a quadratic-ish stage, so this operator is an
+    EVALUATION harness to run on a bounded sample/partition; the
+    candidate side is the production :func:`minhash_lsh_pairs` plan).
+    Output: one row (n_docs, total_pairs, n_candidates, n_truth, n_hits,
+    reduction_ratio, pair_completeness).
+    """
+    cand = minhash_lsh_pairs(docs, id_col, text_col, n_hashes, bands, k)
+    truth = ngram_jaccard_pairs(
+        docs, None, id_col, text_col, k, threshold
+    ).select("a", "b")
+    hits = truth.join(cand, on=["a", "b"], how="left_semi")
+    nd = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    total = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("bigint")
+    return (
+        nd.crossJoin(nc).crossJoin(nt).crossJoin(nh)
+        .select(
+            "n_docs",
+            total.alias("total_pairs"),
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.round(1.0 - F.col("n_candidates") / total, 6).alias("reduction_ratio"),
+            F.when(F.col("n_truth") == 0, F.lit(1.0))
+            .otherwise(F.round(F.col("n_hits") / F.col("n_truth"), 6))
+            .alias("pair_completeness"),
+        )
+    )

@@ -2021,3 +2021,119 @@ def test_bm25_topk_truncation_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-prune semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_matches_within_cluster_brute_force(spark, emb):
+    """The pruned set must equal a brute-force replay: for each vector,
+    dup_of = min lower-id SAME-CLUSTER neighbor with rounded cos >= t."""
+    from omop2obo_spark.operators.ann import ivf_assign
+    from omop2obo_spark.operators.dedup import semdedup
+
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    ).filter(F.col("vec_id") < 300)
+    out = {r.vec_id: (r.centroid_id, r.dup_of, r.kept)
+           for r in semdedup(vecs, n_centroids=4, threshold=0.4).collect()}
+
+    _, assign = ivf_assign(vecs, n_centroids=4)
+    cid = {r.vec_id: r.centroid_id for r in assign.collect()}
+    import math
+    ev = {r.vec_id: list(r.embedding) for r in vecs.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    assert set(out) == set(ev)
+    for i in sorted(ev):
+        lower = [j for j in ev
+                 if j < i and cid[j] == cid[i]
+                 and round(cos(ev[i], ev[j]), 6) >= 0.4]
+        want_dup = min(lower) if lower else None
+        got_cid, got_dup, got_kept = out[i]
+        assert got_cid == cid[i]
+        assert got_dup == want_dup, f"vec {i}: dup_of {got_dup} != {want_dup}"
+        assert got_kept == (want_dup is None)
+
+
+def test_semdedup_kept_set_has_no_remaining_close_lower_pair(spark, emb):
+    """Global invariant: among kept vectors, no within-cluster pair has
+    cos >= threshold (the dedup actually deduplicated)."""
+    from omop2obo_spark.operators.dedup import semdedup
+    from omop2obo_spark.operators.ann import cosine
+
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    ).filter(F.col("vec_id") < 300)
+    verdicts = semdedup(vecs, n_centroids=4, threshold=0.4)
+    kept = verdicts.filter("kept").join(vecs, "vec_id")
+    a = kept.select(F.col("vec_id").alias("a"), F.col("centroid_id"),
+                    F.col("embedding").alias("va"))
+    b = kept.select(F.col("vec_id").alias("b"), F.col("centroid_id"),
+                    F.col("embedding").alias("vb"))
+    close = (
+        a.join(b, "centroid_id").filter("a > b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter("cos >= 0.4")
+    )
+    assert close.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality audit (reduction ratio / pair completeness)
+# ---------------------------------------------------------------------------
+
+
+def test_blocking_quality_hand_computed(spark):
+    """Metrics must equal a hand replay of LSH candidates + exact truth."""
+    from omop2obo_spark.operators.dedup import (
+        blocking_quality, minhash_lsh_pairs, ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base.replace("kappa", "lambda")),
+        (3, base),
+        (4, "totally different words about spark adaptive query execution"),
+        (5, "yet another unrelated document mentioning shuffle partitions"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = blocking_quality(d, n_hashes=8, bands=8, k=3, threshold=0.3).collect()[0]
+
+    cand = {(r.a, r.b) for r in
+            minhash_lsh_pairs(d, n_hashes=8, bands=8, k=3).collect()}
+    truth = {(r.a, r.b) for r in
+             ngram_jaccard_pairs(d, None, k=3, threshold=0.3).collect()}
+    hits = truth & cand
+
+    assert got.n_docs == 5 and got.total_pairs == 10
+    assert got.n_candidates == len(cand)
+    assert got.n_truth == len(truth)
+    assert got.n_hits == len(hits)
+    assert got.reduction_ratio == round(1.0 - len(cand) / 10, 6)
+    assert got.pair_completeness == (
+        1.0 if not truth else round(len(hits) / len(truth), 6)
+    )
+    # identical docs 1 and 3 are a truth pair and single-row bands must
+    # catch them (identical signature -> identical every band)
+    assert (1, 3) in truth and (1, 3) in cand
+
+
+def test_blocking_quality_empty_truth_is_complete(spark):
+    from omop2obo_spark.operators.dedup import blocking_quality
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    got = blocking_quality(d, n_hashes=8, bands=8, k=3, threshold=0.9).collect()[0]
+    assert got.n_truth == 0 and got.pair_completeness == 1.0
