@@ -962,7 +962,14 @@ def semdedup(
     from omop2obo_spark.operators.ann import cosine, ivf_assign
 
     _, assign = ivf_assign(vectors, n_centroids, id_col, vec_col, kmeans_iters)
-    v = vectors.select(id_col, vec_col).join(assign, on=id_col)
+    # three consumers (both pair sides + the final verdict select) — pin the
+    # assignment once (house localCheckpoint pattern) or the broadcast-join +
+    # window lineage re-executes per consumer
+    v = (
+        vectors.select(id_col, vec_col)
+        .join(assign, on=id_col)
+        .localCheckpoint(eager=True)
+    )
     a = v.select(
         F.col(id_col).alias("a"), F.col("centroid_id"), F.col(vec_col).alias("va")
     )
