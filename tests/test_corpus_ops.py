@@ -2137,3 +2137,21 @@ def test_blocking_quality_empty_truth_is_complete(spark):
     )
     got = blocking_quality(d, n_hashes=8, bands=8, k=3, threshold=0.9).collect()[0]
     assert got.n_truth == 0 and got.pair_completeness == 1.0
+
+
+def test_semdedup_partition_independent(spark, emb):
+    """Verdicts must not depend on physical layout: deterministic seeds,
+    window tie-breaks, and 6dp rounding make the output identical at any
+    partition count."""
+    from omop2obo_spark.operators.dedup import semdedup
+
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    ).filter(F.col("vec_id") < 300)
+
+    def run(nparts):
+        rows = semdedup(vecs.repartition(nparts), n_centroids=4, threshold=0.4).collect()
+        return sorted((r.vec_id, r.centroid_id, r.dup_of, r.kept) for r in rows)
+
+    assert run(3) == run(17)
