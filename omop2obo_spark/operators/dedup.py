@@ -1024,10 +1024,17 @@ def blocking_quality(
     Output: one row (n_docs, total_pairs, n_candidates, n_truth, n_hits,
     reduction_ratio, pair_completeness).
     """
-    cand = minhash_lsh_pairs(docs, id_col, text_col, n_hashes, bands, k)
-    truth = ngram_jaccard_pairs(
-        docs, None, id_col, text_col, k, threshold
-    ).select("a", "b")
+    # both pair plans are consumed twice (their count aggregate + the hits
+    # semi-join) — pin each once (house localCheckpoint pattern) or the
+    # quadratic-ish truth join and the full LSH pipeline execute twice
+    cand = minhash_lsh_pairs(
+        docs, id_col, text_col, n_hashes, bands, k
+    ).localCheckpoint(eager=True)
+    truth = (
+        ngram_jaccard_pairs(docs, None, id_col, text_col, k, threshold)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
     hits = truth.join(cand, on=["a", "b"], how="left_semi")
     nd = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     nc = cand.agg(F.count("*").alias("n_candidates"))
