@@ -2007,9 +2007,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic ((count desc, pair asc) argmax over exact counts), so
     the returned merge table is a pure function of the corpus; the full
     algorithm is differential-tested against an independent pure-Python
-    Sennrich implementation (tests/test_corpus_ops.py). Genuinely
-    non-SQL-expressible (data-dependent iteration), so no oracle_sql
-    entry — the driver records the weaker rows-only check by design."""
+    Sennrich implementation (tests/test_corpus_ops.py). The oracle
+    unrolls all 24 rounds as MATERIALIZED CTEs (pair-count -> scalar
+    argmax -> literal merge), with a prefix-validity filter replicating
+    the n<2 early break — so even the iterative induction loop is
+    value-hash-gated, tri-scale."""
     from omop2obo_spark.operators.textstats import bpe_train
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
@@ -4559,6 +4561,63 @@ FROM h3 FULL JOIN a3 ON h3.src = a3.dst"""
             FROM counted
         ) WHERE rank <= 30
     """
+
+    # BPE TRAINING, unrolled: 24 deterministic (pair-count -> argmax ->
+    # literal merge) rounds as MATERIALIZED CTEs — the same unrolling trick
+    # as the k-means oracle, so the "iterative" tokenizer induction is SQL
+    # after all. Each round replays bpe_train exactly: segment pairs over
+    # the word dim, argmax (n desc, pair asc), literal "_a _b " -> "_ab "
+    # replace (both engines' replace() is non-overlapping left-to-right).
+    # The NOT EXISTS prefix filter replicates the n<2 early break: a failed
+    # round poisons only rounds >= itself, all of which it filters out.
+    _bpe_rounds = 24
+    _bpe_parts = ["""
+words AS MATERIALIZED (
+    SELECT w, count(*) AS freq FROM (
+        SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')) AS w
+        FROM documents
+    ) WHERE length(w) >= 2 GROUP BY w
+),
+v0 AS MATERIALIZED (
+    SELECT regexp_replace(w, '(.)', '_\\1 ', 'g') AS seg, freq FROM words
+)"""]
+    for _r in range(1, _bpe_rounds + 1):
+        _bpe_parts.append(f"""
+p{_r} AS MATERIALIZED (
+    SELECT unnest([l[i] || ' ' || l[i+1] FOR i IN range(1, len(l))]) AS pair, freq
+    FROM (SELECT string_split(trim(seg), ' ') AS l, freq
+          FROM v{_r - 1} WHERE len(string_split(trim(seg), ' ')) > 1)
+),
+b{_r} AS MATERIALIZED (
+    SELECT pair, n FROM (SELECT pair, sum(freq) AS n FROM p{_r} GROUP BY pair)
+    ORDER BY n DESC, pair ASC LIMIT 1
+),
+v{_r} AS MATERIALIZED (
+    SELECT replace(seg, (SELECT pair || ' ' FROM b{_r}),
+                        (SELECT replace(pair, ' _', '') || ' ' FROM b{_r})) AS seg,
+           freq
+    FROM v{_r - 1}
+)""")
+    _bpe_rows = "\n    UNION ALL\n".join(
+        f"""    SELECT {r} AS rank,
+           (SELECT substr(string_split(pair, ' ')[1], 2) FROM b{r}) AS "left",
+           (SELECT substr(string_split(pair, ' ')[2], 2) FROM b{r}) AS "right",
+           (SELECT n FROM b{r}) AS n"""
+        for r in range(1, _bpe_rounds + 1)
+    )
+    sqls["q_bpe_train"] = (
+        "WITH " + ",".join(_bpe_parts) + f""",
+mrows AS (
+{_bpe_rows}
+)
+SELECT rank, "left", "right", CAST(n AS BIGINT) AS n
+FROM mrows r1
+WHERE NOT EXISTS (SELECT 1 FROM mrows r2
+                  WHERE r2.rank <= r1.rank AND (r2.n IS NULL OR r2.n < 2))
+ORDER BY rank
+"""
+    )
 
     # thresholds replicate hash_split's cumulative float accumulation
     # exactly (0.9 + 0.05 in IEEE is not decimal 0.95)
