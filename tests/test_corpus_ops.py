@@ -2155,3 +2155,23 @@ def test_semdedup_partition_independent(spark, emb):
         return sorted((r.vec_id, r.centroid_id, r.dup_of, r.kept) for r in rows)
 
     assert run(3) == run(17)
+
+
+def test_semdedup_plan_shape(spark, emb):
+    """Scale-shape guard: the pair stage must be the centroid-keyed
+    shuffle join (2 SMJs: pair join + verdict join) with no nested-loop,
+    no single-partition exchange, and no Python eval anywhere — the
+    SemDeDup contract that every cluster is an independent unit of work."""
+    from omop2obo_spark.operators.dedup import semdedup
+    from omop2obo_spark.plans.guard import assert_scale_safe
+
+    vecs = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    rep = assert_scale_safe(
+        semdedup(vecs, n_centroids=8, threshold=0.4),
+        max_sort_merge_joins=2,
+    )
+    assert rep["nested_loop_joins"] == 0
+    assert rep["row_python_evals"] == 0 and rep["arrow_python_evals"] == 0
