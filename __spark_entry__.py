@@ -2620,6 +2620,162 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reasoner_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RDFS schema over the TPC-H geography dimension:
+    nation classes under region classes under geo:world (rdfs11 depth
+    2), a two-level property chain, and one domain + one range
+    axiom. Dimension scale (31 + 4 rows)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    sub_cls = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("subj"),
+        F.lit("rdfs:subClassOf").alias("pred"),
+        F.concat(F.lit("region:"), F.col("n_regionkey")).alias("obj"),
+    ).unionByName(
+        region.select(
+            F.concat(F.lit("region:"), F.col("r_regionkey")).alias("subj"),
+            F.lit("rdfs:subClassOf").alias("pred"),
+            F.lit("geo:world").alias("obj"),
+        )
+    )
+    axioms = spark.createDataFrame(
+        [
+            ("rel:ships_to", "rdfs:subPropertyOf", "rel:related_to"),
+            ("rel:related_to", "rdfs:subPropertyOf", "rel:linked"),
+            ("rel:ships_to", "rdfs:domain", "cls:buyer"),
+            ("rel:related_to", "rdfs:range", "cls:place"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return sub_cls.unionByName(axioms)
+
+
+def _reasoner_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance triples: every customer typed into its nation class and
+    shipping to it — fact-scale rows whose closure exercises every
+    rho-df rule against the q_rdfs_entail schema."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    subj = F.concat(F.lit("cust:"), F.col("c_custkey"))
+    nat = F.concat(F.lit("nation:"), F.col("c_nationkey"))
+    return cust.select(
+        subj.alias("subj"), F.lit("rdf:type").alias("pred"), nat.alias("obj")
+    ).unionByName(
+        cust.select(
+            subj.alias("subj"), F.lit("rel:ships_to").alias("pred"), nat.alias("obj")
+        )
+    )
+
+
+def q_rdfs_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS (rho-df) closure materialization (operators/reasoner.py:
+    rdfs_entail) — rules rdfs2/3/5/7/9/11 over a customer-scale instance
+    graph with a nation/region class hierarchy. The reference walks
+    subClassOf parents one class at a time on the driver
+    (/root/reference/omop2obo/utils/ontology_utils.py:229-266); here the
+    only recursion runs at SCHEMA scale (iterative-doubling closure of 34
+    dimension rows), the closed schema broadcasts, and every
+    instance-level rule is one broadcast-join pass — the WebPIE strategy,
+    no fact-scale fixpoint. Oracle: recursive CTEs for the two schema
+    closures + the identical rule unions in SQL."""
+    from omop2obo_spark.operators.reasoner import rdfs_entail
+
+    return rdfs_entail(
+        _reasoner_instance(spark, sf_dir), _reasoner_schema(spark, sf_dir)
+    )
+
+
+def q_shacl_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite shape validation (operators/reasoner.py:
+    shacl_validate): minCount / maxCount / nodeKind / value-class
+    constraints over a buyer-shape graph with deterministically injected
+    defects — every 11th customer loses its ships_to edge (minCount),
+    every 7th gains an edge to an undeclared nation (maxCount + class),
+    every 13th gains a bare-literal destination (maxCount + nodeKind +
+    class). The QA gate a KG build runs before publishing. Shapes and
+    type targets broadcast; the single fact-scale shuffle is the
+    (focus, path) cardinality count. Oracle: the same defect injection
+    and constraint CASEs in SQL."""
+    from omop2obo_spark.operators.reasoner import shacl_validate
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    subj = F.concat(F.lit("cust:"), F.col("c_custkey"))
+    nat = F.concat(F.lit("nation:"), F.col("c_nationkey"))
+    typed = cust.select(
+        subj.alias("subj"), F.lit("rdf:type").alias("pred"),
+        F.lit("cls:buyer").alias("obj"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("cls:place").alias("obj"),
+        )
+    )
+    base = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            subj.alias("subj"),
+            F.lit("rel:ships_to").alias("pred"),
+            nat.alias("obj"),
+        )
+    )
+    extra_iri = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            subj.alias("subj"),
+            F.lit("rel:ships_to").alias("pred"),
+            F.lit("nation:999").alias("obj"),
+        )
+    )
+    extra_lit = (
+        cust.filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            subj.alias("subj"),
+            F.lit("rel:ships_to").alias("pred"),
+            F.concat(F.lit("port "), F.col("c_custkey")).alias("obj"),
+        )
+    )
+    instance = typed.unionByName(base).unionByName(extra_iri).unionByName(extra_lit)
+    shapes = spark.createDataFrame(
+        [("sh:buyer", "cls:buyer", "rel:ships_to", 1, 1, "IRI", "cls:place")],
+        "shape_id string, target_class string, path string, min_count int, "
+        "max_count int, node_kind string, value_class string",
+    )
+    return shacl_validate(instance, shapes)
+
+
+def q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property-path evaluation (operators/reasoner.py:
+    path_query): the path ``p:odd / (p:even|p:odd)*`` over the customer
+    binary forest with parity-labeled parent edges — one equi-join for
+    the bound first step, then a Kleene star answered by the
+    iterative-doubling closure of the starred predicate subset (zero-hop
+    case included join-free). Frontier rows carry (src, cur) only.
+    Oracle: recursive CTE from the identical 1-hop frontier."""
+    from omop2obo_spark.operators.reasoner import path_query
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") >= 2)
+        .select(
+            F.concat(F.lit("n:"), F.col("c_custkey")).alias("subj"),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("p:even"))
+            .otherwise(F.lit("p:odd"))
+            .alias("pred"),
+            F.concat(
+                F.lit("n:"), (F.col("c_custkey") / 2).cast("long")
+            ).alias("obj"),
+        )
+    )
+    return path_query(
+        edges,
+        [
+            {"preds": ["p:odd"]},
+            {"preds": ["p:even", "p:odd"], "star": True},
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2696,6 +2852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_semdedup": q_semdedup,
         "q_blocking_quality": q_blocking_quality,
+        "q_rdfs_entail": q_rdfs_entail,
+        "q_shacl_validate": q_shacl_validate,
+        "q_path_query": q_path_query,
         "q_atlas_export": q_atlas_export,
         "q_weighted_sample": q_weighted_sample,
         "q_weighted_sample_group": q_weighted_sample_group,
@@ -6061,5 +6220,126 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
                    PARTITION BY g.key ORDER BY g.bucket
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         FROM grid g LEFT JOIN last_per l ON g.key = l.key AND g.bucket = l.bucket
+    """
+
+    # q_rdfs_entail: schema closures as recursive CTEs (subClassOf) / an
+    # enumerated 2-chain (subPropertyOf), then each rho-df rule as the
+    # same union the Spark operator performs; inferred = a derived pair
+    # never asserted (min-fold over the 0/1 tag).
+    sqls["q_rdfs_entail"] = """
+        WITH RECURSIVE scle AS (
+            SELECT 'nation:' || n_nationkey AS c, 'region:' || n_regionkey AS p
+            FROM nation
+            UNION ALL
+            SELECT 'region:' || r_regionkey AS c, 'geo:world' AS p FROM region
+        ), scl AS (
+            SELECT c, p AS a FROM scle
+            UNION
+            SELECT w.c, e.p AS a FROM scl w JOIN scle e ON w.a = e.c
+        ), axioms(subj, pred, obj) AS (
+            VALUES ('rel:ships_to','rdfs:subPropertyOf','rel:related_to'),
+                   ('rel:related_to','rdfs:subPropertyOf','rel:linked'),
+                   ('rel:ships_to','rdfs:domain','cls:buyer'),
+                   ('rel:related_to','rdfs:range','cls:place')
+        ), spl(c, a) AS (
+            VALUES ('rel:ships_to','rel:related_to'),
+                   ('rel:ships_to','rel:linked'),
+                   ('rel:related_to','rel:linked')
+        ), inst AS (
+            SELECT 'cust:' || c_custkey AS subj, 'rdf:type' AS pred,
+                   'nation:' || c_nationkey AS obj
+            FROM customer
+            UNION ALL
+            SELECT 'cust:' || c_custkey, 'rel:ships_to',
+                   'nation:' || c_nationkey
+            FROM customer
+        ), rel AS (SELECT * FROM inst WHERE pred <> 'rdf:type'),
+        rel7 AS (
+            SELECT r.subj, s.a AS pred, r.obj FROM rel r JOIN spl s ON r.pred = s.c
+        ), rel_all AS (SELECT * FROM rel UNION ALL SELECT * FROM rel7),
+        t_dom AS (
+            SELECT subj, 'rdf:type' AS pred, 'cls:buyer' AS obj
+            FROM rel_all WHERE pred = 'rel:ships_to'
+        ), t_rng AS (
+            SELECT obj AS subj, 'rdf:type' AS pred, 'cls:place' AS obj
+            FROM rel_all WHERE pred = 'rel:related_to'
+        ), types_all AS (
+            SELECT * FROM inst WHERE pred = 'rdf:type'
+            UNION ALL SELECT * FROM t_dom
+            UNION ALL SELECT * FROM t_rng
+        ), t_sup AS (
+            SELECT t.subj, 'rdf:type' AS pred, s.a AS obj
+            FROM types_all t JOIN scl s ON t.obj = s.c
+        ), everything AS (
+            SELECT subj, pred, obj, 0 AS inf FROM inst
+            UNION ALL
+            SELECT c AS subj, 'rdfs:subClassOf' AS pred, p AS obj, 0 FROM scle
+            UNION ALL SELECT subj, pred, obj, 0 FROM axioms
+            UNION ALL SELECT subj, pred, obj, 1 FROM rel7
+            UNION ALL SELECT subj, pred, obj, 1 FROM t_dom
+            UNION ALL SELECT subj, pred, obj, 1 FROM t_rng
+            UNION ALL SELECT subj, pred, obj, 1 FROM t_sup
+        )
+        SELECT subj, pred, obj, (min(inf) = 1) AS inferred
+        FROM everything GROUP BY subj, pred, obj
+    """
+
+    # q_shacl_validate: the same defect-injection rules rebuilt in SQL,
+    # each constraint family a CTE; UNION mirrors the operator's final
+    # distinct.
+    sqls["q_shacl_validate"] = """
+        WITH defect AS (
+            SELECT c_custkey AS k, 'cust:' || c_custkey AS focus,
+                   'nation:' || c_nationkey AS base
+            FROM customer
+        ), vals AS (
+            SELECT focus, base AS value FROM defect WHERE k % 11 <> 0
+            UNION ALL
+            SELECT focus, 'nation:999' AS value FROM defect WHERE k % 7 = 0
+            UNION ALL
+            SELECT focus, 'port ' || k AS value FROM defect WHERE k % 13 = 0
+        ), counted AS (
+            SELECT d.focus, count(v.value) AS n
+            FROM defect d LEFT JOIN vals v ON d.focus = v.focus
+            GROUP BY d.focus
+        ), viol AS (
+            SELECT focus, 'minCount' AS con, n::VARCHAR AS observed,
+                   '1' AS expected
+            FROM counted WHERE n < 1
+            UNION
+            SELECT focus, 'maxCount' AS con, n::VARCHAR, '1'
+            FROM counted WHERE n > 1
+            UNION
+            SELECT focus, 'nodeKind' AS con, value, 'IRI'
+            FROM vals WHERE value NOT LIKE '%:%'
+            UNION
+            SELECT v.focus, 'class' AS con, v.value, 'cls:place'
+            FROM vals v
+            WHERE NOT EXISTS (
+                SELECT 1 FROM nation n
+                WHERE 'nation:' || n.n_nationkey = v.value
+            )
+        )
+        SELECT focus, 'sh:buyer' AS shape_id, 'rel:ships_to' AS path,
+               con AS "constraint", observed, expected
+        FROM viol
+    """
+
+    # q_path_query: frontier = the bound first step (p:odd edges); the
+    # star over {p:even, p:odd} is every edge, so the walk is plain
+    # reachability from the frontier, zero hops included.
+    sqls["q_path_query"] = """
+        WITH RECURSIVE edges AS (
+            SELECT 'n:' || c_custkey AS s,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'p:even'
+                        ELSE 'p:odd' END AS p,
+                   'n:' || (c_custkey // 2) AS o
+            FROM customer WHERE c_custkey >= 2
+        ), walk AS (
+            SELECT s AS src, o AS dst FROM edges WHERE p = 'p:odd'
+            UNION
+            SELECT w.src, e.o AS dst FROM walk w JOIN edges e ON w.dst = e.s
+        )
+        SELECT DISTINCT src, dst FROM walk
     """
     return sqls
