@@ -391,3 +391,136 @@ def mad_outlier_flags(
         )
         .drop("__med", "__mad")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (DSIR, Xie et
+    al., NeurIPS 2023): score every raw document by how much more likely
+    its hashed-unigram bag is under the TARGET domain's distribution
+    than under the raw corpus's own — the standard recipe for skimming
+    domain-relevant pretraining data out of a web crawl without a model.
+
+    Features are md5-bucketed unigrams (``n_buckets`` buckets, the
+    hashing trick — same md5-prefix slots as ``hashed_embedding`` so any
+    engine reproduces them bit-exactly). Both distributions get add-one
+    smoothing over the bucket space; a document's weight is
+
+        sum over tokens of  log p_target(bucket) - log p_raw(bucket)
+
+    with per-bucket log-ratios rounded to 9dp and the sum to 6dp for
+    engine portability. Returns ``(id_col, n_tok, weight)``; empty
+    documents weigh 0.0.
+
+    Scale shape: the only fact-scale work is one token explode feeding
+    two map-side-combined aggregations (bucket counts collapse to
+    ``n_buckets`` rows; the per-doc sum keys on the doc id). Bucket
+    totals and log-ratios live in an ``n_buckets``-row dimension built
+    with a dimension-scale cross-join (no driver collect) and broadcast
+    back into the token stream.
+    """
+    from omop2obo_spark.operators.textstats import tokens
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.explode_outer(tokens(F.col(text_col))).alias("token"),
+        ).withColumn(
+            "bucket",
+            F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+            .cast("bigint")
+            % n_buckets,
+        )
+
+    raw_tok = bucketed(docs)
+    raw_counts = (
+        raw_tok.filter(F.col("token").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("__cr"))
+    )
+    tgt_counts = (
+        bucketed(target)
+        .filter(F.col("token").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("__ct"))
+    )
+    # Every token maps to SOME raw bucket, so the raw-count dim covers
+    # every bucket a document can hit; target-missing buckets smooth to 1.
+    dim = raw_counts.join(tgt_counts, "bucket", "left").na.fill({"__ct": 0})
+    totals = dim.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    ratios = dim.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("__ct") + 1) / (F.col("__tt") + F.lit(n_buckets)))
+            - F.log((F.col("__cr") + 1) / (F.col("__tr") + F.lit(n_buckets))),
+            9,
+        ).alias("__lw"),
+    )
+    scored = raw_tok.join(F.broadcast(ratios), "bucket", "left")
+    return scored.groupBy(id_col).agg(
+        F.count("token").cast("long").alias("n_tok"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("token").isNotNull(), F.col("__lw"))), F.lit(0.0)),
+            6,
+        ).alias("weight"),
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The resampling half of DSIR: draw ``k`` documents without
+    replacement with probability proportional to exp(weight /
+    temperature), via the Gumbel-top-k trick made deterministic — the
+    Gumbel noise for a document is derived from the md5 of its id, so
+    the same corpus yields the same sample in any engine and at any
+    partitioning.
+
+    Returns ``(id_col, weight, score, rank)`` for the k winners;
+    ``score = weight / temperature + gumbel`` rounded to 6dp, ties
+    broken on the id.
+
+    Scale shape: scoring is a pure projection; the top-k is a
+    TakeOrdered (never a global sort materialization) since k rows bound
+    the result.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir|"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(float(2**32 + 2))
+    gumbel = -F.log(-F.log(u))
+    scored = weights.select(
+        F.col(id_col),
+        "weight",
+        F.round(F.col("weight") / F.lit(float(temperature)) + gumbel, 6).alias(
+            "score"
+        ),
+    )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — no global
+    # sort materializes; the rank window then runs over k rows only.
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
