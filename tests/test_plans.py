@@ -487,3 +487,41 @@ def test_plan_guard_report_and_budgets(spark):
     slow = F.udf(lambda x: x, LongType())
     with _pytest.raises(AssertionError, match="row_python_evals=1"):
         assert_scale_safe(docs.select(slow("doc_id").alias("d")))
+
+
+def test_rdfs_entail_schema_broadcast_instance_single_pass(spark):
+    """Every reasoner rule join must broadcast the closed schema — no
+    sort-merge join and no fact-scale iteration may appear in the
+    entailment plan; the one fact-scale exchange is the final triple
+    dedup."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_rdfs_entail"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shacl_validate_shapes_broadcast_no_sort_merge(spark):
+    """Shape and type-target joins broadcast; the only fact-scale
+    shuffle is the cardinality count (hash aggregate), never a
+    sort-merge join."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_shacl_validate"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_sample_takeordered_no_global_sort(spark):
+    """The Gumbel-top-k must compile to TakeOrderedAndProject; the rank
+    window runs over the k survivors only (a single bounded partition),
+    and a global Sort exchange must not appear before the take."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q_dsir_sample"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
