@@ -2806,6 +2806,81 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_sample(w, k=100)
 
 
+_ER_PARAMS = {
+    "name": (0.95, 0.01),
+    "seg": (0.9, 0.2),
+    "acct": (0.99, 0.005),
+}
+
+
+def q_er_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/er.py): blocked
+    comparison + Fellegi-Sunter log-odds scoring of customers against a
+    deterministically corrupted copy (every 3rd name, every 5th market
+    segment) — the entity-resolution step a KG build runs before
+    canonicalization. Candidate generation is a hash equi-join on the
+    (nation, acctbal-century) blocking key — the quadratic cost is per
+    block, never corpus-wide; scoring is a pure codegen projection.
+    Oracle: identical join + CASE weights (the same 9dp Python-rounded
+    constants) in SQL."""
+    from omop2obo_spark.operators.er import block_compare, fs_score
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    blk = F.concat_ws(
+        "|",
+        F.col("c_nationkey").cast("string"),
+        F.floor(F.col("c_acctbal") / 100).cast("string"),
+    )
+    left = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        blk.alias("blk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("string").alias("acct"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("rec_id"),
+        blk.alias("blk"),
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.col("c_acctbal").cast("string").alias("acct"),
+    )
+    pairs = block_compare(left, right, ["blk"], ["name", "seg", "acct"])
+    return fs_score(pairs, _ER_PARAMS, upper=5.0, lower=0.0)
+
+
+def q_closure_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental closure maintenance (operators/hierarchy.py:
+    ancestor_closure_delta): the q_ancestor_closure binary forest plus a
+    batch of shortcut edges (every 5th key jumps to its grandparent's
+    parent) folded in semi-naively — every join keys on the DELTA side,
+    so maintenance cost scales with what changed, not with the closure's
+    size. Depth-improved pairs are re-priced and flagged alongside
+    brand-new pairs. Oracle: two recursive CTEs (union closure + base
+    closure) diffed for the is_new flag."""
+    from omop2obo_spark.operators.hierarchy import (
+        ancestor_closure,
+        ancestor_closure_delta,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base_edges = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("uri"),
+        (F.col("c_custkey") / 2).cast("long").alias("parent_uri"),
+    )
+    new_edges = c.filter((F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") >= 8)).select(
+        F.col("c_custkey").alias("uri"),
+        (F.col("c_custkey") / 8).cast("long").alias("parent_uri"),
+    )
+    base = ancestor_closure(base_edges)
+    out = ancestor_closure_delta(base, new_edges)
+    return out.withColumn("depth", F.col("depth").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -2887,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_path_query": q_path_query,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_sample": q_dsir_sample,
+        "q_er_link": q_er_link,
+        "q_closure_delta": q_closure_delta,
         "q_atlas_export": q_atlas_export,
         "q_weighted_sample": q_weighted_sample,
         "q_weighted_sample_group": q_weighted_sample_group,
@@ -6420,6 +6497,89 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
     """
     )
+
+    # q_er_link: the same blocked join + the IDENTICAL 9dp
+    # Python-rounded Fellegi-Sunter constants embedded as literals, so
+    # both engines sum the same doubles.
+    import math as _math
+
+    def _fsw(m, u):
+        return (
+            round(_math.log2(m / u), 9),
+            round(_math.log2((1.0 - m) / (1.0 - u)), 9),
+        )
+
+    _wn, _wn_d = _fsw(*_ER_PARAMS["name"])
+    _ws, _ws_d = _fsw(*_ER_PARAMS["seg"])
+    _wa, _wa_d = _fsw(*_ER_PARAMS["acct"])
+    sqls["q_er_link"] = f"""
+        WITH src AS (
+            SELECT c_custkey AS k,
+                   c_nationkey::VARCHAR || '|' ||
+                       CAST(floor(c_acctbal / 100) AS BIGINT)::VARCHAR AS blk,
+                   c_name, c_mktsegment, c_acctbal::VARCHAR AS acct
+            FROM customer
+        ), l AS (
+            SELECT k AS left_id, blk, c_name AS name, c_mktsegment AS seg, acct
+            FROM src
+        ), r AS (
+            SELECT k + 10000000 AS right_id, blk,
+                   CASE WHEN k % 3 = 0 THEN c_name || 'x' ELSE c_name END AS name,
+                   CASE WHEN k % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+                   acct
+            FROM src
+        ), pairs AS (
+            SELECT l.left_id, r.right_id,
+                   coalesce(lower(trim(l.name)) = lower(trim(r.name)), FALSE) AS agree_name,
+                   coalesce(lower(trim(l.seg)) = lower(trim(r.seg)), FALSE) AS agree_seg,
+                   coalesce(lower(trim(l.acct)) = lower(trim(r.acct)), FALSE) AS agree_acct
+            FROM l JOIN r USING (blk)
+        ), scored AS (
+            SELECT left_id, right_id, agree_name, agree_seg, agree_acct,
+                   round(0.0
+                       + CASE WHEN agree_name THEN {_wn!r} ELSE {_wn_d!r} END
+                       + CASE WHEN agree_seg THEN {_ws!r} ELSE {_ws_d!r} END
+                       + CASE WHEN agree_acct THEN {_wa!r} ELSE {_wa_d!r} END,
+                   6) AS weight
+            FROM pairs
+        )
+        SELECT left_id, right_id, agree_name, agree_seg, agree_acct, weight,
+               CASE WHEN weight >= 5.0 THEN 'link'
+                    WHEN weight <= 0.0 THEN 'non_link'
+                    ELSE 'possible' END AS decision
+        FROM scored
+    """
+
+    # q_closure_delta: union closure + base closure as two recursive
+    # walks; is_new = pair absent from base or strictly shallower now.
+    sqls["q_closure_delta"] = """
+        WITH RECURSIVE base_edges AS (
+            SELECT c_custkey AS u, c_custkey // 2 AS p
+            FROM customer WHERE c_custkey >= 2
+        ), new_edges AS (
+            SELECT c_custkey AS u, c_custkey // 8 AS p
+            FROM customer WHERE c_custkey % 5 = 0 AND c_custkey >= 8
+        ), all_edges AS (
+            SELECT u, p FROM base_edges UNION SELECT u, p FROM new_edges
+        ), walk_all AS (
+            SELECT u AS uri, p AS anc, 1 AS depth FROM all_edges
+            UNION
+            SELECT w.uri, e.p AS anc, w.depth + 1
+            FROM walk_all w JOIN all_edges e ON w.anc = e.u
+        ), walk_base AS (
+            SELECT u AS uri, p AS anc, 1 AS depth FROM base_edges
+            UNION
+            SELECT w.uri, e.p AS anc, w.depth + 1
+            FROM walk_base w JOIN base_edges e ON w.anc = e.u
+        ), cu AS (
+            SELECT uri, anc, MIN(depth) AS depth FROM walk_all GROUP BY uri, anc
+        ), cb AS (
+            SELECT uri, anc, MIN(depth) AS depth FROM walk_base GROUP BY uri, anc
+        )
+        SELECT cu.uri, cu.anc AS ancestor_uri, CAST(cu.depth AS BIGINT) AS depth,
+               (cb.uri IS NULL OR cu.depth < cb.depth) AS is_new
+        FROM cu LEFT JOIN cb ON cu.uri = cb.uri AND cu.anc = cb.anc
+    """
 
     # q_path_query: frontier = the bound first step (p:odd edges); the
     # star over {p:even, p:odd} is every edge, so the walk is plain

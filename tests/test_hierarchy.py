@@ -368,3 +368,66 @@ def test_star_join_patterns_and_projection(spark):
     assert [tuple(r) for r in got.collect()] == [("s1", "A", "c1")]
     with pytest.raises(ValueError):
         star_join(t, required={}, select={})
+
+
+def _closure_rows(df):
+    return {(r.uri, r.ancestor_uri, r.depth) for r in df.collect()}
+
+
+def test_delta_closure_equals_full_recompute(spark):
+    from omop2obo_spark.operators.hierarchy import ancestor_closure_delta
+
+    base_edges = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]
+    new_edges = [("y", "a"), ("d", "e")]  # joins two components + extends chain
+    base = ancestor_closure(spark.createDataFrame(base_edges, ["uri", "parent_uri"]))
+    out = ancestor_closure_delta(
+        base, spark.createDataFrame(new_edges, ["uri", "parent_uri"])
+    )
+    full = ancestor_closure(
+        spark.createDataFrame(base_edges + new_edges, ["uri", "parent_uri"])
+    )
+    assert _closure_rows(out.select("uri", "ancestor_uri", "depth")) == _closure_rows(
+        full
+    )
+    # is_new marks exactly the pairs absent from the base closure here
+    base_pairs = {(u, a) for u, a, _ in _closure_rows(base)}
+    for r in out.collect():
+        assert r.is_new == ((r.uri, r.ancestor_uri) not in base_pairs)
+
+
+def test_delta_closure_improves_depth_on_shortcut(spark):
+    from omop2obo_spark.operators.hierarchy import ancestor_closure_delta
+
+    # chain a->b->c->d (a reaches d at depth 3); shortcut a->c improves
+    # a->d to 2 and a->c to 1 without adding any new pair
+    base_edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    base = ancestor_closure(spark.createDataFrame(base_edges, ["uri", "parent_uri"]))
+    out = ancestor_closure_delta(
+        base, spark.createDataFrame([("a", "c")], ["uri", "parent_uri"])
+    )
+    rows = {(r.uri, r.ancestor_uri): (r.depth, r.is_new) for r in out.collect()}
+    assert rows[("a", "c")] == (1, True)
+    assert rows[("a", "d")] == (2, True)   # improved -> flagged
+    assert rows[("a", "b")] == (1, False)  # untouched
+    assert rows[("b", "d")] == (2, False)
+    full = ancestor_closure(
+        spark.createDataFrame(base_edges + [("a", "c")], ["uri", "parent_uri"])
+    )
+    assert {
+        (u, a, d) for (u, a), (d, _) in rows.items()
+    } == _closure_rows(full)
+
+
+def test_delta_closure_noop_when_new_edges_add_nothing(spark):
+    from omop2obo_spark.operators.hierarchy import ancestor_closure_delta
+
+    base_edges = [("a", "b"), ("b", "c")]
+    base = ancestor_closure(spark.createDataFrame(base_edges, ["uri", "parent_uri"]))
+    # re-ingesting an existing edge changes nothing
+    out = ancestor_closure_delta(
+        base, spark.createDataFrame([("a", "b")], ["uri", "parent_uri"])
+    )
+    assert _closure_rows(out.select("uri", "ancestor_uri", "depth")) == _closure_rows(
+        base
+    )
+    assert out.filter(out.is_new).count() == 0
