@@ -2826,6 +2826,24 @@ def q_er_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.er import block_compare, fs_score
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    left, right = _er_sides(cust)
+    pairs = block_compare(left, right, ["blk"], ["name", "seg", "acct"])
+    return fs_score(pairs, _ER_PARAMS, upper=5.0, lower=0.0)
+
+
+_ER_GRADED = {
+    # level 0 = disagree, 1 = close (levenshtein <= field threshold), 2 = exact
+    "name": [(0.02, 0.94), (0.08, 0.05), (0.90, 0.01)],
+    "seg": [(0.05, 0.80), (0.15, 0.15), (0.80, 0.05)],
+    "acct": [(0.005, 0.99), (0.005, 0.005), (0.99, 0.005)],
+}
+_ER_THRESH = {"name": 1, "seg": 2, "acct": 1}
+
+
+def _er_sides(cust: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The q_er_link fixture: customers vs a deterministically corrupted
+    copy (every 3rd name gets a 1-edit typo, every 5th segment is lost),
+    blocked on (nation, acctbal-century)."""
     blk = F.concat_ws(
         "|",
         F.col("c_nationkey").cast("string"),
@@ -2849,8 +2867,69 @@ def q_er_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seg"),
         F.col("c_acctbal").cast("string").alias("acct"),
     )
-    pairs = block_compare(left, right, ["blk"], ["name", "seg", "acct"])
-    return fs_score(pairs, _ER_PARAMS, upper=5.0, lower=0.0)
+    return left, right
+
+
+def q_er_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-level record linkage (operators/er.py:
+    block_compare_graded + fs_score_graded, the Splink-style comparison
+    model): the corrupted-copy fixture again, but the 1-edit name typo
+    now lands in a CLOSE level (Levenshtein <= 1) that carries its own
+    m/u weight instead of collapsing to disagreement — every 3rd
+    record's typo'd pair stays linkable on graded evidence. Edit
+    distance runs only inside the blocked candidate set and uses the
+    threshold form (early-exit DP). Oracle: same join with
+    CASE-on-levenshtein levels and the identical 9dp weight literals."""
+    from omop2obo_spark.operators.er import block_compare_graded, fs_score_graded
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    left, right = _er_sides(cust)
+    pairs = block_compare_graded(left, right, ["blk"], _ER_THRESH)
+    return fs_score_graded(pairs, _ER_GRADED, upper=5.0, lower=0.0)
+
+
+def q_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: FS links (q_er_link's 'link'
+    decisions) unioned with explicit sameAs assertions (a (k -> 2k)
+    edge per even key, standing in for cross-source curated links) are
+    clustered by connected components (operators/dedup.py:
+    dedup_clusters — min-label, driver union-find under the edge
+    cutover), then operators/er.py:survivorship builds the golden
+    record per cluster: modal non-null value per attribute
+    (lexicographic tie-break), canonical_id = min record id,
+    cluster_size = distinct records merged. One tall groupBy + one
+    window regardless of attribute count. Oracle: recursive-CTE
+    reachability for components + windowed mode + conditional re-widen."""
+    from omop2obo_spark.operators.dedup import dedup_clusters
+    from omop2obo_spark.operators.er import block_compare, fs_score, survivorship
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    left, right = _er_sides(cust)
+    links = (
+        fs_score(
+            block_compare(left, right, ["blk"], ["name", "seg", "acct"]),
+            _ER_PARAMS,
+            upper=5.0,
+            lower=0.0,
+        )
+        .filter(F.col("decision") == "link")
+        .select(F.col("left_id").alias("a"), F.col("right_id").alias("b"))
+    )
+    # k >= 2 keeps the fixture free of the k=0 self-loop (a self-edge is
+    # not a sameAs assertion)
+    sameas = cust.filter(
+        (F.col("c_custkey") % 2 == 0) & (F.col("c_custkey") >= 2)
+    ).select(
+        (F.col("c_custkey") / 2).cast("long").alias("a"),
+        F.col("c_custkey").alias("b"),
+    )
+    clusters = dedup_clusters(links.union(sameas))
+    assignment = clusters.select(
+        F.col("doc_id").alias("rec_id"), F.col("component").alias("cluster")
+    )
+    records = left.drop("blk").unionByName(right.drop("blk"))
+    out = survivorship(records, assignment, ["name", "seg", "acct"])
+    return out.orderBy("cluster")
 
 
 def q_closure_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2963,6 +3042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_sample": q_dsir_sample,
         "q_er_link": q_er_link,
+        "q_er_graded": q_er_graded,
+        "q_er_resolve": q_er_resolve,
         "q_closure_delta": q_closure_delta,
         "q_atlas_export": q_atlas_export,
         "q_weighted_sample": q_weighted_sample,
@@ -6548,6 +6629,129 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
                     WHEN weight <= 0.0 THEN 'non_link'
                     ELSE 'possible' END AS decision
         FROM scored
+    """
+
+    # q_er_graded: identical blocked join; levels via CASE on
+    # levenshtein with the same thresholds; per-level 9dp weight
+    # literals so both engines sum the same doubles.
+    _er_src = """
+        src AS (
+            SELECT c_custkey AS k,
+                   c_nationkey::VARCHAR || '|' ||
+                       CAST(floor(c_acctbal / 100) AS BIGINT)::VARCHAR AS blk,
+                   c_name, c_mktsegment, c_acctbal::VARCHAR AS acct
+            FROM customer
+        ), l AS (
+            SELECT k AS left_id, blk, c_name AS name, c_mktsegment AS seg, acct
+            FROM src
+        ), r AS (
+            SELECT k + 10000000 AS right_id, blk,
+                   CASE WHEN k % 3 = 0 THEN c_name || 'x' ELSE c_name END AS name,
+                   CASE WHEN k % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+                   acct
+            FROM src
+        )
+    """
+
+    def _lvl_sql(f: str) -> str:
+        t = _ER_THRESH[f]
+        return f"""CASE
+            WHEN l.{f} IS NULL OR r.{f} IS NULL THEN 0
+            WHEN lower(trim(l.{f})) = lower(trim(r.{f})) THEN 2
+            WHEN levenshtein(lower(trim(l.{f})), lower(trim(r.{f}))) <= {t} THEN 1
+            ELSE 0 END"""
+
+    def _gw_sql(f: str) -> str:
+        cases = " ".join(
+            f"WHEN lvl_{f} = {lvl} THEN {round(_math.log2(m / u), 9)!r}"
+            for lvl, (m, u) in enumerate(_ER_GRADED[f])
+        )
+        return f"CASE {cases} END"
+
+    sqls["q_er_graded"] = f"""
+        WITH {_er_src}, pairs AS (
+            SELECT l.left_id, r.right_id,
+                   {_lvl_sql('name')} AS lvl_name,
+                   {_lvl_sql('seg')} AS lvl_seg,
+                   {_lvl_sql('acct')} AS lvl_acct
+            FROM l JOIN r USING (blk)
+        ), scored AS (
+            SELECT left_id, right_id, lvl_name, lvl_seg, lvl_acct,
+                   round(0.0 + {_gw_sql('name')} + {_gw_sql('seg')}
+                       + {_gw_sql('acct')}, 6) AS weight
+            FROM pairs
+        )
+        SELECT left_id, right_id, lvl_name, lvl_seg, lvl_acct, weight,
+               CASE WHEN weight >= 5.0 THEN 'link'
+                    WHEN weight <= 0.0 THEN 'non_link'
+                    ELSE 'possible' END AS decision
+        FROM scored
+    """
+
+    # q_er_resolve: FS links + sameAs edges -> recursive reachability
+    # (component = min reachable id, the dedup_clusters convention) ->
+    # windowed mode per (cluster, attr) -> conditional re-widen.
+    sqls["q_er_resolve"] = f"""
+        WITH RECURSIVE {_er_src}, pairs AS (
+            SELECT l.left_id, r.right_id,
+                   coalesce(lower(trim(l.name)) = lower(trim(r.name)), FALSE) AS agree_name,
+                   coalesce(lower(trim(l.seg)) = lower(trim(r.seg)), FALSE) AS agree_seg,
+                   coalesce(lower(trim(l.acct)) = lower(trim(r.acct)), FALSE) AS agree_acct
+            FROM l JOIN r USING (blk)
+        ), links AS (
+            SELECT left_id AS a, right_id AS b
+            FROM pairs
+            WHERE round(0.0
+                + CASE WHEN agree_name THEN {_wn!r} ELSE {_wn_d!r} END
+                + CASE WHEN agree_seg THEN {_ws!r} ELSE {_ws_d!r} END
+                + CASE WHEN agree_acct THEN {_wa!r} ELSE {_wa_d!r} END, 6) >= 5.0
+        ), sameas AS (
+            SELECT c_custkey // 2 AS a, c_custkey AS b
+            FROM customer WHERE c_custkey % 2 = 0 AND c_custkey >= 2
+        ), edges AS (
+            SELECT a, b FROM links UNION SELECT a, b FROM sameas
+        ), und AS (
+            SELECT a AS src, b AS dst FROM edges UNION SELECT b, a FROM edges
+        ), reach(node, rt) AS (
+            SELECT src, src FROM und
+            UNION
+            SELECT u.src, reach.rt FROM reach JOIN und u ON u.dst = reach.node
+        ), comp AS (
+            SELECT node, min(rt) AS cluster FROM reach GROUP BY node
+        ), recs AS (
+            SELECT left_id AS rec_id, name, seg, acct FROM l
+            UNION ALL
+            SELECT right_id AS rec_id, name, seg, acct FROM r
+        ), tagged AS (
+            SELECT c.cluster, s.rec_id, s.name, s.seg, s.acct
+            FROM recs s JOIN comp c ON s.rec_id = c.node
+        ), tall AS (
+            SELECT cluster, 'name' AS attr, name AS value FROM tagged
+            UNION ALL SELECT cluster, 'seg', seg FROM tagged
+            UNION ALL SELECT cluster, 'acct', acct FROM tagged
+        ), counts AS (
+            SELECT cluster, attr, value, count(*) AS n
+            FROM tall WHERE value IS NOT NULL
+            GROUP BY cluster, attr, value
+        ), best AS (
+            SELECT cluster, attr, value,
+                   row_number() OVER (PARTITION BY cluster, attr
+                                      ORDER BY n DESC, value ASC) AS rn
+            FROM counts
+        ), golden AS (
+            SELECT cluster,
+                   max(CASE WHEN attr = 'name' THEN value END) AS name,
+                   max(CASE WHEN attr = 'seg' THEN value END) AS seg,
+                   max(CASE WHEN attr = 'acct' THEN value END) AS acct
+            FROM best WHERE rn = 1 GROUP BY cluster
+        ), meta AS (
+            SELECT cluster, min(rec_id) AS canonical_id,
+                   CAST(count(DISTINCT rec_id) AS BIGINT) AS cluster_size
+            FROM tagged GROUP BY cluster
+        )
+        SELECT m.cluster, m.canonical_id, m.cluster_size, g.name, g.seg, g.acct
+        FROM meta m LEFT JOIN golden g USING (cluster)
+        ORDER BY m.cluster
     """
 
     # q_closure_delta: union closure + base closure as two recursive

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,4 +111,164 @@ def fs_score(
         F.when(F.col("weight") >= upper, F.lit("link"))
         .when(F.col("weight") <= lower, F.lit("non_link"))
         .otherwise(F.lit("possible")),
+    )
+
+
+def block_compare_graded(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    fields: dict[str, int],
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Blocked comparison with GRADED agreement levels per field.
+
+    Like :func:`block_compare`, but each field emits an integer
+    ``lvl_<field>`` instead of a boolean: 2 = exact match (after
+    lower+trim), 1 = close (Levenshtein distance <= the field's
+    threshold in ``fields``), 0 = disagree / either side NULL. This is
+    the comparison-level model production linkers (Splink) use: a typo
+    is evidence FOR a match, just weaker than an exact hit, and
+    collapsing it to "disagree" throws that signal away.
+
+    Scale shape: identical to :func:`block_compare` — one hash
+    equi-join on the block key, then pure projections.
+    ``F.levenshtein``'s threshold form abandons the DP row scan as soon
+    as the bound is exceeded, so the O(len^2) edit-distance cost is
+    only paid near the diagonal; it also only runs at all inside the
+    blocked candidate set, never corpus-wide.
+    """
+    l = left.select(
+        F.col(id_col).alias("left_id"),
+        *[F.col(c).alias(f"__bl_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in fields],
+    )
+    r = right.select(
+        F.col(id_col).alias("right_id"),
+        *[F.col(c).alias(f"__bl_{c}") for c in block_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in fields],
+    )
+    norm = lambda c: F.lower(F.trim(F.col(c).cast("string")))  # noqa: E731
+
+    def level(f: str, thresh: int) -> F.Column:
+        a, b = norm(f"__l_{f}"), norm(f"__r_{f}")
+        return (
+            F.when(a.isNull() | b.isNull(), F.lit(0))
+            .when(a == b, F.lit(2))
+            # threshold form returns -1 when the distance exceeds thresh
+            .when(F.levenshtein(a, b, thresh) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    pairs = l.join(r, [f"__bl_{c}" for c in block_cols])
+    return pairs.select(
+        "left_id",
+        "right_id",
+        *[level(f, t).alias(f"lvl_{f}") for f, t in fields.items()],
+    )
+
+
+def fs_score_graded(
+    pairs: DataFrame,
+    params: dict[str, list[tuple[float, float]]],
+    upper: float,
+    lower: float,
+) -> DataFrame:
+    """Fellegi-Sunter weight over GRADED comparison levels.
+
+    ``params[field][lvl] = (m_lvl, u_lvl)``: the probability a true
+    match (resp. a random non-match) lands in comparison level ``lvl``
+    for that field; each field's weight is ``log2(m_lvl / u_lvl)`` of
+    the level the pair actually hit (per-level m/u sum to 1 across
+    levels in a calibrated model; only positivity is enforced here so
+    partial parameterizations stay usable). Same constant-folding and
+    rounding contract as :func:`fs_score` — pure projection, no
+    shuffle.
+    """
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) must be >= lower ({lower})")
+    weight = F.lit(0.0)
+    for field, levels in params.items():
+        if len(levels) < 2:
+            raise ValueError(f"field {field!r}: need >= 2 comparison levels")
+        expr = None
+        for lvl, (m, u) in enumerate(levels):
+            if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+                raise ValueError(
+                    f"field {field!r} level {lvl}: need m, u in (0, 1), "
+                    f"got m={m}, u={u}"
+                )
+            w = round(math.log2(m / u), 9)
+            cond = F.col(f"lvl_{field}") == lvl
+            expr = F.when(cond, F.lit(w)) if expr is None else expr.when(cond, F.lit(w))
+        weight = weight + expr.otherwise(F.lit(float("nan")))
+    scored = pairs.withColumn("weight", F.round(weight, 6))
+    return scored.withColumn(
+        "decision",
+        F.when(F.col("weight") >= upper, F.lit("link"))
+        .when(F.col("weight") <= lower, F.lit("non_link"))
+        .otherwise(F.lit("possible")),
+    )
+
+
+def survivorship(
+    records: DataFrame,
+    assignment: DataFrame,
+    attrs: list[str],
+    id_col: str = "rec_id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Golden-record construction: one canonical row per entity cluster.
+
+    After linkage resolves record pairs into clusters (``assignment``:
+    ``(id_col, cluster_col)`` — e.g. :func:`~.dedup.dedup_clusters`
+    over the ``decision = 'link'`` pairs), survivorship decides which
+    attribute VALUES the merged entity keeps. Rule implemented: per
+    attribute, the modal non-null value within the cluster, ties broken
+    by the lexicographically smallest value (deterministic under any
+    partitioning); all-null attributes stay null. Adds ``canonical_id``
+    (min record id — the same representative convention the dedup tier
+    uses) and ``cluster_size`` (distinct records merged).
+
+    Output: ``(cluster, canonical_id, cluster_size, <attr>...)`` with
+    attribute values as strings (the tall union needs one common type;
+    callers re-cast typed columns).
+
+    Scale shape: attributes are stacked TALL first, so vote counting is
+    ONE ``groupBy(cluster, attr, value)`` and one window over
+    ``(cluster, attr)`` regardless of attribute count — not one
+    shuffle per attribute; the final re-widen is a conditional-agg
+    ``groupBy(cluster)``, not a pivot job. Cluster id is the hash key
+    everywhere, so skew follows cluster size, which upstream LSH/ER
+    blocking already bounds.
+    """
+    stack_expr = "stack({}, {}) as (attr, value)".format(
+        len(attrs),
+        ", ".join(f"'{a}', cast(`{a}` as string)" for a in attrs),
+    )
+    tagged = records.join(assignment, id_col)
+    tall = tagged.selectExpr(f"`{cluster_col}` as __cluster", stack_expr).filter(
+        F.col("value").isNotNull()
+    )
+    counts = tall.groupBy("__cluster", "attr", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("__cluster", "attr").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    best = counts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    golden = best.groupBy("__cluster").agg(
+        *[
+            F.max(F.when(F.col("attr") == a, F.col("value"))).alias(a)
+            for a in attrs
+        ]
+    )
+    meta = tagged.groupBy(F.col(cluster_col).alias("__cluster")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.countDistinct(id_col).alias("cluster_size"),
+    )
+    return (
+        meta.join(golden, "__cluster", "left")
+        .withColumnRenamed("__cluster", cluster_col)
+        .select(cluster_col, "canonical_id", "cluster_size", *attrs)
     )

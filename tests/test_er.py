@@ -125,3 +125,126 @@ def test_er_pipeline_recovers_injected_matches(spark):
             assert (i, i + 1000) in links, i
     # no cross-entity pair agrees on any field, so none can link
     assert all(l + 1000 == r for l, r in links)
+
+
+# ---------------------------------------------------------------------------
+# graded comparison levels + survivorship
+# ---------------------------------------------------------------------------
+
+from omop2obo_spark.operators.er import (  # noqa: E402
+    block_compare_graded,
+    fs_score_graded,
+    survivorship,
+)
+
+# level 0 = disagree, 1 = close (lev <= thresh), 2 = exact
+GRADED = {
+    "name": [(0.02, 0.94), (0.08, 0.05), (0.9, 0.01)],
+    "city": [(0.05, 0.8), (0.15, 0.15), (0.8, 0.05)],
+}
+
+
+def _gw(lvl_name, lvl_city):
+    t = 0.0
+    for field, lvl in (("name", lvl_name), ("city", lvl_city)):
+        m, u = GRADED[field][lvl]
+        t += round(math.log2(m / u), 9)
+    return round(t, 6)
+
+
+def test_block_compare_graded_levels(spark):
+    left = spark.createDataFrame(
+        [(1, "b", "Ann", "Rome"), (2, "b", "Bob", None)],
+        "rec_id long, blk string, name string, city string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "b", "ann ", "Romf"),   # name exact after norm; city lev 1
+            (20, "b", "Axx", "Paris"),   # name lev 2 > thresh 1; city disagree
+            (30, "b", "Anq", "Rome"),    # name lev 1 (thresh 1); city exact
+        ],
+        "rec_id long, blk string, name string, city string",
+    )
+    out = block_compare_graded(
+        left, right, ["blk"], {"name": 1, "city": 2}
+    ).collect()
+    got = {(r.left_id, r.right_id): (r.lvl_name, r.lvl_city) for r in out}
+    assert got[(1, 10)] == (2, 1)
+    assert got[(1, 20)] == (0, 0)
+    assert got[(1, 30)] == (1, 2)
+    # NULL on either side is level 0, not an error
+    assert got[(2, 10)][1] == 0 and got[(2, 30)][1] == 0
+
+
+def test_fs_score_graded_matches_python_recompute(spark):
+    rows = [(i, i * 10, ln, lc) for i, (ln, lc) in
+            enumerate([(2, 2), (2, 1), (1, 0), (0, 2), (0, 0), (1, 1)])]
+    pairs = spark.createDataFrame(
+        rows, "left_id long, right_id long, lvl_name int, lvl_city int"
+    )
+    out = {r.left_id: (r.weight, r.decision)
+           for r in fs_score_graded(pairs, GRADED, upper=5.0, lower=0.0).collect()}
+    for i, (ln, lc) in enumerate([(2, 2), (2, 1), (1, 0), (0, 2), (0, 0), (1, 1)]):
+        w = _gw(ln, lc)
+        assert out[i][0] == pytest.approx(w, abs=1e-6), (i, ln, lc)
+        want = "link" if w >= 5.0 else ("non_link" if w <= 0.0 else "possible")
+        assert out[i][1] == want
+    # exact-everywhere links, disagree-everywhere doesn't
+    assert out[0][1] == "link" and out[4][1] == "non_link"
+
+
+def test_fs_score_graded_validates(spark):
+    pairs = spark.createDataFrame([(1, 2, 0)], "left_id long, right_id long, lvl_name int")
+    with pytest.raises(ValueError):
+        fs_score_graded(pairs, {"name": [(0.9, 0.1)]}, upper=1.0, lower=0.0)  # 1 level
+    with pytest.raises(ValueError):
+        fs_score_graded(pairs, {"name": [(0.9, 0.1), (1.5, 0.1)]}, upper=1.0, lower=0.0)
+    with pytest.raises(ValueError):
+        fs_score_graded(pairs, {"name": [(0.9, 0.1), (0.1, 0.9)]}, upper=0.0, lower=1.0)
+
+
+def test_survivorship_modal_tiebreak_and_nulls(spark):
+    records = spark.createDataFrame(
+        [
+            (1, "Ann", "Rome", None),
+            (2, "Ann", "Lyon", None),
+            (3, "Anne", "Lyon", None),   # name: Ann 2-1; city: Lyon 2-1
+            (10, "Bob", None, "x"),
+            (11, "Rob", None, "y"),      # name tie 1-1 -> 'Bob' (lex min)
+        ],
+        "rec_id long, name string, city string, note string",
+    )
+    assignment = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "rec_id long, cluster long"
+    )
+    out = {r.cluster: r for r in
+           survivorship(records, assignment, ["name", "city", "note"]).collect()}
+    a, b = out[1], out[10]
+    assert (a.name, a.city, a.note) == ("Ann", "Lyon", None)
+    assert (a.canonical_id, a.cluster_size) == (1, 3)
+    # tie on count -> lexicographically smallest value; all-null stays null
+    assert (b.name, b.city) == ("Bob", None)
+    assert (b.canonical_id, b.cluster_size) == (10, 2)
+
+
+def test_survivorship_partition_independent(spark):
+    import random
+
+    rng = random.Random(7)
+    recs = [(i, f"n{rng.randrange(3)}", f"c{rng.randrange(2)}") for i in range(200)]
+    records = spark.createDataFrame(recs, "rec_id long, name string, city string")
+    assignment = spark.createDataFrame(
+        [(i, i % 17) for i in range(200)], "rec_id long, cluster long"
+    )
+    base = sorted(
+        map(tuple, survivorship(records, assignment, ["name", "city"]).collect())
+    )
+    again = sorted(
+        map(
+            tuple,
+            survivorship(
+                records.repartition(13), assignment.repartition(3), ["name", "city"]
+            ).collect(),
+        )
+    )
+    assert base == again
