@@ -313,3 +313,81 @@ def topic_segments(
         )
         - 1,
     )
+
+
+def resolve_pronouns(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    pronouns: tuple[str, ...] = ("it", "this", "that", "these", "those", "they", "them"),
+    max_gap: int = 3,
+) -> DataFrame:
+    """Recency-heuristic pronoun coreference over detected mentions.
+
+    A turn whose text contains an anaphor cue (``pronouns``, matched as
+    whole lowercase tokens under the mention tokenizer's split rule)
+    resolves to the most recent PRIOR turn's last detected mention in the
+    same conversation — the classic recency baseline for conversational
+    coreference (Hobbs-style search order, clause-level signals dropped).
+    ``max_gap`` bounds how far back an anaphor may reach (antecedents
+    decay fast in dialogue; unbounded reach produces junk chains).
+
+    Inputs: ``transcripts (conv_id, turn_idx, text, ...)`` and
+    ``mentions (conv_id, turn_idx, pos, surface, ...)`` — the
+    :func:`~omop2obo_spark.plans.mention.detect_mentions` output (callers
+    filter to the mention kinds they accept as antecedents). The anchor
+    per turn is the LAST mention by token position — the nearest one
+    looking backward from the following turn.
+
+    Output: one row per resolved anaphor:
+    ``(conv_id, turn_idx, pronoun, antecedent_turn, antecedent)``.
+
+    Scale shape: the anchor aggregate and the backward-looking window
+    both key on conv_id, so Catalyst reuses ONE hash exchange; the cue
+    scan is a native higher-order filter over the token array (no UDF,
+    no explode). Nothing here is quadratic in conversation length.
+    """
+    anchors = (
+        mentions.groupBy("conv_id", "turn_idx")
+        # max by (pos, surface): pos is the token start, unique per kind
+        .agg(F.max(F.struct(F.col("pos"), F.col("surface"))).alias("__m"))
+        .select("conv_id", "turn_idx", F.col("__m.surface").alias("__anchor"))
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9']+"), lambda t: t != F.lit("")
+    )
+    pron_arr = F.array(*[F.lit(p) for p in pronouns])
+    # try_element_at: a turn with no cue yields NULL, not an index error
+    first_pron = F.try_element_at(
+        F.filter(toks, lambda t: F.array_contains(pron_arr, t)), F.lit(1)
+    )
+    turns = transcripts.select(
+        "conv_id", "turn_idx", first_pron.alias("pronoun")
+    )
+    j = turns.join(anchors, ["conv_id", "turn_idx"], "left")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ant = F.last(
+        F.when(
+            F.col("__anchor").isNotNull(),
+            F.struct(F.col("turn_idx").alias("t"), F.col("__anchor").alias("s")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        j.withColumn("__ant", ant)
+        .filter(
+            F.col("pronoun").isNotNull()
+            & F.col("__ant").isNotNull()
+            & ((F.col("turn_idx") - F.col("__ant.t")) <= max_gap)
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "pronoun",
+            F.col("__ant.t").alias("antecedent_turn"),
+            F.col("__ant.s").alias("antecedent"),
+        )
+    )

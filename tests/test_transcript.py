@@ -285,3 +285,62 @@ def test_topic_segments_one_shuffle_no_join(spark):
     plan = topic_segments(df)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 2, plan  # one hash exchange (+AQE read)
+
+
+# ---------------------------------------------------------------------------
+# resolve_pronouns
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_pronouns_recency_and_gap(spark):
+    from omop2obo_spark.operators.transcript import resolve_pronouns
+
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "patient has headache today"),
+            ("c1", 1, "tell me more about it"),        # -> headache (turn 0)
+            ("c1", 2, "also noted severe anemia"),
+            ("c1", 3, "is that treatable"),            # -> anemia (turn 2)
+            ("c1", 4, "ok"),
+            ("c1", 5, "ok"),
+            ("c1", 6, "and what about it now"),        # gap 4 > max_gap 3: dropped
+            ("c2", 0, "does it hurt"),                 # no prior mention: dropped
+            ("c2", 1, "there is fatigue and headache"),
+            ("c2", 2, "this seems chronic"),           # -> headache (last by pos)
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("c1", 0, 2, "headache"),
+            ("c1", 2, 3, "anemia"),
+            ("c2", 1, 2, "fatigue"),
+            ("c2", 1, 4, "headache"),
+        ],
+        "conv_id string, turn_idx int, pos int, surface string",
+    )
+    out = {
+        (r.conv_id, r.turn_idx): (r.pronoun, r.antecedent_turn, r.antecedent)
+        for r in resolve_pronouns(transcripts, mentions, max_gap=3).collect()
+    }
+    assert out == {
+        ("c1", 1): ("it", 0, "headache"),
+        ("c1", 3): ("that", 2, "anemia"),
+        ("c2", 2): ("this", 1, "headache"),
+    }
+
+
+def test_resolve_pronouns_single_exchange_plan(spark):
+    """Anchor aggregate + backward window reuse one conv_id exchange."""
+    from omop2obo_spark.operators.transcript import resolve_pronouns
+
+    transcripts = spark.createDataFrame(
+        [("c1", 0, "a headache"), ("c1", 1, "it hurts")],
+        "conv_id string, turn_idx int, text string",
+    )
+    mentions = spark.createDataFrame(
+        [("c1", 0, 1, "headache")], "conv_id string, turn_idx int, pos int, surface string"
+    )
+    plan = resolve_pronouns(transcripts, mentions)._jdf.queryExecution().executedPlan().toString()
+    # no python UDF, no cartesian anywhere in the plan
+    assert "BatchEvalPython" not in plan and "Cartesian" not in plan
