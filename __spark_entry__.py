@@ -2982,6 +2982,88 @@ def q_coref_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_pronouns(tr, mentions, pronouns=("the", "a"), max_gap=3)
 
 
+AGENT_TOOLS = ["browser", "calculator", "python", "retrieval", "search", "sql"]
+
+
+def agent_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts with an agentic shape: the base fixture's ``tool``
+    column is NULL everywhere, so the trajectory queries inject one
+    deterministically — ~1/7 of turns dropped (gaps), ~1/5 of roles
+    forced to 'tool' (creating contiguous tool chains the cycling base
+    roles never produce), and each tool-role turn named from
+    ``AGENT_TOOLS`` by :func:`portable_hash` with ~1/17 left unnamed
+    (NULL-tool tool-role turns, the un-instrumented-call case). Every
+    choice is keyed on (doc_id, turn_idx) modular arithmetic so the
+    DuckDB oracle rebuilds the identical table (``_agent_sql()``)."""
+    from omop2obo_spark.fixtures.generators import portable_hash
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    did = F.expr("substring(conv_id, 6)").cast("long")
+
+    def ph(salt: int):
+        return portable_hash(did, F.col("turn_idx"), salt)
+
+    t = tr.filter((did + F.col("turn_idx")) % 7 != 3).withColumn(
+        "role", F.when(ph(91) % 5 == 0, F.lit("tool")).otherwise(F.col("role"))
+    )
+    named = F.element_at(
+        F.array(*[F.lit(x) for x in AGENT_TOOLS]),
+        (ph(78) % len(AGENT_TOOLS) + 1).cast("int"),
+    )
+    return t.withColumn(
+        "tool",
+        F.when((F.col("role") == "tool") & (ph(77) % 17 != 2), named),
+    )
+
+
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-conversation tool-call sequences
+    (operators/trajectory.py:tool_transitions) with __start__/__end__
+    sentinels and row-normalized probabilities — the behavioural
+    telemetry layer a 10^12-turn agent-transcript corpus needs before
+    curation. One conv_id exchange for the lag window; the (from,to)
+    aggregation is |tools|²-bounded. Oracle replays the lag/arg_max
+    construction over the same deterministic tool injection."""
+    from omop2obo_spark.operators.trajectory import tool_transitions
+
+    return tool_transitions(agent_transcripts(spark, sf_dir))
+
+
+def q_tool_retries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool retry-loop profile (operators/trajectory.py:
+    tool_retry_runs): run-length encoding of consecutive same-tool calls
+    via the two-row_number islands trick (both windows share the
+    conv_id exchange, no self-join), then a per-tool rollup — the
+    agent-thrash signal. Oracle: identical double row_number islands in
+    DuckDB."""
+    from omop2obo_spark.operators.trajectory import tool_retry_runs
+
+    return tool_retry_runs(agent_transcripts(spark, sf_dir))
+
+
+def q_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation trajectory shape (operators/trajectory.py:
+    trajectory_stats): tool-call counts, first-tool latency in real
+    timestamp arithmetic (the oracle cross-checks it from the fixture's
+    ts = base + turn_idx linearity), longest contiguous tool-role chain
+    (islands), terminal role. Both aggregations and the chain window
+    share the conv_id key."""
+    from omop2obo_spark.operators.trajectory import trajectory_stats
+
+    return trajectory_stats(agent_transcripts(spark, sf_dir))
+
+
+def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level tool co-occurrence with lift
+    (operators/trajectory.py:tool_cooccurrence): unordered tool pairs
+    scored by n_both·n_convs/(n_a·n_b). The per-conv distinct set is
+    ≤|tools| rows so the conv_id self-join has bounded fan-out; the
+    marginals and the 1-row total join back by broadcast."""
+    from omop2obo_spark.operators.trajectory import tool_cooccurrence
+
+    return tool_cooccurrence(agent_transcripts(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
@@ -3154,6 +3236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3, after the driver window ------------------------
         "q_cycle_check": q_cycle_check,
         "q_star_join": q_star_join,
+        "q_tool_transitions": q_tool_transitions,
+        "q_tool_retries": q_tool_retries,
+        "q_trajectory_stats": q_trajectory_stats,
+        "q_tool_cooccurrence": q_tool_cooccurrence,
     }
 
 
@@ -4728,6 +4814,114 @@ FROM (
 )
 GROUP BY conv_id"""
     )
+    # -- agent-trajectory family: deterministic tool injection shared by all
+    # four oracles (the SQL twin of agent_transcripts(); same drop / role
+    # flip / tool naming keyed on portable_hash arithmetic)
+    from omop2obo_spark.fixtures.generators import portable_hash_sql as _phs
+
+    _tools_arr = "[" + ", ".join(f"'{t}'" for t in AGENT_TOOLS) + "]"
+    _agent_cte = f""", agt AS MATERIALIZED (
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN role = 'tool' AND ({_phs('did', 'turn_idx', 77)}) % 17 <> 2
+                THEN ({_tools_arr})[(({_phs('did', 'turn_idx', 78)}) % {len(AGENT_TOOLS)}) + 1]
+           END AS tool
+    FROM (
+        SELECT conv_id, turn_idx, did,
+               CASE WHEN ({_phs('did', 'turn_idx', 91)}) % 5 = 0 THEN 'tool'
+                    WHEN turn_idx % 3 = 0 THEN 'user'
+                    WHEN turn_idx % 3 = 1 THEN 'assistant'
+                    ELSE 'tool' END AS role
+        FROM (SELECT conv_id, turn_idx, CAST(substr(conv_id, 6) AS BIGINT) AS did FROM tr)
+        WHERE (did + turn_idx) % 7 <> 3
+    )
+),
+calls AS (SELECT conv_id, turn_idx, tool FROM agt WHERE tool IS NOT NULL)"""
+
+    sqls["q_tool_transitions"] = kg_triples_sql(
+        final_select=_agent_cte
+        + """
+SELECT from_tool, to_tool, count(*) AS n_transitions,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY from_tool), 6) AS prob
+FROM (
+    SELECT coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                    '__start__') AS from_tool,
+           tool AS to_tool
+    FROM calls
+    UNION ALL
+    SELECT arg_max(tool, turn_idx) AS from_tool, '__end__' AS to_tool
+    FROM calls GROUP BY conv_id
+)
+GROUP BY from_tool, to_tool"""
+    )
+
+    sqls["q_tool_retries"] = kg_triples_sql(
+        final_select=_agent_cte
+        + """
+SELECT tool,
+       CAST(sum(run_len) AS BIGINT) AS n_calls,
+       count(*) AS n_runs,
+       CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_retry_runs,
+       max(run_len) AS max_run_len,
+       round(avg(run_len), 6) AS avg_run_len
+FROM (
+    SELECT conv_id, tool, island, count(*) AS run_len
+    FROM (
+        SELECT conv_id, tool,
+               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx) AS island
+        FROM calls
+    ) GROUP BY conv_id, tool, island
+) GROUP BY tool"""
+    )
+
+    sqls["q_trajectory_stats"] = kg_triples_sql(
+        final_select=_agent_cte
+        + """
+SELECT g.conv_id, n_turns, n_tool_calls, n_distinct_tools, first_tool_idx,
+       secs_to_first_tool,
+       coalesce(c.longest_tool_chain, 0) AS longest_tool_chain,
+       ends_with_tool
+FROM (
+    SELECT conv_id, count(*) AS n_turns,
+           CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+           count(DISTINCT tool) AS n_distinct_tools,
+           min(CASE WHEN tool IS NOT NULL THEN turn_idx END) AS first_tool_idx,
+           CAST(min(CASE WHEN tool IS NOT NULL THEN turn_idx END)
+                - min(turn_idx) AS BIGINT) AS secs_to_first_tool,
+           arg_max(role, turn_idx) = 'tool' AS ends_with_tool
+    FROM agt GROUP BY conv_id
+) g
+LEFT JOIN (
+    SELECT conv_id, max(chain_len) AS longest_tool_chain
+    FROM (
+        SELECT conv_id, island, count(*) AS chain_len
+        FROM (
+            SELECT conv_id,
+                   turn_idx - row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS island
+            FROM agt WHERE role = 'tool'
+        ) GROUP BY conv_id, island
+    ) GROUP BY conv_id
+) c ON g.conv_id = c.conv_id"""
+    )
+
+    sqls["q_tool_cooccurrence"] = kg_triples_sql(
+        final_select=_agent_cte
+        + """,
+pc AS (SELECT DISTINCT conv_id, tool FROM calls),
+tn AS (SELECT tool, count(*) AS n FROM pc GROUP BY tool),
+tot AS (SELECT count(DISTINCT conv_id) AS n_convs FROM pc)
+SELECT p.tool_a, p.tool_b, p.n_both, ta.n AS n_a, tb.n AS n_b,
+       round(p.n_both::DOUBLE * t.n_convs / (ta.n * tb.n), 6) AS lift
+FROM (
+    SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_both
+    FROM pc a JOIN pc b ON a.conv_id = b.conv_id AND a.tool < b.tool
+    GROUP BY 1, 2
+) p
+JOIN tn ta ON ta.tool = p.tool_a
+JOIN tn tb ON tb.tool = p.tool_b
+CROSS JOIN tot t"""
+    )
+
     sqls["q_sft_spans"] = kg_triples_sql(
         final_select="""SELECT conv_id, turn_idx::INT AS turn_idx, role,
        CAST(coalesce(sum(chars + 1) OVER (
