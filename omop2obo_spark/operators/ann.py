@@ -373,3 +373,68 @@ def pq_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adist"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Graded retrieval-quality metrics per query: nDCG@k, MRR@k, recall@k.
+
+    ``ranked``: (query_id, item_id, rank) — rank 1..n per query, e.g. the
+    output of :func:`brute_force_topk` / :func:`ivf_topk`.  ``qrels``:
+    (query_id, item_id, rel) graded relevance judgments, rel > 0 meaning
+    relevant.  Output one row per query_id present in ``ranked``:
+
+      * ``n_rel`` — total relevant items judged for the query
+      * ``n_ret_rel`` — relevant items retrieved within the top k
+      * ``ndcg`` — DCG@k / IDCG@k with the rel/log2(rank+1) gain form
+        (NULL when the query has no relevant judgment: undefined, never 0)
+      * ``mrr`` — 1/rank of the first relevant retrieved item, 0.0 when
+        none lands in the top k (the MRR@k convention)
+      * ``recall`` — n_ret_rel / n_rel (NULL when n_rel = 0)
+
+    All three are rounded to 6dp so engine float plans hash identically.
+
+    Scale: the hits join shuffles both sides on the composite
+    (query, item) key — never the item corpus by itself — and every
+    aggregation after it is per-query.  The ideal-gain branch ranks each
+    query's judgments with a bounded row_number window (judgment lists
+    are per-query bounded in any real eval set).  The final join is
+    query-keyed on both sides, co-partitioned with the aggregates; no
+    collect, no UDF, nothing leaves the JVM.
+    """
+    on = [query_id_col, id_col]
+    hits = (
+        ranked.filter(F.col("rank") <= k)
+        .join(qrels.select(*on, "rel"), on=on, how="left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    )
+    got = hits.groupBy(query_id_col).agg(
+        F.sum(F.col("rel") / F.log2(F.col("rank") + 1)).alias("__dcg"),
+        F.max(F.when(F.col("rel") > 0, 1.0 / F.col("rank"))).alias("__rr"),
+        F.sum((F.col("rel") > 0).cast("long")).alias("n_ret_rel"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("rel"), F.asc(id_col))
+    ideal = (
+        qrels.filter(F.col("rel") > 0)
+        .withColumn("__i", F.row_number().over(w))
+        .groupBy(query_id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("__i") <= k, F.col("rel") / F.log2(F.col("__i") + 1))
+            ).alias("__idcg"),
+            F.count("*").alias("n_rel"),
+        )
+    )
+    return got.join(ideal, query_id_col, "left").select(
+        query_id_col,
+        F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+        "n_ret_rel",
+        F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+        F.round(F.coalesce(F.col("__rr"), F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.col("n_ret_rel") / F.col("n_rel"), 6).alias("recall"),
+    )

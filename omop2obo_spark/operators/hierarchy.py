@@ -1054,3 +1054,60 @@ def ancestor_closure_delta(
         )
     )
     return merged
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "ent_a",
+    dst_col: str = "ent_b",
+    max_rounds: int = 40,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree >= k — the standard density filter before
+    graph-embedding / community stages (peripheral one-off co-mentions
+    peel away, the cohesive ontology neighborhoods remain).
+
+    Classic iterative peeling: symmetrize + dedup, then repeatedly drop
+    nodes with degree < k together with their incident edges until a
+    fixpoint. Each round is one degree aggregation plus two left-semi
+    joins of the edge list against the surviving-node set — the node
+    set is dimension-cardinality for an entity graph, so Catalyst
+    broadcasts it, and the edge table never re-partitions. Convergence
+    needs at most as many rounds as the peel depth (tiny in practice:
+    each round removes whole degree-layers, like the O(log d) closure
+    rounds in :func:`ancestor_closure`); ``localCheckpoint`` per round
+    keeps lineage O(1). The loop-control ``count`` is a scalar per
+    round, not a data collect.
+
+    Output: ``(ent, core_deg)`` — nodes of the k-core with their degree
+    inside it. Empty result == no k-core (e.g. a forest at k=2).
+    """
+    cur = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = cur.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        if n_nxt == 0:
+            break
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+        .select(F.col("src").alias("ent"), "core_deg")
+    )

@@ -2175,3 +2175,48 @@ def test_semdedup_plan_shape(spark, emb):
     )
     assert rep["nested_loop_joins"] == 0
     assert rep["row_python_evals"] == 0 and rep["arrow_python_evals"] == 0
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """nDCG/MRR/recall against hand arithmetic, incl. the edge rows: a
+    query with no relevant retrieved (mrr 0), a query with no judgments
+    at all (ndcg/recall NULL, n_rel 0), and ideal truncation at k."""
+    import math
+
+    from omop2obo_spark.operators.ann import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        # q1: retrieved items 10,11,12 at ranks 1..3
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         # q2: two retrieved, none relevant
+         (2, 10, 1), (2, 11, 2),
+         # q3: no qrels for this query at all
+         (3, 10, 1)],
+        "query_id int, vec_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        # q1: rel(10)=3, rel(12)=1, plus an unretrieved rel(99)=2
+        [(1, 10, 3), (1, 12, 1), (1, 99, 2),
+         # q2: only item 99 relevant (not retrieved)
+         (2, 99, 1)],
+        "query_id int, vec_id int, rel int",
+    )
+    got = {r.query_id: r.asDict() for r in retrieval_metrics(ranked, qrels, k=2).collect()}
+
+    # q1 at k=2: DCG = 3/log2(2) + 0 = 3.0; ideal order rel desc = [3,2],
+    # IDCG = 3/log2(2) + 2/log2(3); recall = 1 relevant of 3 total
+    idcg = 3.0 + 2.0 / math.log2(3.0)
+    q1 = got[1]
+    assert q1["n_rel"] == 3 and q1["n_ret_rel"] == 1
+    assert q1["ndcg"] == round(3.0 / idcg, 6)
+    assert q1["mrr"] == 1.0
+    assert q1["recall"] == round(1 / 3, 6)
+
+    q2 = got[2]
+    assert q2["n_rel"] == 1 and q2["n_ret_rel"] == 0
+    assert (q2["ndcg"], q2["mrr"], q2["recall"]) == (0.0, 0.0, 0.0)
+
+    q3 = got[3]
+    assert q3["n_rel"] == 0 and q3["n_ret_rel"] == 0
+    assert q3["ndcg"] is None and q3["recall"] is None
+    assert q3["mrr"] == 0.0

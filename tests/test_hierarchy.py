@@ -431,3 +431,39 @@ def test_delta_closure_noop_when_new_edges_add_nothing(spark):
         base
     )
     assert out.filter(out.is_new).count() == 0
+
+
+def test_k_core_peels_tail_keeps_clique(spark):
+    """4-clique + attached 3-node tail at k=2: the tail must peel away
+    layer by layer (its outermost node first — requires >1 round), the
+    clique survives with within-core degree 3."""
+    from omop2obo_spark.operators.hierarchy import k_core
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tail = [("d", "x"), ("x", "y"), ("y", "z")]
+    edges = spark.createDataFrame(clique + tail, "ent_a string, ent_b string")
+    got = {r.ent: r.core_deg for r in k_core(edges, k=2).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_k_core_empty_on_forest(spark):
+    from omop2obo_spark.operators.hierarchy import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "ent_a string, ent_b string"
+    )
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_k_core_k3_inside_k2(spark):
+    """Triangle + 4-clique sharing a node: at k=3 only the clique
+    remains; at k=2 both survive."""
+    from omop2obo_spark.operators.hierarchy import k_core
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    tri = [("d", "p"), ("p", "q"), ("q", "d")]
+    edges = spark.createDataFrame(clique + tri, "ent_a string, ent_b string")
+    at2 = {r.ent for r in k_core(edges, k=2).collect()}
+    at3 = {r.ent for r in k_core(edges, k=3).collect()}
+    assert at2 == {"a", "b", "c", "d", "p", "q"}
+    assert at3 == {"a", "b", "c", "d"}
