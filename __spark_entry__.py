@@ -3064,6 +3064,36 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
+def q_n3c_atlas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3C/Atlas concept-set export (sources/n3c.py:atlas_concept_sets;
+    reference applications/N3C/n3c_mapping_conversion.py:76-140): one
+    Atlas JSON document per mapping row, rendered byte-for-byte as the
+    reference's json.dump(indent=4) — filename replacement chain, URI
+    lower/space quirk, title-cased name, int concept code. Mapping rows
+    derive deterministically from the part table so the export scales
+    with sf. Pure narrow plan: zero shuffles. Oracle: printf replay of
+    the identical template."""
+    from omop2obo_spark.sources.n3c import atlas_concept_sets
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    m = F.col("p_partkey") % 3
+    mappings = part.select(
+        F.col("p_partkey").alias("concept_id"),
+        F.col("p_name").alias("concept_name"),
+        (F.col("p_partkey") * 10 + 7).alias("concept_code"),
+        F.col("p_brand").alias("vocabulary_id"),
+        F.when(m == 0, "Automatic Exact - Concept")
+        .when(m == 1, "Automatic Constructor - Concept")
+        .otherwise("Manual Exact - Concept Similarity")
+        .alias("map_category"),
+        F.format_string("OBO_DbXref:part_%d", F.col("p_partkey")).alias("map_evidence"),
+        F.lit("AND").alias("map_logic"),
+        F.format_string("OBO HP_%07d", F.col("p_partkey")).alias("ontology_uri"),
+        F.col("p_name").alias("ontology_label"),
+    )
+    return atlas_concept_sets(mappings)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the entity co-mention graph (operators/hierarchy.py:
     k_core): iterative peeling of degree<2 nodes until fixpoint — the
@@ -3292,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tool_cooccurrence": q_tool_cooccurrence,
         "q_retrieval_eval": q_retrieval_eval,
         "q_kcore": q_kcore,
+        "q_n3c_atlas": q_n3c_atlas,
     }
 
 
@@ -5189,6 +5220,35 @@ nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
 SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
     )
+
+    # Atlas JSON replay: the exact template rendered with DuckDB printf;
+    # the template literal is imported from the module so the oracle can
+    # never drift from the Spark renderer
+    from omop2obo_spark.sources.n3c import _ATLAS_TEMPLATE
+
+    _title_sql = (
+        "array_to_string(list_transform(string_split(p_name, ' '), "
+        "x -> upper(substr(x, 1, 1)) || lower(substr(x, 2))), ' ')"
+    )
+    sqls["q_n3c_atlas"] = f"""
+        SELECT p_partkey AS concept_id,
+               printf('%s-%s.json', p_partkey::VARCHAR,
+                      replace(replace(replace(lower(p_name), ' | ', '|'), '/', '-'), ' ', '_')) AS filename,
+               printf($atlas${_ATLAS_TEMPLATE}$atlas$,
+                      p_partkey::VARCHAR,
+                      {_title_sql},
+                      (p_partkey * 10 + 7)::VARCHAR,
+                      p_brand,
+                      'false',
+                      replace(lower(printf('OBO HP_%07d', p_partkey)), ' ', ''),
+                      p_name,
+                      'AND',
+                      CASE p_partkey % 3 WHEN 0 THEN 'Automatic Exact - Concept'
+                           WHEN 1 THEN 'Automatic Constructor - Concept'
+                           ELSE 'Manual Exact - Concept Similarity' END,
+                      printf('OBO_DbXref:part_%d', p_partkey)) AS atlas_json
+        FROM part
+    """
 
     # k-core replay: 8 unrolled peel rounds (degree -> survivor set ->
     # edge filter); peeling is idempotent past convergence, so the fixed

@@ -1,0 +1,116 @@
+"""N3C / Atlas export layout tests.
+
+The JSON-rendering differential imports and executes the reference's own
+``omop_concept_set_exp`` (never copies it) and requires byte equality
+between its ``json.dumps(indent=4)`` output and the Spark-rendered
+``atlas_json`` column.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+import types
+
+import pytest
+
+from omop2obo_spark.sources.n3c import atlas_concept_sets, concept_set_container
+
+REF_N3C = "/root/reference/applications/N3C/n3c_mapping_conversion.py"
+
+
+def _load_reference_n3c():
+    """Import the reference module, shimming its network/progress deps
+    (requests/urllib3/tqdm are absent in this container and unused by the
+    layout functions under test)."""
+    for name in ("requests", "tqdm", "urllib3"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == "tqdm":
+                mod.tqdm = lambda it, total=None: it
+            if name == "urllib3":
+                mod.exceptions = types.SimpleNamespace(InsecureRequestWarning=Warning)
+                mod.disable_warnings = lambda *a, **k: None
+            sys.modules[name] = mod
+    spec = importlib.util.spec_from_file_location("ref_n3c", REF_N3C)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+try:
+    ref = _load_reference_n3c()
+except (FileNotFoundError, OSError):  # pragma: no cover
+    ref = None
+
+pytestmark = pytest.mark.skipif(ref is None, reason="reference repo not present")
+
+SCHEMA = (
+    "concept_id long, concept_name string, concept_code long, vocabulary_id string, "
+    "map_category string, map_evidence string, map_logic string, "
+    "ontology_uri string, ontology_label string"
+)
+
+ROWS = [
+    (22274, "neoplasm of uncertain behavior", 123, "SNOMED",
+     "Automatic Exact - Concept", "OBO_DbXref:umls_c00001", "AND",
+     "OBO HP_0000001", "Phenotype One"),
+    (42, "pulmonary edema", 77, "ICD10CM",
+     "Manual Exact - Concept Similarity", "CONCEPT_SIMILARITY:HP_2", "OR",
+     "obo mondo_0000002 | obo hp_0000009", "Edema | Fluid"),
+]
+
+
+def test_atlas_json_matches_reference_renderer(spark):
+    """Byte-for-byte parity with the reference's omop_concept_set_exp +
+    json.dump(indent=4) for every row, incl. the URI lower/space quirk
+    and the int CONCEPT_CODE cast."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {r.concept_id: r.atlas_json for r in atlas_concept_sets(df).collect()}
+    for (cid, name, code, vocab, cat, evid, logic, uri, label) in ROWS:
+        dict_entry = {
+            cid: {
+                "CONCEPT_ID": cid,
+                "CONCEPT_NAME": name,
+                "CONCEPT_CODE": str(code),
+                "VOCABULARY_ID": vocab,
+                "MAP_CATEGORY": cat,
+                "MAP_EVIDENCE": evid,
+                "MAP_LOGIC": logic,
+                "ONTOLOGY_URI": uri.lower().replace(" ", ""),
+                "ONTOLOGY_LABEL": label,
+            }
+        }
+        expected = json.dumps(
+            {"items": ref.omop_concept_set_exp(cid, dict_entry, False)}, indent=4
+        )
+        assert got[cid] == expected
+
+
+def test_atlas_filename_replacement_chain(spark):
+    df = spark.createDataFrame(
+        [(9, "a | b/c d", 1, "V", "c", "e", "l", "u", "lb")], SCHEMA
+    )
+    row = atlas_concept_sets(df).collect()[0]
+    # ' | ' -> '|', '/' -> '-', ' ' -> '_' (reference :63-64)
+    assert row.filename == "9-a|b-c_d.json"
+
+
+def test_concept_set_container_columns_and_alias(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = concept_set_container(df, created_by="tester", created_at="2026-01-01")
+    assert out.columns == [
+        "concept_set_id", "concept_set_name", "intention",
+        "assigned_informatician", "assigned_sme", "project_id", "status",
+        "stage", "n3c_reviewer", "alias", "archived", "created_by", "created_at",
+    ]
+    rows = {r.concept_set_id: r for r in out.collect()}
+    r1 = rows["[OMOP2OBO] 22274-neoplasm_of_uncertain_behavior"]
+    assert r1.concept_set_name == r1.concept_set_id
+    assert r1.alias == "obo hp_0000001-phenotype_one"
+    assert r1.intention.startswith("Mixed\n")
+    assert "22274" in r1.intention and "Automatic Exact - Concept" in r1.intention
+    r2 = rows["[OMOP2OBO] 42-pulmonary_edema"]
+    # ' | ' -> '|' in both halves of the alias (reference :166-167)
+    assert r2.alias == "obo mondo_0000002|obo hp_0000009-edema|fluid"
