@@ -3064,34 +3064,45 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
-def q_n3c_atlas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N3C/Atlas concept-set export (sources/n3c.py:atlas_concept_sets;
-    reference applications/N3C/n3c_mapping_conversion.py:76-140): one
-    Atlas JSON document per mapping row, rendered byte-for-byte as the
-    reference's json.dump(indent=4) — filename replacement chain, URI
-    lower/space quirk, title-cased name, int concept code. Mapping rows
-    derive deterministically from the part table so the export scales
-    with sf. Pure narrow plan: zero shuffles. Oracle: printf replay of
-    the identical template."""
-    from omop2obo_spark.sources.n3c import atlas_concept_sets
+def q_n3c_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3C Enclave concept-set container table (sources/export.py:
+    concept_set_container; reference applications/N3C/
+    n3c_mapping_conversion.py:145-198): the 13-column container row per
+    mapping — '[OMOP2OBO] ' prefix from the filename stem, ids-labels
+    alias with the reference's replacement chains, intention = header +
+    rendered category/evidence line. Name shapes cycle (plain, ' | '-
+    joined, '/'-joined) so the slug/alias chains are all exercised. Pure
+    narrow plan: zero shuffles. Oracle: string-concat replay."""
+    from omop2obo_spark.sources.export import concept_set_container
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     m = F.col("p_partkey") % 3
+    first_word = F.split(F.col("p_name"), " ")[0]
     mappings = part.select(
-        F.col("p_partkey").alias("concept_id"),
-        F.col("p_name").alias("concept_name"),
-        (F.col("p_partkey") * 10 + 7).alias("concept_code"),
-        F.col("p_brand").alias("vocabulary_id"),
+        F.col("p_partkey").alias("CONCEPT_ID"),
+        F.when(F.col("p_partkey") % 4 == 0,
+               F.concat(F.col("p_name"), F.lit(" | "), first_word))
+        .when(F.col("p_partkey") % 4 == 1,
+              F.replace(F.col("p_name"), F.lit(" "), F.lit("/")))
+        .otherwise(F.col("p_name"))
+        .alias("CONCEPT_NAME"),
         F.when(m == 0, "Automatic Exact - Concept")
         .when(m == 1, "Automatic Constructor - Concept")
         .otherwise("Manual Exact - Concept Similarity")
-        .alias("map_category"),
-        F.format_string("OBO_DbXref:part_%d", F.col("p_partkey")).alias("map_evidence"),
-        F.lit("AND").alias("map_logic"),
-        F.format_string("OBO HP_%07d", F.col("p_partkey")).alias("ontology_uri"),
-        F.col("p_name").alias("ontology_label"),
+        .alias("MAPPING_CATEGORY"),
+        F.format_string("OBO_DbXref:part_%d", F.col("p_partkey")).alias(
+            "MAPPING_EVIDENCE"
+        ),
+        F.when(F.col("p_partkey") % 5 == 0,
+               F.format_string("OBO HP_%07d | OBO MONDO_%07d",
+                               F.col("p_partkey"), F.col("p_partkey")))
+        .otherwise(F.format_string("OBO HP_%07d", F.col("p_partkey")))
+        .alias("ONTOLOGY_URI"),
+        F.col("p_type").alias("ONTOLOGY_LABEL"),
     )
-    return atlas_concept_sets(mappings)
+    return concept_set_container(
+        mappings, created_by="omop2obo-spark", created_at="2026-01-01"
+    )
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3322,7 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tool_cooccurrence": q_tool_cooccurrence,
         "q_retrieval_eval": q_retrieval_eval,
         "q_kcore": q_kcore,
-        "q_n3c_atlas": q_n3c_atlas,
+        "q_n3c_container": q_n3c_container,
     }
 
 
@@ -5221,33 +5232,44 @@ r0 AS (SELECT src, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
 SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
     )
 
-    # Atlas JSON replay: the exact template rendered with DuckDB printf;
-    # the template literal is imported from the module so the oracle can
-    # never drift from the Spark renderer
-    from omop2obo_spark.sources.n3c import _ATLAS_TEMPLATE
-
-    _title_sql = (
-        "array_to_string(list_transform(string_split(p_name, ' '), "
-        "x -> upper(substr(x, 1, 1)) || lower(substr(x, 2))), ' ')"
-    )
-    sqls["q_n3c_atlas"] = f"""
-        SELECT p_partkey AS concept_id,
-               printf('%s-%s.json', p_partkey::VARCHAR,
-                      replace(replace(replace(lower(p_name), ' | ', '|'), '/', '-'), ' ', '_')) AS filename,
-               printf($atlas${_ATLAS_TEMPLATE}$atlas$,
-                      p_partkey::VARCHAR,
-                      {_title_sql},
-                      (p_partkey * 10 + 7)::VARCHAR,
-                      p_brand,
-                      'false',
-                      replace(lower(printf('OBO HP_%07d', p_partkey)), ' ', ''),
-                      p_name,
-                      'AND',
-                      CASE p_partkey % 3 WHEN 0 THEN 'Automatic Exact - Concept'
-                           WHEN 1 THEN 'Automatic Constructor - Concept'
-                           ELSE 'Manual Exact - Concept Similarity' END,
-                      printf('OBO_DbXref:part_%d', p_partkey)) AS atlas_json
-        FROM part
+    # Enclave container replay: the filename-stem slug chain, the
+    # '[OMOP2OBO] ' prefix, the ids/labels alias chains, and the
+    # header+line intention — all string concat, both engines exact
+    sqls["q_n3c_container"] = """
+        WITH m AS (
+            SELECT p_partkey AS cid,
+                   CASE WHEN p_partkey % 4 = 0
+                        THEN p_name || ' | ' || string_split(p_name, ' ')[1]
+                        WHEN p_partkey % 4 = 1 THEN replace(p_name, ' ', '/')
+                        ELSE p_name END AS cname,
+                   CASE p_partkey % 3 WHEN 0 THEN 'Automatic Exact - Concept'
+                        WHEN 1 THEN 'Automatic Constructor - Concept'
+                        ELSE 'Manual Exact - Concept Similarity' END AS cat,
+                   printf('OBO_DbXref:part_%d', p_partkey) AS evid,
+                   CASE WHEN p_partkey % 5 = 0
+                        THEN printf('OBO HP_%07d | OBO MONDO_%07d', p_partkey, p_partkey)
+                        ELSE printf('OBO HP_%07d', p_partkey) END AS uri,
+                   p_type AS label
+            FROM part
+        ),
+        r AS (
+            SELECT '[OMOP2OBO] ' || cid::VARCHAR || '-' ||
+                   replace(replace(replace(lower(cname), ' | ', '|'), '/', '-'), ' ', '_')
+                       AS set_id,
+                   'Mixed' || chr(10) ||
+                   printf('OMOP2OBO ontology mapping for concept %s: %s (%s)',
+                          cid::VARCHAR, cat, evid) AS intention,
+                   replace(lower(uri), ' | ', '|') || '-' ||
+                   replace(replace(replace(lower(label), '/', '-'), ' | ', '|'), ' ', '_')
+                       AS alias
+            FROM m
+        )
+        SELECT set_id AS concept_set_id, set_id AS concept_set_name, intention,
+               '' AS assigned_informatician, '' AS assigned_sme, '' AS project_id,
+               'Under Construction' AS status, 'Awaiting Editing' AS stage,
+               '' AS n3c_reviewer, alias, 'false' AS archived,
+               'omop2obo-spark' AS created_by, '2026-01-01' AS created_at
+        FROM r
     """
 
     # k-core replay: 8 unrolled peel rounds (degree -> survivor set ->

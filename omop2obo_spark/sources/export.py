@@ -149,6 +149,78 @@ def write_atlas_json(
             json.dump(json.loads(row.atlas_json), f, indent=4)
 
 
+def concept_set_container(
+    mappings: DataFrame,
+    *,
+    status: str = "Under Construction",
+    stage: str = "Awaiting Editing",
+    assigned_informatician: str = "",
+    assigned_sme: str = "",
+    project_id: str = "",
+    n3c_reviewer: str = "",
+    archived: str = "false",
+    created_by: str = "",
+    created_at: str = "",
+    intention_header: str = "Mixed\n",
+    intention_template: str = "OMOP2OBO ontology mapping for concept {}: {} ({})",
+) -> DataFrame:
+    """The N3C Enclave concept-set *container* table (reference
+    ``applications/N3C/n3c_mapping_conversion.py:145-198`` —
+    ``creates_concept_set_container``), one row per mapping with the
+    reference's 13 columns. Input is the same mapping layout
+    :func:`atlas_concept_sets` takes. Enclave parameters arrive as
+    keyword literals (the reference reads them from an
+    ``enclave_params`` dict). Faithful quirks: the ``'[OMOP2OBO] '``
+    prefix on id AND name from the filename stem (:160-161), the
+    ids-labels ``alias`` with the ``' | '→'|'`` / ``'/'→'-'`` /
+    ``' '→'_'`` chains (:166-167), and ``intention`` as header + the
+    per-concept line rendered from category + evidence (:172-177).
+    Narrow per-row plan — no shuffle; at 10^6 concept sets this is one
+    partitioned CSV write, not the reference's driver list append loop.
+    """
+    stem = F.regexp_replace(
+        atlas_filename_expr(F.col("CONCEPT_ID"), F.col("CONCEPT_NAME")),
+        r"\.json$",
+        "",
+    )
+    set_id = F.concat(F.lit("[OMOP2OBO] "), stem)
+    ids = F.replace(F.lower(F.col("ONTOLOGY_URI")), F.lit(" | "), F.lit("|"))
+    labels = F.replace(
+        F.replace(
+            F.replace(F.lower(F.col("ONTOLOGY_LABEL")), F.lit("/"), F.lit("-")),
+            F.lit(" | "),
+            F.lit("|"),
+        ),
+        F.lit(" "),
+        F.lit("_"),
+    )
+    tmpl = intention_template.replace("{}", "%s")
+    intention = F.concat(
+        F.lit(intention_header),
+        F.format_string(
+            tmpl,
+            F.col("CONCEPT_ID").cast("string"),
+            F.col("MAPPING_CATEGORY"),
+            F.col("MAPPING_EVIDENCE"),
+        ),
+    )
+    return mappings.select(
+        set_id.alias("concept_set_id"),
+        set_id.alias("concept_set_name"),
+        intention.alias("intention"),
+        F.lit(assigned_informatician).alias("assigned_informatician"),
+        F.lit(assigned_sme).alias("assigned_sme"),
+        F.lit(project_id).alias("project_id"),
+        F.lit(status).alias("status"),
+        F.lit(stage).alias("stage"),
+        F.lit(n3c_reviewer).alias("n3c_reviewer"),
+        F.concat(ids, F.lit("-"), labels).alias("alias"),
+        F.lit(archived).alias("archived"),
+        F.lit(created_by).alias("created_by"),
+        F.lit(created_at).alias("created_at"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # RDF N-Triples serialization (the standards-conformant face of the triple
 # sink — S7's graph output as consumable RDF, one line per triple)

@@ -1,9 +1,12 @@
-"""N3C / Atlas export layout tests.
+"""N3C / Atlas export differential + container tests.
 
-The JSON-rendering differential imports and executes the reference's own
+The differential imports and executes the reference's own
 ``omop_concept_set_exp`` (never copies it) and requires byte equality
-between its ``json.dumps(indent=4)`` output and the Spark-rendered
-``atlas_json`` column.
+between ``json.dumps(.., indent=4)`` of its output and the re-indented
+rendering of ``sources/export.py:atlas_concept_sets`` — the same
+rendering ``write_atlas_json(per_file=True)`` files to disk.  The
+container tests pin ``concept_set_container``'s 13-column Enclave
+layout and alias/intention quirks.
 """
 
 from __future__ import annotations
@@ -15,7 +18,7 @@ import types
 
 import pytest
 
-from omop2obo_spark.sources.n3c import atlas_concept_sets, concept_set_container
+from omop2obo_spark.sources.export import atlas_concept_sets, concept_set_container
 
 REF_N3C = "/root/reference/applications/N3C/n3c_mapping_conversion.py"
 
@@ -47,16 +50,16 @@ except (FileNotFoundError, OSError):  # pragma: no cover
 pytestmark = pytest.mark.skipif(ref is None, reason="reference repo not present")
 
 SCHEMA = (
-    "concept_id long, concept_name string, concept_code long, vocabulary_id string, "
-    "map_category string, map_evidence string, map_logic string, "
-    "ontology_uri string, ontology_label string"
+    "CONCEPT_ID long, CONCEPT_NAME string, CONCEPT_CODE string, "
+    "CONCEPT_VOCAB string, MAPPING_CATEGORY string, MAPPING_EVIDENCE string, "
+    "ONTOLOGY_LOGIC string, ONTOLOGY_URI string, ONTOLOGY_LABEL string"
 )
 
 ROWS = [
-    (22274, "neoplasm of uncertain behavior", 123, "SNOMED",
+    (22274, "neoplasm of uncertain behavior", "123", "SNOMED",
      "Automatic Exact - Concept", "OBO_DbXref:umls_c00001", "AND",
      "OBO HP_0000001", "Phenotype One"),
-    (42, "pulmonary edema", 77, "ICD10CM",
+    (42, "pulmonary edema / chronic", "77", "ICD10CM",
      "Manual Exact - Concept Similarity", "CONCEPT_SIMILARITY:HP_2", "OR",
      "obo mondo_0000002 | obo hp_0000009", "Edema | Fluid"),
 ]
@@ -64,8 +67,8 @@ ROWS = [
 
 def test_atlas_json_matches_reference_renderer(spark):
     """Byte-for-byte parity with the reference's omop_concept_set_exp +
-    json.dump(indent=4) for every row, incl. the URI lower/space quirk
-    and the int CONCEPT_CODE cast."""
+    json.dumps(indent=4) — key order, explicit nulls, .title() casing
+    (incl. after '/'), URI lower/space quirk, int CONCEPT_CODE cast."""
     df = spark.createDataFrame(ROWS, SCHEMA)
     got = {r.concept_id: r.atlas_json for r in atlas_concept_sets(df).collect()}
     for (cid, name, code, vocab, cat, evid, logic, uri, label) in ROWS:
@@ -73,7 +76,7 @@ def test_atlas_json_matches_reference_renderer(spark):
             cid: {
                 "CONCEPT_ID": cid,
                 "CONCEPT_NAME": name,
-                "CONCEPT_CODE": str(code),
+                "CONCEPT_CODE": code,
                 "VOCABULARY_ID": vocab,
                 "MAP_CATEGORY": cat,
                 "MAP_EVIDENCE": evid,
@@ -85,16 +88,8 @@ def test_atlas_json_matches_reference_renderer(spark):
         expected = json.dumps(
             {"items": ref.omop_concept_set_exp(cid, dict_entry, False)}, indent=4
         )
-        assert got[cid] == expected
-
-
-def test_atlas_filename_replacement_chain(spark):
-    df = spark.createDataFrame(
-        [(9, "a | b/c d", 1, "V", "c", "e", "l", "u", "lb")], SCHEMA
-    )
-    row = atlas_concept_sets(df).collect()[0]
-    # ' | ' -> '|', '/' -> '-', ' ' -> '_' (reference :63-64)
-    assert row.filename == "9-a|b-c_d.json"
+        # write_atlas_json(per_file=True) files exactly this re-indented text
+        assert json.dumps(json.loads(got[cid]), indent=4) == expected
 
 
 def test_concept_set_container_columns_and_alias(spark):
@@ -111,6 +106,8 @@ def test_concept_set_container_columns_and_alias(spark):
     assert r1.alias == "obo hp_0000001-phenotype_one"
     assert r1.intention.startswith("Mixed\n")
     assert "22274" in r1.intention and "Automatic Exact - Concept" in r1.intention
-    r2 = rows["[OMOP2OBO] 42-pulmonary_edema"]
-    # ' | ' -> '|' in both halves of the alias (reference :166-167)
+    assert r1.created_by == "tester" and r1.status == "Under Construction"
+    # filename stem applies the slug chain; alias applies ' | '->'|' on ids
+    # and the '/'->'-' / ' | '->'|' / ' '->'_' chain on labels (ref :166-167)
+    r2 = rows["[OMOP2OBO] 42-pulmonary_edema_-_chronic"]
     assert r2.alias == "obo mondo_0000002|obo hp_0000009-edema|fluid"
