@@ -3064,6 +3064,39 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
+def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-set precision/recall/F1 (operators/analysis.py:set_prf) —
+    the north rule's acceptance metric (P/R>=0.95 vs the reference's
+    emitted triples) as an executable operator, grouped per predicate
+    plus a __all__ micro-total. The comparison set is the pipeline's own
+    triples with a deterministic md5-keyed perturbation (~1/47 dropped,
+    ~1/53 re-labeled to a phantom predicate) so every row class
+    (tp/fp/fn) is populated and the expected P/R values are nontrivial.
+    One distinct per side + full-outer join on the skew-free triple
+    identity + a rollup aggregation. Oracle replays the identical md5
+    arithmetic over the kg CTE chain."""
+    from omop2obo_spark.operators.analysis import set_prf
+
+    triples = _pipeline_result(spark, sf_dir).triples.select(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+    key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("subj"),
+            F.col("pred"),
+            F.col("obj"),
+        )
+    )
+    sel = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    truth = triples.filter(sel % 47 != 0).unionByName(
+        triples.filter(sel % 53 == 0).withColumn("pred", F.lit("omop2obo:phantom"))
+    )
+    return set_prf(triples, truth, group_col="pred")
+
+
 def q_n3c_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3C Enclave concept-set container table (sources/export.py:
     concept_set_container; reference applications/N3C/
@@ -3334,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retrieval_eval": q_retrieval_eval,
         "q_kcore": q_kcore,
         "q_n3c_container": q_n3c_container,
+        "q_triple_prf": q_triple_prf,
     }
 
 
@@ -5230,6 +5264,52 @@ deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
 SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
+    )
+
+    # triple P/R replay: identical md5 perturbation + full-outer set
+    # compare + ROLLUP over the kg CTE chain's triple union
+    sqls["q_triple_prf"] = kg_triples_sql(
+        final_select=""", trip AS MATERIALIZED (
+    SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
+    FROM (
+        SELECT * FROM uri_triples
+        UNION ALL SELECT * FROM meta_triples
+        UNION ALL SELECT * FROM mention_triples
+        UNION ALL SELECT * FROM sem_triples
+    )
+),
+selt AS (
+    SELECT *, ('0x' || substr(md5(conv_id || chr(31) || turn_idx::VARCHAR || chr(31)
+                               || subj || chr(31) || pred || chr(31) || obj), 1, 4))::BIGINT AS s
+    FROM trip
+),
+truth AS (
+    SELECT conv_id, turn_idx, subj, pred, obj FROM selt WHERE s % 47 <> 0
+    UNION ALL
+    SELECT conv_id, turn_idx, subj, 'omop2obo:phantom', obj FROM selt WHERE s % 53 = 0
+),
+pp AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj, 1 AS mp FROM trip),
+tt AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj, 1 AS mt FROM truth),
+jj AS (
+    SELECT pred, mp, mt FROM pp
+    FULL OUTER JOIN tt USING (conv_id, turn_idx, subj, pred, obj)
+),
+ag AS (
+    SELECT coalesce(pred, '__all__') AS pred,
+           CAST(sum(CASE WHEN mp IS NOT NULL AND mt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN mp IS NOT NULL AND mt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN mp IS NULL AND mt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM jj GROUP BY ROLLUP(pred)
+)
+SELECT pred, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN round(tp::DOUBLE / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN round(tp::DOUBLE / (tp + fn), 6) END AS recall,
+       CASE WHEN (CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) END)
+               + (CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) END) > 0
+            THEN round(2 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+                       / (tp::DOUBLE / (tp + fp) + tp::DOUBLE / (tp + fn)), 6)
+       END AS f1
+FROM ag"""
     )
 
     # Enclave container replay: the filename-stem slug chain, the

@@ -555,3 +555,61 @@ def table_profile(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def set_prf(
+    predicted: DataFrame,
+    truth: DataFrame,
+    group_col: str = "pred",
+) -> DataFrame:
+    """Set-level precision / recall / F1 between two keyed tables — the
+    north rule's acceptance metric (emitted triples vs the reference's
+    triple set at P/R >= 0.95) as a first-class operator, grouped so a
+    regression localizes to the predicate family that caused it.
+
+    Both inputs are taken as SETS over all their columns (duplicates
+    collapse; the columns must match). Output: one row per distinct
+    ``group_col`` value plus a ``__all__`` micro-total row, with
+    ``tp / fp / fn / precision / recall / f1`` (6dp). Conventions
+    pinned: precision NULL when tp+fp = 0, recall NULL when tp+fn = 0,
+    f1 NULL unless precision + recall > 0.
+
+    Scale: one distinct per side, one full-outer join on the composite
+    row key (skew-free — triple identity), then a map-side-combinable
+    rollup aggregation. Never collects; comparing two 10^12-triple
+    tables is exactly this plan.
+    """
+    keys = list(predicted.columns)
+    if list(truth.columns) != keys:
+        raise ValueError(f"column mismatch: {keys} vs {list(truth.columns)}")
+    p = predicted.distinct().withColumn("__p", F.lit(1))
+    t = truth.distinct().withColumn("__t", F.lit(1))
+    j = p.join(t, keys, "full_outer")
+    agg = j.rollup(group_col).agg(
+        F.sum((F.col("__p").isNotNull() & F.col("__t").isNotNull()).cast("long")).alias("tp"),
+        F.sum((F.col("__p").isNotNull() & F.col("__t").isNull()).cast("long")).alias("fp"),
+        F.sum((F.col("__p").isNull() & F.col("__t").isNotNull()).cast("long")).alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    out = agg.select(
+        F.coalesce(F.col(group_col), F.lit("__all__")).alias(group_col),
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        prec.alias("__prec"),
+        rec.alias("__rec"),
+    )
+    f1 = F.when(
+        F.col("__prec") + F.col("__rec") > 0,
+        F.round(2 * F.col("__prec") * F.col("__rec") / (F.col("__prec") + F.col("__rec")), 6),
+    )
+    return out.select(
+        group_col, "tp", "fp", "fn", "precision", "recall", f1.alias("f1")
+    )

@@ -602,3 +602,57 @@ def test_wav_and_png_metadata_total_on_corrupt_assets(spark):
     assert wm[0]["n_samples"] == 4 and wm[0]["duration_ms"] == 0
     assert wm[1]["duration_ms"] is None, "rate=0 must not ZeroDivide"
     assert wm[2]["channels"] is None
+
+
+def test_set_prf_hand_values(spark):
+    """tp/fp/fn partition and the NULL conventions: precision NULL for a
+    truth-only group, recall NULL for a predicted-only group, f1 NULL
+    when both are zero, plus the __all__ micro-total."""
+    from omop2obo_spark.operators.analysis import set_prf
+
+    pred = spark.createDataFrame(
+        [("s1", "a", "o1"), ("s2", "a", "o2"), ("s3", "a", "o3"),  # a: 2 tp 1 fp
+         ("s4", "b", "o4"),                                        # b: pure fp
+         ("s1", "a", "o1")],                                       # dup collapses
+        "subj string, pred string, obj string",
+    )
+    truth = spark.createDataFrame(
+        [("s1", "a", "o1"), ("s2", "a", "o2"), ("s9", "a", "o9"),  # a: 1 fn
+         ("s5", "c", "o5")],                                       # c: pure fn
+        "subj string, pred string, obj string",
+    )
+    got = {r.pred: r.asDict() for r in set_prf(pred, truth).collect()}
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"]) == (2, 1, 1)
+    assert a["precision"] == round(2 / 3, 6) and a["recall"] == round(2 / 3, 6)
+    assert a["f1"] == round(2 / 3, 6)
+    b = got["b"]
+    assert (b["tp"], b["fp"], b["fn"]) == (0, 1, 0)
+    assert b["precision"] == 0.0 and b["recall"] is None and b["f1"] is None
+    c = got["c"]
+    assert (c["tp"], c["fp"], c["fn"]) == (0, 0, 1)
+    assert c["precision"] is None and c["recall"] == 0.0 and c["f1"] is None
+    tot = got["__all__"]
+    assert (tot["tp"], tot["fp"], tot["fn"]) == (2, 2, 2)
+    assert tot["precision"] == 0.5 and tot["recall"] == 0.5 and tot["f1"] == 0.5
+
+
+def test_set_prf_identical_sets_perfect_score(spark):
+    from omop2obo_spark.operators.analysis import set_prf
+
+    df = spark.createDataFrame(
+        [("s1", "a", "o1"), ("s2", "b", "o2")], "subj string, pred string, obj string"
+    )
+    for r in set_prf(df, df).collect():
+        assert (r.precision, r.recall, r.f1) == (1.0, 1.0, 1.0) and r.fp == 0 and r.fn == 0
+
+
+def test_set_prf_rejects_mismatched_columns(spark):
+    import pytest as _pt
+
+    from omop2obo_spark.operators.analysis import set_prf
+
+    a = spark.createDataFrame([("x", "p")], "subj string, pred string")
+    b = spark.createDataFrame([("x", "p", "o")], "subj string, pred string, obj string")
+    with _pt.raises(ValueError, match="column mismatch"):
+        set_prf(a, b)
