@@ -525,3 +525,40 @@ def test_dsir_sample_takeordered_no_global_sort(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_set_prf_no_nested_loop_single_expand(spark):
+    """set_prf must compare sets via a key-partitioned full-outer join
+    (never a nested loop) and one rollup Expand; the composite triple
+    identity is the join key on both sides."""
+    from omop2obo_spark.operators.analysis import set_prf
+
+    a = spark.createDataFrame(
+        [("s%d" % i, "p%d" % (i % 3), "o%d" % i) for i in range(50)],
+        "subj string, pred string, obj string",
+    )
+    b = spark.createDataFrame(
+        [("s%d" % i, "p%d" % (i % 3), "o%d" % i) for i in range(0, 50, 2)],
+        "subj string, pred string, obj string",
+    )
+    plan = _plan(set_prf(a, b))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Expand") == 1, plan
+
+
+def test_retrieval_metrics_composite_key_join_no_cartesian(spark):
+    """The hits join must key on (query, item) — no cartesian, no
+    nested loop; corpus items never join unkeyed."""
+    from omop2obo_spark.operators.ann import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(q, i, r + 1) for q in range(5) for r, i in enumerate(range(q, q + 5))],
+        "query_id int, vec_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(q, q + 1, 2) for q in range(5)], "query_id int, vec_id int, rel int"
+    )
+    plan = _plan(retrieval_metrics(ranked, qrels, k=5))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
