@@ -3064,6 +3064,20 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
+def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation user→assistant reply latency (operators/
+    transcript.py:reply_latency): count, avg, min/max, exact p50 over
+    the timestamp deltas of direct user→assistant transitions — real
+    epoch arithmetic on the ts column (the oracle cross-checks it from
+    the fixture's ts = base + turn_idx linearity, so a wrong cast or
+    off-by-one turn ordering breaks the hash). Runs over the perturbed
+    agent_transcripts so dropped turns make the deltas non-uniform. One
+    conv_id exchange shared by window + aggregation."""
+    from omop2obo_spark.operators.transcript import reply_latency
+
+    return reply_latency(agent_transcripts(spark, sf_dir))
+
+
 def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple-set precision/recall/F1 (operators/analysis.py:set_prf) —
     the north rule's acceptance metric (P/R>=0.95 vs the reference's
@@ -3368,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcore": q_kcore,
         "q_n3c_container": q_n3c_container,
         "q_triple_prf": q_triple_prf,
+        "q_reply_latency": q_reply_latency,
     }
 
 
@@ -5102,6 +5117,25 @@ FROM (
 JOIN tn ta ON ta.tool = p.tool_a
 JOIN tn tb ON tb.tool = p.tool_b
 CROSS JOIN tot t"""
+    )
+
+    sqls["q_reply_latency"] = kg_triples_sql(
+        final_select=_agent_cte
+        + """
+SELECT conv_id, count(*) AS n_replies,
+       round(avg(lat), 6) AS avg_latency_s,
+       CAST(min(lat) AS BIGINT) AS min_latency_s,
+       CAST(max(lat) AS BIGINT) AS max_latency_s,
+       round(quantile_cont(lat::DOUBLE, 0.5), 6) AS p50_latency_s
+FROM (
+    SELECT conv_id, role,
+           lag(role) OVER w AS prev_role,
+           turn_idx - lag(turn_idx) OVER w AS lat
+    FROM agt
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+WHERE role = 'assistant' AND prev_role = 'user'
+GROUP BY conv_id"""
     )
 
     sqls["q_sft_spans"] = kg_triples_sql(

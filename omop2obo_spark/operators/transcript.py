@@ -391,3 +391,39 @@ def resolve_pronouns(
             F.col("__ant.s").alias("antecedent"),
         )
     )
+
+
+def reply_latency(
+    transcripts: DataFrame,
+    from_role: str = "user",
+    to_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation reply-latency profile for one role transition:
+    for every ``to_role`` turn directly following a ``from_role`` turn
+    (by turn order), the latency is the timestamp delta in seconds.
+    Output per conv_id: ``n_replies``, ``avg_latency_s`` (6dp),
+    ``min_latency_s`` / ``max_latency_s``, and the exact interpolated
+    median ``p50_latency_s`` — the conversational-responsiveness signal
+    a transcript-curation pipeline thresholds on.
+
+    One conv_id exchange shared by the lag window and the aggregation;
+    latency is integer epoch arithmetic (no UDF). The exact percentile
+    is per-conversation (bounded group), not global — the global-scale
+    variant is the sketch tier's job.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select(
+        "conv_id",
+        "role",
+        F.lag("role").over(w).alias("__prev_role"),
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)).alias(
+            "__lat"
+        ),
+    ).filter((F.col("role") == to_role) & (F.col("__prev_role") == from_role))
+    return t.groupBy("conv_id").agg(
+        F.count("*").alias("n_replies"),
+        F.round(F.avg("__lat"), 6).alias("avg_latency_s"),
+        F.min("__lat").alias("min_latency_s"),
+        F.max("__lat").alias("max_latency_s"),
+        F.round(F.percentile("__lat", 0.5), 6).alias("p50_latency_s"),
+    )

@@ -159,3 +159,27 @@ def test_retry_runs_shares_conv_exchange(tr):
     per-tool aggregate."""
     plan = _plan(tool_retry_runs(tr))
     assert "Join" not in plan, plan
+
+
+def test_reply_latency_hand_values(spark):
+    """Only direct user->assistant transitions count; deltas are exact
+    epoch seconds; the median interpolates."""
+    from omop2obo_spark.operators.transcript import reply_latency
+
+    rows = [
+        ("a", 0, "user", "q1", None, "2026-01-01 00:00:00"),
+        ("a", 1, "assistant", "r1", None, "2026-01-01 00:00:03"),   # 3s
+        ("a", 2, "user", "q2", None, "2026-01-01 00:00:10"),
+        ("a", 3, "tool", "t", "search", "2026-01-01 00:00:11"),     # breaks pair
+        ("a", 4, "assistant", "r2", None, "2026-01-01 00:00:12"),
+        ("a", 5, "user", "q3", None, "2026-01-01 00:00:20"),
+        ("a", 6, "assistant", "r3", None, "2026-01-01 00:00:27"),   # 7s
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = reply_latency(df).collect()[0]
+    assert r.n_replies == 2
+    assert (r.min_latency_s, r.max_latency_s) == (3, 7)
+    assert r.avg_latency_s == 5.0 and r.p50_latency_s == 5.0
