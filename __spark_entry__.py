@@ -3064,6 +3064,35 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
+def q_turn_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-ordering repair (operators/transcript.py:normalize_turn_order)
+    — the north rule's stable (conv_id, turn_idx) invariant enforced on a
+    dirty feed: ~1/7 turns dropped (holes) and ~1/9 duplicated with a
+    later-ts 'retry ' copy (producer retries). The min-struct winner must
+    pick the original by ts on every partitioning; survivors re-index
+    contiguously; was_dup/was_gap audit the damage. One map-side-combined
+    dedup aggregation (no window over the hot duplicate key) + one
+    conv_id re-index window. Oracle replays winner/reindex/gap over the
+    tr CTE (ts surrogate = the fixture's index linearity)."""
+    from omop2obo_spark.fixtures.generators import portable_hash
+    from omop2obo_spark.operators.transcript import normalize_turn_order
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    did = F.expr("substring(conv_id, 6)").cast("long")
+    base = tr.filter((did + F.col("turn_idx")) % 7 != 3)
+    dup_sel = portable_hash(did, F.col("turn_idx"), 55) % 9 == 0
+    dups = (
+        base.filter(dup_sel)
+        .withColumn("ts", F.col("ts") + F.make_interval(secs=F.lit(10)))
+        .withColumn("text", F.concat(F.lit("retry "), F.col("text")))
+    )
+    out = normalize_turn_order(base.unionByName(dups))
+    return out.select(
+        "conv_id", "turn_idx", "new_turn_idx", "role", "text", "tool",
+        "was_dup", "was_gap",
+    )
+
+
 def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation user→assistant reply latency (operators/
     transcript.py:reply_latency): count, avg, min/max, exact p50 over
@@ -3383,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_n3c_container": q_n3c_container,
         "q_triple_prf": q_triple_prf,
         "q_reply_latency": q_reply_latency,
+        "q_turn_repair": q_turn_repair,
     }
 
 
@@ -5117,6 +5147,25 @@ FROM (
 JOIN tn ta ON ta.tool = p.tool_a
 JOIN tn tb ON tb.tool = p.tool_b
 CROSS JOIN tot t"""
+    )
+
+    sqls["q_turn_repair"] = kg_triples_sql(
+        final_select=f""", basek AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN turn_idx % 3 = 0 THEN 'user'
+                WHEN turn_idx % 3 = 1 THEN 'assistant'
+                ELSE 'tool' END AS role,
+           text,
+           ({_phs('did', 'turn_idx', 55)}) % 9 = 0 AS was_dup
+    FROM (SELECT conv_id, turn_idx, text, CAST(substr(conv_id, 6) AS BIGINT) AS did FROM tr)
+    WHERE (did + turn_idx) % 7 <> 3
+)
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER w - 1 AS INT) AS new_turn_idx,
+       role, text, NULL::VARCHAR AS tool, was_dup,
+       coalesce(turn_idx - lag(turn_idx) OVER w <> 1, turn_idx <> 0) AS was_gap
+FROM basek
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)"""
     )
 
     sqls["q_reply_latency"] = kg_triples_sql(

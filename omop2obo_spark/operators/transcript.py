@@ -427,3 +427,63 @@ def reply_latency(
         F.max("__lat").alias("max_latency_s"),
         F.round(F.percentile("__lat", 0.5), 6).alias("p50_latency_s"),
     )
+
+
+def normalize_turn_order(transcripts: DataFrame) -> DataFrame:
+    """Repair the (conv_id, turn_idx) ordering invariant the whole KG
+    pipeline keys on (north rule: per-turn text equality under STABLE
+    turn ordering). Raw transcript feeds violate it two ways: duplicate
+    turn_idx (retried producer writes) and holes (dropped turns).
+
+    Policy, per conversation:
+      * colliding turn_idx keep ONE turn — earliest ts, then smallest
+        text (a total, deterministic order: re-runs pick the same
+        winner on any partitioning);
+      * survivors re-index to contiguous ``new_turn_idx`` 0..n-1 in
+        (turn_idx, ts, text) order;
+      * every row carries ``was_dup`` (its key had collisions) and
+        ``was_gap`` (its ORIGINAL turn_idx did not follow its
+        predecessor's by exactly 1 — the audit trail for how dirty the
+        feed was).
+
+    Physical shape: the dedup is one map-side-combinable min-struct
+    aggregation on (conv_id, turn_idx) — NO window over the possibly-hot
+    duplicate key — and the re-index window shares the conv_id
+    partitioning. Payload text moves once, inside the min-struct.
+    """
+    winner = F.min(
+        F.struct(
+            F.col("ts"),
+            F.col("text"),
+            F.col("role"),
+            F.col("tool"),
+        )
+    ).alias("w")
+    per_key = (
+        transcripts.groupBy("conv_id", "turn_idx")
+        .agg(winner, F.count("*").alias("__n"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("w.role").alias("role"),
+            F.col("w.text").alias("text"),
+            F.col("w.tool").alias("tool"),
+            F.col("w.ts").alias("ts"),
+            (F.col("__n") > 1).alias("was_dup"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "text")
+    prev_idx = F.lag("turn_idx").over(w)
+    return per_key.select(
+        "conv_id",
+        "turn_idx",
+        (F.row_number().over(w) - 1).alias("new_turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "was_dup",
+        F.coalesce(F.col("turn_idx") - prev_idx != 1, F.col("turn_idx") != 0).alias(
+            "was_gap"
+        ),
+    )

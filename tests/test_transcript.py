@@ -344,3 +344,60 @@ def test_resolve_pronouns_single_exchange_plan(spark):
     plan = resolve_pronouns(transcripts, mentions)._jdf.queryExecution().executedPlan().toString()
     # no python UDF, no cartesian anywhere in the plan
     assert "BatchEvalPython" not in plan and "Cartesian" not in plan
+
+
+def test_normalize_turn_order_dedup_reindex_flags(spark):
+    """Winner = earliest ts then smallest text; survivors re-index
+    contiguously; was_dup marks collided keys, was_gap audits original
+    holes (incl. a conversation not starting at 0)."""
+    import pyspark.sql.functions as F
+
+    from omop2obo_spark.operators.transcript import normalize_turn_order
+
+    rows = [
+        # conv a: turn 0 duplicated (retry at later ts), hole at 2
+        ("a", 0, "user", "orig", None, "2026-01-01 00:00:00"),
+        ("a", 0, "user", "retry orig", None, "2026-01-01 00:00:10"),
+        ("a", 1, "assistant", "r", None, "2026-01-01 00:00:01"),
+        ("a", 3, "user", "after-hole", None, "2026-01-01 00:00:03"),
+        # conv b: starts at 2; same-ts duplicate resolved by text order
+        ("b", 2, "user", "bbb", None, "2026-01-01 00:01:00"),
+        ("b", 2, "user", "aaa", None, "2026-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.conv_id, r.turn_idx): r.asDict() for r in normalize_turn_order(df).collect()}
+    assert len(out) == 4
+    a0 = out[("a", 0)]
+    assert a0["text"] == "orig" and a0["was_dup"] is True and a0["was_gap"] is False
+    assert a0["new_turn_idx"] == 0
+    a1 = out[("a", 1)]
+    assert a1["was_dup"] is False and a1["was_gap"] is False and a1["new_turn_idx"] == 1
+    a3 = out[("a", 3)]
+    assert a3["was_gap"] is True and a3["new_turn_idx"] == 2
+    b2 = out[("b", 2)]
+    assert b2["text"] == "aaa"  # ts tie -> smallest text wins
+    assert b2["was_dup"] is True and b2["was_gap"] is True and b2["new_turn_idx"] == 0
+
+
+def test_normalize_turn_order_partitioning_independent(spark):
+    """The min-struct winner and re-index are identical at 1 and 13
+    input partitions."""
+    import pyspark.sql.functions as F
+
+    from omop2obo_spark.operators.transcript import normalize_turn_order
+
+    rows = [
+        ("c%d" % (i % 5), i % 7, "user", "t%d" % (i % 3), None,
+         "2026-01-01 00:%02d:%02d" % (i % 60, (i * 7) % 60))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    one = sorted(map(tuple, normalize_turn_order(df.coalesce(1)).collect()))
+    many = sorted(map(tuple, normalize_turn_order(df.repartition(13)).collect()))
+    assert one == many
