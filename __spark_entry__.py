@@ -3064,6 +3064,27 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-grain cube (A5 family, completing rollup + grouping sets):
+    revenue/count at every subset of (returnflag, linestatus) in ONE
+    pass — Spark ``cube`` ≡ SQL GROUP BY CUBE; grouping_id separates the
+    2^k grains. One Expand + one map-side-combined aggregation; at
+    100 TB the Expand multiplies rows 4× BEFORE the partial aggregate
+    collapses them to |flags|x|status| per grain — the trade every
+    multi-grain engine makes, and still one shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grain"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_turn_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-ordering repair (operators/transcript.py:normalize_turn_order)
     — the north rule's stable (conv_id, turn_idx) invariant enforced on a
@@ -3413,6 +3434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triple_prf": q_triple_prf,
         "q_reply_latency": q_reply_latency,
         "q_turn_repair": q_turn_repair,
+        "q_cube_revenue": q_cube_revenue,
     }
 
 
@@ -7014,6 +7036,15 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         ORDER BY grain, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """
+
+    sqls["q_cube_revenue"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grain,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
     # resample replay: identical double-division bucketing, per-bucket
