@@ -3064,6 +3064,18 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/aggregate.py:funnel) over the events
+    table: view → click → signup → purchase, each step strictly later
+    than the user's earliest qualifying previous step. k-1 user-keyed
+    joins + k min-aggregations all sharing one hash key; per-step counts
+    union to a k-row result. Oracle: identical sequential CTE chain."""
+    from omop2obo_spark.operators.aggregate import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "signup", "purchase"])
+
+
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-grain cube (A5 family, completing rollup + grouping sets):
     revenue/count at every subset of (returnflag, linestatus) in ONE
@@ -3435,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reply_latency": q_reply_latency,
         "q_turn_repair": q_turn_repair,
         "q_cube_revenue": q_cube_revenue,
+        "q_funnel": q_funnel,
     }
 
 
@@ -7036,6 +7049,34 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         ORDER BY grain, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """
+
+    sqls["q_funnel"] = """
+        WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+               JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+               WHERE e.event_type = 'click' GROUP BY 1),
+        s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+               JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+               WHERE e.event_type = 'signup' GROUP BY 1),
+        s4 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+               JOIN s3 ON e.user_id = s3.u AND e.ts > s3.t
+               WHERE e.event_type = 'purchase' GROUP BY 1),
+        c AS (
+            SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'signup', count(*) FROM s3
+            UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+        )
+        SELECT step_idx, step, users,
+               CASE WHEN first(users) OVER wf > 0
+                    THEN round(users::DOUBLE / first(users) OVER wf, 6) END AS conv_overall,
+               CASE WHEN lag(users) OVER wl > 0
+                    THEN round(users::DOUBLE / lag(users) OVER wl, 6) END AS conv_step
+        FROM c
+        WINDOW wf AS (ORDER BY step_idx ROWS UNBOUNDED PRECEDING),
+               wl AS (ORDER BY step_idx)
     """
 
     sqls["q_cube_revenue"] = """
