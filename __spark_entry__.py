@@ -3064,16 +3064,24 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_cooccurrence(agent_transcripts(spark, sf_dir))
 
 
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (operators/aggregate.py:funnel) over the events
-    table: view → click → signup → purchase, each step strictly later
-    than the user's earliest qualifying previous step. k-1 user-keyed
-    joins + k min-aggregations all sharing one hash key; per-step counts
-    union to a k-row result. Oracle: identical sequential CTE chain."""
-    from omop2obo_spark.operators.aggregate import funnel
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return funnel(ev, ["view", "click", "signup", "purchase"])
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend (operators/analysis.py:grouped_linreg): OLS
+    slope/intercept/r2 of event value (cents) vs time (seconds since
+    2024-01-01) from ONE map-side-combinable sufficient-statistics
+    aggregation — no per-group solver, no second pass. Integer x/y make
+    the sums exact and order-independent; the closed-form ratios then
+    run in deterministic double. Oracle: identical rebasing (floor-epoch
+    to match Spark's timestamp→long truncation) + formula replay."""
+    from omop2obo_spark.operators.analysis import grouped_linreg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 1_000_000).cast("long")
+         - F.lit(1704067200)).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    return grouped_linreg(ev, "user_id", "x", "y")
 
 
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3447,7 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reply_latency": q_reply_latency,
         "q_turn_repair": q_turn_repair,
         "q_cube_revenue": q_cube_revenue,
-        "q_funnel": q_funnel,
+        "q_linreg_trend": q_linreg_trend,
     }
 
 
@@ -6855,6 +6863,35 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
 
     # funnel replay: chained per-key mins, strict > ordering, same
     # epoch-micro comparisons
+    sqls["q_linreg_trend"] = """
+        WITH p AS (
+            SELECT user_id,
+                   floor(epoch(ts))::BIGINT - 1704067200 AS x,
+                   round(value * 100)::BIGINT AS y
+            FROM events
+        ),
+        a AS (
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy
+            FROM p GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               END AS slope,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               END AS intercept,
+               CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                    THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               END AS r2
+        FROM a
+    """
+
     sqls["q_funnel"] = """
         WITH ev AS (
             SELECT user_id AS k, event_type AS ty, epoch_us(ts) AS us FROM events
@@ -7049,34 +7086,6 @@ WHERE rn = 1 AND chosen_score - rejected_score > 0.0"""
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         ORDER BY grain, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """
-
-    sqls["q_funnel"] = """
-        WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
-                    WHERE event_type = 'view' GROUP BY 1),
-        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-               JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
-               WHERE e.event_type = 'click' GROUP BY 1),
-        s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-               JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
-               WHERE e.event_type = 'signup' GROUP BY 1),
-        s4 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-               JOIN s3 ON e.user_id = s3.u AND e.ts > s3.t
-               WHERE e.event_type = 'purchase' GROUP BY 1),
-        c AS (
-            SELECT 1 AS step_idx, 'view' AS step, count(*) AS users FROM s1
-            UNION ALL SELECT 2, 'click', count(*) FROM s2
-            UNION ALL SELECT 3, 'signup', count(*) FROM s3
-            UNION ALL SELECT 4, 'purchase', count(*) FROM s4
-        )
-        SELECT step_idx, step, users,
-               CASE WHEN first(users) OVER wf > 0
-                    THEN round(users::DOUBLE / first(users) OVER wf, 6) END AS conv_overall,
-               CASE WHEN lag(users) OVER wl > 0
-                    THEN round(users::DOUBLE / lag(users) OVER wl, 6) END AS conv_step
-        FROM c
-        WINDOW wf AS (ORDER BY step_idx ROWS UNBOUNDED PRECEDING),
-               wl AS (ORDER BY step_idx)
     """
 
     sqls["q_cube_revenue"] = """

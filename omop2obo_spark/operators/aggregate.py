@@ -154,72 +154,3 @@ def merge_aggregate_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataF
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
-
-
-def funnel(
-    events: DataFrame,
-    steps: list[str],
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-) -> DataFrame:
-    """Ordered funnel analysis: how many users progress through ``steps``
-    in strict timestamp order (each step strictly LATER than the user's
-    earliest qualifying occurrence of the previous one — same-instant
-    events do not advance the funnel; ties are a producer artifact, not
-    a user action sequence).
-
-    Output one row per step: ``step_idx`` (1-based), ``step``,
-    ``users``, ``conv_overall`` = users_i / users_1 and ``conv_step`` =
-    users_i / users_{i-1} (6dp; NULL for the first step's conv_step and
-    whenever the denominator is 0).
-
-    Scale shape: k-1 user-keyed joins + k user-keyed min-aggregations,
-    ALL on the same ``user_col`` hash key — one partitioning reused down
-    the chain (funnel depth is a small constant). Per-step user counts
-    are single-row aggregates unioned into a k-row result; no windows,
-    no per-user event collection, no skew surface beyond the user key
-    itself.
-    """
-    if not steps:
-        raise ValueError("funnel needs at least one step")
-    reached: list[DataFrame] = []
-    prev = None
-    for step in steps:
-        ev = events.filter(F.col(type_col) == step).select(
-            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
-        )
-        if prev is None:
-            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
-        else:
-            cur = (
-                ev.join(prev.select("__u", F.col("__t").alias("__pt")), "__u")
-                .filter(F.col("__ts") > F.col("__pt"))
-                .groupBy("__u")
-                .agg(F.min("__ts").alias("__t"))
-            )
-        reached.append(cur)
-        prev = cur
-    counts = None
-    for i, df in enumerate(reached):
-        row = df.agg(F.count("*").alias("users")).select(
-            F.lit(i + 1).alias("step_idx"), F.lit(steps[i]).alias("step"), "users"
-        )
-        counts = row if counts is None else counts.unionByName(row)
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("step_idx")
-    first = F.first("users").over(
-        Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prev_users = F.lag("users").over(w)
-    # the k-row result is dimension-sized; the global window is over k rows
-    return counts.select(
-        "step_idx",
-        "step",
-        "users",
-        F.when(first > 0, F.round(F.col("users") / first, 6)).alias("conv_overall"),
-        F.when(prev_users > 0, F.round(F.col("users") / prev_users, 6)).alias(
-            "conv_step"
-        ),
-    )

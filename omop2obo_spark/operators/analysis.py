@@ -613,3 +613,53 @@ def set_prf(
     return out.select(
         group_col, "tp", "fp", "fn", "precision", "recall", f1.alias("f1")
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of y on x from sufficient
+    statistics — trend detection over 10^12 rows as ONE map-side-
+    combinable aggregation (n, Σx, Σy, Σx², Σy², Σxy), never a per-group
+    solver or a second pass.
+
+    Engine-portability contract: ``x`` and ``y`` must be INTEGER-valued
+    columns (epoch seconds, cents, counts). Integer sums are exact and
+    order-independent, so both engines hold identical longs before the
+    closed-form division — float sums would make the result depend on
+    partition addition order. Callers with decimal y scale it first
+    (e.g. cents).
+
+    Output per key: ``n``, ``slope``, ``intercept``, ``r2`` (6dp).
+    NULL slope/intercept when the x-variance is 0 (vertical / single
+    point), NULL r2 when either variance is 0.
+    """
+    agged = df.groupBy(F.col(key_col)).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("sx"),
+        F.sum(F.col(y_col).cast("long")).alias("sy"),
+        F.sum((F.col(x_col).cast("long") * F.col(x_col).cast("long"))).alias("sxx"),
+        F.sum((F.col(y_col).cast("long") * F.col(y_col).cast("long"))).alias("syy"),
+        F.sum((F.col(x_col).cast("long") * F.col(y_col).cast("long"))).alias("sxy"),
+    )
+    # ratio arithmetic in double AFTER the exact long sums: long*long
+    # products here could overflow int64, and double multiplication of
+    # identical operands is deterministic across engines
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    slope = F.when(vx != 0, cov / vx)
+    intercept = F.when(vx != 0, (F.col("sy") - (cov / vx) * F.col("sx")) / n)
+    r2 = F.when((vx != 0) & (vy != 0), (cov * cov) / (vx * vy))
+    return agged.select(
+        key_col,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -656,3 +656,35 @@ def test_set_prf_rejects_mismatched_columns(spark):
     b = spark.createDataFrame([("x", "p", "o")], "subj string, pred string, obj string")
     with _pt.raises(ValueError, match="column mismatch"):
         set_prf(a, b)
+
+
+def test_grouped_linreg_matches_numpy(spark):
+    """Closed-form sufficient-statistics OLS equals numpy polyfit per
+    group; degenerate groups (single point, zero x- or y-variance) take
+    the pinned NULL conventions."""
+    import numpy as np
+
+    from omop2obo_spark.operators.analysis import grouped_linreg
+
+    pts = {
+        "up": [(0, 10), (1, 13), (2, 15), (3, 19)],
+        "flat": [(0, 7), (5, 7), (9, 7)],        # zero y-variance: slope 0, r2 NULL
+        "single": [(4, 42)],                     # zero x-variance: all NULL
+        "vert": [(2, 1), (2, 9)],                # zero x-variance: all NULL
+    }
+    rows = [(k, x, y) for k, v in pts.items() for x, y in v]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {r.k: r.asDict() for r in grouped_linreg(df, "k", "x", "y").collect()}
+
+    xs, ys = zip(*pts["up"])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert got["up"]["slope"] == round(float(slope), 6)
+    assert got["up"]["intercept"] == round(float(intercept), 6)
+    assert got["up"]["r2"] == round(float(r * r), 6)
+
+    assert got["flat"]["slope"] == 0.0 and got["flat"]["intercept"] == 7.0
+    assert got["flat"]["r2"] is None
+    for k in ("single", "vert"):
+        assert got[k]["slope"] is None and got[k]["intercept"] is None
+        assert got[k]["r2"] is None

@@ -606,46 +606,3 @@ def test_aggregate_state_merge_equals_union(spark):
     # associativity: (A+B)+C == state(A+B+C)
     m3 = merge_aggregate_states(merged, sc, ["k"])
     assert rows(m3) == rows(aggregate_state(a.unionByName(b).unionByName(c), ["k"], "v"))
-
-
-def test_funnel_strict_order_and_conversions(spark):
-    """Progression requires strictly later timestamps; same-instant does
-    not advance; re-entry uses the EARLIEST qualifying previous step."""
-    import pyspark.sql.functions as F
-
-    from omop2obo_spark.operators.aggregate import funnel
-
-    rows = [
-        # u1 completes A->B->C in order
-        (1, "A", "2026-01-01 00:00:00"), (1, "B", "2026-01-01 00:00:01"),
-        (1, "C", "2026-01-01 00:00:02"),
-        # u2: B before A, then no later B -> stops at A
-        (2, "B", "2026-01-01 00:00:00"), (2, "A", "2026-01-01 00:00:01"),
-        # u3: B at SAME instant as A -> tie does not advance
-        (3, "A", "2026-01-01 00:00:05"), (3, "B", "2026-01-01 00:00:05"),
-        # u4: A then B, no C
-        (4, "A", "2026-01-01 00:00:00"), (4, "B", "2026-01-01 00:00:09"),
-    ]
-    df = spark.createDataFrame(
-        rows, "user_id int, event_type string, ts string"
-    ).withColumn("ts", F.to_timestamp("ts"))
-    got = {r.step: r.asDict() for r in funnel(df, ["A", "B", "C"]).collect()}
-    assert got["A"]["users"] == 4 and got["A"]["conv_overall"] == 1.0
-    assert got["A"]["conv_step"] is None
-    assert got["B"]["users"] == 2          # u1, u4 (u2 out of order, u3 tie)
-    assert got["B"]["conv_overall"] == 0.5 and got["B"]["conv_step"] == 0.5
-    assert got["C"]["users"] == 1
-    assert got["C"]["conv_overall"] == 0.25 and got["C"]["conv_step"] == 0.5
-
-
-def test_funnel_empty_step_zero_denominator(spark):
-    import pyspark.sql.functions as F
-
-    from omop2obo_spark.operators.aggregate import funnel
-
-    df = spark.createDataFrame(
-        [(1, "X", "2026-01-01 00:00:00")], "user_id int, event_type string, ts string"
-    ).withColumn("ts", F.to_timestamp("ts"))
-    got = {r.step: r.asDict() for r in funnel(df, ["A", "B"]).collect()}
-    assert got["A"]["users"] == 0 and got["A"]["conv_overall"] is None
-    assert got["B"]["users"] == 0 and got["B"]["conv_step"] is None
