@@ -3065,6 +3065,43 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level shingle-overlap estimate (operators/dedup.py:
+    corpus_overlap_estimate): MinHash Jaccard between two overlapping
+    document subsets (doc_id%3!=0 vs doc_id%2==0) — the 'how much does
+    the new crawl overlap the training set' question as one shuffle-free
+    min-aggregate per corpus. The query also computes the EXACT shingle
+    Jaccard (intersect/union of the distinct-gram sets) and asserts the
+    estimate lands within 4 standard errors — the same checkable-error
+    contract shape as q_sketch_distinct. Oracle replays hashes, exact
+    sets, and the bound."""
+    from omop2obo_spark.operators.dedup import corpus_overlap_estimate, shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    est = corpus_overlap_estimate(a, b, n_hashes=64, k=3)
+    sa = a.select(F.explode(shingles(F.col("text"), 3)).alias("g")).distinct()
+    sb = b.select(F.explode(shingles(F.col("text"), 3)).alias("g")).distinct()
+    inter = sa.intersect(sb).agg(F.count("*").alias("n_inter"))
+    union = sa.union(sb).distinct().agg(F.count("*").alias("n_union"))
+    ex = inter.crossJoin(union).select(
+        "n_inter",
+        "n_union",
+        (F.col("n_inter") / F.col("n_union")).alias("__jx"),
+    )
+    se4 = 4 * F.sqrt(F.col("__jx") * (1 - F.col("__jx")) / F.lit(64))
+    return est.crossJoin(ex).select(
+        "n_hashes",
+        "n_match",
+        "j_est",
+        "n_inter",
+        "n_union",
+        F.round(F.col("__jx"), 6).alias("j_exact"),
+        (F.abs(F.col("j_est") - F.col("__jx")) <= se4).alias("within_4se"),
+    )
+
+
 def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user value trend (operators/analysis.py:grouped_linreg): OLS
     slope/intercept/r2 of event value (cents) vs time (seconds since
@@ -3456,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_turn_repair": q_turn_repair,
         "q_cube_revenue": q_cube_revenue,
         "q_linreg_trend": q_linreg_trend,
+        "q_corpus_overlap": q_corpus_overlap,
     }
 
 
@@ -6863,6 +6901,52 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
 
     # funnel replay: chained per-key mins, strict > ordering, same
     # epoch-micro comparisons
+    # corpus-overlap replay: per-corpus 3-gram sets, 64 min-hash columns
+    # each, exact intersect/union Jaccard, and the 4-SE bound boolean
+    _cov_mins_a = ",\n                   ".join(
+        f"min(md5('{h}|' || g)) AS a{h}" for h in range(64)
+    )
+    _cov_mins_b = ",\n                   ".join(
+        f"min(md5('{h}|' || g)) AS b{h}" for h in range(64)
+    )
+    _cov_match = " + ".join(
+        f"CASE WHEN sa.a{h} = sb.b{h} THEN 1 ELSE 0 END" for h in range(64)
+    )
+
+    def _cov_gram_ctes(name: str, pred: str) -> str:
+        return f"""{name}_t AS (
+            SELECT list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                               x -> x <> '') AS t
+            FROM documents WHERE {pred}
+        ),
+        {name}_g AS (
+            SELECT list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS gs
+            FROM {name}_t
+        ),
+        {name} AS MATERIALIZED (SELECT DISTINCT g FROM {name}_g, UNNEST(gs) AS u(g))"""
+
+    sqls["q_corpus_overlap"] = f"""
+        WITH {_cov_gram_ctes('ca', 'doc_id % 3 <> 0')},
+        {_cov_gram_ctes('cb', 'doc_id % 2 = 0')},
+        sa AS (SELECT {_cov_mins_a} FROM ca),
+        sb AS (SELECT {_cov_mins_b} FROM cb),
+        m AS (SELECT ({_cov_match}) AS n_match FROM sa, sb),
+        ex AS (
+            SELECT (SELECT count(*) FROM (SELECT g FROM ca INTERSECT SELECT g FROM cb)) AS n_inter,
+                   (SELECT count(*) FROM (SELECT g FROM ca UNION SELECT g FROM cb)) AS n_union
+        )
+        SELECT 64 AS n_hashes,
+               CAST(m.n_match AS BIGINT) AS n_match,
+               round(m.n_match::DOUBLE / 64, 6) AS j_est,
+               ex.n_inter, ex.n_union,
+               round(ex.n_inter::DOUBLE / ex.n_union, 6) AS j_exact,
+               abs(round(m.n_match::DOUBLE / 64, 6) - ex.n_inter::DOUBLE / ex.n_union)
+                   <= 4 * sqrt((ex.n_inter::DOUBLE / ex.n_union) * (1 - ex.n_inter::DOUBLE / ex.n_union) / 64)
+                   AS within_4se
+        FROM m, ex
+    """
+
     sqls["q_linreg_trend"] = """
         WITH p AS (
             SELECT user_id,

@@ -1055,3 +1055,53 @@ def blocking_quality(
             .alias("pair_completeness"),
         )
     )
+
+
+def corpus_overlap_estimate(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-level shingle-set overlap: MinHash Jaccard estimate between
+    the UNION-of-shingles of two corpora — "how much does my new crawl
+    overlap the training set" answered without materializing either
+    distinct-shingle set into a join.
+
+    A corpus's signature component h is min(md5(h || shingle)) over ALL
+    its shingles (same per-doc hash family as :func:`minhash_signatures`,
+    so one engine-portable hash definition serves both granularities);
+    ``j_est`` is the fraction of matching components. One shuffle-free
+    map + a k-column min-aggregate per corpus (the min is computed
+    map-side per partition and combined — shingle streams never join,
+    never shuffle beyond the 1-row combine), then a 1-row cross join.
+
+    Output: one row (n_hashes, n_match, j_est 6dp). Standard error is
+    sqrt(J(1-J)/n_hashes); callers wanting a tighter estimate raise
+    n_hashes — cost is linear, still one pass.
+    """
+
+    def corpus_sig(docs: DataFrame, name: str) -> DataFrame:
+        sh = docs.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(str(h) + "|"), F.col("shingle")))).alias(
+                f"{name}{h}"
+            )
+            for h in range(n_hashes)
+        ]
+        return sh.agg(*aggs)
+    a = corpus_sig(docs_a, "a")
+    b = corpus_sig(docs_b, "b")
+    matches = sum(
+        (F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(n_hashes)
+    )
+    return (
+        a.crossJoin(b)
+        .select(matches.alias("__m"))
+        .select(
+            F.lit(n_hashes).alias("n_hashes"),
+            F.col("__m").cast("long").alias("n_match"),
+            F.round(F.col("__m") / F.lit(n_hashes), 6).alias("j_est"),
+        )
+    )

@@ -2220,3 +2220,36 @@ def test_retrieval_metrics_hand_computed(spark):
     assert q3["n_rel"] == 0 and q3["n_ret_rel"] == 0
     assert q3["ndcg"] is None and q3["recall"] is None
     assert q3["mrr"] == 0.0
+
+
+def test_corpus_overlap_estimate_identical_and_disjoint(spark):
+    """Identical corpora estimate J=1 exactly (all mins match); disjoint
+    shingle sets estimate near 0; estimate stays within 4 standard
+    errors of exact Jaccard on a half-overlap construction."""
+    import math
+
+    from omop2obo_spark.operators.dedup import corpus_overlap_estimate
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta token%d" % i) for i in range(30)],
+        "doc_id long, text string",
+    )
+    same = corpus_overlap_estimate(a, a, n_hashes=32).collect()[0]
+    assert same.n_match == 32 and same.j_est == 1.0
+
+    b = spark.createDataFrame(
+        [(i, "omega%d psi%d chi%d phi%d upsilon%d" % (i, i, i, i, i)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    diff = corpus_overlap_estimate(a, b, n_hashes=32).collect()[0]
+    assert diff.j_est <= 0.2
+
+    half = a.filter("doc_id < 15").unionByName(b.filter("doc_id >= 15"))
+    est = corpus_overlap_estimate(a, half, n_hashes=64).collect()[0].j_est
+    # exact J of the shingle sets, computed naively in python
+    from omop2obo_spark.operators.dedup import shingles
+    import pyspark.sql.functions as F
+    sa = {r.g for r in a.select(F.explode(shingles(F.col("text"), 3)).alias("g")).distinct().collect()}
+    sh = {r.g for r in half.select(F.explode(shingles(F.col("text"), 3)).alias("g")).distinct().collect()}
+    j = len(sa & sh) / len(sa | sh)
+    assert abs(est - j) <= 4 * math.sqrt(j * (1 - j) / 64)
