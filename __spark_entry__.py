@@ -3065,6 +3065,32 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only incremental join maintenance (operators/joins.py:
+    join_delta): the delta of orders ⋈ lineitem when the keys ≡0 (mod 5)
+    arrive as the new micro-batch — three delta-bounded join terms
+    instead of a full rejoin, summarized per returnflag (count + revenue
+    2dp) to keep the gate result stable. Oracle replays the identical
+    three-term union ALL."""
+    from omop2obo_spark.operators.joins import join_delta
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    a_old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    a_new = orders.filter(F.col("o_orderkey") % 5 == 0)
+    b_old = li.filter(F.col("o_orderkey") % 7 != 0)
+    b_new = li.filter(F.col("o_orderkey") % 7 == 0)
+    delta = join_delta(a_old, a_new, b_old, b_new, ["o_orderkey"])
+    return delta.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("delta_revenue"),
+    )
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level shingle-overlap estimate (operators/dedup.py:
     corpus_overlap_estimate): MinHash Jaccard between two overlapping
@@ -3494,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_revenue": q_cube_revenue,
         "q_linreg_trend": q_linreg_trend,
         "q_corpus_overlap": q_corpus_overlap,
+        "q_join_delta": q_join_delta,
     }
 
 
@@ -6901,6 +6928,23 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
 
     # funnel replay: chained per-key mins, strict > ordering, same
     # epoch-micro comparisons
+    sqls["q_join_delta"] = """
+        WITH ao AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0),
+        an AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),
+        bo AS (SELECT l_orderkey AS o_orderkey, l_extendedprice, l_returnflag FROM lineitem WHERE l_orderkey % 7 <> 0),
+        bn AS (SELECT l_orderkey AS o_orderkey, l_extendedprice, l_returnflag FROM lineitem WHERE l_orderkey % 7 = 0),
+        d AS (
+            SELECT an.o_orderkey, l_extendedprice, l_returnflag FROM an JOIN bo USING (o_orderkey)
+            UNION ALL
+            SELECT ao.o_orderkey, l_extendedprice, l_returnflag FROM ao JOIN bn USING (o_orderkey)
+            UNION ALL
+            SELECT an.o_orderkey, l_extendedprice, l_returnflag FROM an JOIN bn USING (o_orderkey)
+        )
+        SELECT l_returnflag, count(*) AS n_rows,
+               round(sum(l_extendedprice), 2) AS delta_revenue
+        FROM d GROUP BY l_returnflag
+    """
+
     # corpus-overlap replay: per-corpus 3-gram sets, 64 min-hash columns
     # each, exact intersect/union Jaccard, and the 4-SE bound boolean
     _cov_mins_a = ",\n                   ".join(

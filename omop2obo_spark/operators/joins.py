@@ -127,3 +127,37 @@ def skew_profile(
         .orderBy(F.col("n").desc(), "key")
         .limit(top_n)
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of an inner equi-join under INSERTS:
+
+        Δ(A ⋈ B) = (ΔA ⋈ B_old) ∪all (A_old ⋈ ΔB) ∪all (ΔA ⋈ ΔB)
+
+    — the join-side companion of :func:`aggregate.aggregate_state`
+    (together they maintain a materialized join-aggregate view without
+    ever rescanning history). Bag semantics (union ALL: a joined row
+    appears once per contributing pair, exactly like the full rejoin).
+    Insert-only by contract — deletes/updates need retraction records
+    and are out of scope here; the test pins the defining algebraic
+    property (A∪ΔA) ⋈ (B∪ΔB) == (A⋈B) ∪all Δ(A⋈B) exactly.
+
+    Scale: the two cross terms shuffle one FULL side against a DELTA
+    side — on a bucketed/pre-partitioned base table (sources/writers.py:
+    save_bucketed_tables) the full side's exchange is already on disk,
+    so each micro-batch pays only the delta's shuffle; ΔA ⋈ ΔB is
+    delta-sized on both sides.
+    """
+    cols = a_old.columns + [c for c in b_old.columns if c not in on]
+    parts = (
+        a_delta.join(b_old, on)
+        .unionByName(a_old.join(b_delta, on))
+        .unionByName(a_delta.join(b_delta, on))
+    )
+    return parts.select(*cols)

@@ -236,3 +236,28 @@ def test_manifest_on_file_scheme_root_round_trips(spark, tmp_path):
         if not n.startswith(".")
     )
     assert len(names) == 3 and all(n.endswith(".json") for n in names)
+
+
+def test_join_delta_algebraic_property(spark):
+    """(A ∪ ΔA) ⋈ (B ∪ ΔB) equals (A ⋈ B) ∪all Δ(A ⋈ B) as BAGS —
+    the defining identity of insert-only incremental join maintenance,
+    incl. duplicate join keys on both sides."""
+    from collections import Counter
+
+    from omop2obo_spark.operators.joins import join_delta
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2"), (2, "a2b")], "k int, av string")
+    a_new = spark.createDataFrame([(2, "a3"), (4, "a4")], "k int, av string")
+    b_old = spark.createDataFrame([(1, "b1"), (2, "b2")], "k int, bv string")
+    b_new = spark.createDataFrame([(2, "b3"), (2, "b4"), (4, "b5")], "k int, bv string")
+
+    full_old = a_old.join(b_old, ["k"])
+    full_new = a_old.unionByName(a_new).join(b_old.unionByName(b_new), ["k"])
+    delta = join_delta(a_old, a_new, b_old, b_new, ["k"])
+
+    bag = lambda df: Counter(map(tuple, df.collect()))
+    assert bag(full_old) + bag(delta) == bag(full_new)
+    # delta is non-trivial in every term: ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB
+    assert bag(delta)[(2, "a3", "b2")] == 1
+    assert bag(delta)[(2, "a2", "b3")] == 1
+    assert bag(delta)[(2, "a3", "b4")] == 1
