@@ -3065,6 +3065,30 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_top_p_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source nucleus (top-p) vocabulary (operators/textstats.py:
+    top_p_vocabulary): the smallest count-descending token prefix
+    reaching 50% of each source's token mass — mass-adaptive vocabulary
+    truncation (peaked domains keep few tokens, flat domains many). The
+    corpus-sized work is a plain token-count groupBy; the top-p window
+    runs over the dimension-scale count table. Inclusion and tie rules
+    pinned. Oracle: identical ordered cumulative-share arithmetic."""
+    from omop2obo_spark.operators.dedup import normalized_text
+    from omop2obo_spark.operators.textstats import top_p_vocabulary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col("text")), " "), lambda x: x != ""
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("n"))
+    return top_p_vocabulary(counts, "source", p=0.5)
+
+
 def q_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert-only incremental join maintenance (operators/joins.py:
     join_delta): the delta of orders ⋈ lineitem when the keys ≡0 (mod 5)
@@ -3521,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linreg_trend": q_linreg_trend,
         "q_corpus_overlap": q_corpus_overlap,
         "q_join_delta": q_join_delta,
+        "q_top_p_vocab": q_top_p_vocab,
     }
 
 
@@ -6928,6 +6953,37 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
 
     # funnel replay: chained per-key mins, strict > ordering, same
     # epoch-micro comparisons
+    sqls["q_top_p_vocab"] = """
+        WITH toks AS (
+            SELECT source, t AS token
+            FROM (
+                SELECT source,
+                       list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ), UNNEST(ts) AS u(t)
+        ),
+        c AS (SELECT source, token, count(*) AS n FROM toks GROUP BY 1, 2),
+        sh AS (
+            SELECT source, token, n,
+                   n::DOUBLE / sum(n) OVER (PARTITION BY source) AS share
+            FROM c
+        ),
+        r AS (
+            SELECT source, token, n, share,
+                   sum(share) OVER (PARTITION BY source ORDER BY n DESC, token ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   row_number() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS rank
+            FROM sh
+        )
+        SELECT source, token, n,
+               round(share, 6) AS share,
+               round(cum, 6) AS cum_share,
+               CAST(rank AS INT) AS rank
+        FROM r
+        WHERE cum - share < 0.5
+    """
+
     sqls["q_join_delta"] = """
         WITH ao AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0),
         an AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0),

@@ -1242,3 +1242,63 @@ def bm25_search(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def top_p_vocabulary(
+    counts: DataFrame,
+    group_col: str,
+    token_col: str = "token",
+    count_col: str = "n",
+    p: float = 0.9,
+) -> DataFrame:
+    """Nucleus (top-p) truncation of a per-group token distribution:
+    keep, per group, the smallest prefix of tokens — ordered by count
+    descending, token ascending for determinism — whose cumulative
+    probability mass reaches ``p``. The vocabulary-truncation /
+    smoothing primitive for per-domain token statistics (the
+    distribution analogue of a fixed top-k cut, but mass-adaptive:
+    peaked groups keep few tokens, flat groups keep many).
+
+    Inclusion rule pinned: a token is kept iff the mass BEFORE it is
+    < p (so the token that crosses the threshold is included, and
+    ties on count break by token order, not arbitrarily).
+
+    Output: (group, token, n, share 6dp, cum_share 6dp, rank).
+    One group-keyed window over the aggregated count table — the input
+    is already one row per (group, token), dimension-scale next to the
+    corpus it came from; the corpus-sized aggregation belongs to the
+    caller (it is a plain groupBy.count).
+    """
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(count_col).desc(), F.col(token_col).asc()
+    )
+    tot = Window.partitionBy(group_col)
+    # two layers: windows cannot nest in one projection (either engine)
+    with_share = counts.select(
+        F.col(group_col),
+        F.col(token_col),
+        F.col(count_col),
+        (F.col(count_col) / F.sum(count_col).over(tot)).alias("__share"),
+    )
+    ranked = with_share.select(
+        group_col,
+        token_col,
+        count_col,
+        "__share",
+        F.sum("__share")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return ranked.filter(F.col("__cum") - F.col("__share") < p).select(
+        group_col,
+        token_col,
+        count_col,
+        F.round("__share", 6).alias("share"),
+        F.round("__cum", 6).alias("cum_share"),
+        "rank",
+    )

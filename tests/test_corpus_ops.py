@@ -2253,3 +2253,29 @@ def test_corpus_overlap_estimate_identical_and_disjoint(spark):
     sh = {r.g for r in half.select(F.explode(shingles(F.col("text"), 3)).alias("g")).distinct().collect()}
     j = len(sa & sh) / len(sa | sh)
     assert abs(est - j) <= 4 * math.sqrt(j * (1 - j) / 64)
+
+
+def test_top_p_vocabulary_inclusion_and_ties(spark):
+    """The crossing token is included; count ties break by token order;
+    a peaked group truncates hard while a flat group keeps everything."""
+    import pytest as _pt
+
+    from omop2obo_spark.operators.textstats import top_p_vocabulary
+
+    counts = spark.createDataFrame(
+        # peaked: a=6, b=2, c=1, d=1 (total 10)
+        [("g1", "a", 6), ("g1", "b", 2), ("g1", "c", 1), ("g1", "d", 1),
+         # flat with a count tie: z/x both 1 -> token order decides ranks
+         ("g2", "z", 1), ("g2", "x", 1)],
+        "src string, token string, n long",
+    )
+    got = {(r.src, r.token): r.asDict()
+           for r in top_p_vocabulary(counts, "src", p=0.7).collect()}
+    # g1: a (0.6 cum) kept; b crosses 0.7 at cum 0.8 -> kept; c would start at 0.8 >= 0.7 -> out
+    assert ("g1", "a") in got and ("g1", "b") in got
+    assert ("g1", "c") not in got and ("g1", "d") not in got
+    assert got[("g1", "b")]["rank"] == 2 and got[("g1", "b")]["cum_share"] == 0.8
+    # g2: x (token < z) rank 1 cum 0.5 kept; z starts at 0.5 < 0.7 -> kept
+    assert got[("g2", "x")]["rank"] == 1 and got[("g2", "z")]["rank"] == 2
+    with _pt.raises(ValueError):
+        top_p_vocabulary(counts, "src", p=0.0)
