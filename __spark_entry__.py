@@ -3065,6 +3065,29 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events table's JSON ``props``
+    column parsed with a SCHEMA'D from_json (JsonToStructs stays inside
+    whole-stage codegen — the 100-TB path; per-row get_json_object
+    string probing re-parses per access) and aggregated per event_type.
+    Malformed/missing keys become NULLs and are counted, not dropped.
+    Oracle: DuckDB json_extract replay."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").isNotNull().cast("long")).alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 def q_top_p_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source nucleus (top-p) vocabulary (operators/textstats.py:
     top_p_vocabulary): the smallest count-descending token prefix
@@ -3546,6 +3569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_overlap": q_corpus_overlap,
         "q_join_delta": q_join_delta,
         "q_top_p_vocab": q_top_p_vocab,
+        "q_json_props": q_json_props,
     }
 
 
@@ -6953,6 +6977,18 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
 
     # funnel replay: chained per-key mins, strict > ordering, same
     # epoch-micro comparisons
+    sqls["q_json_props"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+               round(avg(k), 6) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               count(DISTINCT k) AS n_distinct_k
+        FROM (SELECT event_type, json_extract(props, '$.k')::INT AS k FROM events)
+        GROUP BY event_type
+    """
+
     sqls["q_top_p_vocab"] = """
         WITH toks AS (
             SELECT source, t AS token
