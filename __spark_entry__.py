@@ -3065,6 +3065,25 @@ def q_tool_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family over per-source document length:
+    percent_rank, cume_dist, and ntile(10) in one pass — the remaining
+    SQL:2003 rank functions not already exercised by the row_number/
+    rank/lag/lead queries. Total order (n_chars, doc_id) makes every
+    function deterministic incl. the ntile remainder rule. One source-
+    keyed exchange. Oracle: the identical standard functions in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: the events table's JSON ``props``
     column parsed with a SCHEMA'D from_json (JsonToStructs stays inside
@@ -3570,6 +3589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_delta": q_join_delta,
         "q_top_p_vocab": q_top_p_vocab,
         "q_json_props": q_json_props,
+        "q_rank_functions": q_rank_functions,
     }
 
 
@@ -6977,6 +6997,15 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
 
     # funnel replay: chained per-key mins, strict > ordering, same
     # epoch-micro comparisons
+    sqls["q_rank_functions"] = """
+        SELECT doc_id, source, n_chars,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume,
+               CAST(ntile(10) OVER w AS INT) AS decile
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+    """
+
     sqls["q_json_props"] = """
         SELECT event_type,
                count(*) AS n_events,
