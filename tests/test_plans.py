@@ -562,3 +562,25 @@ def test_retrieval_metrics_composite_key_join_no_cartesian(spark):
     plan = _plan(retrieval_metrics(ranked, qrels, k=5))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table partitioned on the join column must be pruned at
+    RUNTIME by a selective dim filter (dynamic partition pruning): the
+    scan's partition filters carry a dynamicpruning subquery instead of
+    reading all partitions. This is the mechanism that lets a dim-side
+    WHERE clause skip fact partitions at 100 TB without a static
+    predicate."""
+    fact = spark.range(0, 1000).selectExpr(
+        "id AS k", "pmod(id, 5) AS part", "id * 2 AS v"
+    )
+    path = str(tmp_path / "fact_parted")
+    fact.write.partitionBy("part").mode("overwrite").parquet(path)
+    f = spark.read.parquet(path)
+    dim = spark.range(0, 5).selectExpr("id AS part", "concat('d', id) AS name")
+    sel = dim.filter("part = 3")
+    joined = f.join(sel, "part")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(part" in plan, plan
+    # and the result only reads the single surviving partition
+    assert joined.count() == 200
