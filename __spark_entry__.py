@@ -3285,7 +3285,8 @@ def q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples with a deterministic md5-keyed perturbation (~1/47 dropped,
     ~1/53 re-labeled to a phantom predicate) so every row class
     (tp/fp/fn) is populated and the expected P/R values are nontrivial.
-    One distinct per side + full-outer join on the skew-free triple
+    One distinct per side + NULL-safe union/groupBy membership on the
+    skew-free triple
     identity + a rollup aggregation. Oracle replays the identical md5
     arithmetic over the kg CTE chain."""
     from omop2obo_spark.operators.analysis import set_prf
@@ -5526,8 +5527,8 @@ r0 AS (SELECT src, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
 SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
     )
 
-    # triple P/R replay: identical md5 perturbation + full-outer set
-    # compare + ROLLUP over the kg CTE chain's triple union
+    # triple P/R replay: identical md5 perturbation + union/groupBy set
+    # membership + ROLLUP/GROUPING over the kg CTE chain's triple union
     sqls["q_triple_prf"] = kg_triples_sql(
         final_select=""", trip AS MATERIALIZED (
     SELECT DISTINCT conv_id, turn_idx, subj, pred, obj
@@ -5548,18 +5549,23 @@ truth AS (
     UNION ALL
     SELECT conv_id, turn_idx, subj, 'omop2obo:phantom', obj FROM selt WHERE s % 53 = 0
 ),
-pp AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj, 1 AS mp FROM trip),
-tt AS (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj, 1 AS mt FROM truth),
-jj AS (
-    SELECT pred, mp, mt FROM pp
-    FULL OUTER JOIN tt USING (conv_id, turn_idx, subj, pred, obj)
+mk AS (
+    SELECT conv_id, turn_idx, subj, pred, obj, 1 AS mp, 0 AS mt
+    FROM (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM trip)
+    UNION ALL
+    SELECT conv_id, turn_idx, subj, pred, obj, 0, 1
+    FROM (SELECT DISTINCT conv_id, turn_idx, subj, pred, obj FROM truth)
+),
+pk AS (
+    SELECT conv_id, turn_idx, subj, pred, obj, max(mp) AS mp, max(mt) AS mt
+    FROM mk GROUP BY 1, 2, 3, 4, 5
 ),
 ag AS (
-    SELECT coalesce(pred, '__all__') AS pred,
-           CAST(sum(CASE WHEN mp IS NOT NULL AND mt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-           CAST(sum(CASE WHEN mp IS NOT NULL AND mt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-           CAST(sum(CASE WHEN mp IS NULL AND mt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
-    FROM jj GROUP BY ROLLUP(pred)
+    SELECT CASE WHEN GROUPING(pred) = 1 THEN '__all__' ELSE pred END AS pred,
+           CAST(sum(CASE WHEN mp = 1 AND mt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN mp = 1 AND mt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN mp = 0 AND mt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM pk GROUP BY ROLLUP(pred)
 )
 SELECT pred, tp, fp, fn,
        CASE WHEN tp + fp > 0 THEN round(tp::DOUBLE / (tp + fp), 6) END AS precision,
@@ -7120,25 +7126,29 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
             FROM events
         ),
         a AS (
+            -- sums stay exact (HUGEINT); the cancelling differences are
+            -- computed exactly and only then cast to double, mirroring
+            -- the Spark side's decimal arithmetic
             SELECT user_id, count(*) AS n,
-                   CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-                   CAST(sum(x * x) AS DOUBLE) AS sxx,
-                   CAST(sum(y * y) AS DOUBLE) AS syy,
-                   CAST(sum(x * y) AS DOUBLE) AS sxy
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
             FROM p GROUP BY user_id
+        ),
+        d AS (
+            SELECT user_id, n,
+                   sx::DOUBLE AS sxf, sy::DOUBLE AS syf, n::DOUBLE AS nf,
+                   (n * sxx - sx * sx)::DOUBLE AS vx,
+                   (n * syy - sy * sy)::DOUBLE AS vy,
+                   (n * sxy - sx * sy)::DOUBLE AS cov
+            FROM a
         )
         SELECT user_id, n,
-               CASE WHEN n * sxx - sx * sx <> 0
-                    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-               END AS slope,
-               CASE WHEN n * sxx - sx * sx <> 0
-                    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-               END AS intercept,
-               CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
-                    THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-               END AS r2
-        FROM a
+               CASE WHEN vx <> 0 THEN round(cov / vx, 6) END AS slope,
+               CASE WHEN vx <> 0
+                    THEN round((syf - (cov / vx) * sxf) / nf, 6) END AS intercept,
+               CASE WHEN vx <> 0 AND vy <> 0
+                    THEN round((cov * cov) / (vx * vy), 6) END AS r2
+        FROM d
     """
 
     sqls["q_funnel"] = """

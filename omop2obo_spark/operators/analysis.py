@@ -572,23 +572,37 @@ def set_prf(
     ``group_col`` value plus a ``__all__`` micro-total row, with
     ``tp / fp / fn / precision / recall / f1`` (6dp). Conventions
     pinned: precision NULL when tp+fp = 0, recall NULL when tp+fn = 0,
-    f1 NULL unless precision + recall > 0.
+    f1 NULL unless precision + recall > 0; NULL key values compare
+    NULL-safe (an identical NULL-carrying row on both sides is a tp),
+    and a genuinely-NULL ``group_col`` keeps its own NULL-keyed row,
+    disambiguated from the grand total by the grouping bit.
 
-    Scale: one distinct per side, one full-outer join on the composite
-    row key (skew-free — triple identity), then a map-side-combinable
-    rollup aggregation. Never collects; comparing two 10^12-triple
-    tables is exactly this plan.
+    Scale: one distinct per side, then membership flags via union +
+    groupBy on the composite row key (skew-free — triple identity; NO
+    join, and the max-flags reduce map-side), then a rollup
+    aggregation. Never collects; comparing two 10^12-triple tables is
+    exactly this plan.
     """
     keys = list(predicted.columns)
     if list(truth.columns) != keys:
         raise ValueError(f"column mismatch: {keys} vs {list(truth.columns)}")
-    p = predicted.distinct().withColumn("__p", F.lit(1))
-    t = truth.distinct().withColumn("__t", F.lit(1))
-    j = p.join(t, keys, "full_outer")
-    agg = j.rollup(group_col).agg(
-        F.sum((F.col("__p").isNotNull() & F.col("__t").isNotNull()).cast("long")).alias("tp"),
-        F.sum((F.col("__p").isNotNull() & F.col("__t").isNull()).cast("long")).alias("fp"),
-        F.sum((F.col("__p").isNull() & F.col("__t").isNotNull()).cast("long")).alias("fn"),
+    # union + groupBy instead of a full-outer join: groupBy keys compare
+    # NULL-safe (a NULL-carrying row present on both sides is a tp, where
+    # EqualTo join keys would split it into fp+fn), and the membership
+    # flags reduce map-side — one shuffle on the composite key total
+    marked = predicted.distinct().select(
+        *keys, F.lit(1).alias("__p"), F.lit(0).alias("__t")
+    ).unionByName(
+        truth.distinct().select(*keys, F.lit(0).alias("__p"), F.lit(1).alias("__t"))
+    )
+    per_key = marked.groupBy(*keys).agg(
+        F.max("__p").alias("__p"), F.max("__t").alias("__t")
+    )
+    agg = per_key.rollup(group_col).agg(
+        F.sum(((F.col("__p") == 1) & (F.col("__t") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("__p") == 1) & (F.col("__t") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("__p") == 0) & (F.col("__t") == 1)).cast("long")).alias("fn"),
+        F.grouping(group_col).alias("__g"),
     )
     prec = F.when(
         F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
@@ -597,7 +611,11 @@ def set_prf(
         F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
     )
     out = agg.select(
-        F.coalesce(F.col(group_col), F.lit("__all__")).alias(group_col),
+        # grouping bit, not coalesce: a real NULL group value must stay a
+        # NULL-keyed row, distinct from the grand total
+        F.when(F.col("__g") == 1, F.lit("__all__"))
+        .otherwise(F.col(group_col))
+        .alias(group_col),
         "tp",
         "fp",
         "fn",
@@ -628,31 +646,39 @@ def grouped_linreg(
 
     Engine-portability contract: ``x`` and ``y`` must be INTEGER-valued
     columns (epoch seconds, cents, counts). Integer sums are exact and
-    order-independent, so both engines hold identical longs before the
+    order-independent, so both engines hold identical values before the
     closed-form division — float sums would make the result depend on
     partition addition order. Callers with decimal y scale it first
-    (e.g. cents).
+    (e.g. cents). The squared/cross products and their sums run in
+    DECIMAL(38,0) — still exact and order-independent, and raw epoch
+    seconds (x² ≈ 3·10¹⁸) cannot silently wrap the way an int64 sum
+    would after three rows.
 
     Output per key: ``n``, ``slope``, ``intercept``, ``r2`` (6dp).
     NULL slope/intercept when the x-variance is 0 (vertical / single
     point), NULL r2 when either variance is 0.
     """
+    xd = F.col(x_col).cast("decimal(19,0)")
+    yd = F.col(y_col).cast("decimal(19,0)")
     agged = df.groupBy(F.col(key_col)).agg(
         F.count("*").alias("n"),
         F.sum(F.col(x_col).cast("long")).alias("sx"),
         F.sum(F.col(y_col).cast("long")).alias("sy"),
-        F.sum((F.col(x_col).cast("long") * F.col(x_col).cast("long"))).alias("sxx"),
-        F.sum((F.col(y_col).cast("long") * F.col(y_col).cast("long"))).alias("syy"),
-        F.sum((F.col(x_col).cast("long") * F.col(y_col).cast("long"))).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
-    # ratio arithmetic in double AFTER the exact long sums: long*long
-    # products here could overflow int64, and double multiplication of
-    # identical operands is deterministic across engines
+    # the n·Σx² − (Σx)² differences CANCEL: at epoch-second magnitude the
+    # minuends sit near 5e19 where double ulp is ~8e3, so subtracting in
+    # double quantizes the (small) variance away. Do the differences in
+    # exact decimal; only the already-small results cross into double.
+    nd = F.col("n").cast("decimal(20,0)")
+    sxd = F.col("sx").cast("decimal(20,0)")
+    syd = F.col("sy").cast("decimal(20,0)")
+    vx = (nd * F.col("sxx") - sxd * sxd).cast("double")
+    vy = (nd * F.col("syy") - syd * syd).cast("double")
+    cov = (nd * F.col("sxy") - sxd * syd).cast("double")
     n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    vx = n * F.col("sxx").cast("double") - sx * sx
-    vy = n * F.col("syy").cast("double") - sy * sy
-    cov = n * F.col("sxy").cast("double") - sx * sy
     slope = F.when(vx != 0, cov / vx)
     intercept = F.when(vx != 0, (F.col("sy") - (cov / vx) * F.col("sx")) / n)
     r2 = F.when((vx != 0) & (vy != 0), (cov * cov) / (vx * vy))

@@ -408,6 +408,10 @@ def retrieval_metrics(
     collect, no UDF, nothing leaves the JVM.
     """
     on = [query_id_col, id_col]
+    # duplicate judgments (merged assessor files) would fan out the hits
+    # join and inflate every metric — resolve deterministically to the
+    # max rel per (query, item) before anything else
+    qrels = qrels.groupBy(*on).agg(F.max("rel").alias("rel"))
     hits = (
         ranked.filter(F.col("rank") <= k)
         .join(qrels.select(*on, "rel"), on=on, how="left")

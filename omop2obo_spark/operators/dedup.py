@@ -1093,8 +1093,12 @@ def corpus_overlap_estimate(
         return sh.agg(*aggs)
     a = corpus_sig(docs_a, "a")
     b = corpus_sig(docs_b, "b")
+    # an empty/all-NULL-text corpus yields an all-NULL signature row; the
+    # coalesce pins that to 0 matches -> j_est 0.0 (defined), instead of a
+    # NULL j_est that silently drops out of caller threshold filters
     matches = sum(
-        (F.col(f"a{h}") == F.col(f"b{h}")).cast("int") for h in range(n_hashes)
+        F.coalesce((F.col(f"a{h}") == F.col(f"b{h}")).cast("int"), F.lit(0))
+        for h in range(n_hashes)
     )
     return (
         a.crossJoin(b)

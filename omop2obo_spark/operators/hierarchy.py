@@ -1091,7 +1091,11 @@ def k_core(
     )
     if checkpoint:
         cur = cur.localCheckpoint(eager=True)
+    n_cur = cur.count()
+    converged = n_cur == 0
     for _ in range(max_rounds):
+        if converged:
+            break
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
         nxt = cur.join(keep, "src", "left_semi").join(
@@ -1099,12 +1103,16 @@ def k_core(
         )
         if checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
-        n_cur, n_nxt = cur.count(), nxt.count()
-        cur = nxt
-        if n_nxt == n_cur:
-            break
-        if n_nxt == 0:
-            break
+        n_nxt = nxt.count()  # carried into the next round: one job per round
+        converged = n_nxt == n_cur or n_nxt == 0
+        cur, n_cur = nxt, n_nxt
+    if not converged:
+        # a silent exit here would report interior nodes of a half-peeled
+        # subgraph as core members — a wrong answer, not a degraded one
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint in {max_rounds} rounds "
+            f"({n_cur} edges remain); raise max_rounds"
+        )
     return (
         cur.groupBy("src")
         .agg(F.count("*").alias("core_deg"))

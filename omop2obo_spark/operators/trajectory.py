@@ -143,9 +143,17 @@ def trajectory_stats(transcripts: DataFrame) -> DataFrame:
         F.min(F.when(F.col("tool").isNotNull(), F.col("turn_idx"))).alias(
             "first_tool_idx"
         ),
+        # latency anchors on TURN ORDER at both ends (min_by, not min(ts)):
+        # on a non-monotone feed min(ts) could come from a later turn and
+        # even go negative — exactly the dirt normalize_turn_order repairs
         (
-            F.min(F.when(F.col("tool").isNotNull(), F.col("ts"))).cast("long")
-            - F.min("ts").cast("long")
+            F.min(
+                F.when(
+                    F.col("tool").isNotNull(),
+                    F.struct(F.col("turn_idx"), F.col("ts")),
+                )
+            )["ts"].cast("long")
+            - F.min(F.struct(F.col("turn_idx"), F.col("ts")))["ts"].cast("long")
         ).alias("secs_to_first_tool"),
         (F.max_by("role", "turn_idx") == "tool").alias("ends_with_tool"),
     )

@@ -194,7 +194,15 @@ def concept_set_container(
         F.lit(" "),
         F.lit("_"),
     )
-    tmpl = intention_template.replace("{}", "%s")
+    if intention_template.count("{}") != 3:
+        raise ValueError(
+            "intention_template needs exactly 3 '{}' placeholders "
+            "(concept_id, category, evidence); got "
+            f"{intention_template.count('{}')}"
+        )
+    # escape literal % BEFORE the placeholder substitution: the template
+    # becomes a java.util.Formatter string, where a stray '% c' crashes
+    tmpl = intention_template.replace("%", "%%").replace("{}", "%s")
     intention = F.concat(
         F.lit(intention_header),
         F.format_string(

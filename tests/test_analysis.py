@@ -688,3 +688,48 @@ def test_grouped_linreg_matches_numpy(spark):
     for k in ("single", "vert"):
         assert got[k]["slope"] is None and got[k]["intercept"] is None
         assert got[k]["r2"] is None
+
+
+def test_set_prf_null_keys_and_null_group(spark):
+    """NULL-carrying identical rows are tp (NULL-safe membership, not
+    EqualTo join semantics); a genuinely-NULL group keeps its own row,
+    distinct from the __all__ grand total."""
+    from omop2obo_spark.operators.analysis import set_prf
+
+    pred = spark.createDataFrame(
+        [("s1", "a", None), ("s2", None, "o2")], "subj string, pred string, obj string"
+    )
+    truth = spark.createDataFrame(
+        [("s1", "a", None), ("s2", None, "o2"), ("s3", None, "o3")],
+        "subj string, pred string, obj string",
+    )
+    got = {r.pred: r.asDict() for r in set_prf(pred, truth).collect()}
+    # the NULL-obj row matches: tp for group 'a'
+    assert (got["a"]["tp"], got["a"]["fp"], got["a"]["fn"]) == (1, 0, 0)
+    # NULL-pred rows form their own (None-keyed) group: 1 tp, 1 fn
+    assert (got[None]["tp"], got[None]["fn"]) == (1, 1)
+    # grand total is separate and sums everything
+    assert (got["__all__"]["tp"], got["__all__"]["fp"], got["__all__"]["fn"]) == (2, 0, 1)
+
+
+def test_grouped_linreg_epoch_second_magnitude(spark):
+    """Raw epoch-second x (the docstring's own example) must not wrap:
+    x^2 ~ 3e18 summed over >2 rows exceeds int64 — the decimal(38,0)
+    sums keep it exact. Expected values computed with exact Python int
+    arithmetic."""
+    from fractions import Fraction
+
+    from omop2obo_spark.operators.analysis import grouped_linreg
+
+    xs = [1_770_000_000, 1_770_000_060, 1_770_000_120, 1_770_000_300]
+    ys = [100, 140, 170, 260]
+    df = spark.createDataFrame(
+        [("u", x, y) for x, y in zip(xs, ys)], "k string, x long, y long"
+    )
+    r = grouped_linreg(df, "k", "x", "y").collect()[0]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx, sxy = sum(x * x for x in xs), sum(x * y for x, y in zip(xs, ys))
+    slope = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
+    assert r.slope == round(float(slope), 6)
+    assert r.slope > 0.5  # sanity: ~0.53 cents/sec, not wrapped garbage

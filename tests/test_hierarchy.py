@@ -467,3 +467,19 @@ def test_k_core_k3_inside_k2(spark):
     at3 = {r.ent for r in k_core(edges, k=3).collect()}
     assert at2 == {"a", "b", "c", "d", "p", "q"}
     assert at3 == {"a", "b", "c", "d"}
+
+
+def test_k_core_raises_without_fixpoint(spark):
+    """A long path at k=2 peels two endpoints per round; with too few
+    rounds the loop must RAISE, never report interior path nodes as
+    core members."""
+    import pytest as _pt
+
+    from omop2obo_spark.operators.hierarchy import k_core
+
+    path = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    edges = spark.createDataFrame(path, "ent_a string, ent_b string")
+    with _pt.raises(RuntimeError, match="fixpoint"):
+        k_core(edges, k=2, max_rounds=3)
+    # with enough rounds the same graph converges to the empty 2-core
+    assert k_core(edges, k=2, max_rounds=20).count() == 0

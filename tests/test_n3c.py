@@ -111,3 +111,16 @@ def test_concept_set_container_columns_and_alias(spark):
     # and the '/'->'-' / ' | '->'|' / ' '->'_' chain on labels (ref :166-167)
     r2 = rows["[OMOP2OBO] 42-pulmonary_edema_-_chronic"]
     assert r2.alias == "obo mondo_0000002|obo hp_0000009-edema|fluid"
+
+
+def test_concept_set_container_percent_and_arity_guard(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    out = concept_set_container(
+        df, intention_template="at 95% confidence {}: {} ({})"
+    )
+    row = out.collect()[0]
+    assert "95% confidence" in row.intention  # literal %, not a format crash
+    with _pt.raises(ValueError, match="placeholders"):
+        concept_set_container(df, intention_template="only {} and {}")

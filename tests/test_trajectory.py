@@ -183,3 +183,21 @@ def test_reply_latency_hand_values(spark):
     assert r.n_replies == 2
     assert (r.min_latency_s, r.max_latency_s) == (3, 7)
     assert r.avg_latency_s == 5.0 and r.p50_latency_s == 5.0
+
+
+def test_trajectory_latency_non_monotone_ts_anchors_on_turn_order(spark):
+    """A non-monotone feed (later turn, earlier ts) must not produce a
+    negative latency: both ends of secs_to_first_tool anchor on turn
+    order."""
+    rows = [
+        ("m", 0, "user", "q", None, "2026-01-01 00:01:40"),      # ts=100
+        ("m", 1, "tool", "t", "search", "2026-01-01 00:08:20"),  # ts=500
+        ("m", 5, "tool", "t2", "calc", "2026-01-01 00:00:50"),   # ts=50 (dirty)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = trajectory_stats(df).collect()[0]
+    assert r.first_tool_idx == 1
+    assert r.secs_to_first_tool == 400  # turn1.ts - turn0.ts, NOT min(ts)=50
