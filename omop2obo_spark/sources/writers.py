@@ -221,3 +221,67 @@ def save_bucketed_tables(
         .saveAsTable(t_tr)
     )
     return t_triples, t_tr
+
+
+def manifest_audit(spark: SparkSession, sink: "GraphSink") -> DataFrame:
+    """Per-partition lineage/metrics audit over the sink manifest — the
+    queryable face of the north rule's "per-partition lineage +
+    metrics". One row per part_id:
+
+      * ``attempts`` / ``n_runs`` — total records / distinct run_ids
+      * ``last_status`` / ``last_run_id`` / ``last_ts``
+      * ``rows`` — triples_out of the latest 'done' record (0 if none)
+      * ``total_wall_ms`` — summed over 'done' records (retry cost trail)
+      * ``crash_window`` — latest record is 'pending': a writer died
+        between data commit and state commit; the partition will be
+        re-run on resume (safe — the write is an overwrite) but the
+        audit SURFACES it instead of leaving it buried in the JSONL
+
+    The manifest is bounded by n_buckets x attempts (operational
+    metadata, not data), so materializing it through the driver — which
+    the manifest reader already does by design — is the right cost;
+    the audit itself is a DataFrame so fleet dashboards can union many
+    sinks' audits and aggregate.
+    """
+    recs = sink.manifest(spark=spark)
+    schema = (
+        "run_id string, part_id long, status string, ts double, "
+        "triples_out long, wall_ms long"
+    )
+    rows = [
+        (
+            r["run_id"],
+            int(r["part_id"]),
+            r["status"],
+            float(r["ts"]),
+            int(r.get("triples_out") or 0),
+            int(r.get("wall_ms") or 0),
+        )
+        for r in recs
+    ]
+    df = spark.createDataFrame(rows, schema)
+    base = df.groupBy("part_id").agg(
+        F.count("*").alias("attempts"),
+        F.count_distinct("run_id").alias("n_runs"),
+        F.max_by("status", "ts").alias("last_status"),
+        F.max_by("run_id", "ts").alias("last_run_id"),
+        F.max("ts").alias("last_ts"),
+        F.max_by(
+            F.when(F.col("status") == "done", F.col("triples_out")), 
+            F.when(F.col("status") == "done", F.col("ts")),
+        ).alias("__rows"),
+        F.sum(
+            F.when(F.col("status") == "done", F.col("wall_ms")).otherwise(0)
+        ).alias("total_wall_ms"),
+    )
+    return base.select(
+        "part_id",
+        "attempts",
+        "n_runs",
+        "last_status",
+        "last_run_id",
+        "last_ts",
+        F.coalesce("__rows", F.lit(0)).alias("rows"),
+        "total_wall_ms",
+        (F.col("last_status") == "pending").alias("crash_window"),
+    )

@@ -261,3 +261,29 @@ def test_join_delta_algebraic_property(spark):
     assert bag(delta)[(2, "a3", "b2")] == 1
     assert bag(delta)[(2, "a2", "b3")] == 1
     assert bag(delta)[(2, "a3", "b4")] == 1
+
+
+def test_manifest_audit_lineage_and_crash_window(spark, tmp_path):
+    """The audit surfaces attempts/retries, rows from the LATEST done
+    record, summed wall, and flags a partition whose last record is
+    'pending' (writer died in the data-commit/state-commit window)."""
+    from omop2obo_spark.sources.writers import GraphSink, manifest_audit
+
+    sink = GraphSink(str(tmp_path / "g"), n_buckets=4)
+    # p0: clean single run
+    sink.record("runA", 0, "pending")
+    sink.record("runA", 0, "done", triples_out=10, wall_ms=100)
+    # p1: failed attempt then successful retry in a second run
+    sink.record("runA", 1, "pending")
+    sink.record("runB", 1, "pending")
+    sink.record("runB", 1, "done", triples_out=7, wall_ms=250)
+    # p2: crash window — pending with no later done
+    sink.record("runB", 2, "pending")
+    got = {r.part_id: r.asDict() for r in manifest_audit(spark, sink).collect()}
+    assert got[0]["attempts"] == 2 and got[0]["n_runs"] == 1
+    assert got[0]["rows"] == 10 and got[0]["crash_window"] is False
+    assert got[1]["attempts"] == 3 and got[1]["n_runs"] == 2
+    assert got[1]["rows"] == 7 and got[1]["total_wall_ms"] == 250
+    assert got[1]["last_run_id"] == "runB"
+    assert got[2]["last_status"] == "pending" and got[2]["crash_window"] is True
+    assert got[2]["rows"] == 0
