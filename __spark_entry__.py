@@ -3352,6 +3352,33 @@ def q_n3c_container(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/hierarchy.py:sssp) over the
+    co-mention graph, seeded at every MONDO entity, edge weight
+    1/n_convs so strong co-mention means near — distributed Bellman-
+    Ford relaxation to fixpoint, the weighted companion of q_k_hop.
+    Each round joins the node-cardinality distance vector against the
+    edge list and min-combines map-side. Oracle: 8 unrolled
+    MATERIALIZED relaxation rounds (idempotent past convergence)."""
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence, sssp
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    w = (F.lit(1.0) / F.col("n_convs")).alias("w")
+    e = edges.select(
+        F.col("ent_a").alias("src"), F.col("ent_b").alias("dst"), w
+    ).unionByName(
+        edges.select(
+            F.col("ent_b").alias("src"), F.col("ent_a").alias("dst"), w
+        )
+    )
+    seeds = (
+        e.select(F.col("src").alias("ent"))
+        .filter(F.col("ent").startswith("obo:MONDO_"))
+        .distinct()
+    )
+    return sssp(e, seeds)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the entity co-mention graph (operators/hierarchy.py:
     k_core): iterative peeling of degree<2 nodes until fixpoint — the
@@ -3591,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_p_vocab": q_top_p_vocab,
         "q_json_props": q_json_props,
         "q_rank_functions": q_rank_functions,
+        "q_sssp": q_sssp,
     }
 
 
@@ -5617,6 +5645,42 @@ FROM ag"""
                'omop2obo-spark' AS created_by, '2026-01-01' AS created_at
         FROM r
     """
+
+    # SSSP replay: 8 unrolled Bellman-Ford relaxation rounds over the
+    # 1/n_convs-weighted symmetrized co-mention graph, MONDO seeds
+    _ss_rounds = ""
+    _ss_prev = "sd0"
+    for _r in range(1, 9):
+        _ss_rounds += f""",
+sd{_r} AS MATERIALIZED (
+    SELECT ent, min(dist) AS dist FROM (
+        SELECT e.d AS ent, p.dist + e.w AS dist
+        FROM {_ss_prev} p JOIN se e ON e.s = p.ent
+        UNION ALL SELECT ent, dist FROM {_ss_prev}
+    ) GROUP BY ent
+)"""
+        _ss_prev = f"sd{_r}"
+    sqls["q_sssp"] = kg_triples_sql(
+        final_select=f""", ents AS (
+    SELECT DISTINCT conv_id, obj AS ent FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+prsn AS (
+    SELECT l.ent AS a, r.ent AS b, count(*) AS n
+    FROM ents l JOIN ents r ON l.conv_id = r.conv_id AND l.ent < r.ent
+    GROUP BY 1, 2
+),
+se AS MATERIALIZED (
+    SELECT a AS s, b AS d, 1.0::DOUBLE / n AS w FROM prsn
+    UNION ALL
+    SELECT b AS s, a AS d, 1.0::DOUBLE / n AS w FROM prsn
+),
+sd0 AS MATERIALIZED (
+    SELECT DISTINCT s AS ent, 0.0::DOUBLE AS dist FROM se
+    WHERE starts_with(s, 'obo:MONDO_')
+){_ss_rounds}
+SELECT ent, round(dist, 9) AS dist FROM {_ss_prev}"""
+    )
 
     # k-core replay: 8 unrolled peel rounds (degree -> survivor set ->
     # edge filter); peeling is idempotent past convergence, so the fixed

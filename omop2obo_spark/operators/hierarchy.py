@@ -1119,3 +1119,72 @@ def k_core(
         .filter(F.col("core_deg") >= k)
         .select(F.col("src").alias("ent"), "core_deg")
     )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    source_col: str = "ent",
+    max_rounds: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by iterative
+    relaxation (distributed Bellman-Ford): per round, every node's
+    tentative distance is min(current, incoming dist + edge weight);
+    fixpoint when a round improves nothing. The weighted companion of
+    :func:`k_hop` — co-mention graphs weighted 1/count make "strongly
+    co-mentioned" mean "near".
+
+    Inputs: ``edges`` (src, dst, w) DIRECTED (symmetrize first for an
+    undirected graph); ``sources`` — one column of seed nodes (distance
+    0). Output: ``(ent, dist)`` for every reachable node, dist rounded
+    9dp (path sums are double — deterministic for a given path, and the
+    min over alternative paths compares exact doubles).
+
+    Scale: each round is one equi-join of the distance vector against
+    the edge list on the src key plus a map-side-combined min — the
+    distance vector is node-cardinality (dimension scale next to the
+    corpus); the edge table keeps its partitioning. Rounds are bounded
+    by the weighted-path hop diameter; ``localCheckpoint`` caps lineage
+    and the loop-control count is scalar. Negative weights are rejected
+    (Bellman-Ford would need the V-1 full sweep; shortest paths over
+    similarity graphs are non-negative by construction).
+    """
+    if edges.filter(F.col(weight_col) < 0).limit(1).count() > 0:
+        raise ValueError("sssp requires non-negative edge weights")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"),
+        F.col(weight_col).cast("double").alias("__w"),
+    )
+    dist = sources.select(F.col(source_col).alias("ent"), F.lit(0.0).alias("dist"))
+    if checkpoint:
+        dist = dist.localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_rounds):
+        cand = (
+            dist.join(e, dist.ent == e.__s)
+            .select(F.col("__d").alias("ent"), (F.col("dist") + F.col("__w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("ent")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            cand = cand.localCheckpoint(eager=True)
+        improved = (
+            cand.alias("n")
+            .join(dist.alias("o"), "ent", "left")
+            .filter(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
+            .count()
+        )
+        dist = cand
+        if improved == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"sssp did not converge in {max_rounds} rounds; raise max_rounds"
+        )
+    return dist.select("ent", F.round("dist", 9).alias("dist"))

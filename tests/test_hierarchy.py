@@ -483,3 +483,52 @@ def test_k_core_raises_without_fixpoint(spark):
         k_core(edges, k=2, max_rounds=3)
     # with enough rounds the same graph converges to the empty 2-core
     assert k_core(edges, k=2, max_rounds=20).count() == 0
+
+
+def test_sssp_matches_dijkstra_model(spark):
+    """Relaxation fixpoint equals a Python Dijkstra on a weighted graph
+    with a tempting-but-wrong greedy hop (direct edge 5.0 vs two-hop
+    1.0+1.5); unreachable nodes absent; negative weights rejected."""
+    import heapq
+
+    import pytest as _pt
+
+    from omop2obo_spark.operators.hierarchy import sssp
+
+    edges = [("a", "b", 1.0), ("b", "c", 1.5), ("a", "c", 5.0),
+             ("c", "d", 0.5), ("x", "y", 1.0)]
+    e = spark.createDataFrame(edges, "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a",)], "ent string")
+    got = {r.ent: r.dist for r in sssp(e, seeds).collect()}
+
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {"a": 0.0}
+    pq = [(0.0, "a")]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        for v, w in adj.get(u, []):
+            nd = dd + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == {k: round(v, 9) for k, v in dist.items()}
+    assert "x" not in got and "y" not in got
+    assert got["c"] == 2.5 and got["d"] == 3.0
+
+    neg = spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, w double")
+    with _pt.raises(ValueError, match="non-negative"):
+        sssp(neg, seeds)
+
+
+def test_sssp_raises_without_convergence(spark):
+    import pytest as _pt
+
+    from omop2obo_spark.operators.hierarchy import sssp
+
+    chain = [(f"n{i}", f"n{i+1}", 1.0) for i in range(10)]
+    e = spark.createDataFrame(chain, "src string, dst string, w double")
+    seeds = spark.createDataFrame([("n0",)], "ent string")
+    with _pt.raises(RuntimeError, match="converge"):
+        sssp(e, seeds, max_rounds=3)
