@@ -733,3 +733,27 @@ def test_grouped_linreg_epoch_second_magnitude(spark):
     slope = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
     assert r.slope == round(float(slope), 6)
     assert r.slope > 0.5  # sanity: ~0.53 cents/sec, not wrapped garbage
+
+
+def test_set_prf_and_linreg_partitioning_independent(spark):
+    from omop2obo_spark.operators.analysis import grouped_linreg, set_prf
+
+    pred = spark.createDataFrame(
+        [(f"s{i}", f"p{i % 3}", f"o{i % 5}") for i in range(40)],
+        "subj string, pred string, obj string",
+    )
+    truth = spark.createDataFrame(
+        [(f"s{i}", f"p{i % 3}", f"o{i % 5}") for i in range(10, 50)],
+        "subj string, pred string, obj string",
+    )
+    a = sorted(map(tuple, set_prf(pred.coalesce(1), truth.coalesce(1)).collect()))
+    b = sorted(map(tuple, set_prf(pred.repartition(13), truth.repartition(7)).collect()))
+    assert a == b
+
+    pts = spark.createDataFrame(
+        [(f"k{i % 5}", 1_770_000_000 + i * 60, 100 + (i * 37) % 91) for i in range(60)],
+        "k string, x long, y long",
+    )
+    a = sorted(map(tuple, grouped_linreg(pts.coalesce(1), "k", "x", "y").collect()))
+    b = sorted(map(tuple, grouped_linreg(pts.repartition(17), "k", "x", "y").collect()))
+    assert a == b

@@ -2311,3 +2311,29 @@ def test_corpus_overlap_empty_corpus_defined_zero(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     r = corpus_overlap_estimate(a, empty, n_hashes=16).collect()[0]
     assert r.n_match == 0 and r.j_est == 0.0
+
+
+def test_top_p_and_retrieval_partitioning_independent(spark):
+    from omop2obo_spark.operators.ann import retrieval_metrics
+    from omop2obo_spark.operators.textstats import top_p_vocabulary
+
+    counts = spark.createDataFrame(
+        [(f"g{i % 4}", f"tok{j}", (i * 7 + j) % 13 + 1)
+         for i in range(16) for j in range(9)],
+        "src string, token string, n long",
+    )
+    a = sorted(map(tuple, top_p_vocabulary(counts.coalesce(1), "src", p=0.6).collect()))
+    b = sorted(map(tuple, top_p_vocabulary(counts.repartition(11), "src", p=0.6).collect()))
+    assert a == b
+
+    ranked = spark.createDataFrame(
+        [(q, i, r + 1) for q in range(6) for r, i in enumerate(range(q, q + 7))],
+        "query_id int, vec_id int, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(q, (q * 3 + j) % 11, j % 4) for q in range(6) for j in range(5)],
+        "query_id int, vec_id int, rel int",
+    )
+    a = sorted(map(tuple, retrieval_metrics(ranked.coalesce(1), qrels.coalesce(1), k=5).collect()))
+    b = sorted(map(tuple, retrieval_metrics(ranked.repartition(9), qrels.repartition(7), k=5).collect()))
+    assert a == b

@@ -201,3 +201,28 @@ def test_trajectory_latency_non_monotone_ts_anchors_on_turn_order(spark):
     r = trajectory_stats(df).collect()[0]
     assert r.first_tool_idx == 1
     assert r.secs_to_first_tool == 400  # turn1.ts - turn0.ts, NOT min(ts)=50
+
+
+@pytest.mark.parametrize("parts", [1, 13])
+def test_trajectory_ops_partitioning_independent(spark, parts):
+    """Every trajectory operator must emit identical rows at 1 and 13
+    input partitions — windows, islands, and distinct-set joins cannot
+    depend on physical layout."""
+    rows = []
+    tools = ["search", "calc", None, "sql"]
+    for c in range(12):
+        for i in range(8):
+            role = ["user", "assistant", "tool"][(c + i) % 3]
+            tool = tools[(c * 3 + i) % 4] if role == "tool" else None
+            rows.append(
+                (f"c{c}", i, role, f"t{c}-{i}", tool,
+                 "2026-01-01 00:%02d:%02d" % (c, i))
+            )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).repartition(parts)
+    for op in (tool_transitions, tool_retry_runs, trajectory_stats, tool_cooccurrence):
+        got = sorted(map(tuple, op(df).collect()))
+        base = sorted(map(tuple, op(df.coalesce(1)).collect()))
+        assert got == base, op.__name__
