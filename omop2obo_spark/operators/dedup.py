@@ -67,6 +67,12 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def _minhash_component(h: int, shingle: Column) -> Column:
+    """Component h of the md5 min-hash family — the ONE hash definition
+    shared by per-doc signatures and corpus-level signatures."""
+    return F.md5(F.concat(F.lit(str(h) + "|"), shingle))
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 16, k: int = 3,
@@ -80,7 +86,7 @@ def minhash_signatures(
     """
     sh = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(h) + "|"), F.col("shingle")))).alias(f"h{h}")
+        F.min(_minhash_component(h, F.col("shingle"))).alias(f"h{h}")
         for h in range(n_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
@@ -1085,9 +1091,7 @@ def corpus_overlap_estimate(
     def corpus_sig(docs: DataFrame, name: str) -> DataFrame:
         sh = docs.select(F.explode(shingles(F.col(text_col), k)).alias("shingle"))
         aggs = [
-            F.min(F.md5(F.concat(F.lit(str(h) + "|"), F.col("shingle")))).alias(
-                f"{name}{h}"
-            )
+            F.min(_minhash_component(h, F.col("shingle"))).alias(f"{name}{h}")
             for h in range(n_hashes)
         ]
         return sh.agg(*aggs)

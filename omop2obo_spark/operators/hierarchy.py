@@ -218,6 +218,18 @@ def sameas_bridge(
     )
 
 
+def symmetrize_edges(
+    edges: "DataFrame", src_col: str, dst_col: str
+) -> "DataFrame":
+    """Undirected view of an edge list: both directions, deduplicated —
+    the shared preamble of pagerank / k_core / any undirected analytic."""
+    return (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "ent_a",
@@ -246,11 +258,7 @@ def pagerank(
     ``localCheckpoint`` per iteration keeps lineage O(1) like
     :func:`ancestor_closure`.
     """
-    und = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
-    )
+    und = symmetrize_edges(edges, src_col, dst_col)
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     if checkpoint:
         deg = deg.localCheckpoint(eager=True)
@@ -1084,11 +1092,7 @@ def k_core(
     Output: ``(ent, core_deg)`` — nodes of the k-core with their degree
     inside it. Empty result == no k-core (e.g. a forest at k=2).
     """
-    cur = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
-    )
+    cur = symmetrize_edges(edges, src_col, dst_col)
     if checkpoint:
         cur = cur.localCheckpoint(eager=True)
     n_cur = cur.count()
