@@ -584,3 +584,43 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan or "PartitionFilters: [isnotnull(part" in plan, plan
     # and the result only reads the single surviving partition
     assert joined.count() == 200
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join handling — the first line of defense
+    before the manual salted_join — must actually fire on a Zipf-hot
+    key: the executed plan's shuffle read shows the skewed split
+    (AQEShuffleRead skewed / skew=true). Thresholds are lowered to make
+    the 32KB-scale fixture cross the same relative bar a 100 TB hot
+    partition crosses in production."""
+    from omop2obo_spark.session import get_spark
+
+    s = get_spark(app_name="omop2obo-tests", master="local[8]", shuffle_partitions=8)
+    # runtime SQL confs apply to the SHARED session: save + restore, or
+    # the lowered thresholds / disabled broadcasts poison later tests
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: s.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            s.conf.set(k, v)
+        big = s.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("padpadpadpadpadpadpadpadpad-"), F.col("id")).alias("v"),
+        )
+        dim = s.range(0, 1000).select(F.col("id").alias("k"), F.lit("d").alias("w"))
+        j = big.join(dim, "k").select(F.substring("v", 1, 4).alias("s"))
+        assert len(j.collect()) == 300_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan or "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                s.conf.unset(k)
+            else:
+                s.conf.set(k, v)
