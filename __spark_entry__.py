@@ -556,6 +556,23 @@ def q_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_join(d, threshold=(1, 2))
 
 
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein self-join (operators/dedup.py:
+    edit_distance_join): all doc-prefix pairs within edit distance 2 via
+    the ED-Join q-gram prefix filter — occurrence-encoded grams, rarest-
+    first k·q+1 prefixes, bounded short-string block, thresholded
+    levenshtein verify. Lossless vs brute force (pinned in tests); the
+    oracle IS the brute force."""
+    from omop2obo_spark.operators.dedup import edit_distance_join
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.substring(F.lower(F.col("text")), 1, 12).alias("text"))
+    )
+    return edit_distance_join(d, max_dist=2)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static-merge-table BPE encoding (operators/textstats.py:
     bpe_apply): per-doc token accounting after applying a frozen
@@ -3619,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": q_json_props,
         "q_rank_functions": q_rank_functions,
         "q_sssp": q_sssp,
+        "q_edit_join": q_edit_join,
     }
 
 
@@ -4123,6 +4141,21 @@ FROM all_t GROUP BY pred"""
         JOIN sizes na ON na.doc = a
         JOIN sizes nb ON nb.doc = b
         WHERE inter * 2 >= (na.n + nb.n - inter)
+    """
+
+    # q_edit_join oracle: the O(n²) brute force the prefix-filtered join
+    # must reproduce exactly (bounded subset; length pre-filter only cuts
+    # pairs the distance bound already excludes)
+    sqls["q_edit_join"] = """
+        WITH s AS (
+            SELECT doc_id, substr(lower(text), 1, 12) AS t
+            FROM documents WHERE doc_id < 400 AND text IS NOT NULL
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE abs(length(a.t) - length(b.t)) <= 2
+          AND levenshtein(a.t, b.t) <= 2
     """
 
     # simhash over 16 bits with md5-hex → bigint tokens

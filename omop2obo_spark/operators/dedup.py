@@ -1113,3 +1113,136 @@ def corpus_overlap_estimate(
             F.round(F.col("__m") / F.lit(n_hashes), 6).alias("j_est"),
         )
     )
+
+
+def edit_distance_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Exact edit-distance (Levenshtein) self-join: every pair of docs
+    with ``ed(text_a, text_b) <= max_dist`` — the character-level
+    similarity join next to the set-level ones
+    (:func:`prefix_filter_jaccard_join` for Jaccard,
+    :func:`minhash_lsh_pairs` for approximate). The reference's fuzzy
+    tier is TF-IDF cosine (`/root/reference/omop2obo/string_similarity.py:206`);
+    edit distance is the complementary string-metric join an
+    entity-name / near-dup pipeline needs (typo variants, OCR noise).
+
+    Candidate generation is the ED-Join / q-gram prefix filter, with NO
+    approximation:
+
+      * each string becomes occurrence-encoded q-grams ``(gram, occ)``
+        — the i-th occurrence of a gram value is its own element, so an
+        equi-join computes MULTISET intersection exactly;
+      * one edit operation destroys at most ``q`` grams, so if
+        ``ed(a,b) <= k`` the multisets share >= ``max(n_a, n_b) - k*q``
+        elements; by the AllPairs prefix lemma the first
+        ``k*q + 1`` elements of each string under one global total
+        order must collide. We order elements rarest-first (corpus
+        frequency asc, then value) so prefixes are dominated by RARE
+        grams — hot grams never fan out, the anti-skew property;
+      * strings too short for the bound to bite
+        (``len <= q*(k+1) - 1``, i.e. fewer than ``k*q + 1`` grams
+        after ``len - q + 1``) are a bounded-length dimension handled
+        by an explicit short×short block (broadcast, length-filtered) —
+        a pair with one long partner is still covered by the long
+        side's prefix, so ONLY both-short pairs need the block;
+      * verification is built-in ``levenshtein`` with the threshold
+        argument (bails out of the DP once > k) on candidate pairs
+        only — text bytes move only for candidates.
+
+    Returns (a, b, dist) with a < b, dist <= max_dist. NULL texts are
+    excluded (no distance is defined); empty strings participate (they
+    are `short`). Lossless vs brute force — pinned in tests.
+
+    Scale shape: one shuffle for gram frequency (vocab scale), one
+    per-doc window for the prefix rank (doc-bounded groups), a
+    rare-key-by-construction prefix self-join, then a candidate-sized
+    verify join. Never an all-pairs product on the long population.
+    """
+    k = int(max_dist)
+    if k < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    base = (
+        docs.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .withColumn("__len", F.length("__t"))
+    )
+    short_max = q * (k + 1) - 1  # len - q + 1 - k*q < 1  <=>  len <= short_max
+
+    # -- short×short block: bounded-length dimension, broadcast ---------
+    shorts = base.filter(F.col("__len") <= F.lit(short_max))
+    sa = shorts.select(
+        F.col("doc").alias("a"), F.col("__t").alias("__ta"), F.col("__len").alias("__la")
+    )
+    sb = shorts.select(
+        F.col("doc").alias("b"), F.col("__t").alias("__tb"), F.col("__len").alias("__lb")
+    )
+    short_cand = (
+        sa.join(F.broadcast(sb), on=F.col("a") < F.col("b"))
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= F.lit(k))
+        .select("a", "b")
+    )
+
+    # -- prefix path for everything with >= 1 gram ----------------------
+    grams = (
+        base.filter(F.col("__len") >= F.lit(q))
+        .select(
+            "doc",
+            "__len",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {q} + 1),"
+                    f" i -> substring(__t, i, {q}))"
+                )
+            ).alias("__pos", "gram"),
+        )
+        # occurrence number: i-th time this gram value appears in this doc
+        .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("doc", "gram").orderBy("__pos")
+            ),
+        )
+        .select("doc", "__len", "gram", "occ")
+    )
+    freq = grams.groupBy("gram", "occ").agg(F.count("*").alias("__f"))
+    w = Window.partitionBy("doc").orderBy("__f", "gram", "occ")
+    prefix = (
+        grams.join(freq, on=["gram", "occ"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(k * q + 1))
+        .select("doc", "__len", "gram", "occ")
+    )
+    pa = prefix.select(
+        F.col("doc").alias("a"), F.col("__len").alias("__la"), "gram", "occ"
+    )
+    pb = prefix.select(
+        F.col("doc").alias("b"), F.col("__len").alias("__lb"), "gram", "occ"
+    )
+    gram_cand = (
+        pa.join(pb, on=["gram", "occ"])
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= F.lit(k))
+        )
+        .select("a", "b")
+    )
+
+    cand = short_cand.unionByName(gram_cand).distinct()
+
+    # -- verify: threshold Levenshtein on candidates only ---------------
+    ta = base.select(F.col("doc").alias("a"), F.col("__t").alias("__ta"))
+    tb = base.select(F.col("doc").alias("b"), F.col("__t").alias("__tb"))
+    return (
+        cand.join(ta, on="a")
+        .join(tb, on="b")
+        .withColumn("dist", F.levenshtein(F.col("__ta"), F.col("__tb"), k))
+        .filter(F.col("dist") >= 0)
+        .select("a", "b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -2337,3 +2337,68 @@ def test_top_p_and_retrieval_partitioning_independent(spark):
     a = sorted(map(tuple, retrieval_metrics(ranked.coalesce(1), qrels.coalesce(1), k=5).collect()))
     b = sorted(map(tuple, retrieval_metrics(ranked.repartition(9), qrels.repartition(7), k=5).collect()))
     assert a == b
+
+
+def _py_levenshtein(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_join_equals_bruteforce(spark):
+    """The ED-Join prefix filter must be lossless: pair set + distances
+    equal the O(n²) brute force at k = 0..3, across a corpus that
+    exercises every candidate path — long strings (gram prefix), short
+    strings incl. empty (bounded short block), exact dups, NULL text
+    (excluded), and hot repeated grams (occurrence encoding)."""
+    import itertools
+    import random
+
+    from omop2obo_spark.operators.dedup import edit_distance_join
+
+    rng = random.Random(7)
+    rows = [(i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 12))))
+            for i in range(60)]
+    rows += [(100, "kitten"), (101, "sitting"), (102, "flaw"), (103, "lawn"),
+             (104, "abcabcabc"), (105, "abcabcabc"), (106, ""), (107, "ab"),
+             (108, None), (109, "aaaaaaaaaa"), (110, "aaaaabaaaa")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    present = [(i, t) for i, t in rows if t is not None]
+    for k in (0, 1, 2, 3):
+        got = {(r.a, r.b, r.dist) for r in edit_distance_join(docs, max_dist=k).collect()}
+        want = {
+            (a, b, _py_levenshtein(ta, tb))
+            for (a, ta), (b, tb) in itertools.combinations(present, 2)
+            if _py_levenshtein(ta, tb) <= k
+        }
+        assert got == want, f"k={k}"
+
+
+def test_edit_distance_join_partitioning_independent(spark):
+    from omop2obo_spark.operators.dedup import edit_distance_join
+
+    rows = [(i, f"prefix-{i % 7}-suffix") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    a = {(r.a, r.b, r.dist)
+         for r in edit_distance_join(docs.repartition(13), max_dist=2).collect()}
+    b = {(r.a, r.b, r.dist)
+         for r in edit_distance_join(docs.coalesce(1), max_dist=2).collect()}
+    assert a == b and a
+
+
+def test_edit_distance_join_rejects_bad_params(spark):
+    import pytest
+
+    from omop2obo_spark.operators.dedup import edit_distance_join
+
+    docs = spark.createDataFrame([(0, "abc")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        edit_distance_join(docs, max_dist=-1)
+    with pytest.raises(ValueError):
+        edit_distance_join(docs, q=0)
