@@ -1802,6 +1802,18 @@ def q_entity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_jaccard(edges)
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/hierarchy.py:adamic_adar):
+    log-weighted common-neighbor scores over the co-mention graph, with
+    a `linked` flag separating missing-link candidates from existing
+    edges — the companion signal to q_entity_jaccard. Same wedge join +
+    broadcast degree dim; weights partial-sum map-side."""
+    from omop2obo_spark.operators.hierarchy import adamic_adar, entity_cooccurrence
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return adamic_adar(edges)
+
+
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (operators/
     hierarchy.py:label_propagation, 3 rounds, min-label tie-break) over
@@ -3637,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rank_functions": q_rank_functions,
         "q_sssp": q_sssp,
         "q_edit_join": q_edit_join,
+        "q_adamic_adar": q_adamic_adar,
     }
 
 
@@ -6268,6 +6281,27 @@ SELECT p.ent_a, p.ent_b, p.shared,
 FROM prs p
 JOIN deg da ON da.node = p.ent_a
 JOIN deg db ON db.node = p.ent_b"""
+    )
+    sqls["q_adamic_adar"] = kg_triples_sql(
+        final_select=_COEDGES
+        + """,
+adj AS (
+    SELECT ent_a AS node, ent_b AS nbr FROM edges
+    UNION ALL SELECT ent_b, ent_a FROM edges
+),
+deg AS (SELECT nbr, count(*) AS d FROM (SELECT nbr FROM adj) GROUP BY 1),
+prs AS (
+    SELECT l.node AS ent_a, r.node AS ent_b,
+           count(*) AS shared, round(sum(1.0 / ln(d.d)), 6) AS aa_score
+    FROM adj l
+    JOIN adj r ON l.nbr = r.nbr AND l.node < r.node
+    JOIN deg d ON d.nbr = l.nbr
+    GROUP BY 1, 2
+)
+SELECT p.ent_a, p.ent_b, p.shared, p.aa_score,
+       EXISTS (SELECT 1 FROM edges e
+               WHERE e.ent_a = p.ent_a AND e.ent_b = p.ent_b) AS linked
+FROM prs p"""
     )
     sqls["q_communities"] = kg_triples_sql(
         final_select=_COEDGES + ', adj AS (\n    SELECT ent_a AS node, ent_b AS nbr FROM edges\n    UNION ALL SELECT ent_b, ent_a FROM edges\n),\nl0 AS (SELECT DISTINCT node, node AS community FROM adj),\nn1 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l0 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl1 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n1\n    ) WHERE rn = 1\n),\nn2 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l1 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl2 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n2\n    ) WHERE rn = 1\n),\nn3 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l2 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl3 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n3\n    ) WHERE rn = 1\n)\nSELECT node AS ent, community FROM l3'

@@ -556,6 +556,59 @@ def neighbor_jaccard(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     )
 
 
+def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
+    """Adamic-Adar link-prediction score over the co-mention graph: for
+    every entity pair sharing >= ``min_shared`` neighbors,
+    ``AA(a,b) = sum over common neighbors z of 1/ln(deg(z))`` — common
+    neighbors count, but RARE shared contexts count more (the classic
+    "log-weighted common neighbors" signal). The companion of
+    :func:`neighbor_jaccard`: Jaccard normalizes by the pair's own
+    degrees, Adamic-Adar by the informativeness of each shared
+    neighbor; together they feed the missing-link review queue.
+
+    Returns (ent_a, ent_b, shared, aa_score, linked) with ent_a <
+    ent_b; ``linked`` marks pairs already directly connected (the
+    candidate set for link PREDICTION is ``NOT linked``, kept as a flag
+    so callers can also rank existing edges). aa_score rounded 6dp.
+
+    Scale shape: identical wedge formulation to :func:`neighbor_jaccard`
+    — adjacency self-joined on the shared neighbor (never all-pairs),
+    per-neighbor degree broadcast onto the wedge BEFORE aggregation so
+    the 1/ln(d) weights partial-sum map-side. A common neighbor always
+    has degree >= 2 (it touches both endpoints), so ln(d) > 0 — no
+    division guard needed. Hub neighbors inflate wedges exactly as in
+    triangles/jaccard; cap hub adjacency upstream for super-connectors.
+    """
+    adj = edges.select(
+        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
+    )
+    deg_n = adj.groupBy(F.col("node").alias("nbr")).agg(F.count("*").alias("__dn"))
+    l = adj.select(F.col("node").alias("ent_a"), "nbr").join(
+        F.broadcast(deg_n), on="nbr"
+    )
+    r = adj.select(F.col("node").alias("ent_b"), "nbr")
+    pairs = (
+        l.join(r, on="nbr")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("__dn"))), 6).alias("aa_score"),
+        )
+        .filter(F.col("shared") >= int(min_shared))
+    )
+    direct = edges.select("ent_a", "ent_b", F.lit(True).alias("__e"))
+    return (
+        pairs.join(direct, on=["ent_a", "ent_b"], how="left")
+        .select(
+            "ent_a", "ent_b", "shared", "aa_score",
+            F.coalesce(F.col("__e"), F.lit(False)).alias("linked"),
+        )
+    )
+
+
 def cooccurrence_drift(
     triples: DataFrame,
     transcripts: DataFrame,

@@ -137,6 +137,44 @@ def test_neighbor_jaccard_known_graph(spark):
     assert got == {("a", "b"): (2, 1.0), ("c", "d"): (2, 1.0)}
 
 
+def test_adamic_adar_hand_computed(spark):
+    """AA weights vs hand arithmetic on a graph with one informative and
+    one hub shared neighbor, plus the linked flag on a direct edge."""
+    import math
+
+    from omop2obo_spark.operators.hierarchy import adamic_adar
+
+    # a-b direct edge; a and b also share neighbors c (deg 2: a,b) and
+    # h (hub, deg 4: a,b,x,y).  c and h share neighbors a (deg 3) and
+    # b (deg 3).  x and y share only hub h (deg 4).
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "h"), ("b", "h"),
+         ("h", "x"), ("h", "y")],
+    )
+    got = {
+        (r.ent_a, r.ent_b): (r.shared, r.aa_score, r.linked)
+        for r in adamic_adar(e).collect()
+    }
+    aa_ab = round(1 / math.log(2) + 1 / math.log(4), 6)
+    aa_ch = round(2 / math.log(3), 6)
+    aa_xy = round(1 / math.log(4), 6)
+    ab3 = round(1 / math.log(3), 6)
+    assert got[("a", "b")] == (2, aa_ab, True)
+    assert got[("c", "h")] == (2, aa_ch, False)
+    assert got[("x", "y")] == (1, aa_xy, False)
+    # wedges through the hub h and through direct endpoints
+    assert got[("a", "x")] == (1, aa_xy, False)
+    assert got[("b", "x")] == (1, aa_xy, False)
+    assert got[("a", "y")] == (1, aa_xy, False)
+    assert got[("b", "y")] == (1, aa_xy, False)
+    assert got[("a", "c")] == (1, ab3, True)
+    assert got[("b", "c")] == (1, ab3, True)
+    assert got[("a", "h")] == (1, ab3, True)
+    assert got[("b", "h")] == (1, ab3, True)
+    assert len(got) == 11
+
+
 def test_triangle_join_is_single_direction(spark):
     """Plan shape: the ordered-edge enumeration never unions reversed
     edges before the wedge join — the canonical a<b input is joined
