@@ -353,6 +353,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity (operators/temporal.py:
+    rolling_range_agg): RANGE-frame window on exact epoch micros —
+    frame membership by timestamp VALUE, deterministic under ties where
+    a ROWS frame is partition-order-dependent. One shuffle on user_id."""
+    from omop2obo_spark.operators.temporal import rolling_range_agg
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_range_agg(e, window_sec=3600)
+
+
 def q_normalize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 surface: normalize synthesized raw codes with the engine's native
     normalizer; the oracle replicates the same prefix mapping in SQL."""
@@ -619,6 +630,18 @@ def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", whitespace_token_count(F.col("text")).alias("n_tokens")
     )
     return pack_stats(pack_sequences(d, budget=200, n_buckets=8), budget=200)
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing audit (operators/pack.py:
+    length_bucket_stats): exact-quantile length buckets + per-bucket
+    padding-waste accounting — the batch-construction planner's view of
+    the corpus. One boundary aggregate (1-row broadcast) + one
+    n_buckets-key groupBy; the approx=True twin is the 100-TB sketch
+    path, error-bounded in tests."""
+    from omop2obo_spark.operators.pack import length_bucket_stats
+
+    return length_bucket_stats(_docs(spark, sf_dir), n_buckets=8)
 
 
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3650,6 +3673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sssp": q_sssp,
         "q_edit_join": q_edit_join,
         "q_adamic_adar": q_adamic_adar,
+        "q_length_buckets": q_length_buckets,
+        "q_rolling_rate": q_rolling_rate,
     }
 
 
@@ -4154,6 +4179,44 @@ FROM all_t GROUP BY pred"""
         JOIN sizes na ON na.doc = a
         JOIN sizes nb ON nb.doc = b
         WHERE inter * 2 >= (na.n + nb.n - inter)
+    """
+
+    # q_length_buckets: exact interpolated quantile boundaries (type-7,
+    # same arithmetic as Spark percentile — the mad_outliers precedent),
+    # ties at a boundary pinned to the LOWER bucket (strict >)
+    sqls["q_length_buckets"] = """
+        WITH n AS (
+            SELECT CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS ntok
+            FROM documents
+        ),
+        b AS (
+            SELECT quantile_cont(CAST(ntok AS DOUBLE),
+                                 [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+            FROM n
+        ),
+        a AS (
+            SELECT ntok, CAST(len(list_filter(bs, x -> ntok > x)) AS INT) AS bucket
+            FROM n, b
+        )
+        SELECT bucket, count(*) AS n_docs, min(ntok) AS min_tok, max(ntok) AS max_tok,
+               CAST(sum(ntok) AS BIGINT) AS sum_tok,
+               CAST(count(*) * max(ntok) - sum(ntok) AS BIGINT) AS padding_waste,
+               CASE WHEN max(ntok) = 0 THEN 0.0
+                    ELSE round((count(*) * max(ntok) - sum(ntok)) * 1.0
+                               / (count(*) * max(ntok)), 6) END AS waste_pct
+        FROM a GROUP BY bucket
+    """
+
+    # q_rolling_rate: RANGE frame on exact epoch micros — value-based
+    # membership makes the count/sum tie-order-independent
+    sqls["q_rolling_rate"] = """
+        SELECT event_id AS id, user_id AS key,
+               count(*) OVER w AS n_win,
+               round(sum(value) OVER w, 2) AS sum_win
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """
 
     # q_edit_join oracle: the O(n²) brute force the prefix-filtered join

@@ -519,3 +519,52 @@ def resample_forward_fill(
             F.last("__bv", ignorenulls=True).over(w).alias(value_col),
         )
     )
+
+
+def rolling_range_agg(
+    events: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_sec: int = 3600,
+) -> DataFrame:
+    """Per-key rolling time-window aggregate: for every event, the count
+    and value sum of that key's events in the trailing ``window_sec``
+    seconds INCLUDING the event itself — rate limiting, burst scoring,
+    trailing-activity features. This is the RANGE-frame window (frame
+    membership decided by timestamp VALUE, not row position), so the
+    result is deterministic under timestamp ties — all peers share one
+    frame regardless of physical order, where a ROWS frame would be
+    partition-order-dependent.
+
+    Frame bound is exact integer microseconds: ``[t − window_sec·1e6,
+    t]`` inclusive on ``unix_micros`` — bit-identical across engines.
+
+    Returns (id, key, n_win, sum_win) — sum rounded 2dp.
+
+    Scale shape: ONE shuffle on the key; the window sorts within the
+    key's time range only. Hot keys (a user with millions of events)
+    serialize within their partition — pre-split such keys upstream or
+    bucket time first if a corpus has super-emitters.
+    """
+    if window_sec < 0:
+        raise ValueError(f"window_sec must be >= 0, got {window_sec}")
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    base = events.select(
+        F.col(id_col).alias("id"),
+        F.col(partition_col).alias("key"),
+        epoch.alias("__us"),
+        F.col(value_col).alias("__v"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__us")
+        .rangeBetween(-window_sec * 1_000_000, 0)
+    )
+    return base.select(
+        "id",
+        "key",
+        F.count("*").over(w).alias("n_win"),
+        F.round(F.sum("__v").over(w), 2).alias("sum_win"),
+    )

@@ -2402,3 +2402,59 @@ def test_edit_distance_join_rejects_bad_params(spark):
         edit_distance_join(docs, max_dist=-1)
     with pytest.raises(ValueError):
         edit_distance_join(docs, q=0)
+
+
+def test_length_bucket_stats_python_model(spark):
+    """Exact-quantile bucket boundaries + padding-waste vs a pure-Python
+    type-7 replay, incl. boundary ties (pinned to the lower bucket)."""
+    from omop2obo_spark.operators.pack import length_bucket_stats
+
+    texts = ["w " * n for n in [0, 1, 1, 2, 3, 5, 5, 5, 8, 13, 21, 34]]
+    docs = spark.createDataFrame(
+        [(i, t.strip() if t else "") for i, t in enumerate(texts)],
+        "doc_id: long, text: string",
+    )
+    ntoks = sorted(len([w for w in t.split() if w]) for t in texts)
+
+    def q7(p):
+        h = (len(ntoks) - 1) * p
+        lo = int(h)
+        return ntoks[lo] + (h - lo) * (ntoks[min(lo + 1, len(ntoks) - 1)] - ntoks[lo])
+
+    n_b = 4
+    bounds = [q7(i / n_b) for i in range(1, n_b)]
+    model = {}
+    for v in ntoks:
+        b = sum(v > x for x in bounds)
+        model.setdefault(b, []).append(v)
+    want = {}
+    for b, vs in model.items():
+        waste = len(vs) * max(vs) - sum(vs)
+        pct = 0.0 if max(vs) == 0 else round(waste / (len(vs) * max(vs)), 6)
+        want[b] = (len(vs), min(vs), max(vs), sum(vs), waste, pct)
+    got = {
+        r.bucket: (r.n_docs, r.min_tok, r.max_tok, r.sum_tok, r.padding_waste, r.waste_pct)
+        for r in length_bucket_stats(docs, n_buckets=n_b).collect()
+    }
+    assert got == want
+
+
+def test_length_bucket_stats_approx_twin_and_guards(spark):
+    import pytest
+
+    from omop2obo_spark.operators.pack import length_bucket_stats
+
+    docs = spark.createDataFrame(
+        [(i, "t " * (i % 50)) for i in range(300)], "doc_id: long, text: string"
+    )
+    exact = length_bucket_stats(docs, n_buckets=4).collect()
+    approx = length_bucket_stats(docs, n_buckets=4, approx=True).collect()
+    # the sketch path must cover every doc and stay close on totals
+    assert sum(r.n_docs for r in approx) == sum(r.n_docs for r in exact) == 300
+    assert sum(r.sum_tok for r in approx) == sum(r.sum_tok for r in exact)
+    with pytest.raises(ValueError):
+        length_bucket_stats(docs, n_buckets=1)
+    # all-empty corpus: single bucket, zero waste, pinned 0.0 pct
+    empty = spark.createDataFrame([(0, ""), (1, None)], "doc_id: long, text: string")
+    rows = length_bucket_stats(empty, n_buckets=2).collect()
+    assert [(r.bucket, r.n_docs, r.padding_waste, r.waste_pct) for r in rows] == [(0, 2, 0, 0.0)]

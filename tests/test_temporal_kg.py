@@ -385,3 +385,45 @@ def test_resample_forward_fill_model(spark):
     assert got_p == got
     with _pytest.raises(ValueError, match="interval_sec"):
         resample_forward_fill(ev, "k", "ts", "v", 0)
+
+
+def test_rolling_range_agg_hand_computed(spark):
+    """RANGE-frame trailing window vs hand arithmetic, incl. timestamp
+    ties (all peers share one frame — partitioning-independent) and the
+    exact inclusive boundary at t − window."""
+    import datetime as dt
+
+    from omop2obo_spark.operators.temporal import rolling_range_agg
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: events at +0s, +10s, +10s (tie), +3610s, +3611s
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(seconds=10), 2.0),
+        (3, 1, t0 + dt.timedelta(seconds=10), 4.0),
+        (4, 1, t0 + dt.timedelta(seconds=3610), 8.0),
+        (5, 1, t0 + dt.timedelta(seconds=3611), 16.0),
+        # user 2: single event
+        (6, 2, t0, 5.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, value: double"
+    )
+    want = {
+        1: (1, 1.0),
+        2: (3, 7.0),    # tie peers 2 and 3 share one frame
+        3: (3, 7.0),
+        4: (3, 14.0),   # frame [10s, 3610s]: the +10s pair is IN (inclusive bound)
+        5: (2, 24.0),   # frame [11s, 3611s]: the +10s pair just aged out
+        6: (1, 5.0),
+    }
+    for df in (e.repartition(7), e.coalesce(1)):
+        got = {
+            r.id: (r.n_win, r.sum_win)
+            for r in rolling_range_agg(df, window_sec=3600).collect()
+        }
+        assert got == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_range_agg(e, window_sec=-1)
