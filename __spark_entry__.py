@@ -913,6 +913,43 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TF-IDF keyword extraction (operators/textstats.py:
+    doc_keywords): top-5 characteristic terms per document under
+    sklearn's smooth idf — topic tags / sparse index keys. One (doc,
+    term) aggregate + a vocabulary-dim join + a doc-bounded window."""
+    from omop2obo_spark.operators.textstats import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), k=5).withColumnRenamed("id", "doc_id")
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/ann.py:
+    rrf_fuse): BM25 lexical top-20 over documents fused with exact-
+    cosine top-20 over embeddings on the shared id space — the standard
+    two-tower + keyword combiner. Fusion touches only the two k-row
+    ranked lists; the corpora never meet."""
+    from omop2obo_spark.operators.ann import brute_force_topk, rrf_fuse
+    from omop2obo_spark.operators.textstats import bm25_search
+
+    a = bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=20).select(
+        F.lit(1).cast("long").alias("query_id"),
+        F.col("doc_id").alias("item"),
+        "rank",
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    b = brute_force_topk(emb, qs, k=20).select(
+        "query_id", F.col("vec_id").alias("item"), "rank"
+    )
+    return rrf_fuse([a, b], k=60, top=20)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters with a checkable error contract:
     top-20 tokens by exact count alongside the CMS estimate (depth 4,
@@ -3675,6 +3712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_adamic_adar": q_adamic_adar,
         "q_length_buckets": q_length_buckets,
         "q_rolling_rate": q_rolling_rate,
+        "q_doc_keywords": q_doc_keywords,
+        "q_hybrid_search": q_hybrid_search,
     }
 
 
@@ -4811,6 +4850,91 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_doc_keywords: smooth-idf TF-IDF replay; rank by (rounded score
+    # desc, term asc) mirrors the Spark window exactly
+    sqls["q_doc_keywords"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+                x -> x <> '')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        dfd AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term, t.tf,
+                   round(t.tf * (ln((n.nd + 1.0) / (d.df + 1.0)) + 1.0), 6) AS score
+            FROM tf t JOIN dfd d USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, score, CAST(rn AS INT) AS kw_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term ASC) AS rn
+              FROM scored)
+        WHERE rn <= 5
+    """
+
+    # q_hybrid_search: replay both rankings (BM25 k=20 + exact cosine
+    # k=20 for query vec 1) then the RRF arithmetic, rank by (rounded
+    # score desc, item asc)
+    sqls["q_hybrid_search"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                  '[^a-z0-9'']+'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM base),
+        tf AS (
+            SELECT doc_id, term, count(*)::DOUBLE AS tf, any_value(dl) AS dl
+            FROM (
+                SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS term FROM base
+            )
+            WHERE term IN ('data', 'hash', 'spark')
+            GROUP BY doc_id, term
+        ),
+        dfd AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        bm AS (
+            SELECT t.doc_id,
+                   round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                             * (t.tf * 2.2)
+                             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))), 6) AS score
+            FROM tf t JOIN dfd d USING (term) CROSS JOIN stats s
+            GROUP BY t.doc_id
+        ),
+        la AS (
+            SELECT doc_id AS item, rn AS rank FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+                FROM bm
+            ) WHERE rn <= 20
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT e AS qv FROM v WHERE vec_id = 1),
+        cs AS (
+            SELECT v.vec_id,
+                   round(list_dot_product(v.e, q.qv) /
+                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos6
+            FROM v, q WHERE v.vec_id <> 1
+        ),
+        lb AS (
+            SELECT vec_id AS item, rn AS rank FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY cos6 DESC, vec_id ASC) AS rn
+                FROM cs
+            ) WHERE rn <= 20
+        ),
+        u AS (SELECT item, rank FROM la UNION ALL SELECT item, rank FROM lb),
+        f AS (
+            SELECT item, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+                   CAST(count(*) AS BIGINT) AS n_lists
+            FROM u GROUP BY item
+        )
+        SELECT CAST(1 AS BIGINT) AS query_id, item, rrf_score, n_lists,
+               CAST(rn AS INT) AS fused_rank
+        FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, item ASC) AS rn
+              FROM f)
+        WHERE rn <= 20
+    """
+
     # q_bloom_dedup: SQL replay of the packed-word Bloom filter (32-bit
     # words via bit_or, md5 bit positions) — verdicts hash-compared per doc.
     sqls["q_bloom_dedup"] = """

@@ -442,3 +442,53 @@ def retrieval_metrics(
         F.round(F.coalesce(F.col("__rr"), F.lit(0.0)), 6).alias("mrr"),
         F.round(F.col("n_ret_rel") / F.col("n_rel"), 6).alias("recall"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top: int | None = None,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings — the standard
+    hybrid-search combiner (Cormack et al. 2009): per (query, item),
+    ``rrf_score = Σ_lists 1/(k + rank)``. Items missing from a list
+    simply contribute nothing (partial lists are the normal case when
+    fusing lexical BM25 with vector cosine over overlapping corpora).
+
+    Each input must carry (query_col, item_col, rank_col). Output:
+    (query_id, item, rrf_score, n_lists, fused_rank) — score rounded
+    6dp, fused rank by (rounded score desc, item asc) so the ranking is
+    engine-portable; ``top`` truncates per query when given.
+
+    Scale shape: a unionByName of already-top-k inputs (each list is
+    query-bounded — k rows per query), one (query, item) aggregate with
+    map-side combine, one per-query window over <= N·k rows. The fusion
+    itself never touches the corpora.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("item"),
+            F.col(rank_col).alias("__r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "item").agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("__r"))), 6).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("item"))
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top is not None:
+        out = out.filter(F.col("fused_rank") <= int(top))
+    return out

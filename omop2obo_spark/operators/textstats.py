@@ -1302,3 +1302,55 @@ def top_p_vocabulary(
         F.round("__cum", 6).alias("cum_share"),
         "rank",
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the ``k`` terms that best
+    characterize each doc against the corpus — topic tags for curation
+    dashboards, index keys for sparse retrieval, dedup-cluster labels.
+
+    Formula (pinned, sklearn's smooth idf): ``idf = ln((N+1)/(df+1)) + 1``
+    with df = #docs containing the term; ``score = tf · idf`` rounded
+    6dp; per-doc rank by (score desc, term asc) — engine-portable.
+
+    Output: (id, term, tf, score, kw_rank), kw_rank 1..k.
+
+    Scale shape: one (doc, term) aggregate for tf (map-side combined),
+    one term-keyed aggregate for df (a vocabulary-scale dim — joined
+    back on term; Spark/AQE broadcasts it when it fits, falls back to a
+    shuffle join for web-scale vocabularies), then a window bounded by
+    each doc's DISTINCT term count. No corpus-wide sort, no all-pairs.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id", "term", "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("__df") + 1)) + F.lit(1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= k)
+    )

@@ -2458,3 +2458,79 @@ def test_length_bucket_stats_approx_twin_and_guards(spark):
     empty = spark.createDataFrame([(0, ""), (1, None)], "doc_id: long, text: string")
     rows = length_bucket_stats(empty, n_buckets=2).collect()
     assert [(r.bucket, r.n_docs, r.padding_waste, r.waste_pct) for r in rows] == [(0, 2, 0, 0.0)]
+
+
+def test_doc_keywords_python_model(spark):
+    """TF-IDF keyword scores vs a pure-Python smooth-idf replay, incl.
+    tie-break by term and NULL text (zero tokens, no rows)."""
+    import math
+
+    from omop2obo_spark.operators.textstats import doc_keywords
+
+    texts = {
+        0: "spark spark hash data common common",
+        1: "hash data common rare",
+        2: "common common common",
+        3: None,
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id: long, text: string")
+    n = len(texts)  # countDistinct(doc_id) counts the NULL-text doc too
+    tf = {}
+    for d, t in texts.items():
+        for w in (t or "").lower().split():
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    want = {}
+    for d in texts:
+        scored = sorted(
+            (
+                (round(c * (math.log((n + 1) / (df[w] + 1)) + 1.0), 6), w, c)
+                for (dd, w), c in tf.items()
+                if dd == d
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for r, (s, w, c) in enumerate(scored, 1):
+            want[(d, w)] = (c, s, r)
+    got = {
+        (r.id, r.term): (r.tf, r.score, r.kw_rank)
+        for r in doc_keywords(docs, k=2).collect()
+    }
+    assert got == want
+    assert not any(i == 3 for i, _ in got)
+
+
+def test_rrf_fuse_hand_arithmetic(spark):
+    """RRF fusion vs hand 1/(k+rank) sums: overlap, partial lists,
+    multi-query isolation, top truncation, guards."""
+    import pytest
+
+    from omop2obo_spark.operators.ann import rrf_fuse
+
+    la = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id: long, item: long, rank: int",
+    )
+    lb = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 20, 2)],
+        "query_id: long, item: long, rank: int",
+    )
+    got = {
+        (r.query_id, r.item): (r.rrf_score, r.n_lists, r.fused_rank)
+        for r in rrf_fuse([la, lb], k=60).collect()
+    }
+    assert got == {
+        (1, 11): (round(1 / 62 + 1 / 61, 6), 2, 1),  # both lists
+        (1, 10): (round(1 / 61, 6), 1, 2),
+        (1, 12): (round(1 / 62, 6), 1, 3),           # tie with 10 broken by item? no:
+                                                     # 1/61 > 1/62 so 10 outranks 12
+        (2, 20): (round(1 / 61 + 1 / 62, 6), 2, 1),
+    }
+    top1 = rrf_fuse([la, lb], k=60, top=1).collect()
+    assert sorted((r.query_id, r.item) for r in top1) == [(1, 11), (2, 20)]
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([la], k=0)
