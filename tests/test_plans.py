@@ -624,3 +624,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 s.conf.unset(k)
             else:
                 s.conf.set(k, v)
+
+
+def test_edit_distance_join_no_cartesian_on_long_strings(spark):
+    """When every string clears the short cutoff, the ED-Join plan must
+    be pure equi-joins (gram prefix collisions + verify joins) — no
+    cartesian/nested-loop anywhere. The bounded short×short block is the
+    only legitimate nested-loop site and must stay empty-side here."""
+    from omop2obo_spark.operators.dedup import edit_distance_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 20).alias("text")
+    )
+    plan = _plan(edit_distance_join(docs, max_dist=2))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_range_agg_single_shuffle(spark):
+    """The rolling RANGE window is one Exchange on the key — no join, no
+    extra shuffle."""
+    from omop2obo_spark.operators.temporal import rolling_range_agg
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(rolling_range_agg(ev))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_length_bucket_stats_boundary_is_broadcast(spark):
+    """The quantile boundary vector must come back as a 1-row broadcast
+    (BroadcastNestedLoopJoin over a single-row dim), never a shuffle
+    join or a global sort of the corpus."""
+    from omop2obo_spark.operators.pack import length_bucket_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(length_bucket_stats(docs, n_buckets=8))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "GlobalSort" not in plan and "rangepartitioning" not in plan, plan
