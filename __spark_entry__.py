@@ -913,6 +913,29 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for every event-type pair
+    over the value metric (operators/analysis.py:welch_t_test) — the
+    continuous-metric A/B readout next to q_chi_square's categorical
+    one. One fact-table aggregate; pair fan-out on the group dimension.
+    p-values (pure-Python incomplete beta, no closed SQL form) live in
+    welch_posthoc, pytest-gated."""
+    from omop2obo_spark.operators.analysis import welch_t_test
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return welch_t_test(e, "event_type", "value")
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram token PMI within ±2 positions (operators/textstats.py:
+    token_pmi) — collocation mining / embedding pre-training signal.
+    Pair generation is an equi-join on (doc, position): no per-doc
+    quadratic self-join, no skew."""
+    from omop2obo_spark.operators.textstats import token_pmi
+
+    return token_pmi(_docs(spark, sf_dir), window=2, min_count=5)
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc TF-IDF keyword extraction (operators/textstats.py:
     doc_keywords): top-5 characteristic terms per document under
@@ -3714,6 +3737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rolling_rate": q_rolling_rate,
         "q_doc_keywords": q_doc_keywords,
         "q_hybrid_search": q_hybrid_search,
+        "q_ab_test": q_ab_test,
+        "q_token_pmi": q_token_pmi,
     }
 
 
@@ -4850,6 +4875,69 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_ab_test: Welch t via the exact sum-formula variance — the SAME
+    # expression tree as the Spark side (products spelled out, no pow),
+    # so both engines run identical double arithmetic
+    sqls["q_ab_test"] = """
+        WITH g AS (
+            SELECT event_type AS grp, count(*) AS n,
+                   sum(CAST(value AS DOUBLE)) AS s1,
+                   sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s2
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1 HAVING count(*) >= 2
+        ),
+        s AS (
+            SELECT grp, CAST(n AS BIGINT) AS n, s1 / n AS m,
+                   (s2 - s1 * s1 / n) / (n - 1) AS v
+            FROM g
+        )
+        SELECT a.grp AS group_a, b.grp AS group_b, a.n AS n_a, b.n AS n_b,
+               round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+               round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+               round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+                     / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                        + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 6) AS df_w
+        FROM s a JOIN s b ON a.grp < b.grp
+        WHERE a.v / a.n + b.v / b.n > 0
+    """
+
+    # q_token_pmi: position pairs replayed with an O(n²)-per-doc
+    # inequality join (oracle-only; the engine side is the offset
+    # equi-join), same slot-marginal PMI arithmetic
+    sqls["q_token_pmi"] = """
+        WITH base AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                          '[^a-z0-9'']+'),
+                                       x -> x <> '') AS toks
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, i AS pos, toks[i + 1] AS tok
+            FROM base, UNNEST(range(0, len(toks))) AS u(i)
+        ),
+        prs AS (
+            SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b,
+                   count(*) AS c
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+            GROUP BY 1, 2
+        ),
+        t AS (SELECT sum(c) AS tt FROM prs),
+        slots AS (
+            SELECT tok, sum(c) AS s
+            FROM (SELECT tok_a AS tok, c FROM prs
+                  UNION ALL SELECT tok_b, c FROM prs)
+            GROUP BY 1
+        )
+        SELECT p.tok_a, p.tok_b, CAST(p.c AS BIGINT) AS n_pairs,
+               round(ln((p.c * 4.0 * t.tt) / (sa.s * sb.s)), 6) AS pmi
+        FROM prs p
+        JOIN slots sa ON sa.tok = p.tok_a
+        JOIN slots sb ON sb.tok = p.tok_b
+        CROSS JOIN t
+        WHERE p.c >= 5
+    """
+
     # q_doc_keywords: smooth-idf TF-IDF replay; rank by (rounded score
     # desc, term asc) mirrors the Spark window exactly
     sqls["q_doc_keywords"] = """

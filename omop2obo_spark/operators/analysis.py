@@ -689,3 +689,159 @@ def grouped_linreg(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (A/B metric comparison)
+# ---------------------------------------------------------------------------
+
+
+def welch_t_test(df: DataFrame, group_col: str, metric_col: str) -> DataFrame:
+    """Welch's unequal-variance t statistic for every unordered pair of
+    groups — the A/B experiment readout for a continuous metric next to
+    :func:`chi_square_pairs`'s categorical one.
+
+    Per pair (a < b): ``t = (mean_a − mean_b) / sqrt(v_a/n_a + v_b/n_b)``
+    and the Welch–Satterthwaite ``df``. Variance is spelled as the exact
+    sum formula ``(Σx² − (Σx)²/n)/(n−1)`` — the IDENTICAL expression
+    tree on both engines so the oracle hash holds (a var_samp builtin
+    would pull in engine-specific streaming merges). Groups with n < 2
+    or zero pooled variance are dropped (no defined t).
+
+    Output: (group_a, group_b, n_a, n_b, mean_a, mean_b, t_stat, df_w)
+    — floats rounded 6dp. Statistics only; see :func:`welch_posthoc`
+    for p-values + Bonferroni correction.
+
+    Scale shape: ONE aggregate over the fact table (sum/sum-sq/count
+    per group, map-side combined); the pair fan-out is a self-join over
+    the group DIMENSION (C(g,2) rows). Nothing row-count-dependent
+    reaches the driver.
+    """
+    x = F.col(metric_col).cast("double")
+    g = (
+        df.filter(x.isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("s1"),
+            F.sum(x * x).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "grp", "n",
+            (F.col("s1") / F.col("n")).alias("m"),
+            (
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("v"),
+        )
+    )
+    a = g.select(
+        F.col("grp").alias("group_a"), F.col("n").alias("n_a"),
+        F.col("m").alias("__ma"), F.col("v").alias("__va"),
+    )
+    b = g.select(
+        F.col("grp").alias("group_b"), F.col("n").alias("n_b"),
+        F.col("m").alias("__mb"), F.col("v").alias("__vb"),
+    )
+    se_a = F.col("__va") / F.col("n_a")
+    se_b = F.col("__vb") / F.col("n_b")
+    return (
+        a.join(b, on=F.col("group_a") < F.col("group_b"))
+        .filter(se_a + se_b > 0)
+        .select(
+            "group_a", "group_b", "n_a", "n_b",
+            F.round("__ma", 6).alias("mean_a"),
+            F.round("__mb", 6).alias("mean_b"),
+            F.round((F.col("__ma") - F.col("__mb")) / F.sqrt(se_a + se_b), 6).alias("t_stat"),
+            F.round(
+                (se_a + se_b) * (se_a + se_b)
+                / (se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)),
+                6,
+            ).alias("df_w"),
+        )
+    )
+
+
+def _betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) via the classical continued
+    fraction (Numerical Recipes betai/betacf), ~1e-12 accuracy."""
+    if not 0.0 <= x <= 1.0:
+        raise ValueError("betainc domain")
+    if x == 0.0 or x == 1.0:
+        return x
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+
+    def betacf(a: float, b: float, x: float) -> float:
+        tiny = 1e-300
+        qab, qap, qam = a + b, a + 1.0, a - 1.0
+        c, d = 1.0, 1.0 - qab * x / qap
+        d = 1.0 / (d if abs(d) > tiny else tiny)
+        h = d
+        for m in range(1, 500):
+            m2 = 2 * m
+            aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+            d = 1.0 + aa * d
+            d = 1.0 / (d if abs(d) > tiny else tiny)
+            c = 1.0 + aa / (c if abs(c) > tiny else tiny)
+            h *= d * c
+            aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+            d = 1.0 + aa * d
+            d = 1.0 / (d if abs(d) > tiny else tiny)
+            c = 1.0 + aa / (c if abs(c) > tiny else tiny)
+            delta = d * c
+            h *= delta
+            if abs(delta - 1.0) < 1e-15:
+                break
+        return h
+
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * betacf(a, b, x) / a
+    return 1.0 - math.exp(
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + b * math.log(1.0 - x) + a * math.log(x)
+    ) * betacf(b, a, 1.0 - x) / b
+
+
+def t_sf_two_sided(t: float, df: float) -> float:
+    """Two-sided p-value of Student's t: ``I_{df/(df+t²)}(df/2, 1/2)``
+    (scipy ``2*t.sf(|t|, df)`` twin; df may be fractional — Welch)."""
+    if df <= 0:
+        raise ValueError("df must be positive")
+    if t == 0:
+        return 1.0
+    return _betainc_reg(df / 2.0, 0.5, df / (df + t * t))
+
+
+def welch_posthoc(
+    df: DataFrame, group_col: str, metric_col: str, alpha: float = 0.05
+) -> list[dict]:
+    """Welch pairwise p-values with Bonferroni correction — the
+    continuous-metric twin of :func:`chisq_posthoc_corrected`. The
+    collect is C(g, 2) dimension rows; all counting stayed distributed.
+    """
+    pairs = sorted(
+        welch_t_test(df, group_col, metric_col).collect(),
+        key=lambda r: (r["group_a"], r["group_b"]),
+    )
+    m = len(pairs)
+    out = []
+    for r in pairs:
+        p = t_sf_two_sided(r["t_stat"], r["df_w"])
+        corrected = min(p * m, 1.0)
+        out.append(
+            {
+                "comparison": f"{r['group_a']}-{r['group_b']}",
+                "t_stat": r["t_stat"],
+                "df_w": r["df_w"],
+                "original_pvalue": p,
+                "corrected_pvalue": corrected,
+                "reject_h0": p <= alpha / m if m else False,
+                "p_text": asterisks_for_pval(corrected),
+            }
+        )
+    return out

@@ -1354,3 +1354,82 @@ def doc_keywords(
         scored.withColumn("kw_rank", F.row_number().over(w))
         .filter(F.col("kw_rank") <= k)
     )
+
+
+def token_pmi(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram token PMI: pointwise mutual information for unordered
+    token pairs co-occurring within ``window`` positions in a document —
+    the collocation / word-association signal an embedding pre-trainer
+    or phrase miner consumes (the word-level sibling of
+    ``hierarchy.entity_cooccurrence``'s conversation-level entity PMI).
+
+    Distribution (pinned): pairs = all position pairs (i, j) with
+    1 ≤ j−i ≤ window; ``p(a,b) = c_ab/T`` over unordered value pairs
+    (tok_a ≤ tok_b); unigram ``p(x) = s_x/(2T)`` with s_x = x's slot
+    count over both sides of every pair. ``pmi = ln(p(a,b)/(p(a)p(b)))``
+    rounded 6dp.
+
+    Output: (tok_a, tok_b, n_pairs, pmi), n_pairs ≥ min_count.
+
+    Scale shape: pair generation is an EQUI-join on (doc, position) —
+    the left side offsets each token to its ``window`` target slots, so
+    there is no per-doc quadratic self-join and no skew (position keys
+    are unique per doc). One (a, b) aggregate with map-side combine;
+    slot marginals and the 1-row total broadcast back.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    pos = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("pos", "tok"),
+    )
+    # left occurrence targets positions pos+1 .. pos+window via explode
+    left = pos.select(
+        "doc",
+        F.col("tok").alias("__tl"),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(d) for d in range(1, window + 1)])
+        ).alias("pos"),
+    )
+    pairs = (
+        left.join(pos, on=["doc", "pos"])
+        .select(
+            F.least(F.col("__tl"), F.col("tok")).alias("tok_a"),
+            F.greatest(F.col("__tl"), F.col("tok")).alias("tok_b"),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    total = pairs.agg(F.sum("n_pairs").alias("__t"))
+    slots = (
+        pairs.select(F.col("tok_a").alias("tok"), F.col("n_pairs").alias("__c"))
+        .unionByName(
+            pairs.select(F.col("tok_b").alias("tok"), F.col("n_pairs").alias("__c"))
+        )
+        .groupBy("tok")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    sa = slots.select(F.col("tok").alias("tok_a"), F.col("__s").alias("__sa"))
+    sb = slots.select(F.col("tok").alias("tok_b"), F.col("__s").alias("__sb"))
+    return (
+        pairs.filter(F.col("n_pairs") >= int(min_count))
+        .join(sa, on="tok_a")
+        .join(sb, on="tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a", "tok_b", "n_pairs",
+            F.round(
+                F.log(
+                    (F.col("n_pairs") * F.lit(4.0) * F.col("__t"))
+                    / (F.col("__sa") * F.col("__sb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

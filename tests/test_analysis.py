@@ -757,3 +757,81 @@ def test_set_prf_and_linreg_partitioning_independent(spark):
     a = sorted(map(tuple, grouped_linreg(pts.coalesce(1), "k", "x", "y").collect()))
     b = sorted(map(tuple, grouped_linreg(pts.repartition(17), "k", "x", "y").collect()))
     assert a == b
+
+
+def test_welch_t_test_python_model(spark):
+    """Welch t / df vs an independent statistics-module replay."""
+    import statistics
+
+    from omop2obo_spark.operators.analysis import welch_t_test
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 10.0],
+        "b": [2.5, 2.5, 3.5, 9.0],
+        "c": [100.0, 101.0],
+        "tiny": [7.0],          # n < 2 -> dropped
+        "flat": [5.0, 5.0, 5.0],  # zero variance, still pairs with others
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs] + [("a", None)]
+    df = spark.createDataFrame(rows, "grp: string, x: double")
+    got = {
+        (r.group_a, r.group_b): (r.n_a, r.n_b, r.mean_a, r.mean_b, r.t_stat, r.df_w)
+        for r in welch_t_test(df, "grp", "x").collect()
+    }
+    want = {}
+    ks = [k for k in groups if len(groups[k]) >= 2]
+    for ga in ks:
+        for gb in ks:
+            if ga >= gb:
+                continue
+            xa, xb = groups[ga], groups[gb]
+            na, nb = len(xa), len(xb)
+            ma, mb = statistics.fmean(xa), statistics.fmean(xb)
+            va, vb = statistics.variance(xa), statistics.variance(xb)
+            sea, seb = va / na, vb / nb
+            if sea + seb == 0:
+                continue
+            t = (ma - mb) / (sea + seb) ** 0.5
+            dfw = (sea + seb) ** 2 / (sea**2 / (na - 1) + seb**2 / (nb - 1))
+            want[(ga, gb)] = (na, nb, round(ma, 6), round(mb, 6), round(t, 6), round(dfw, 6))
+    assert got == want
+    # flat-flat style zero-pooled-variance pairs are excluded by the filter
+    assert all((a, b) != ("flat", "flat") for a, b in got)
+
+
+def test_t_sf_two_sided_reference_values():
+    """t CDF twin vs published two-sided critical values (p = 0.05) and
+    the classic t=2, df=10 point; symmetry; guards."""
+    import pytest
+
+    from omop2obo_spark.operators.analysis import t_sf_two_sided
+
+    for t, df in [(12.706204736, 1), (2.228138852, 10), (2.000297822, 60),
+                  (1.983971519, 100)]:
+        assert abs(t_sf_two_sided(t, df) - 0.05) < 1e-6, (t, df)
+    assert abs(t_sf_two_sided(2.0, 10) - 0.07338803) < 1e-6
+    assert t_sf_two_sided(0.0, 5) == 1.0
+    assert t_sf_two_sided(-2.0, 10) == t_sf_two_sided(2.0, 10)  # two-sided
+    # fractional df (the Welch case) must interpolate smoothly
+    assert t_sf_two_sided(2.0, 10.0) > t_sf_two_sided(2.0, 10.5) > t_sf_two_sided(2.0, 11.0)
+    with pytest.raises(ValueError):
+        t_sf_two_sided(1.0, 0)
+
+
+def test_welch_posthoc_bonferroni(spark):
+    from omop2obo_spark.operators.analysis import t_sf_two_sided, welch_posthoc
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 2, 1, 2, 3]]
+    rows += [("b", float(v)) for v in [8, 9, 10, 9, 8, 9, 10]]
+    rows += [("c", float(v)) for v in [1.4, 2.1, 2.9, 1.9, 1.2, 2.2, 3.1]]
+    df = spark.createDataFrame(rows, "grp: string, x: double")
+    out = welch_posthoc(df, "grp", "x")
+    assert [r["comparison"] for r in out] == ["a-b", "a-c", "b-c"]
+    byc = {r["comparison"]: r for r in out}
+    # a vs b separated by ~7 sigma -> reject even after Bonferroni
+    assert byc["a-b"]["reject_h0"] and byc["a-b"]["p_text"] != "ns"
+    # a vs c nearly identical -> not rejected
+    assert not byc["a-c"]["reject_h0"]
+    for r in out:
+        assert r["corrected_pvalue"] == min(r["original_pvalue"] * 3, 1.0)
+        assert abs(r["original_pvalue"] - t_sf_two_sided(r["t_stat"], r["df_w"])) < 1e-12

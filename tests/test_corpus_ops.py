@@ -2534,3 +2534,46 @@ def test_rrf_fuse_hand_arithmetic(spark):
         rrf_fuse([], k=60)
     with pytest.raises(ValueError):
         rrf_fuse([la], k=0)
+
+
+def test_token_pmi_python_model(spark):
+    """Skip-gram PMI vs a pure-Python replay of the pinned distribution
+    (offset pairs, unordered values, slot marginals), incl. window=1,
+    min_count filtering, and NULL text."""
+    import math
+    import re
+    from collections import Counter
+
+    from omop2obo_spark.operators.textstats import token_pmi
+
+    texts = {
+        0: "the quick brown fox the quick",
+        1: "quick brown quick brown",
+        2: "solo",
+        3: None,
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id: long, text: string")
+    for w, mc in [(1, 1), (2, 1), (2, 2)]:
+        pairs = Counter()
+        for t in texts.values():
+            toks = [x for x in re.split(r"[^a-z0-9']+", (t or "").lower()) if x]
+            for i, a in enumerate(toks):
+                for d in range(1, w + 1):
+                    if i + d < len(toks):
+                        b = toks[i + d]
+                        pairs[tuple(sorted((a, b)))] += 1
+        total = sum(pairs.values())
+        slots = Counter()
+        for (a, b), c in pairs.items():
+            slots[a] += c
+            slots[b] += c
+        want = {
+            (a, b): (c, round(math.log(c * 4.0 * total / (slots[a] * slots[b])), 6))
+            for (a, b), c in pairs.items()
+            if c >= mc
+        }
+        got = {
+            (r.tok_a, r.tok_b): (r.n_pairs, r.pmi)
+            for r in token_pmi(docs, window=w, min_count=mc).collect()
+        }
+        assert got == want, (w, mc)
