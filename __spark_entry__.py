@@ -2705,6 +2705,35 @@ def q_cycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/hierarchy.py:
+    scc_components) over the q_cycle_check corrupted hierarchy — names
+    each mutual-reachability group (one repairable unit) where
+    cycle_members only certifies membership. Mutual join over the
+    fixpoint closure; singleton nodes carry size 1."""
+    from omop2obo_spark.operators.hierarchy import scc_components
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tree = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 2).cast("long").alias("dst"),
+    )
+    back = (
+        c.filter((F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") >= 8))
+        .select(
+            F.when(
+                F.floor(F.col("c_custkey") / 97) % 2 == 0,
+                F.floor(F.col("c_custkey") / 8),
+            )
+            .otherwise(F.floor(F.col("c_custkey") / 4))
+            .cast("long")
+            .alias("src"),
+            F.col("c_custkey").alias("dst"),
+        )
+    )
+    return scc_components(tree.unionByName(back))
+
+
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style star BGP over the materialized graph
     (operators/hierarchy.py:star_join): subjects holding an
@@ -3739,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_search": q_hybrid_search,
         "q_ab_test": q_ab_test,
         "q_token_pmi": q_token_pmi,
+        "q_scc": q_scc,
     }
 
 
@@ -6727,6 +6757,38 @@ LEFT JOIN removed USING (pred)""",
         )
         SELECT uri, CAST(MIN(depth) AS BIGINT) AS cycle_len
         FROM walk WHERE uri = ancestor_uri GROUP BY uri
+    """
+
+    # q_scc: full reach-pair closure (UNION-deduped recursive CTE —
+    # terminates on cycles because pairs, not paths, accumulate), then
+    # the same mutual join + min-partner labeling
+    sqls["q_scc"] = """
+        WITH RECURSIVE edges AS (
+            SELECT c_custkey AS src, c_custkey // 2 AS dst
+            FROM customer WHERE c_custkey >= 2
+            UNION ALL
+            SELECT CASE WHEN (c_custkey // 97) % 2 = 0
+                        THEN c_custkey // 8 ELSE c_custkey // 4 END AS src,
+                   c_custkey AS dst
+            FROM customer WHERE c_custkey % 97 = 0 AND c_custkey >= 8
+        ), walk AS (
+            SELECT src AS node, dst AS x FROM edges
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN edges e ON w.x = e.src
+        ),
+        mutual AS (
+            SELECT a.node, a.x
+            FROM walk a JOIN walk b ON b.node = a.x AND b.x = a.node
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        labeled AS (
+            SELECT n.node, least(n.node, coalesce(min(m.x), n.node)) AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+            GROUP BY n.node
+        )
+        SELECT node, scc_id,
+               CAST(count(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+        FROM labeled
     """
 
     # q_star_join: the identical CASE-aggregation star over the distinct

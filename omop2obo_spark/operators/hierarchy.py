@@ -157,6 +157,56 @@ def entity_cooccurrence(
     )
 
 
+def scc_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Strongly connected components of a directed graph: nodes are in
+    one SCC iff they reach each other. The companion of
+    :func:`cycle_members` — that op certifies WHETHER the hierarchy has
+    cycles; this one names each mutual-reachability group so a curation
+    queue can collapse or repair it as a unit (an SCC in a subClassOf
+    graph is one logically-equivalent class set).
+
+    Method: mutual reachability over the pair closure —
+    :func:`ancestor_closure` (iterative doubling, fixpoint-terminated,
+    cycle-safe) gives reach pairs; an equi-join of the closure with its
+    own reverse keeps pairs reaching BOTH ways; per node the SCC id is
+    the minimum mutual partner (itself for singletons).
+
+    Output: (node, scc_id, scc_size) — every node of the edge list,
+    singletons included with size 1.
+
+    Scale shape: inherits the closure's constraint — the reach-pair
+    materialization is for DIMENSION-scale graphs (ontology/schema
+    hierarchies), not fact-scale; the mutual join and the size
+    aggregate are pair-table equi-joins on skew-free composite keys.
+    """
+    closure = ancestor_closure(edges, src_col, dst_col, max_rounds)
+    pairs = closure.select(
+        F.col("uri").alias("node"), F.col("ancestor_uri").alias("x")
+    )
+    rev = pairs.select(F.col("node").alias("__rn"), F.col("x").alias("__rx"))
+    mutual = pairs.join(
+        rev, (F.col("x") == F.col("__rn")) & (F.col("node") == F.col("__rx"))
+    ).select("node", "x")
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    mins = mutual.groupBy("node").agg(F.min("x").alias("__mx"))
+    labeled = nodes.join(mins, on="node", how="left").select(
+        "node",
+        F.least(F.col("node"), F.coalesce(F.col("__mx"), F.col("node"))).alias("scc_id"),
+    )
+    sizes = labeled.groupBy("scc_id").agg(F.count("*").alias("scc_size"))
+    return labeled.join(sizes, on="scc_id").select("node", "scc_id", "scc_size")
+
+
 def sameas_bridge(
     dbxrefs: DataFrame,
     uri_col: str = "uri",

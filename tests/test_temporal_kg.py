@@ -427,3 +427,25 @@ def test_rolling_range_agg_hand_computed(spark):
 
     with pytest.raises(ValueError):
         rolling_range_agg(e, window_sec=-1)
+
+
+def test_scc_components_known_digraph(spark):
+    """SCCs on a digraph with two nontrivial components, a bridge edge
+    between them (reach without mutual reach), and chain singletons."""
+    from omop2obo_spark.operators.hierarchy import scc_components
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # 3-cycle {a,b,c}
+            ("d", "e"), ("e", "d"),               # 2-cycle {d,e}
+            ("c", "d"),                           # bridge: no SCC merge
+            ("f", "g"),                           # chain singletons
+        ],
+        "src: string, dst: string",
+    )
+    got = {r.node: (r.scc_id, r.scc_size) for r in scc_components(e).collect()}
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "d": ("d", 2), "e": ("d", 2),
+        "f": ("f", 1), "g": ("g", 1),
+    }
