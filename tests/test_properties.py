@@ -418,3 +418,46 @@ def test_dedup_against_bloom_property(spark, corpus_texts, new_texts, m_bits):
         for r in dedup_against_bloom(new, corpus, m_bits=m_bits).collect()
     )
     assert got == want, (corpus_texts, new_texts, m_bits)
+
+
+# --- edit-distance join losslessness -------------------------------------
+
+_ed_corpora = st.lists(
+    st.text(alphabet="abcx ", max_size=10), min_size=2, max_size=20
+)
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@PROP_SETTINGS
+@given(texts=_ed_corpora, k=st.integers(min_value=0, max_value=3),
+       q=st.integers(min_value=1, max_value=3))
+def test_edit_distance_join_lossless_property(spark, texts, k, q):
+    """hypothesis searches for a corpus where the ED-Join prefix filter
+    drops a true pair (short/long boundary, repeated grams, tiny
+    alphabets forcing hot grams)."""
+    import itertools
+
+    from omop2obo_spark.operators.dedup import edit_distance_join
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id: long, text: string")
+    got = {
+        (r.a, r.b, r.dist)
+        for r in edit_distance_join(docs, max_dist=k, q=q).collect()
+    }
+    want = {
+        (a, b, _py_lev(ta, tb))
+        for (a, ta), (b, tb) in itertools.combinations(enumerate(texts), 2)
+        if _py_lev(ta, tb) <= k
+    }
+    assert got == want
