@@ -199,6 +199,11 @@ def main_bench() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
 
+    # host-speed context: this sandbox is a shared VM whose effective clock
+    # drifts >50% across windows (documented in BENCH/BASELINE.md); carrying
+    # the probe in the headline JSON lets cross-round bench comparisons
+    # normalize for it (~1.0 s = the quiet-window baseline)
+    probe = _host_probe()
     spark = _spark(CPUS)
     # one-time JVM/codegen/scan warmup so the first measured query doesn't
     # absorb session initialization (it was paying ~5 s of the total)
@@ -227,6 +232,7 @@ def main_bench() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "pipeline": pipe,
         "cpus": CPUS,
+        "host_probe_sec": probe,
     }
     # apples-to-apples vs earlier rounds: the query set grows every round,
     # so also report this run's wall over exactly the round-1 query names
