@@ -1897,6 +1897,18 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(edges)
 
 
+def q_hub_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hub-degree capping (operators/hierarchy.py:
+    cap_hub_adjacency): the upstream fix the wedge analytics defer to
+    for super-connectors, as a driver-gated operator — md5-selected
+    ≤4 incident edges per node, mutual-keep, original degrees attached
+    for downstream bias correction."""
+    from omop2obo_spark.operators.hierarchy import cap_hub_adjacency, entity_cooccurrence
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return cap_hub_adjacency(edges, max_degree=4)
+
+
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (operators/
     hierarchy.py:label_propagation, 3 rounds, min-label tie-break) over
@@ -3769,6 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ab_test": q_ab_test,
         "q_token_pmi": q_token_pmi,
         "q_scc": q_scc,
+        "q_hub_cap": q_hub_cap,
     }
 
 
@@ -6607,6 +6620,30 @@ SELECT p.ent_a, p.ent_b, p.shared, p.aa_score,
        EXISTS (SELECT 1 FROM edges e
                WHERE e.ent_a = p.ent_a AND e.ent_b = p.ent_b) AS linked
 FROM prs p"""
+    )
+    sqls["q_hub_cap"] = kg_triples_sql(
+        final_select=_COEDGES
+        + """,
+adj AS (
+    SELECT ent_a AS node, ent_b AS nbr FROM edges
+    UNION ALL SELECT ent_b, ent_a FROM edges
+),
+ranked AS (
+    SELECT node, nbr,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY md5(concat_ws('|', 'hubcap', node, nbr)), nbr) AS rk,
+           count(*) OVER (PARTITION BY node) AS deg
+    FROM adj
+),
+sides AS (
+    SELECT least(node, nbr) AS ent_a, greatest(node, nbr) AS ent_b,
+           CASE WHEN rk <= 4 THEN 1 ELSE 0 END AS keep,
+           CASE WHEN node < nbr THEN deg END AS da,
+           CASE WHEN node >= nbr THEN deg END AS db
+    FROM ranked
+)
+SELECT ent_a, ent_b, CAST(max(da) AS BIGINT) AS deg_a, CAST(max(db) AS BIGINT) AS deg_b
+FROM sides GROUP BY 1, 2 HAVING min(keep) = 1"""
     )
     sqls["q_communities"] = kg_triples_sql(
         final_select=_COEDGES + ', adj AS (\n    SELECT ent_a AS node, ent_b AS nbr FROM edges\n    UNION ALL SELECT ent_b, ent_a FROM edges\n),\nl0 AS (SELECT DISTINCT node, node AS community FROM adj),\nn1 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l0 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl1 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n1\n    ) WHERE rn = 1\n),\nn2 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l1 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl2 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n2\n    ) WHERE rn = 1\n),\nn3 AS (\n    SELECT a.node, l.community, count(*) AS c\n    FROM adj a JOIN l2 l ON l.node = a.nbr\n    GROUP BY 1, 2\n),\nl3 AS (\n    SELECT node, community FROM (\n        SELECT node, community,\n               row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn\n        FROM n3\n    ) WHERE rn = 1\n)\nSELECT node AS ent, community FROM l3'

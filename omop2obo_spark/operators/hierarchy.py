@@ -157,6 +157,64 @@ def entity_cooccurrence(
     )
 
 
+def cap_hub_adjacency(
+    edges: DataFrame, max_degree: int, salt: str = "hubcap"
+) -> DataFrame:
+    """Deterministic hub-degree capping for the wedge-based analytics
+    (triangles / neighbor_jaccard / adamic_adar / k_hop): every node
+    keeps at most ``max_degree`` incident edges, an edge surviving only
+    if BOTH endpoints keep it. Super-connector wedges grow
+    quadratically in degree — this is the documented upstream fix those
+    operators' docstrings defer to, as its own composable operator.
+
+    Selection is a pure function of (salt, node, neighbor): per node,
+    incident edges rank by ``md5(salt|node|neighbor)`` (neighbor
+    tie-break) and the first ``max_degree`` survive — reproducible
+    across runs, partitionings, and engines, and refreshable by salt
+    (a different salt draws an independent sample for variance checks).
+
+    Input/output: canonical ``(ent_a, ent_b)`` edges (a < b), output a
+    subset with each endpoint's ORIGINAL degree attached — downstream
+    estimators need the uncapped degree for bias correction.
+
+    Scale shape: one window over the directed adjacency, partitioned
+    per node — the hub's partition is its degree, one linear pass (the
+    quadratic blowup this prevents is in the WEDGE join downstream, not
+    here); the mutual-keep resolution is an aggregate on the edge key.
+    """
+    if max_degree < 1:
+        raise ValueError(f"max_degree must be >= 1, got {max_degree}")
+    adj = edges.select(
+        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
+    )
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col("node"), F.col("nbr")))
+    w = Window.partitionBy("node").orderBy(h, F.col("nbr"))
+    ranked = adj.select(
+        "node", "nbr",
+        F.row_number().over(w).alias("__rk"),
+        F.count("*").over(Window.partitionBy("node")).alias("__deg"),
+    )
+    sides = ranked.select(
+        F.least(F.col("node"), F.col("nbr")).alias("ent_a"),
+        F.greatest(F.col("node"), F.col("nbr")).alias("ent_b"),
+        (F.col("__rk") <= F.lit(int(max_degree))).cast("int").alias("__keep"),
+        F.when(F.col("node") < F.col("nbr"), F.col("__deg")).alias("__da"),
+        F.when(F.col("node") >= F.col("nbr"), F.col("__deg")).alias("__db"),
+    )
+    return (
+        sides.groupBy("ent_a", "ent_b")
+        .agg(
+            F.min("__keep").alias("__both"),
+            F.max("__da").alias("deg_a"),
+            F.max("__db").alias("deg_b"),
+        )
+        .filter(F.col("__both") == 1)
+        .select("ent_a", "ent_b", "deg_a", "deg_b")
+    )
+
+
 def scc_components(
     edges: DataFrame,
     src_col: str = "src",

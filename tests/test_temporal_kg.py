@@ -449,3 +449,51 @@ def test_scc_components_known_digraph(spark):
         "d": ("d", 2), "e": ("d", 2),
         "f": ("f", 1), "g": ("g", 1),
     }
+
+
+def test_cap_hub_adjacency_star_and_determinism(spark):
+    """Degree cap on a star + pendant graph: the hub keeps exactly
+    max_degree edges (md5-selected, deterministic), spokes keep theirs,
+    original degrees ride along; capped degrees never exceed the cap;
+    different salts draw different samples but identical salts are
+    partitioning-independent."""
+    from collections import Counter
+
+    from omop2obo_spark.operators.hierarchy import cap_hub_adjacency
+
+    spokes = [f"s{i:02d}" for i in range(10)]
+    e = _edges(spark, [("hub", s) for s in spokes] + [("s00", "s01")])
+    got = cap_hub_adjacency(e, max_degree=3).collect()
+    kept = {(r.ent_a, r.ent_b) for r in got}
+    deg = Counter()
+    for a, b in kept:
+        deg[a] += 1
+        deg[b] += 1
+    assert all(d <= 3 for d in deg.values())
+    assert deg["hub"] == 3
+    # original (uncapped) degrees attached: hub 10; s00/s01 2; others 1
+    for r in got:
+        for ent, d in [(r.ent_a, r.deg_a), (r.ent_b, r.deg_b)]:
+            want = 10 if ent == "hub" else (2 if ent in ("s00", "s01") else 1)
+            assert d == want, (ent, d)
+    # determinism + partitioning independence
+    again = {(r.ent_a, r.ent_b)
+             for r in cap_hub_adjacency(e.repartition(9), max_degree=3).collect()}
+    assert again == kept
+    other = {(r.ent_a, r.ent_b)
+             for r in cap_hub_adjacency(e, max_degree=3, salt="v2").collect()}
+    assert other != kept  # independent draw (10 choose 3 — collision ~1e-2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        cap_hub_adjacency(e, max_degree=0)
+
+
+def test_cap_hub_adjacency_noop_below_cap(spark):
+    """A graph already under the cap passes through unchanged."""
+    from omop2obo_spark.operators.hierarchy import cap_hub_adjacency
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    got = {(r.ent_a, r.ent_b, r.deg_a, r.deg_b)
+           for r in cap_hub_adjacency(e, max_degree=5).collect()}
+    assert got == {("a", "b", 2, 2), ("b", "c", 2, 2), ("a", "c", 2, 2)}
