@@ -801,10 +801,8 @@ def _betainc_reg(a: float, b: float, x: float) -> float:
 
     if x < (a + 1.0) / (a + b + 2.0):
         return front * betacf(a, b, x) / a
-    return 1.0 - math.exp(
-        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
-        + b * math.log(1.0 - x) + a * math.log(x)
-    ) * betacf(b, a, 1.0 - x) / b
+    # front is symmetric under (a, b, x) -> (b, a, 1-x)
+    return 1.0 - front * betacf(b, a, 1.0 - x) / b
 
 
 def t_sf_two_sided(t: float, df: float) -> float:
@@ -840,7 +838,7 @@ def welch_posthoc(
                 "df_w": r["df_w"],
                 "original_pvalue": p,
                 "corrected_pvalue": corrected,
-                "reject_h0": p <= alpha / m if m else False,
+                "reject_h0": p <= alpha / m,
                 "p_text": asterisks_for_pval(corrected),
             }
         )

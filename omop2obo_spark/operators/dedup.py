@@ -1146,10 +1146,13 @@ def edit_distance_join(
         grams — hot grams never fan out, the anti-skew property;
       * strings too short for the bound to bite
         (``len <= q*(k+1) - 1``, i.e. fewer than ``k*q + 1`` grams
-        after ``len - q + 1``) are a bounded-length dimension handled
-        by an explicit short×short block (broadcast, length-filtered) —
-        a pair with one long partner is still covered by the long
-        side's prefix, so ONLY both-short pairs need the block;
+        after ``len - q + 1``) go through an explicit short block that
+        pairs DISTINCT short VALUES (a true bounded dimension —
+        ``<= |alphabet|^(q(k+1)-1)`` strings — even when short DOCS are
+        a fact-scale population of repeated codes), verifies at value
+        level, and expands verified value pairs back to doc ids with
+        two equi-joins; a pair with one long partner is still covered
+        by the long side's prefix, so ONLY both-short pairs need it;
       * verification is built-in ``levenshtein`` with the threshold
         argument (bails out of the DP once > k) on candidate pairs
         only — text bytes move only for candidates.
@@ -1175,18 +1178,29 @@ def edit_distance_join(
     )
     short_max = q * (k + 1) - 1  # len - q + 1 - k*q < 1  <=>  len <= short_max
 
-    # -- short×short block: bounded-length dimension, broadcast ---------
+    # -- short×short block: pair DISTINCT short VALUES (the true
+    # bounded-length dimension — ≤ |alphabet|^short_max strings — where
+    # short DOCS can be a fact-scale population of repeated codes/names),
+    # pre-verify at value level, then expand only verified value pairs
+    # back to doc ids via two equi-joins
     shorts = base.filter(F.col("__len") <= F.lit(short_max))
-    sa = shorts.select(
-        F.col("doc").alias("a"), F.col("__t").alias("__ta"), F.col("__len").alias("__la")
-    )
-    sb = shorts.select(
-        F.col("doc").alias("b"), F.col("__t").alias("__tb"), F.col("__len").alias("__lb")
+    svals = shorts.select(F.col("__t"), F.col("__len")).distinct()
+    va = svals.select(F.col("__t").alias("__va"), F.col("__len").alias("__la"))
+    vb = svals.select(F.col("__t").alias("__vb"), F.col("__len").alias("__lb"))
+    val_pairs = (
+        va.join(F.broadcast(vb), on=F.col("__va") <= F.col("__vb"))
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= F.lit(k))
+        .filter(F.levenshtein(F.col("__va"), F.col("__vb"), k) >= 0)
+        .select("__va", "__vb")
     )
     short_cand = (
-        sa.join(F.broadcast(sb), on=F.col("a") < F.col("b"))
-        .filter(F.abs(F.col("__la") - F.col("__lb")) <= F.lit(k))
-        .select("a", "b")
+        val_pairs.join(shorts.select(F.col("doc").alias("__x"), F.col("__t").alias("__va")), on="__va")
+        .join(shorts.select(F.col("doc").alias("__y"), F.col("__t").alias("__vb")), on="__vb")
+        .filter(F.col("__x") != F.col("__y"))
+        .select(
+            F.least(F.col("__x"), F.col("__y")).alias("a"),
+            F.greatest(F.col("__x"), F.col("__y")).alias("b"),
+        )
     )
 
     # -- prefix path for everything with >= 1 gram ----------------------

@@ -184,11 +184,7 @@ def cap_hub_adjacency(
     """
     if max_degree < 1:
         raise ValueError(f"max_degree must be >= 1, got {max_degree}")
-    adj = edges.select(
-        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
-    )
+    adj = _adjacency(edges)
     h = F.md5(F.concat_ws("|", F.lit(salt), F.col("node"), F.col("nbr")))
     w = Window.partitionBy("node").orderBy(h, F.col("nbr"))
     ranked = adj.select(
@@ -323,6 +319,20 @@ def sameas_bridge(
         )
         .agg(F.countDistinct("code").alias("n_shared_codes"))
         .select("subj", F.lit("owl:sameAs").alias("pred"), "obj", "n_shared_codes")
+    )
+
+
+def _adjacency(edges: "DataFrame") -> "DataFrame":
+    """(node, nbr) rows in both directions from canonical (ent_a, ent_b)
+    edges — the shared preamble of every wedge/degree analytic
+    (neighbor_jaccard / adamic_adar / label_propagation /
+    deterministic_walks / cap_hub_adjacency). No distinct: canonical
+    inputs are already deduplicated (see :func:`symmetrize_edges` for
+    the deduplicating variant on arbitrary edge lists)."""
+    return edges.select(
+        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
     )
 
 
@@ -631,11 +641,7 @@ def neighbor_jaccard(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     (same hot spot as triangles); cap or sample hub adjacency upstream
     when a corpus has super-connectors.
     """
-    adj = edges.select(
-        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
-    )
+    adj = _adjacency(edges)
     l = adj.select(F.col("node").alias("ent_a"), "nbr")
     r = adj.select(F.col("node").alias("ent_b"), "nbr")
     pairs = (
@@ -687,11 +693,7 @@ def adamic_adar(edges: DataFrame, min_shared: int = 1) -> DataFrame:
     division guard needed. Hub neighbors inflate wedges exactly as in
     triangles/jaccard; cap hub adjacency upstream for super-connectors.
     """
-    adj = edges.select(
-        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
-    )
+    adj = _adjacency(edges)
     deg_n = adj.groupBy(F.col("node").alias("nbr")).agg(F.count("*").alias("__dn"))
     l = adj.select(F.col("node").alias("ent_a"), "nbr").join(
         F.broadcast(deg_n), on="nbr"
@@ -861,11 +863,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     only moving table. localCheckpoint per round keeps lineage O(1)
     exactly as in :func:`pagerank`.
     """
-    adj = edges.select(
-        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
-    )
+    adj = _adjacency(edges)
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("community")
     ).localCheckpoint(eager=False)
@@ -904,11 +902,7 @@ def deterministic_walks(edges: DataFrame, walk_len: int = 3) -> DataFrame:
     node — at graph scale this is the standard distributed walk shape
     (vs GraphX's Pregel, same volume per superstep).
     """
-    adj = edges.select(
-        F.col("ent_a").alias("node"), F.col("ent_b").alias("nbr")
-    ).unionByName(
-        edges.select(F.col("ent_b").alias("node"), F.col("ent_a").alias("nbr"))
-    )
+    adj = _adjacency(edges)
     w = Window.partitionBy("node").orderBy("nbr")
     deg = adj.groupBy("node").agg(F.count("*").alias("__d"))
     ranked = adj.withColumn("__rn", F.row_number().over(w))

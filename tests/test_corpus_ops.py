@@ -2339,16 +2339,7 @@ def test_top_p_and_retrieval_partitioning_independent(spark):
     assert a == b
 
 
-def _py_levenshtein(a, b):
-    if len(a) < len(b):
-        a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+from tests.conftest import py_levenshtein as _py_levenshtein
 
 
 def test_edit_distance_join_equals_bruteforce(spark):

@@ -427,16 +427,7 @@ _ed_corpora = st.lists(
 )
 
 
-def _py_lev(a: str, b: str) -> int:
-    if len(a) < len(b):
-        a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+from tests.conftest import py_levenshtein as _py_lev
 
 
 @PROP_SETTINGS
