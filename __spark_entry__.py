@@ -913,6 +913,20 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/er.py:
+    sorted_neighborhood_pairs): window-3 candidate pairs in blocking-key
+    order — catches near-miss keys equi-blocking splits. Global rank via
+    the two-level prefix scaffold (no single-partition window); pairing
+    via skew-free rank-offset equi-join."""
+    from omop2obo_spark.operators.er import sorted_neighborhood_pairs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, 12).alias("bkey")
+    )
+    return sorted_neighborhood_pairs(d, "bkey", window=3)
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t statistic for every event-type pair
     over the value metric (operators/analysis.py:welch_t_test) — the
@@ -3782,6 +3796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_pmi": q_token_pmi,
         "q_scc": q_scc,
         "q_hub_cap": q_hub_cap,
+        "q_sorted_blocking": q_sorted_blocking,
     }
 
 
@@ -4918,6 +4933,23 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_sorted_blocking: flat one-window spec of the two-level prefix
+    # rank (0-based, (key, id) tie-break) + the same offset pairing
+    sqls["q_sorted_blocking"] = """
+        WITH k AS (
+            SELECT doc_id AS id, substr(lower(text), 1, 12) AS kk
+            FROM documents WHERE text IS NOT NULL
+        ),
+        r AS (
+            SELECT id, kk,
+                   CAST(row_number() OVER (ORDER BY kk, id) - 1 AS BIGINT) AS rank
+            FROM k
+        )
+        SELECT a.id AS a, b.id AS b, a.kk AS key_a, b.kk AS key_b,
+               CAST(b.rank - a.rank AS INT) AS rank_gap
+        FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 3
+    """
+
     # q_ab_test: Welch t via the exact sum-formula variance — the SAME
     # expression tree as the Spark side (products spelled out, no pow),
     # so both engines run identical double arithmetic

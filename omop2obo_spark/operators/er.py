@@ -272,3 +272,64 @@ def survivorship(
         .withColumnRenamed("__cluster", cluster_col)
         .select(cluster_col, "canonical_id", "cluster_size", *attrs)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    window: int = 3,
+    id_col: str = "doc_id",
+    bucket_prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995): records sort by a blocking key and every pair within
+    ``window`` positions becomes a candidate — the classic complement
+    to equi-join blocking (`block_compare`) and LSH (`minhash_lsh_pairs`):
+    equi-blocks miss near-miss keys at block boundaries, while a sorted
+    neighborhood catches records whose keys are CLOSE but not equal
+    (typo'd surnames, shifted dates). Candidate volume is exactly
+    ``(n−1)·window``-bounded, independent of key skew.
+
+    The global sort position comes from the shared
+    :func:`~omop2obo_spark.operators.prefix.two_level_prefix` scaffold
+    (never a single-partition window): rows bucket by the key's first
+    ``bucket_prefix_len`` characters — monotone in key order, so bucket
+    order concatenates to global key order — with (key, id) tie-break
+    making the permutation a pure function of the data. Pairing is then
+    an EQUI-join on rank offsets (rank + d for d in 1..window), the
+    same skew-free offset-join shape as ``textstats.token_pmi``.
+
+    Returns (a, b, key_a, key_b, rank_gap) with a/b in rank order (the
+    lower-ranked record is ``a``). NULL keys are excluded. At web scale
+    raise ``bucket_prefix_len`` so the prefix histogram spreads buckets.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from omop2obo_spark.operators.prefix import two_level_prefix
+
+    keyed = (
+        df.select(F.col(id_col).alias("id"), F.col(key_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .withColumn("__b", F.substring(F.col("__k"), 1, bucket_prefix_len))
+    )
+    ranked = two_level_prefix(
+        keyed, [F.col("__k").asc(), F.col("id").asc()], "rank"
+    ).select("id", "__k", F.col("rank").cast("bigint").alias("rank"))
+    targets = ranked.select(
+        F.col("id").alias("a"),
+        F.col("__k").alias("key_a"),
+        F.col("rank").alias("__ra"),
+        F.explode(
+            F.array(*[F.col("rank") + F.lit(d) for d in range(1, window + 1)])
+        ).alias("rank"),
+    )
+    return (
+        targets.join(ranked, on="rank")
+        .select(
+            "a",
+            F.col("id").alias("b"),
+            "key_a",
+            F.col("__k").alias("key_b"),
+            (F.col("rank") - F.col("__ra")).cast("int").alias("rank_gap"),
+        )
+    )

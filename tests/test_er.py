@@ -248,3 +248,40 @@ def test_survivorship_partition_independent(spark):
         )
     )
     assert base == again
+
+
+def test_sorted_neighborhood_pairs_python_model(spark):
+    """Window pairs vs a pure-Python sort replay, incl. duplicate keys
+    (id tie-break), NULL-key exclusion, window truncation at the tail,
+    and bucket-boundary pairs (records in DIFFERENT prefix buckets must
+    still pair — the two-level rank is global)."""
+    from omop2obo_spark.operators.er import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "aa-smith"), (2, "ab-smith"), (3, "aa-smith"), (4, "zz-last"),
+        (5, "ba-jones"), (6, "bb-jones"), (7, None), (8, "ab-smyth"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, bkey: string")
+    for w in (1, 2, 3):
+        ordered = sorted(((k, i) for i, k in rows if k is not None))
+        want = set()
+        for p in range(len(ordered)):
+            for d in range(1, w + 1):
+                if p + d < len(ordered):
+                    (ka, a), (kb, b) = ordered[p], ordered[p + d]
+                    want.add((a, b, ka, kb, d))
+        got = {
+            (r.a, r.b, r.key_a, r.key_b, r.rank_gap)
+            for r in sorted_neighborhood_pairs(df, "bkey", window=w).collect()
+        }
+        assert got == want, w
+    # partitioning independence
+    g1 = {(r.a, r.b) for r in sorted_neighborhood_pairs(
+        df.repartition(7), "bkey", window=2).collect()}
+    g2 = {(r.a, r.b) for r in sorted_neighborhood_pairs(
+        df.coalesce(1), "bkey", window=2).collect()}
+    assert g1 == g2
+    import pytest
+
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "bkey", window=0)
