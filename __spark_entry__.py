@@ -913,6 +913,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of the value metric (operators/
+    curate.py:winsorize): clip to the group's [5%, 95%] exact-quantile
+    band with clip flags — the bounding counterpart of q_mad_outliers.
+    One grouped quantile dim broadcast back; the fact table never
+    re-shuffles; approx=True is the sketch twin."""
+    from omop2obo_spark.operators.curate import winsorize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize(e, "value", group_cols=["event_type"], lower=0.05, upper=0.95)
+    return out.select(
+        "event_id", "event_type",
+        F.round("value_wins", 6).alias("value_wins"),
+        "clipped_low", "clipped_high",
+    )
+
+
 def q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood ER blocking (operators/er.py:
     sorted_neighborhood_pairs): window-3 candidate pairs in blocking-key
@@ -3797,6 +3816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scc": q_scc,
         "q_hub_cap": q_hub_cap,
         "q_sorted_blocking": q_sorted_blocking,
+        "q_winsorize": q_winsorize,
     }
 
 
@@ -4933,6 +4953,23 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_winsorize: identical interpolated-quantile boundaries and
+    # clip/flag expressions (NULL flags pinned false on both sides)
+    sqls["q_winsorize"] = """
+        WITH dim AS (
+            SELECT event_type,
+                   quantile_cont(CAST(value AS DOUBLE), [0.05, 0.95]) AS qs
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        )
+        SELECT event_id, e.event_type,
+               round(CASE WHEN value IS NULL THEN NULL
+                          ELSE least(greatest(CAST(value AS DOUBLE), qs[1]), qs[2])
+                     END, 6) AS value_wins,
+               coalesce(CAST(value AS DOUBLE) < qs[1], false) AS clipped_low,
+               coalesce(CAST(value AS DOUBLE) > qs[2], false) AS clipped_high
+        FROM events e LEFT JOIN dim USING (event_type)
+    """
+
     # q_sorted_blocking: flat one-window spec of the two-level prefix
     # rank (0-based, (key, id) tie-break) + the same offset pairing
     sqls["q_sorted_blocking"] = """

@@ -524,3 +524,63 @@ def dsir_sample(
     top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def winsorize(
+    docs: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [``lower``, ``upper``] quantile band — the feature-hygiene step
+    before quality-score aggregation or model features, where a handful
+    of pathological documents (a 10-GB line, a scraped binary blob)
+    would otherwise dominate any mean-based statistic downstream.
+    The clipping counterpart of :func:`mad_outlier_flags` (which flags;
+    this bounds).
+
+    Appends ``<value_col>_wins`` (clipped, NULL stays NULL) plus
+    ``clipped_low`` / ``clipped_high`` flags. Quantiles are exact
+    interpolated percentiles by default (the oracle twin — DuckDB
+    ``quantile_cont`` interpolates identically); ``approx=True`` swaps
+    in ``percentile_approx`` for the bounded-memory 100-TB path.
+
+    Scale shape: one grouped quantile aggregate (a group-cardinality
+    dim broadcast back); the fact table never re-shuffles.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    probs = F.array(F.lit(float(lower)), F.lit(float(upper)))
+    pct = (
+        F.percentile_approx(v, probs, 10_000)
+        if approx
+        else F.percentile(v, probs)
+    )
+    dim = (
+        docs.filter(v.isNotNull()).groupBy(*gcols).agg(pct.alias("__qs"))
+        if gcols
+        else docs.filter(v.isNotNull()).agg(pct.alias("__qs"))
+    )
+    joined = (
+        docs.join(F.broadcast(dim), on=gcols, how="left")
+        if gcols
+        else docs.crossJoin(F.broadcast(dim))
+    )
+    lo = F.element_at(F.col("__qs"), 1)
+    hi = F.element_at(F.col("__qs"), 2)
+    return joined.select(
+        *docs.columns,
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.least(F.greatest(v, lo), hi))
+        .alias(f"{value_col}_wins"),
+        # NULL values (and NULL-key groups with no dim row) are pinned to
+        # false — a NULL flag would slip through downstream `NOT clipped`
+        # filters
+        F.coalesce(v < lo, F.lit(False)).alias("clipped_low"),
+        F.coalesce(v > hi, F.lit(False)).alias("clipped_high"),
+    )

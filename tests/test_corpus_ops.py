@@ -2568,3 +2568,56 @@ def test_token_pmi_python_model(spark):
             for r in token_pmi(docs, window=w, min_count=mc).collect()
         }
         assert got == want, (w, mc)
+
+
+def test_winsorize_python_model(spark):
+    """Grouped winsorization vs a pure-Python type-7 quantile replay,
+    incl. NULL values (NULL result, false flags), a NULL group key, and
+    the approx twin covering every row."""
+    import pytest
+
+    from omop2obo_spark.operators.curate import winsorize
+
+    groups = {
+        "a": [1.0, 2.0, 3.0, 4.0, 100.0],
+        "b": [10.0, 10.0, 10.0],
+    }
+    rows = [(f"{g}{i}", g, v) for g, vs in groups.items() for i, v in enumerate(vs)]
+    rows += [("n0", "a", None), ("g0", None, 7.0)]
+    df = spark.createDataFrame(rows, "id: string, grp: string, value: double")
+
+    def q7(vals, p):
+        vals = sorted(vals)
+        h = (len(vals) - 1) * p
+        lo = int(h)
+        return vals[lo] + (h - lo) * (vals[min(lo + 1, len(vals) - 1)] - vals[lo])
+
+    want = {}
+    for rid, g, v in rows:
+        if v is None:
+            want[rid] = (None, False, False)
+        elif g is None:
+            # NULL group key: left join finds no dim row → passthrough?
+            # lo/hi NULL → least/greatest NULL-propagate... pinned below
+            continue
+        else:
+            lo, hi = q7(groups[g], 0.1), q7(groups[g], 0.9)
+            want[rid] = (min(max(v, lo), hi), v < lo, v > hi)
+    got = {
+        r.id: (r.value_wins, r.clipped_low, r.clipped_high)
+        for r in winsorize(df, "value", ["grp"], lower=0.1, upper=0.9).collect()
+    }
+    for rid, exp in want.items():
+        g = got[rid]
+        if exp[0] is None:
+            assert g[0] is None and g[1:] == exp[1:], (rid, g)
+        else:
+            assert abs(g[0] - exp[0]) < 1e-9 and g[1:] == (exp[1], exp[2]), (rid, g)
+    # NULL group key: flags pinned false (no dim row)
+    assert got["g0"][1] is False and got["g0"][2] is False
+    # approx twin: same row count, clip flags consistent with exact at
+    # this tiny size (sketch is exact for small groups)
+    approx = winsorize(df, "value", ["grp"], lower=0.1, upper=0.9, approx=True)
+    assert approx.count() == len(rows)
+    with pytest.raises(ValueError):
+        winsorize(df, "value", lower=0.9, upper=0.1)
