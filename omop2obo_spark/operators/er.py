@@ -312,9 +312,13 @@ def sorted_neighborhood_pairs(
         .filter(F.col("__k").isNotNull())
         .withColumn("__b", F.substring(F.col("__k"), 1, bucket_prefix_len))
     )
-    ranked = two_level_prefix(
-        keyed, [F.col("__k").asc(), F.col("id").asc()], "rank"
-    ).select("id", "__k", F.col("rank").cast("bigint").alias("rank"))
+    # both join sides consume the rank table; materialize it once so the
+    # prefix scaffold (incl. its offset-dim window) doesn't run twice
+    ranked = (
+        two_level_prefix(keyed, [F.col("__k").asc(), F.col("id").asc()], "rank")
+        .select("id", "__k", F.col("rank").cast("bigint").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
     targets = ranked.select(
         F.col("id").alias("a"),
         F.col("__k").alias("key_a"),

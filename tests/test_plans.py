@@ -662,3 +662,48 @@ def test_length_bucket_stats_boundary_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "GlobalSort" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_token_pmi_no_quadratic_join(spark):
+    """Pair generation must be the offset EQUI-join — no nested-loop/
+    cartesian anywhere except the 1-row totals cross join."""
+    from omop2obo_spark.operators.textstats import token_pmi
+    from omop2obo_spark.plans.guard import plan_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    r = plan_report(token_pmi(docs, window=2, min_count=5))
+    assert r["nested_loop_joins"] <= 1, r     # the broadcast totals row
+    assert r["row_python_evals"] == 0, r
+
+
+def test_sorted_neighborhood_no_global_sort(spark):
+    """The global rank must come from the two-level prefix scaffold,
+    never a corpus range-sort: the visible plan (downstream of the
+    checkpointed rank table) is pure equi/broadcast pairing with no
+    range partitioning; the scaffold's own offset-dim window is the
+    documented n_buckets-row single-partition exception and runs in
+    the checkpoint job."""
+    from omop2obo_spark.operators.er import sorted_neighborhood_pairs
+    from omop2obo_spark.plans.guard import plan_report
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, 12).alias("bkey")
+    )
+    r = plan_report(sorted_neighborhood_pairs(d, "bkey", window=3))
+    assert r["range_exchanges"] == 0, r
+    assert r["single_partition_exchanges"] <= 1, r
+    assert r["sort_merge_joins"] == 0 and r["nested_loop_joins"] == 0, r
+
+
+def test_winsorize_fact_never_reshuffles(spark):
+    """One hash exchange total — the grouped quantile dim; the fact side
+    reaches the output through a broadcast join only."""
+    from omop2obo_spark.operators.curate import winsorize
+    from omop2obo_spark.plans.guard import plan_report
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    r = plan_report(winsorize(e, "value", ["event_type"]))
+    assert r["hash_exchanges"] <= 1, r
+    assert r["sort_merge_joins"] == 0, r
