@@ -913,6 +913,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL random projection 64→8 dims (operators/ann.py:
+    random_projection): md5-derived ±1 sign matrix baked in as plan
+    literals, zero-shuffle per-row fold — the pre-step that cuts ANN
+    index cost by in_dim/out_dim while preserving distances whp."""
+    from omop2obo_spark.operators.ann import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb, in_dim=64, out_dim=8)
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type winsorization of the value metric (operators/
     curate.py:winsorize): clip to the group's [5%, 95%] exact-quantile
@@ -3817,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hub_cap": q_hub_cap,
         "q_sorted_blocking": q_sorted_blocking,
         "q_winsorize": q_winsorize,
+        "q_random_projection": q_random_projection,
     }
 
 
@@ -4953,6 +4965,23 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_random_projection: the identical md5-derived sign literals
+    # (rp_signs) injected into SQL; same fold order, same /sqrt(d')
+    from omop2obo_spark.operators.ann import rp_signs as _rp_signs
+
+    _rp = _rp_signs(64, 8)
+    _rp_cols = ",\n               ".join(
+        "round(list_dot_product(e, ["
+        + ", ".join(f"{float(s)}" for s in _rp[j])
+        + f"]) / sqrt(8.0), 6) AS p{j}"
+        for j in range(8)
+    )
+    sqls["q_random_projection"] = f"""
+        SELECT vec_id AS id,
+               {_rp_cols}
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    """
+
     # q_winsorize: identical interpolated-quantile boundaries and
     # clip/flag expressions (NULL flags pinned false on both sides)
     sqls["q_winsorize"] = """

@@ -492,3 +492,69 @@ def rrf_fuse(
     if top is not None:
         out = out.filter(F.col("fused_rank") <= int(top))
     return out
+
+
+def rp_signs(in_dim: int, out_dim: int, salt: str = "rp") -> list[list[int]]:
+    """±1 sign matrix for :func:`random_projection`, a pure function of
+    (salt, i, j): ``+1`` iff the first hex digit of ``md5(salt|i|j)`` is
+    even. Generated driver-side and baked into the plan as literals —
+    the same matrix is reproducible in any engine (the oracle embeds
+    the identical literals)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    vectors: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    salt: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a deterministic
+    ±1 sign matrix (Achlioptas 2003): ``p_j = Σ_i v_i·s_ij / sqrt(d')``.
+    The cheap pre-step before ANN indexing / clustering when the input
+    dimension is large: distances are preserved within (1±ε) whp while
+    index build and scan costs drop by ``in_dim/out_dim``.
+
+    The sign matrix comes from :func:`rp_signs` — md5-derived, baked in
+    as plan literals, so the projection is a pure function of
+    (salt, vector) and replayable by any engine.
+
+    Output: (id, p0..p{out_dim-1}), each rounded 6dp.
+
+    Scale shape: ZERO shuffle — a pure per-row projection inside
+    whole-stage codegen (zip_with + left-fold per output coordinate);
+    embeddings never move. Compose with brute/IVF/PQ top-k downstream.
+    """
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError(f"dims must be >= 1, got ({in_dim}, {out_dim})")
+    signs = rp_signs(in_dim, out_dim, salt)
+    # divide by the correctly-rounded sqrt (not multiply by its inverse)
+    # so the oracle's `/ sqrt(d')` runs the identical double arithmetic
+    root = float(out_dim) ** 0.5
+    cols = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(root),
+            6,
+        ).alias(f"p{j}")
+        for j in range(out_dim)
+    ]
+    return vectors.select(F.col(id_col).alias("id"), *cols)

@@ -2621,3 +2621,45 @@ def test_winsorize_python_model(spark):
     assert approx.count() == len(rows)
     with pytest.raises(ValueError):
         winsorize(df, "value", lower=0.9, upper=0.1)
+
+
+def test_random_projection_numpy_model_and_distance_preservation(spark):
+    """JL projection vs a numpy replay of the identical sign matrix,
+    plus the point of the operator: pairwise distances in the projected
+    space correlate with full-dim distances on a seeded sample."""
+    import numpy as np
+
+    from omop2obo_spark.operators.ann import random_projection, rp_signs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id: long, embedding: array<float>",
+    )
+    out_dim = 4
+    got = {r.id: [r[f"p{j}"] for j in range(out_dim)]
+           for r in random_projection(df, in_dim=16, out_dim=out_dim).collect()}
+    S = np.array(rp_signs(16, out_dim), dtype="float64")      # (out, in)
+    want = (vecs.astype("float64") @ S.T) / np.sqrt(out_dim)
+    for i in range(40):
+        assert np.allclose(got[i], np.round(want[i], 6), atol=1e-6), i
+    # distance preservation — the actual JL claim: the projected/full
+    # squared-distance RATIO is unbiased with relative error ~sqrt(2/d')
+    # (correlation would be the wrong metric here: isotropic gaussian
+    # distances concentrate, so d_full barely varies). Checked at 8
+    # output dims: E[ratio]≈1, mean |ratio-1| ≲ 0.5.
+    got8 = {r.id: [r[f"p{j}"] for j in range(8)]
+            for r in random_projection(df, in_dim=16, out_dim=8).collect()}
+    proj = np.array([got8[i] for i in range(40)])
+    d_full = ((vecs[:20, None, :].astype("float64")
+               - vecs[None, :20, :].astype("float64")) ** 2).sum(-1)
+    d_proj = ((proj[:20, None, :] - proj[None, :20, :]) ** 2).sum(-1)
+    iu = np.triu_indices(20, 1)
+    ratio = d_proj[iu] / d_full[iu]
+    assert 0.8 < ratio.mean() < 1.2, ratio.mean()
+    assert np.abs(ratio - 1).mean() < 0.6, np.abs(ratio - 1).mean()
+    import pytest
+
+    with pytest.raises(ValueError):
+        random_projection(df, in_dim=16, out_dim=0)
