@@ -913,6 +913,20 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percent-rank normalization of doc length (operators/
+    analysis.py:grouped_percent_rank): SQL percent_rank tie semantics
+    exactly, computed through the two-level prefix scaffold instead of
+    a one-task-per-source window — the quantile normalization that puts
+    heterogeneous scores on one [0,1] scale before blending."""
+    from omop2obo_spark.operators.analysis import grouped_percent_rank
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return grouped_percent_rank(d, "n_chars", ["source"]).select(
+        "doc_id", "source", "n_chars", "pct_rank"
+    )
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic JL random projection 64→8 dims (operators/ann.py:
     random_projection): md5-derived ±1 sign matrix baked in as plan
@@ -3829,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_blocking": q_sorted_blocking,
         "q_winsorize": q_winsorize,
         "q_random_projection": q_random_projection,
+        "q_pct_rank": q_pct_rank,
     }
 
 
@@ -4965,6 +4980,17 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_pct_rank: native percent_rank window is the flat oracle spec of
+    # the two-level formulation (single-row groups pinned 0.0)
+    sqls["q_pct_rank"] = """
+        SELECT doc_id, source, n_chars,
+               round(CASE WHEN count(*) OVER (PARTITION BY source) <= 1 THEN 0.0
+                          ELSE percent_rank() OVER (PARTITION BY source
+                                                    ORDER BY CAST(n_chars AS DOUBLE))
+                     END, 9) AS pct_rank
+        FROM documents WHERE n_chars IS NOT NULL
+    """
+
     # q_random_projection: the identical md5-derived sign literals
     # (rp_signs) injected into SQL; same fold order, same /sqrt(d')
     from omop2obo_spark.operators.ann import rp_signs as _rp_signs

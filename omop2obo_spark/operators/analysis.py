@@ -843,3 +843,75 @@ def welch_posthoc(
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# grouped percent-rank normalization
+# ---------------------------------------------------------------------------
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``
+    — the quantile normalization that puts heterogeneous quality scores
+    on one [0, 1] scale before blending — computed WITHOUT per-group
+    windows. ``Window.partitionBy(source)`` drags each source (a
+    fact-scale population when groups are corpus partitions like
+    source/language) into ONE task; here the row order comes from the
+    shared two-level prefix scaffold (equi-width value buckets within
+    each group), tie handling from a (group, value) min-rank aggregate,
+    so the result matches percent_rank's tie semantics exactly:
+    ``(rank − 1) / (n − 1)``, ties sharing the rank of their first row,
+    single-row groups pinned to 0.0.
+
+    NULL values are excluded (no defined rank — pinning them would
+    change every other row's n). Output: input columns + ``pct_rank``
+    (rounded 9dp).
+    """
+    gcols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    clean = df.filter(v.isNotNull())
+    bounds = (
+        clean.groupBy(*gcols).agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        if gcols
+        else clean.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    )
+    joined = (
+        clean.join(F.broadcast(bounds), on=gcols) if gcols
+        else clean.crossJoin(F.broadcast(bounds))
+    )
+    span = F.col("__hi") - F.col("__lo")
+    b = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("__lo")) / span * n_buckets).cast("bigint"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    keyed = joined.withColumn("__b", b).drop("__lo", "__hi")
+    ranked = two_level_prefix(
+        keyed, [v.asc(), F.col(id_col).asc()], "__rn", group_cols=gcols
+    )
+    # percent_rank tie semantics: every row of a tied value takes the
+    # rank of the value's FIRST row
+    vmin = ranked.groupBy(*gcols, value_col).agg(F.min("__rn").alias("__vrn"))
+    n_dim = (
+        clean.groupBy(*gcols).agg(F.count("*").alias("__n"))
+        if gcols
+        else clean.agg(F.count("*").alias("__n"))
+    )
+    out = ranked.join(F.broadcast(vmin), on=[*gcols, value_col]).drop("__rn")
+    out = out.join(F.broadcast(n_dim), on=gcols) if gcols else out.crossJoin(F.broadcast(n_dim))
+    return (
+        out.withColumn(
+            "pct_rank",
+            F.when(F.col("__n") <= 1, F.lit(0.0)).otherwise(
+                F.round(F.col("__vrn") / (F.col("__n") - 1), 9)
+            ),
+        )
+        .drop("__vrn", "__n", "__b")
+    )

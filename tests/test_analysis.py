@@ -835,3 +835,36 @@ def test_welch_posthoc_bonferroni(spark):
     for r in out:
         assert r["corrected_pvalue"] == min(r["original_pvalue"] * 3, 1.0)
         assert abs(r["original_pvalue"] - t_sf_two_sided(r["t_stat"], r["df_w"])) < 1e-12
+
+
+def test_grouped_percent_rank_matches_native_window(spark):
+    """The two-level formulation must equal Spark's own percent_rank
+    window exactly — ties, multiple groups, a single-row group, and
+    NULL-value exclusion."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from omop2obo_spark.operators.analysis import grouped_percent_rank
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 20.0), ("a", 4, 30.0),
+        ("a", 5, 30.0), ("a", 6, 40.0),
+        ("b", 7, 5.0), ("b", 8, 5.0), ("b", 9, 5.0),   # all tied -> all 0.0
+        ("c", 10, 99.0),                                 # single row -> 0.0
+        ("a", 11, None),                                 # excluded
+    ]
+    df = spark.createDataFrame(rows, "grp: string, doc_id: long, v: double")
+    got = {
+        r.doc_id: r.pct_rank
+        for r in grouped_percent_rank(df, "v", ["grp"], n_buckets=4).collect()
+    }
+    native = df.filter(F.col("v").isNotNull()).select(
+        "doc_id",
+        F.round(
+            F.percent_rank().over(W.partitionBy("grp").orderBy("v")), 9
+        ).alias("pr"),
+    )
+    want = {r.doc_id: r.pr for r in native.collect()}
+    assert got == want
+    assert 11 not in got
+    assert got[10] == 0.0 and got[7] == 0.0
