@@ -913,6 +913,29 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (operators/curate.py:group_quota_cap):
+    keep the 50 longest docs per source with rank + kept flag — the
+    anti-monoculture stage of a web-corpus funnel. High-cardinality
+    group window (each group small); deterministic (value, id) cut."""
+    from omop2obo_spark.operators.curate import group_quota_cap
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return group_quota_cap(d, "source", "n_chars", n_keep=50)
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist filtering (operators/curate.py:blocklist_filter): whole-
+    word case-insensitive hit counts for a blocklist compiled into one
+    codegen regexp_count pass — zero shuffle, no Python."""
+    from omop2obo_spark.operators.curate import blocklist_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return blocklist_filter(d, ["data", "spark", "hash"], max_hits=2).select(
+        "doc_id", "n_blocked", "blocked"
+    )
+
+
 def q_pct_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percent-rank normalization of doc length (operators/
     analysis.py:grouped_percent_rank): SQL percent_rank tie semantics
@@ -3844,6 +3867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winsorize": q_winsorize,
         "q_random_projection": q_random_projection,
         "q_pct_rank": q_pct_rank,
+        "q_domain_cap": q_domain_cap,
+        "q_blocklist": q_blocklist,
     }
 
 
@@ -4980,6 +5005,32 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_domain_cap: row_number replay with the identical NULLS LAST +
+    # id tie-break ordering
+    sqls["q_domain_cap"] = """
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC NULLS LAST,
+                                                doc_id ASC) AS INT) AS grp_rank,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC NULLS LAST,
+                                           doc_id ASC) <= 50 AS kept
+        FROM documents
+    """
+
+    # q_blocklist: identical (?i)\b alternation — RE2 and Java agree on
+    # this subset (escaped literal words, word boundaries)
+    sqls["q_blocklist"] = """
+        SELECT doc_id,
+               CAST(CASE WHEN text IS NULL THEN 0
+                         ELSE len(regexp_extract_all(text,
+                              '(?i)\\b(?:data|hash|spark)\\b')) END AS BIGINT) AS n_blocked,
+               CASE WHEN text IS NULL THEN 0
+                    ELSE len(regexp_extract_all(text,
+                         '(?i)\\b(?:data|hash|spark)\\b')) END > 2 AS blocked
+        FROM documents
+    """
+
     # q_pct_rank: native percent_rank window is the flat oracle spec of
     # the two-level formulation (single-row groups pinned 0.0)
     sqls["q_pct_rank"] = """

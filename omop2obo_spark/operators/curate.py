@@ -584,3 +584,88 @@ def winsorize(
         F.coalesce(v < lo, F.lit(False)).alias("clipped_low"),
         F.coalesce(v > hi, F.lit(False)).alias("clipped_high"),
     )
+
+
+def group_quota_cap(
+    docs: DataFrame,
+    group_col: str,
+    order_col: str,
+    n_keep: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group quota capping — "keep the best ``n_keep`` documents per
+    domain/source" (the C4/RefinedWeb-style anti-monoculture stage: a
+    handful of template-heavy hosts would otherwise dominate the kept
+    corpus). Rows rank within their group by ``order_col`` (descending
+    by default — higher is better), ties broken by ``id_col`` so the
+    cut is a pure function of the data; appends ``grp_rank`` and a
+    ``kept`` flag rather than dropping rows (callers filter, audits
+    count).
+
+    Scale shape: one window partitioned by the group key. Per-DOMAIN
+    groups are high-cardinality and individually small, so partitions
+    stay bounded — this is the window's legitimate use; for LOW-
+    cardinality fact-scale groups (source/language) use the two-level
+    prefix ops (:func:`~omop2obo_spark.operators.analysis.grouped_percent_rank`)
+    instead. NULL group keys form their own group (pinned, matching
+    groupBy semantics); NULL order values sort LAST either direction.
+    """
+    if n_keep < 1:
+        raise ValueError(f"n_keep must be >= 1, got {n_keep}")
+    from pyspark.sql.window import Window
+
+    v = F.col(order_col)
+    order = [
+        v.desc_nulls_last() if descending else v.asc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return docs.select(
+        "*",
+        F.row_number().over(w).alias("grp_rank"),
+    ).withColumn("kept", F.col("grp_rank") <= int(n_keep))
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: list[str],
+    max_hits: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Wordlist filtering (the C4 "bad words" stage): count whole-word
+    occurrences of each blocklist term (case-insensitive) and flag
+    documents exceeding ``max_hits`` total. The list is compiled into
+    ONE alternation regex with word boundaries — a single codegen
+    ``regexp_count`` pass per row, no explode, no join, no Python.
+
+    Appends ``n_blocked`` (total hits) and ``blocked`` (hits >
+    ``max_hits``); NULL text counts 0 and passes. Terms are regex-
+    escaped, so the list is plain words/phrases, not patterns.
+
+    Scale shape: zero shuffle — pure projection over the scan. The
+    compiled pattern is O(list size) per row; for very large lists
+    (>10^4 terms) switch to the token-join shape of
+    ``contamination_check`` instead.
+    """
+    import re as _re
+
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+
+    def term_pat(t: str) -> str:
+        # \b only works adjacent to word characters: a term ending in a
+        # symbol ("c++") would get a boundary that can never match — so
+        # anchor each side only when that side starts/ends with \w
+        lead = r"\b" if _re.match(r"\w", t) else ""
+        tail = r"\b" if _re.search(r"\w$", t) else ""
+        return lead + _re.escape(t) + tail
+
+    pat = "(?i)(?:" + "|".join(term_pat(t.lower()) for t in sorted(blocklist)) + ")"
+    hits = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.regexp_count(F.col(text_col), F.lit(pat))
+    )
+    return docs.select(
+        "*",
+        hits.cast("long").alias("n_blocked"),
+    ).withColumn("blocked", F.col("n_blocked") > int(max_hits))

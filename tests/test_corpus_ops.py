@@ -2663,3 +2663,57 @@ def test_random_projection_numpy_model_and_distance_preservation(spark):
 
     with pytest.raises(ValueError):
         random_projection(df, in_dim=16, out_dim=0)
+
+
+def test_group_quota_cap_rank_and_ties(spark):
+    import pytest
+
+    from omop2obo_spark.operators.curate import group_quota_cap
+
+    rows = [
+        ("x", 1, 30.0), ("x", 2, 30.0), ("x", 3, 10.0), ("x", 4, None),
+        ("y", 5, 7.0),
+        (None, 6, 1.0), (None, 7, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "grp: string, doc_id: long, score: double")
+    got = {r.doc_id: (r.grp_rank, r.kept)
+           for r in group_quota_cap(df, "grp", "score", n_keep=2).collect()}
+    assert got == {
+        1: (1, True), 2: (2, True),   # tie broken by id
+        3: (3, False), 4: (4, False),  # NULL score sorts last
+        5: (1, True),
+        7: (1, True), 6: (2, True),    # NULL group is its own group
+    }
+    asc = {r.doc_id: r.grp_rank
+           for r in group_quota_cap(df, "grp", "score", 2, descending=False).collect()}
+    assert asc[3] == 1 and asc[4] == 4  # NULLs still last ascending
+    with pytest.raises(ValueError):
+        group_quota_cap(df, "grp", "score", 0)
+
+
+def test_blocklist_filter_whole_word_and_guards(spark):
+    import pytest
+
+    from omop2obo_spark.operators.curate import blocklist_filter
+
+    rows = [
+        (1, "Bad WORD here and badword joined"),   # 'word' hits once (case-
+                                                    # insensitive); 'badword' is
+                                                    # not a whole-word match
+        (2, "word word word"),
+        (3, None),
+        (4, "clean text entirely"),
+        (5, "a c++ token with+plus (word)"),        # punctuation boundaries
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.n_blocked, r.blocked)
+           for r in blocklist_filter(df, ["word", "c++"], max_hits=1).collect()}
+    assert got[1] == (1, False)
+    assert got[2] == (3, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+    # escaped term 'c++' matches literally (boundary only on the word-char
+    # side); 'word' in parens also hits; 'with+plus' must NOT hit
+    assert got[5] == (2, True)
+    with pytest.raises(ValueError):
+        blocklist_filter(df, [])
