@@ -913,6 +913,40 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/ann.py:
+    mine_hard_negatives): top non-relevant items from the exact-cosine
+    retriever paired with each query's best positive — the (anchor,
+    positive, negative) triplet export a retriever trainer consumes.
+    Every input query-bounded; anti-join on the composite key."""
+    from omop2obo_spark.operators.ann import brute_force_topk, mine_hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ranked = brute_force_topk(emb, queries_df, k=20).select(
+        "query_id", F.col("vec_id").alias("item"), "rank"
+    )
+    items = emb.filter(F.col("vec_id") < 200).select("vec_id")
+    m = (F.col("query_id") * 31 + F.col("vec_id")) % 11
+    qrels = (
+        queries_df.select("query_id")
+        .crossJoin(items)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("item"),
+            F.when(m == 0, 3).when(m == 1, 2).when(m == 2, 1).otherwise(0).alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    return mine_hard_negatives(ranked, qrels, k_neg=4)
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quota capping (operators/curate.py:group_quota_cap):
     keep the 50 longest docs per source with rank + kept flag — the
@@ -3869,6 +3903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pct_rank": q_pct_rank,
         "q_domain_cap": q_domain_cap,
         "q_blocklist": q_blocklist,
+        "q_hard_negatives": q_hard_negatives,
     }
 
 
@@ -5005,6 +5040,54 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_hard_negatives: cosine k=20 replay + the arithmetic qrels +
+    # anti-join + the two windows (retriever order, best-positive)
+    sqls["q_hard_negatives"] = """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
+        cs AS (
+            SELECT q.query_id, v.vec_id AS item,
+                   round(list_dot_product(v.e, q.qv) /
+                         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos6
+            FROM v, q WHERE v.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, item, rn AS rank FROM (
+                SELECT query_id, item,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos6 DESC, item ASC) AS rn
+                FROM cs
+            ) WHERE rn <= 20
+        ),
+        qrels AS (
+            SELECT query_id, i.vec_id AS item,
+                   CASE (query_id * 31 + i.vec_id) % 11
+                        WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS rel
+            FROM (SELECT query_id FROM q), (SELECT vec_id FROM v WHERE vec_id < 200) i
+            WHERE i.vec_id <> query_id
+              AND CASE (query_id * 31 + i.vec_id) % 11
+                       WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END > 0
+        ),
+        negs AS (
+            SELECT r.query_id, r.item, r.rank,
+                   row_number() OVER (PARTITION BY r.query_id
+                                      ORDER BY r.rank, r.item) AS nr
+            FROM ranked r ANTI JOIN qrels USING (query_id, item)
+        ),
+        best AS (
+            SELECT query_id, item AS pos_item FROM (
+                SELECT query_id, item,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, item ASC) AS pr
+                FROM qrels
+            ) WHERE pr = 1
+        )
+        SELECT n.query_id, b.pos_item, n.item AS neg_item,
+               CAST(n.nr AS INT) AS neg_rank, CAST(n.rank AS INT) AS retriever_rank
+        FROM negs n JOIN best b USING (query_id)
+        WHERE n.nr <= 4
+    """
+
     # q_domain_cap: row_number replay with the identical NULLS LAST +
     # id tie-break ordering
     sqls["q_domain_cap"] = """

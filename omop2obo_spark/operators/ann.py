@@ -558,3 +558,67 @@ def random_projection(
         for j in range(out_dim)
     ]
     return vectors.select(F.col(id_col).alias("id"), *cols)
+
+
+def mine_hard_negatives(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k_neg: int = 4,
+    query_col: str = "query_id",
+    item_col: str = "item",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retriever training: per
+    query, the ``k_neg`` TOP-RANKED items the retriever surfaced that
+    are NOT relevant — the negatives that actually teach (random
+    negatives are trivially separable; the retriever's own near-misses
+    define its decision boundary). Each negative is paired with the
+    query's best positive so the output is the (anchor, positive,
+    negative) triplet shape a contrastive trainer consumes directly.
+
+    Inputs: ``ranking`` (query, item, rank) from ANY retriever —
+    brute/IVF/PQ cosine, BM25, or an RRF fusion; ``qrels`` (query,
+    item, rel) with rel > 0 marking positives. Queries with no positive
+    in qrels are dropped (no anchor pair exists).
+
+    Output: (query_id, pos_item, neg_item, neg_rank, retriever_rank) —
+    neg_rank 1..k_neg in retriever order.
+
+    Scale shape: every input is query-bounded (top-k rows per query,
+    bounded judgment lists); the positive filter is an anti-join on the
+    composite (query, item) key and both windows run over ≤ k rows per
+    query. Corpus tensors never enter this operator.
+    """
+    if k_neg < 1:
+        raise ValueError(f"k_neg must be >= 1, got {k_neg}")
+    pos_all = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col).alias("query_id"), F.col(item_col).alias("item"),
+        F.col(rel_col).alias("__rel"),
+    )
+    negs = (
+        ranking.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("item"),
+            F.col(rank_col).alias("__rk"),
+        )
+        .join(pos_all.select("query_id", "item"), on=["query_id", "item"], how="left_anti")
+    )
+    w_neg = Window.partitionBy("query_id").orderBy("__rk", "item")
+    negs = (
+        negs.withColumn("neg_rank", F.row_number().over(w_neg))
+        .filter(F.col("neg_rank") <= int(k_neg))
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(F.desc("__rel"), F.asc("item"))
+    best_pos = (
+        pos_all.withColumn("__pr", F.row_number().over(w_pos))
+        .filter(F.col("__pr") == 1)
+        .select("query_id", F.col("item").alias("pos_item"))
+    )
+    return negs.join(best_pos, on="query_id").select(
+        "query_id",
+        "pos_item",
+        F.col("item").alias("neg_item"),
+        "neg_rank",
+        F.col("__rk").alias("retriever_rank"),
+    )

@@ -2717,3 +2717,36 @@ def test_blocklist_filter_whole_word_and_guards(spark):
     assert got[5] == (2, True)
     with pytest.raises(ValueError):
         blocklist_filter(df, [])
+
+
+def test_mine_hard_negatives_hand_computed(spark):
+    """Triplet construction vs hand expectations: positives excluded
+    from negatives, retriever order kept, best positive by (rel desc,
+    item), queries without positives dropped, k_neg truncation."""
+    import pytest
+
+    from omop2obo_spark.operators.ann import mine_hard_negatives
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],                       # query 3 has no positives
+        "query_id: long, item: long, rank: int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11, 3), (1, 13, 1),            # 11 is best positive (rel 3)
+         (2, 99, 2)],                       # positive outside the ranking
+        "query_id: long, item: long, rel: int",
+    )
+    got = {
+        (r.query_id, r.neg_item): (r.pos_item, r.neg_rank, r.retriever_rank)
+        for r in mine_hard_negatives(ranking, qrels, k_neg=2).collect()
+    }
+    assert got == {
+        (1, 10): (11, 1, 1),   # rank-1 item was NOT relevant -> hardest negative
+        (1, 12): (11, 2, 3),   # 11 and 13 are positives, skipped
+        (2, 20): (99, 1, 1),
+        (2, 21): (99, 2, 2),
+    }
+    with pytest.raises(ValueError):
+        mine_hard_negatives(ranking, qrels, k_neg=0)
