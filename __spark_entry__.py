@@ -913,6 +913,22 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-trigram LM scoring (operators/textstats.py:
+    trigram_logprob_score): the top rung of the unigram→bigram→trigram
+    quality ladder — separates locally-coherent text from bigram salad.
+    Bounded TakeOrdered model dims (20/40/60 here so the oracle replays
+    them), zero-shuffle triple extraction, one per-doc aggregate. Lambda
+    weights (0.5, 0.25, 0.25) are exact binary fractions so the
+    interpolation constant is bit-identical across engines."""
+    from omop2obo_spark.operators.textstats import trigram_logprob_score
+
+    return trigram_logprob_score(
+        _docs(spark, sf_dir), vocab_k=20, bigram_k=40, trigram_k=60,
+        lam3=0.5, lam2=0.25,
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/ann.py:
     mine_hard_negatives): top non-relevant items from the exact-cosine
@@ -3904,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": q_domain_cap,
         "q_blocklist": q_blocklist,
         "q_hard_negatives": q_hard_negatives,
+        "q_trigram_xent": q_trigram_xent,
     }
 
 
@@ -5040,6 +5057,59 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_trigram_xent: the bigram replay extended one order up — trigram
+    # zip guarded to len >= 3 (negative DuckDB slice bounds would wrap)
+    sqls["q_trigram_xent"] = """
+        WITH tok_list AS (
+            SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS toks
+            FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM tok_list),
+        counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+        vocab AS (
+            SELECT token AS cur, n / (SELECT t FROM tot) AS pu
+            FROM counts ORDER BY n DESC, token ASC LIMIT 20
+        ),
+        pairs AS (
+            SELECT pr[1] AS prev, pr[2] AS cur
+            FROM (SELECT unnest(list_zip(toks[:len(toks) - 1], toks[2:])) AS pr
+                  FROM tok_list WHERE len(toks) >= 2)
+        ),
+        bigc AS (SELECT prev, cur, count(*) AS nb FROM pairs GROUP BY 1, 2),
+        topb AS (SELECT * FROM bigc ORDER BY nb DESC, prev, cur LIMIT 40),
+        ctx2 AS (SELECT prev, sum(nb) AS nc FROM bigc GROUP BY prev),
+        tris AS (
+            SELECT doc_id, tr[1] AS p2, tr[2] AS p1, tr[3] AS cur
+            FROM (SELECT doc_id,
+                         unnest(list_zip(toks[:len(toks) - 2],
+                                         toks[2:len(toks) - 1],
+                                         toks[3:])) AS tr
+                  FROM tok_list WHERE len(toks) >= 3)
+        ),
+        tric AS (SELECT p2, p1, cur, count(*) AS nt FROM tris GROUP BY 1, 2, 3),
+        topt AS (SELECT * FROM tric ORDER BY nt DESC, p2, p1, cur LIMIT 60),
+        ctx3 AS (SELECT p2, p1, sum(nt) AS nc3 FROM tric GROUP BY 1, 2),
+        scored AS (
+            SELECT t.doc_id,
+                   round(ln(0.5 * coalesce(tt.nt / c3.nc3, 0.0)
+                            + 0.25 * coalesce(tb.nb / c2.nc, 0.0)
+                            + 0.25 * coalesce(v.pu, 1.0 / (SELECT t FROM tot))), 9) AS lp
+            FROM tris t
+            LEFT JOIN topt tt ON t.p2 = tt.p2 AND t.p1 = tt.p1 AND t.cur = tt.cur
+            LEFT JOIN ctx3 c3 ON t.p2 = c3.p2 AND t.p1 = c3.p1
+            LEFT JOIN topb tb ON t.p1 = tb.prev AND t.cur = tb.cur
+            LEFT JOIN ctx2 c2 ON t.p1 = c2.prev
+            LEFT JOIN vocab v ON t.cur = v.cur
+        ),
+        per_doc AS (SELECT doc_id, count(*) AS cnt, avg(lp) AS m FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(cnt, 0) AS BIGINT) AS n_tri,
+               round(coalesce(-m, 0.0), 6) AS xent3
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
+
     # q_hard_negatives: cosine k=20 replay + the arithmetic qrels +
     # anti-join + the two windows (retriever order, best-positive)
     sqls["q_hard_negatives"] = """

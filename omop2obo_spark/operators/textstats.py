@@ -1433,3 +1433,135 @@ def token_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def trigram_logprob_score(
+    docs: DataFrame,
+    vocab_k: int = 10_000,
+    bigram_k: int = 50_000,
+    trigram_k: int = 100_000,
+    lam3: float = 0.5,
+    lam2: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated-trigram LM quality signal — the top rung of the
+    unigram → bigram → trigram ladder: per-document mean cross-entropy
+    under ``lam3·P(w|w₋₂w₋₁) + lam2·P(w|w₋₁) + (1−lam3−lam2)·P(w)``,
+    all three distributions estimated from the corpus itself. The
+    trigram term separates locally-coherent text from bigram salad
+    (shuffled clauses that keep plausible word PAIRS) — the signal the
+    bigram filter cannot see, exactly as bigram vs unigram.
+
+    Model tables are bounded dims exactly as in
+    :func:`bigram_logprob_score`: top-``trigram_k`` trigrams with exact
+    (pre-truncation) ``(w₋₂, w₋₁)`` context totals semi-joined to the
+    kept trigrams, top-``bigram_k`` bigrams with their context totals,
+    top-``vocab_k`` unigrams with the ``1/total`` OOV floor. Outside-
+    table trigrams/bigrams contribute 0 to their term and fall through
+    the interpolation.
+
+    Returns ``(id_col, n_tri, xent3)``; documents with <3 tokens score
+    0.0 over 0 trigrams. Per-position log-probs round 9dp, the mean
+    6dp — engine-portable.
+
+    Scale shape: identical to the bigram op — zero-shuffle
+    ``transform(slice)`` triple extraction, map-side-combined count
+    shuffles, TakeOrdered model dims broadcast, one per-doc aggregate.
+    """
+    if not (0.0 < lam3 and 0.0 < lam2 and lam3 + lam2 < 1.0):
+        raise ValueError(f"need lam3, lam2 > 0 and lam3 + lam2 < 1, got ({lam3}, {lam2})")
+    lam1 = 1.0 - lam3 - lam2
+    toks = tokens(F.col(text_col))
+    t = docs.select(F.col(id_col), toks.alias("__toks"))
+
+    exploded = t.select(F.col(id_col), F.explode_outer("__toks").alias("token"))
+    counted = (
+        exploded.filter(F.col("token").isNotNull()).groupBy("token").agg(F.count("*").alias("n"))
+    )
+    total = counted.agg(F.sum("n")).collect()[0][0] or 1
+    uni = (
+        counted.orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_k)
+        .select(F.col("token").alias("cur"), (F.col("n") / F.lit(float(total))).alias("pu"))
+    )
+    pu_oov = 1.0 / total
+
+    pairs = (
+        t.filter(F.size("__toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks) - 1),"
+                    " (p, i) -> struct(p AS prev, __toks[i + 1] AS cur))"
+                )
+            ).alias("pr"),
+        )
+        .select(F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+    )
+    big_counts = pairs.groupBy("prev", "cur").agg(F.count("*").alias("nb"))
+    top_big = big_counts.orderBy(F.desc("nb"), "prev", "cur").limit(bigram_k)
+    ctx2 = (
+        big_counts.groupBy("prev")
+        .agg(F.sum("nb").alias("nc"))
+        .join(top_big.select("prev"), on="prev", how="left_semi")
+    )
+
+    tris = (
+        t.filter(F.size("__toks") >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(__toks, 1, size(__toks) - 2),"
+                    " (p, i) -> struct(p AS p2, __toks[i + 1] AS p1, __toks[i + 2] AS cur))"
+                )
+            ).alias("tr"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("tr.p2").alias("p2"),
+            F.col("tr.p1").alias("p1"),
+            F.col("tr.cur").alias("cur"),
+        )
+    )
+    tri_counts = tris.groupBy("p2", "p1", "cur").agg(F.count("*").alias("nt"))
+    top_tri = tri_counts.orderBy(F.desc("nt"), "p2", "p1", "cur").limit(trigram_k)
+    ctx3 = (
+        tri_counts.groupBy("p2", "p1")
+        .agg(F.sum("nt").alias("nc3"))
+        .join(top_tri.select("p2", "p1"), on=["p2", "p1"], how="left_semi")
+    )
+
+    pt = F.coalesce(F.col("nt") / F.col("nc3"), F.lit(0.0))
+    pb = F.coalesce(F.col("nb") / F.col("nc"), F.lit(0.0))
+    pu = F.coalesce(F.col("pu"), F.lit(pu_oov))
+    lp = F.round(
+        F.log(F.lit(lam3) * pt + F.lit(lam2) * pb + F.lit(lam1) * pu), 9
+    )
+    # rename model-dim keys before joining: the trigram stream already
+    # carries p1/cur, and chained joins on same-named columns would be
+    # ambiguous
+    big_dim = top_big.select(
+        F.col("prev").alias("__bp"), F.col("cur").alias("__bc"), "nb"
+    )
+    ctx2_dim = ctx2.select(F.col("prev").alias("__cp"), "nc")
+    uni_dim = uni.select(F.col("cur").alias("__uc"), "pu")
+    per_doc = (
+        tris.join(F.broadcast(top_tri), on=["p2", "p1", "cur"], how="left")
+        .join(F.broadcast(ctx3), on=["p2", "p1"], how="left")
+        .join(
+            F.broadcast(big_dim),
+            on=(F.col("p1") == F.col("__bp")) & (F.col("cur") == F.col("__bc")),
+            how="left",
+        )
+        .join(F.broadcast(ctx2_dim), on=F.col("p1") == F.col("__cp"), how="left")
+        .join(F.broadcast(uni_dim), on=F.col("cur") == F.col("__uc"), how="left")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_tri"), F.avg(lp).alias("__mean"))
+    )
+    return docs.select(id_col).join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+        F.round(F.coalesce(-F.col("__mean"), F.lit(0.0)), 6).alias("xent3"),
+    )

@@ -2750,3 +2750,75 @@ def test_mine_hard_negatives_hand_computed(spark):
     }
     with pytest.raises(ValueError):
         mine_hard_negatives(ranking, qrels, k_neg=0)
+
+
+def test_trigram_logprob_score_python_replay(spark):
+    """Trigram xent vs a pure-Python replay of the pinned model
+    (top-k tables, exact context totals, 3-way interpolation), plus the
+    ladder property: clause-shuffled text that keeps word pairs scores
+    WORSE than the coherent original under the trigram term."""
+    import math
+    import re
+    from collections import Counter
+
+    from omop2obo_spark.operators.textstats import trigram_logprob_score
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        0: base, 1: base, 2: base,
+        3: "over the quick dog jumps the brown fox lazy again",  # scrambled
+        4: "xy",                                                  # 1 token
+        5: None,
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id: long, text: string")
+    lam3, lam2, lam1 = 0.5, 0.25, 0.25
+    vk, bk, tk = 10, 20, 30
+
+    def toks(s):
+        return [x for x in re.split(r"[^a-z0-9']+", (s or "").lower()) if x]
+
+    uni = Counter()
+    big = Counter()
+    tri = Counter()
+    for s in texts.values():
+        ts = toks(s)
+        uni.update(ts)
+        big.update(zip(ts, ts[1:]))
+        tri.update(zip(ts, ts[1:], ts[2:]))
+    total = sum(uni.values())
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vk])
+    topb = dict(sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:bk])
+    topt = dict(sorted(tri.items(), key=lambda kv: (-kv[1], kv[0]))[:tk])
+    ctx2 = Counter()
+    for (p, c), n in big.items():
+        ctx2[p] += n
+    ctx3 = Counter()
+    for (a, b, c), n in tri.items():
+        ctx3[(a, b)] += n
+
+    def xent(s):
+        ts = toks(s)
+        lps = []
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            pt = topt.get((a, b, c), 0) / ctx3[(a, b)] if (a, b, c) in topt else 0.0
+            pb = topb.get((b, c), 0) / ctx2[b] if (b, c) in topb else 0.0
+            pu = vocab[c] / total if c in vocab else 1.0 / total
+            lps.append(round(math.log(lam3 * pt + lam2 * pb + lam1 * pu), 9))
+        if not lps:
+            return 0, 0.0
+        return len(lps), round(-sum(lps) / len(lps), 6)
+
+    got = {
+        r.doc_id: (r.n_tri, r.xent3)
+        for r in trigram_logprob_score(
+            docs, vocab_k=vk, bigram_k=bk, trigram_k=tk, lam3=lam3, lam2=lam2
+        ).collect()
+    }
+    for d, s in texts.items():
+        assert got[d] == xent(s), d
+    # the ladder property: scrambled text scores strictly worse
+    assert got[3][1] > got[0][1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        trigram_logprob_score(docs, lam3=0.9, lam2=0.2)
