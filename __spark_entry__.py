@@ -913,6 +913,42 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation evaluation: recall@5 of cosine top-k over
+    PREFIX-truncated embeddings (8/16/32 of 64 dims) vs the full-dim
+    ranking — the dimension-truncation axis next to
+    q_ann_quantized_recall's int8 axis; both reuse brute_force_topk,
+    the truncated side just scans 1/8-1/2 of the bytes. Recall is
+    integer hit counting divided once (no float accumulation)."""
+    from omop2obo_spark.operators.ann import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries_full = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = brute_force_topk(emb, queries_full, k=5).select("query_id", "vec_id")
+    out = None
+    for d in (8, 16, 32):
+        sliced = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        qd = sliced.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top_d = brute_force_topk(sliced, qd, k=5).select("query_id", "vec_id")
+        hits = top_d.join(full, on=["query_id", "vec_id"])
+        row = hits.agg(
+            F.lit(d).alias("dims"),
+            F.count("*").alias("total_hits"),
+        ).select(
+            "dims", "total_hits",
+            F.round(F.col("total_hits") / (5.0 * 6), 6).alias("recall_at_5"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_trigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-trigram LM scoring (operators/textstats.py:
     trigram_logprob_score): the top rung of the unigram→bigram→trigram
@@ -3921,6 +3957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocklist": q_blocklist,
         "q_hard_negatives": q_hard_negatives,
         "q_trigram_xent": q_trigram_xent,
+        "q_matryoshka_recall": q_matryoshka_recall,
     }
 
 
@@ -5057,6 +5094,53 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_matryoshka_recall: full + three truncated cosine rankings, hit
+    # join, integer recall arithmetic (one division)
+    _mk_parts = []
+    for _d in (8, 16, 32):
+        _mk_parts.append(f"""
+        SELECT {_d} AS dims, CAST(count(*) AS BIGINT) AS total_hits,
+               round(count(*) / 30.0, 6) AS recall_at_5
+        FROM (
+            SELECT query_id, item FROM (
+                SELECT q.query_id, v.vec_id AS item,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_dot_product(v.e{_d}, q.qe{_d}) /
+                                 (sqrt(list_dot_product(v.e{_d}, v.e{_d}))
+                                  * sqrt(list_dot_product(q.qe{_d}, q.qe{_d}))), 6) DESC,
+                                    v.vec_id ASC) AS rn
+                FROM vv v, qq q WHERE v.vec_id <> q.query_id
+            ) WHERE rn <= 5
+        ) t JOIN fulltop f ON f.query_id = t.query_id AND f.item = t.item""")
+    sqls["q_matryoshka_recall"] = (
+        """
+        WITH vv AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e64,
+                   (embedding::DOUBLE[])[:8] AS e8,
+                   (embedding::DOUBLE[])[:16] AS e16,
+                   (embedding::DOUBLE[])[:32] AS e32
+            FROM embeddings
+        ),
+        qq AS (SELECT vec_id AS query_id, e64 AS qe64, e8 AS qe8,
+                      e16 AS qe16, e32 AS qe32
+               FROM vv WHERE vec_id < 6),
+        fulltop AS (
+            SELECT query_id, item FROM (
+                SELECT q.query_id, v.vec_id AS item,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(list_dot_product(v.e64, q.qe64) /
+                                 (sqrt(list_dot_product(v.e64, v.e64))
+                                  * sqrt(list_dot_product(q.qe64, q.qe64))), 6) DESC,
+                                    v.vec_id ASC) AS rn
+                FROM vv v, qq q WHERE v.vec_id <> q.query_id
+            ) WHERE rn <= 5
+        )
+        """
+        + " UNION ALL ".join(_mk_parts)
+    )
+
     # q_trigram_xent: the bigram replay extended one order up — trigram
     # zip guarded to len >= 3 (negative DuckDB slice bounds would wrap)
     sqls["q_trigram_xent"] = """
