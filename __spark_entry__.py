@@ -913,6 +913,18 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value (operators/
+    analysis.py:poisson_bootstrap_ci): 200 deterministic md5-weighted
+    replicates in ONE map-side-combined aggregate — the distributed
+    bootstrap (no B resample passes, corpus never duplicated); exact
+    interpolated percentile over the B replicate means."""
+    from omop2obo_spark.operators.analysis import poisson_bootstrap_ci
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return poisson_bootstrap_ci(e, "value", n_replicates=200, id_col="event_id")
+
+
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation evaluation: recall@5 of cosine top-k over
     PREFIX-truncated embeddings (8/16/32 of 64 dims) vs the full-dim
@@ -3958,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_trigram_xent": q_trigram_xent,
         "q_matryoshka_recall": q_matryoshka_recall,
+        "q_bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -5094,6 +5107,39 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_bootstrap_ci: identical md5→uniform→inverse-CDF weight chain with
+    # the SAME threshold floats imported from the operator module
+    from omop2obo_spark.operators.analysis import poisson1_thresholds as _p1t
+
+    _w_sql = " + ".join(f"CASE WHEN u >= {t!r} THEN 1 ELSE 0 END" for t in _p1t())
+    sqls["q_bootstrap_ci"] = f"""
+        WITH base AS (
+            SELECT event_id AS id, CAST(value AS DOUBLE) AS x
+            FROM events WHERE value IS NOT NULL
+        ),
+        rep0 AS (
+            SELECT r.b, x,
+                   ('0x' || substr(md5(concat_ws('|', 'boot', r.b::VARCHAR,
+                                                 id::VARCHAR)), 1, 15))::BIGINT
+                   / 1152921504606846976.0 AS u
+            FROM base, UNNEST(range(1, 201)) AS r(b)
+        ),
+        rep AS (SELECT b, ({_w_sql}) * x AS wx, ({_w_sql}) AS w FROM rep0),
+        means AS (
+            SELECT b, round(sum(wx) / sum(w), 9) AS m FROM rep GROUP BY b
+        ),
+        ci AS (
+            SELECT quantile_cont(m, [0.025, 0.975]) AS q,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM means
+        )
+        SELECT (SELECT count(*) FROM base) AS n,
+               (SELECT round(avg(x), 6) FROM base) AS mean,
+               round(q[1], 6) AS ci_lo, round(q[2], 6) AS ci_hi,
+               nb AS n_replicates
+        FROM ci
+    """
+
     # q_matryoshka_recall: full + three truncated cosine rankings, hit
     # join, integer recall arithmetic (one division)
     _mk_parts = []

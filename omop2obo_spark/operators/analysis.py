@@ -915,3 +915,97 @@ def grouped_percent_rank(
         )
         .drop("__vrn", "__n", "__b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+
+def poisson1_thresholds(max_k: int = 6) -> list[float]:
+    """Cumulative Poisson(1) CDF thresholds P(X <= k) for k = 0..max_k-1,
+    used to invert a uniform draw into a bootstrap weight. Driver-
+    computed and baked into the plan as literals; the oracle imports the
+    identical floats, so the weight function is bit-identical across
+    engines. Draws beyond the last threshold clamp to ``max_k``
+    (P ~ 5e-5 at the default — negligible bootstrap bias)."""
+    cum, term, out = 0.0, math.exp(-1.0), []
+    for k in range(max_k):
+        cum += term
+        out.append(cum)
+        term /= (k + 1)
+    return out
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    n_replicates: int = 200,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bootstrap confidence interval for the MEAN of ``value_col`` via
+    the Poisson bootstrap — the distributed formulation (Chamandy et
+    al., Google 2012): instead of materializing B resamples, every row
+    draws a deterministic Poisson(1) weight per replicate
+    (``md5(salt|b|id)`` → uniform → inverted CDF), and each replicate's
+    mean is ``Σ w·x / Σ w`` — ONE map-side-combined aggregate produces
+    all B replicate means; the corpus never reshuffles and never
+    duplicates.
+
+    Deterministic end to end: weights are a pure function of
+    (salt, replicate, id), replicate means round to 9dp before the
+    percentile cut, the CI is the exact interpolated
+    [alpha/2, 1−alpha/2] percentile over the B means. NULL values are
+    excluded.
+
+    Output: one row (n, mean, ci_lo, ci_hi, n_replicates) — floats 6dp.
+
+    Scale shape: the per-row replicate fan-out is map-side only (the
+    exploded (b, w·x, w) stream partial-aggregates to B rows per
+    partition before the one B-row shuffle); the percentile runs over
+    the B-row dimension.
+    """
+    if n_replicates < 2:
+        raise ValueError(f"n_replicates must be >= 2, got {n_replicates}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    th = poisson1_thresholds()
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        F.col(id_col).alias("id"), v.alias("__x")
+    )
+    b = F.col("b")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), b.cast("string"), F.col("id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(16 ** 15))
+    )
+    w = sum(
+        (u >= F.lit(t)).cast("int") for t in th
+    )  # #thresholds below u == inverse CDF (clamped at len(th))
+    rep = base.select(
+        "id", "__x",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_replicates)))).alias("b"),
+    ).select(b.alias("b"), (w * F.col("__x")).alias("__wx"), w.alias("__w"))
+    means = (
+        rep.groupBy("b")
+        .agg(F.round(F.sum("__wx") / F.sum("__w"), 9).alias("__m"))
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = means.agg(
+        F.percentile(F.col("__m"), F.array(F.lit(lo), F.lit(hi))).alias("__ci"),
+        F.count("*").alias("__nb"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n"), F.round(F.avg("__x"), 6).alias("mean")
+    )
+    return stats.crossJoin(F.broadcast(ci)).select(
+        "n", "mean",
+        F.round(F.element_at("__ci", 1), 6).alias("ci_lo"),
+        F.round(F.element_at("__ci", 2), 6).alias("ci_hi"),
+        F.col("__nb").cast("long").alias("n_replicates"),
+    )
