@@ -1690,6 +1690,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, damping=0.85, iterations=3)
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/hierarchy.py:
+    personalized_pagerank): teleport mass restarting at two seed
+    concepts — "entities structurally close to THESE", the related-
+    concept expansion behind ontology-gap review. Same per-iteration
+    shape as q_pagerank; the seed vector is a plan literal."""
+    from omop2obo_spark.operators.hierarchy import (
+        entity_cooccurrence,
+        personalized_pagerank,
+    )
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return personalized_pagerank(
+        edges, seeds=["obo:HP_0001945", "obo:HP_0002017"],
+        damping=0.85, iterations=3,
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (operators/hierarchy.py:hits, 3 fixed
     L1-normalized iterations) over the DIRECTED mapping graph
@@ -3971,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_trigram_xent": q_trigram_xent,
         "q_matryoshka_recall": q_matryoshka_recall,
         "q_bootstrap_ci": q_bootstrap_ci,
+        "q_ppr": q_ppr,
     }
 
 
@@ -6375,6 +6394,44 @@ deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM deg){_pr_iters}
 SELECT src AS ent, round(rank, 9) AS rank FROM r3"""
+    )
+
+    # q_ppr: the pagerank replay with the teleport mass restarting at the
+    # two seed entities (s(v) literal CASE) instead of uniformly
+    _ppr_seeds = "('obo:HP_0001945', 'obo:HP_0002017')"
+    _ppr_sv = f"CASE WHEN src IN {_ppr_seeds} THEN 0.5 ELSE 0.0 END"
+    _ppr_iters = ""
+    for _i in range(3):
+        _ppr_iters += f""",
+p{_i + 1} AS (
+    SELECT d.src,
+           {_omd}::DOUBLE * ({_ppr_sv})
+           + {_d}::DOUBLE * coalesce(s.in_sum, 0.0::DOUBLE) AS rank
+    FROM deg d
+    LEFT JOIN (
+        SELECT u.dst AS src, sum(r.rank / dg.deg) AS in_sum
+        FROM und u JOIN p{_i} r ON r.src = u.src JOIN deg dg ON dg.src = u.src
+        GROUP BY u.dst
+    ) s USING (src)
+)"""
+    sqls["q_ppr"] = kg_triples_sql(
+        final_select=f""", ents AS (
+    SELECT DISTINCT conv_id, obj AS ent FROM uri_triples
+    WHERE pred IN ('omop2obo:hasExactMapping', 'omop2obo:hasConstructorMapping')
+),
+prs AS (
+    SELECT l.ent AS ent_a, r.ent AS ent_b
+    FROM ents l JOIN ents r ON l.conv_id = r.conv_id AND l.ent < r.ent
+    GROUP BY 1, 2
+),
+und AS (
+    SELECT ent_a AS src, ent_b AS dst FROM prs
+    UNION
+    SELECT ent_b AS src, ent_a AS dst FROM prs
+),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+p0 AS (SELECT src, ({_ppr_sv})::DOUBLE AS rank FROM deg){_ppr_iters}
+SELECT src AS ent, round(rank, 9) AS rank FROM p3"""
     )
 
     # triple P/R replay: identical md5 perturbation + union/groupBy set

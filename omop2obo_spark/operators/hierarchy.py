@@ -405,6 +405,70 @@ def pagerank(
     return ranks.select(F.col("src").alias("ent"), F.round("rank", round_dp).alias("rank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    src_col: str = "ent_a",
+    dst_col: str = "ent_b",
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_dp: int = 9,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Personalized PageRank: the :func:`pagerank` power iteration with
+    the teleport mass restarting at ``seeds`` instead of uniformly —
+    "which entities are structurally close to THESE concepts", the
+    related-concept expansion query behind ontology-gap review and
+    query-expansion retrieval. Update:
+    ``r'(v) = (1-d)·s(v) + d·Σ_{u→v} r(u)/deg(u)`` with ``s`` uniform
+    over the seed set (seeds absent from the graph contribute nothing
+    and get no row — they have no edges to carry mass).
+
+    Deterministic (fixed iterations, terminal rounding) and
+    oracle-checkable by unrolled SQL, like the global variant. Output:
+    (ent, rank) for every graph node; mass concentrates near the seeds.
+
+    Scale shape: identical to :func:`pagerank` — edge table keeps its
+    partitioning, rank/degree vectors broadcast, one destination-keyed
+    shuffle per iteration; the seed vector is a plan literal.
+    """
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    seed_set = sorted(set(seeds))
+    und = symmetrize_edges(edges, src_col, dst_col)
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=True)
+    if deg.count() == 0:
+        return deg.select(F.col("src").alias("ent"), F.lit(0.0).alias("rank"))
+    seed_arr = F.array(*[F.lit(s) for s in seed_set])
+    s_v = F.when(
+        F.array_contains(seed_arr, F.col("src")), F.lit(1.0 / len(seed_set))
+    ).otherwise(F.lit(0.0))
+    ranks = deg.select("src", s_v.alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            und.join(F.broadcast(ranks.join(F.broadcast(deg), on="src")), on="src")
+            .select("dst", (F.col("rank") / F.col("deg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("in_sum"))
+        )
+        ranks = (
+            deg.select("src")
+            .join(F.broadcast(contribs.withColumnRenamed("dst", "src")), on="src", how="left")
+            .select(
+                "src",
+                (
+                    F.lit(1.0 - damping) * s_v
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("src").alias("ent"), F.round("rank", round_dp).alias("rank"))
+
+
 def triple_diff(before: DataFrame, after: DataFrame) -> DataFrame:
     """Graph release regression: per-predicate added/removed triple counts
     between two materialized graphs (two pipeline runs, two engine

@@ -497,3 +497,36 @@ def test_cap_hub_adjacency_noop_below_cap(spark):
     got = {(r.ent_a, r.ent_b, r.deg_a, r.deg_b)
            for r in cap_hub_adjacency(e, max_degree=5).collect()}
     assert got == {("a", "b", 2, 2), ("b", "c", 2, 2), ("a", "c", 2, 2)}
+
+
+def test_personalized_pagerank_power_method(spark):
+    """PPR vs a python power-method replay on a path graph, plus the
+    personalization property: mass concentrates at the seed side."""
+    import pytest
+
+    from omop2obo_spark.operators.hierarchy import personalized_pagerank
+
+    # path a-b-c-d-e, seed at a
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {r.ent: r.rank
+           for r in personalized_pagerank(e, ["a"], iterations=3).collect()}
+    nodes = ["a", "b", "c", "d", "e"]
+    deg = {"a": 1, "b": 2, "c": 2, "d": 2, "e": 1}
+    adj = {"a": ["b"], "b": ["a", "c"], "c": ["b", "d"], "d": ["c", "e"], "e": ["d"]}
+    r = {v: (1.0 if v == "a" else 0.0) for v in nodes}
+    for _ in range(3):
+        r = {
+            v: 0.15000000000000002 * (1.0 if v == "a" else 0.0)
+            + 0.85 * sum(r[u] / deg[u] for u in adj[v])
+            for v in nodes
+        }
+    for v in nodes:
+        assert got[v] == pytest.approx(round(r[v], 9), abs=1e-9), v
+    # personalization: closer to the seed -> more mass
+    assert got["a"] > got["c"] > got["e"]
+    # seeds absent from the graph raise no error, just spread no mass
+    ghost = {r2.ent: r2.rank
+             for r2 in personalized_pagerank(e, ["zz"], iterations=2).collect()}
+    assert all(v == 0.0 for v in ghost.values())
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, [])
