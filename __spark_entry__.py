@@ -684,6 +684,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-variant clustering: the ED-Join pair graph (q_edit_join's
+    exact Levenshtein ≤ 2 pairs) resolved into canonical groups by the
+    same min-label connected components as q_dedup_clusters — the
+    entity-name normalization flow (surface variants → one canonical
+    form) composed from two audited operators."""
+    from omop2obo_spark.operators.dedup import dedup_clusters, edit_distance_join
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", F.substring(F.lower(F.col("text")), 1, 12).alias("text"))
+    )
+    pairs = edit_distance_join(d, max_dist=2).select("a", "b")
+    clusters = dedup_clusters(pairs)
+    size = Window.partitionBy("component")
+    return clusters.select(
+        "doc_id", "component", F.count("*").over(size).alias("cluster_size")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omop2obo_spark.operators.dedup import simhash
 
@@ -3990,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_matryoshka_recall": q_matryoshka_recall,
         "q_bootstrap_ci": q_bootstrap_ci,
         "q_ppr": q_ppr,
+        "q_edit_clusters": q_edit_clusters,
     }
 
 
@@ -4373,6 +4395,34 @@ FROM all_t GROUP BY pred"""
         FROM comp
     """
     )
+
+    # q_edit_clusters: the q_edit_join brute force feeding the same
+    # recursive-reachability components as q_dedup_clusters
+    sqls["q_edit_clusters"] = """
+        WITH RECURSIVE s AS (
+            SELECT doc_id, substr(lower(text), 1, 12) AS t
+            FROM documents WHERE doc_id < 400 AND text IS NOT NULL
+        ),
+        prs AS (
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE abs(length(a.t) - length(b.t)) <= 2
+              AND levenshtein(a.t, b.t) <= 2
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst FROM prs
+            UNION SELECT b, a FROM prs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        ),
+        comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+        SELECT doc_id, component,
+               count(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp
+    """
 
     sqls["q_ngram_jaccard"] = _GRAMS3.format(src="(SELECT * FROM documents WHERE doc_id < 60)") + """
         , sh AS (SELECT doc_id AS doc, unnest(gs) AS shingle FROM grams),
