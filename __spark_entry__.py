@@ -934,6 +934,18 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between the click and
+    purchase value distributions (operators/analysis.py:ks_two_sample)
+    — the distribution-level A/B readout. Cumulative CDFs ride the
+    two-level prefix scaffold over the distinct-value dimension; sup is
+    a plain max. p-value (Smirnov series) pytest-gated in ks_pvalue."""
+    from omop2obo_spark.operators.analysis import ks_two_sample
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ks_two_sample(e, "event_type", "value", "click", "purchase")
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value (operators/
     analysis.py:poisson_bootstrap_ci): 200 deterministic md5-weighted
@@ -4012,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bootstrap_ci": q_bootstrap_ci,
         "q_ppr": q_ppr,
         "q_edit_clusters": q_edit_clusters,
+        "q_ks_test": q_ks_test,
     }
 
 
@@ -5176,6 +5189,32 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_ks_test: flat-window spec — per-distinct-value side counts,
+    # inclusive cumulative sums in value order, sup of |F_a - F_b|
+    sqls["q_ks_test"] = """
+        WITH base AS (
+            SELECT CAST(value AS DOUBLE) AS v,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        ),
+        per_val AS (
+            SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+            FROM base GROUP BY v
+        ),
+        tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb FROM per_val),
+        cum AS (
+            SELECT sum(na) OVER (ORDER BY v) AS ca,
+                   sum(nb) OVER (ORDER BY v) AS cb
+            FROM per_val
+        )
+        SELECT (SELECT ta FROM tot) AS n_a, (SELECT tb FROM tot) AS n_b,
+               round(max(abs(ca * 1.0 / (SELECT ta FROM tot)
+                             - cb * 1.0 / (SELECT tb FROM tot))), 6) AS ks_stat
+        FROM cum
+    """
+
     # q_bootstrap_ci: identical md5→uniform→inverse-CDF weight chain with
     # the SAME threshold floats imported from the operator module
     from omop2obo_spark.operators.analysis import poisson1_thresholds as _p1t

@@ -1009,3 +1009,92 @@ def poisson_bootstrap_ci(
         F.round(F.element_at("__ci", 2), 6).alias("ci_hi"),
         F.col("__nb").cast("long").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic:
+    ``D = sup_x |F_a(x) − F_b(x)|`` over the empirical CDFs — the
+    distribution-level A/B test completing the family (Welch = means,
+    chi-square = categories, PSI = binned drift; KS sees ANY
+    distributional difference, exactly). NULL values excluded.
+
+    Output: one row (n_a, n_b, ks_stat) — D rounded 6dp (each CDF point
+    is a single exact-integer division, so D is bit-identical across
+    engines). The p-value (Kolmogorov asymptotic series, no closed SQL
+    form) lives in :func:`ks_pvalue`, pytest-gated.
+
+    Scale shape: one aggregate to the distinct-VALUE dimension (per
+    value: side counts), then the two cumulative counts ride the shared
+    two-level prefix scaffold (equi-width value buckets — never a
+    single-partition value sort), and the sup is a plain max aggregate.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.filter(v.isNotNull() & g.isin(group_a, group_b)).select(
+        v.alias("__v"),
+        (g == group_a).cast("long").alias("__a"),
+        (g == group_b).cast("long").alias("__b"),
+    )
+    per_val = base.groupBy("__v").agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    totals = per_val.agg(
+        F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
+    )
+    bounds = per_val.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / span * n_buckets).cast("bigint"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    keyed = per_val.crossJoin(F.broadcast(bounds)).withColumn("__b_", bucket)
+    cum_a = two_level_prefix(
+        keyed.withColumnRenamed("__b_", "__b"),
+        [F.col("__v").asc()], "__ca", weight_col="__na", inclusive=True,
+    )
+    cum_ab = two_level_prefix(
+        cum_a, [F.col("__v").asc()], "__cb", weight_col="__nb", inclusive=True,
+    )
+    return (
+        cum_ab.crossJoin(F.broadcast(totals))
+        .select(
+            (F.abs(F.col("__ca") / F.col("__ta") - F.col("__cb") / F.col("__tb"))).alias("__d"),
+            "__ta", "__tb",
+        )
+        .agg(
+            F.max("__ta").cast("long").alias("n_a"),
+            F.max("__tb").cast("long").alias("n_b"),
+            F.round(F.max("__d"), 6).alias("ks_stat"),
+        )
+    )
+
+
+def ks_pvalue(d: float, n_a: int, n_b: int, terms: int = 100) -> float:
+    """Asymptotic two-sample KS p-value: ``Q(λ) = 2 Σ (−1)^{k−1}
+    e^{−2k²λ²}`` with ``λ = D·sqrt(n_a·n_b/(n_a+n_b))`` (the classical
+    Smirnov limit, scipy ``ks_2samp(mode='asymp')`` family)."""
+    if not 0.0 <= d <= 1.0:
+        raise ValueError(f"D must be in [0, 1], got {d}")
+    if n_a < 1 or n_b < 1:
+        raise ValueError("sample sizes must be >= 1")
+    lam = d * math.sqrt(n_a * n_b / (n_a + n_b))
+    if lam == 0.0:
+        return 1.0
+    s = 0.0
+    for k in range(1, terms + 1):
+        s += (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+    return max(0.0, min(1.0, 2.0 * s))

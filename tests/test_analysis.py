@@ -916,3 +916,43 @@ def test_poisson_bootstrap_ci_statistical_sanity(spark):
         poisson_bootstrap_ci(df, "x", n_replicates=1)
     with pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "x", alpha=0.0)
+
+
+def test_ks_two_sample_python_model_and_pvalue(spark):
+    """KS D vs a pure-Python ECDF sup replay (incl. tied values across
+    sides), identical-sample zero, and the Smirnov p-value vs known
+    reference points."""
+    import pytest
+
+    from omop2obo_spark.operators.analysis import ks_pvalue, ks_two_sample
+
+    xa = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 9.0]
+    xb = [2.0, 4.0, 4.0, 6.0, 7.0]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb] + \
+           [("c", 1.0), ("a", None)]
+    df = spark.createDataFrame(rows, "grp: string, x: double")
+    out = ks_two_sample(df, "grp", "x", "a", "b").collect()[0]
+
+    def ecdf_sup(u, w):
+        pts = sorted(set(u) | set(w))
+        return max(
+            abs(sum(x <= p for x in u) / len(u) - sum(x <= p for x in w) / len(w))
+            for p in pts
+        )
+
+    assert out.n_a == len(xa) and out.n_b == len(xb)
+    assert out.ks_stat == pytest.approx(round(ecdf_sup(xa, xb), 6), abs=1e-9)
+    # identical distributions -> D = 0
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)],
+        "grp: string, x: double",
+    )
+    assert ks_two_sample(same, "grp", "x", "a", "b").collect()[0].ks_stat == 0.0
+    # Smirnov series reference points: Q(1.36) ~ 0.0505, Q(1.63) ~ 0.0098
+    # (classical critical values for alpha 0.05 / 0.01)
+    lam_d = lambda lam: lam / ((10**9 * 10**9 / (2 * 10**9)) ** 0.5)
+    assert ks_pvalue(lam_d(1.36), 10**9, 10**9) == pytest.approx(0.0505, abs=0.002)
+    assert ks_pvalue(lam_d(1.63), 10**9, 10**9) == pytest.approx(0.0098, abs=0.001)
+    assert ks_pvalue(0.0, 5, 5) == 1.0
+    with pytest.raises(ValueError):
+        ks_pvalue(1.5, 5, 5)
