@@ -934,6 +934,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling (operators/textstats.py:
+    neyman_sample): per-source budgets ∝ N_h·σ_h derived from the
+    corpus's own length dispersion, exact-size md5-ordered draws via
+    the two-level prefix scaffold — the variance-optimal sampling the
+    fixed-rate/caller-rate ops can't provide."""
+    from omop2obo_spark.operators.textstats import neyman_sample
+
+    return neyman_sample(_docs(spark, sf_dir), "source", "n_chars", total_n=100)
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov D between the click and
     purchase value distributions (operators/analysis.py:ks_two_sample)
@@ -4025,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppr": q_ppr,
         "q_edit_clusters": q_edit_clusters,
         "q_ks_test": q_ks_test,
+        "q_neyman_sample": q_neyman_sample,
     }
 
 
@@ -5189,6 +5201,48 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_neyman_sample: exact sum-formula σ, round6-then-floor allocation,
+    # per-stratum md5-order row_number replay
+    sqls["q_neyman_sample"] = """
+        WITH base AS (
+            SELECT doc_id AS key,
+                   coalesce(CAST(source AS VARCHAR), '__null__') AS grp,
+                   CAST(n_chars AS DOUBLE) AS x
+            FROM documents
+        ),
+        stats AS (
+            SELECT grp, count(*) AS N, count(x) AS nv,
+                   sum(x) AS s1, sum(x * x) AS s2
+            FROM base GROUP BY 1
+        ),
+        sd AS (
+            SELECT grp, N,
+                   CASE WHEN nv >= 2
+                        THEN sqrt((s2 - s1 * s1 / nv) / (nv - 1))
+                        ELSE 0.0 END AS sd
+            FROM stats
+        ),
+        tot AS (SELECT sum(N * sd) AS den FROM sd),
+        alloc AS (
+            SELECT grp, CAST(N AS BIGINT) AS stratum_n,
+                   CAST(CASE WHEN den > 0
+                             THEN least(N, floor(round(100.0 * N * sd / den, 6)))
+                             ELSE 0 END AS BIGINT) AS alloc_n
+            FROM sd, tot
+        ),
+        ranked AS (
+            SELECT key, grp,
+                   CAST(row_number() OVER (
+                       PARTITION BY grp
+                       ORDER BY md5(concat_ws('|', 'ney0', key::VARCHAR)), key
+                   ) - 1 AS BIGINT) AS pos
+            FROM base
+        )
+        SELECT r.key, r.grp AS stratum, a.alloc_n, a.stratum_n, r.pos
+        FROM ranked r JOIN alloc a USING (grp)
+        WHERE r.pos < a.alloc_n
+    """
+
     # q_ks_test: flat-window spec — per-distinct-value side counts,
     # inclusive cumulative sums in value order, sup of |F_a - F_b|
     sqls["q_ks_test"] = """

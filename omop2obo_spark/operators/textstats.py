@@ -1565,3 +1565,98 @@ def trigram_logprob_score(
         F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
         F.round(F.coalesce(-F.col("__mean"), F.lit(0.0)), 6).alias("xent3"),
     )
+
+
+def neyman_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    key_col: str = "doc_id",
+    salt: str = "ney0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Neyman-allocation stratified sampling: draw ``total_n`` rows with
+    per-stratum sample sizes ``n_h ∝ N_h·σ_h`` — the variance-optimal
+    allocation for estimating a mean from a stratified corpus (big or
+    noisy strata get more budget; uniform and proportional allocation
+    are both strictly worse). The capstone of the sampling family:
+    ``hash_sample`` draws a fixed rate, ``stratified_sample`` takes
+    caller-given rates, this DERIVES the rates from the corpus's own
+    per-stratum dispersion.
+
+    Pinned arithmetic: σ_h from the exact sum formula
+    ``sqrt((Σx² − (Σx)²/N)/(N−1))`` (single-row strata get σ = 0);
+    ``n_h = min(N_h, floor(round(total_n · N_h σ_h / Σ N_h σ_h, 6)))``
+    — the round-6-then-floor absorbs summation-order ulps in the
+    denominator exactly as ``temperature_mixture`` does. Selection is
+    EXACT-size: each stratum keeps its first ``n_h`` rows in
+    ``md5(salt|key)`` order via the two-level prefix scaffold (a
+    binomial-rate filter would only hit n_h in expectation). NULL
+    values count σ with their rows excluded; NULL strata form their
+    own stratum.
+
+    Output: the sampled rows as (key, stratum, alloc_n, stratum_n,
+    pos). Deterministic and engine-replayable end to end.
+    """
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    v = F.col(value_col).cast("double")
+    g = F.coalesce(F.col(stratum_col).cast("string"), F.lit("__null__"))
+    base = docs.select(F.col(key_col).alias("key"), g.alias("grp"), v.alias("__x"))
+    stats = base.groupBy("grp").agg(
+        F.count("*").alias("N"),
+        F.count("__x").alias("nv"),
+        F.sum("__x").alias("s1"),
+        F.sum(F.col("__x") * F.col("__x")).alias("s2"),
+    ).select(
+        "grp", "N",
+        F.when(
+            F.col("nv") >= 2,
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nv"))
+                / (F.col("nv") - 1)
+            ),
+        ).otherwise(F.lit(0.0)).alias("sd"),
+    )
+    tot = stats.agg(F.sum(F.col("N") * F.col("sd")).alias("__den"))
+    alloc = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            F.col("N").alias("stratum_n"),
+            F.when(F.col("__den") > 0,
+                   F.least(
+                       F.col("N"),
+                       F.floor(
+                           F.round(
+                               F.lit(float(total_n)) * F.col("N") * F.col("sd")
+                               / F.col("__den"),
+                               6,
+                           )
+                       ),
+                   ))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("alloc_n"),
+        )
+    )
+    from omop2obo_spark.operators.prefix import two_level_prefix
+
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col("key").cast("string")))
+    bucket = F.floor(
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") * n_buckets) / F.lit(256)
+    )
+    keyed = base.select("key", "grp", h.alias("__h"), bucket.alias("__b"))
+    ranked = two_level_prefix(keyed, ["__h", "key"], "pos", group_cols=["grp"])
+    return (
+        ranked.join(F.broadcast(alloc), on="grp")
+        .filter(F.col("pos") < F.col("alloc_n"))
+        .select(
+            "key",
+            F.col("grp").alias("stratum"),
+            "alloc_n",
+            "stratum_n",
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )

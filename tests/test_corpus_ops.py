@@ -2822,3 +2822,66 @@ def test_trigram_logprob_score_python_replay(spark):
 
     with pytest.raises(ValueError):
         trigram_logprob_score(docs, lam3=0.9, lam2=0.2)
+
+
+def test_neyman_sample_allocation_python_model(spark):
+    """Allocation n_h ∝ N_h·σ_h vs a statistics-module replay, exact
+    sample sizes, determinism across partitionings, degenerate strata
+    (single row, zero variance, NULL stratum, NULL values)."""
+    import hashlib
+    import statistics
+
+    import pytest
+
+    from omop2obo_spark.operators.textstats import neyman_sample
+
+    groups = {
+        "wide": [float(v) for v in range(40)],          # big N, big sd
+        "tight": [50.0 + (i % 3) * 0.1 for i in range(40)],  # big N, tiny sd
+        "small": [0.0, 100.0],                           # tiny N, huge sd
+        "flat": [7.0] * 10,                              # sd 0 -> alloc 0
+        "solo": [3.0],                                   # single row -> sd 0
+    }
+    rows, k = [], 0
+    for g, vs in groups.items():
+        for v in vs:
+            rows.append((k, g, v))
+            k += 1
+    rows.append((k, None, 5.0)); k += 1
+    rows.append((k, "wide", None)); k += 1
+    df = spark.createDataFrame(rows, "doc_id: long, src: string, x: double")
+    out = neyman_sample(df, "src", "x", total_n=30, key_col="doc_id").collect()
+
+    import math as _m
+    N = {g: len(vs) for g, vs in groups.items()}
+    N["wide"] += 1          # the NULL-value row still counts in N
+    N["__null__"] = 1
+    sd = {g: (statistics.stdev(vs) if len(vs) >= 2 else 0.0) for g, vs in groups.items()}
+    sd["__null__"] = 0.0
+    den = sum(N[g] * sd[g] for g in N)
+    want_alloc = {
+        g: min(N[g], _m.floor(round(30.0 * N[g] * sd[g] / den, 6))) for g in N
+    }
+    got_alloc = {}
+    for r in out:
+        got_alloc.setdefault(r.stratum, set()).add((r.alloc_n, r.stratum_n))
+    for g, a in got_alloc.items():
+        assert a == {(want_alloc[g], N[g])}, g
+    from collections import Counter
+
+    sizes = Counter(r.stratum for r in out)
+    for g, n in want_alloc.items():
+        assert sizes.get(g, 0) == n, g       # EXACT sizes, not binomial
+    assert "flat" not in sizes and "solo" not in sizes
+    # selection = first alloc_n keys in md5 order (python replay, one stratum)
+    wide_keys = [i for i, (kk, g, v) in enumerate(rows) if g == "wide"]
+    order = sorted(
+        (hashlib.md5(f"ney0|{r[0]}".encode()).hexdigest(), r[0])
+        for r in rows if r[1] == "wide"
+    )
+    want_keys = {kk for _, kk in order[: want_alloc["wide"]]}
+    assert {r.key for r in out if r.stratum == "wide"} == want_keys
+    again = neyman_sample(df.repartition(11), "src", "x", 30).collect()
+    assert {(r.key, r.pos) for r in again} == {(r.key, r.pos) for r in out}
+    with pytest.raises(ValueError):
+        neyman_sample(df, "src", "x", 0)
