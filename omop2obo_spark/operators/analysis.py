@@ -816,21 +816,35 @@ def t_sf_two_sided(t: float, df: float) -> float:
 
 
 def welch_posthoc(
-    df: DataFrame, group_col: str, metric_col: str, alpha: float = 0.05
+    df: DataFrame, group_col: str, metric_col: str, alpha: float = 0.05,
+    method: str = "bonferroni",
 ) -> list[dict]:
-    """Welch pairwise p-values with Bonferroni correction — the
+    """Welch pairwise p-values with multiple-testing correction — the
     continuous-metric twin of :func:`chisq_posthoc_corrected`. The
     collect is C(g, 2) dimension rows; all counting stayed distributed.
+
+    ``method``: ``'bonferroni'`` (corrected = min(p·m, 1), reject at
+    alpha/m — the reference's convention) or ``'fdr_bh'``
+    (:func:`bh_adjust`, reject at adjusted p <= alpha).
     """
+    if method not in ("bonferroni", "fdr_bh"):
+        raise ValueError(f"unknown method {method!r}")
     pairs = sorted(
         welch_t_test(df, group_col, metric_col).collect(),
         key=lambda r: (r["group_a"], r["group_b"]),
     )
     m = len(pairs)
+    raw = [t_sf_two_sided(r["t_stat"], r["df_w"]) for r in pairs]
+    if method == "fdr_bh":
+        adj = bh_adjust(raw)
     out = []
-    for r in pairs:
-        p = t_sf_two_sided(r["t_stat"], r["df_w"])
-        corrected = min(p * m, 1.0)
+    for i, r in enumerate(pairs):
+        p = raw[i]
+        if method == "bonferroni":
+            corrected, reject = min(p * m, 1.0), p <= alpha / m
+        else:
+            corrected = adj[i]
+            reject = corrected <= alpha
         out.append(
             {
                 "comparison": f"{r['group_a']}-{r['group_b']}",
@@ -838,7 +852,7 @@ def welch_posthoc(
                 "df_w": r["df_w"],
                 "original_pvalue": p,
                 "corrected_pvalue": corrected,
-                "reject_h0": p <= alpha / m,
+                "reject_h0": reject,
                 "p_text": asterisks_for_pval(corrected),
             }
         )
@@ -1098,3 +1112,22 @@ def ks_pvalue(d: float, n_a: int, n_b: int, terms: int = 100) -> float:
     for k in range(1, terms + 1):
         s += (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
     return max(0.0, min(1.0, 2.0 * s))
+
+
+def bh_adjust(pvals: list[float]) -> list[float]:
+    """Benjamini-Hochberg FDR-adjusted p-values (statsmodels
+    ``multipletests(method='fdr_bh')`` twin): sort ascending, adjusted
+    ``p_(i) = min_{k >= i} p_(k)·m/k`` (monotone from the top), clamp to
+    1, return in the ORIGINAL order. The modern default for many-pair
+    post-hoc families where Bonferroni is needlessly conservative."""
+    m = len(pvals)
+    if m == 0:
+        return []
+    order = sorted(range(m), key=lambda i: pvals[i])
+    adj = [0.0] * m
+    running = 1.0
+    for rank in range(m - 1, -1, -1):
+        i = order[rank]
+        running = min(running, pvals[i] * m / (rank + 1))
+        adj[i] = running
+    return adj

@@ -956,3 +956,40 @@ def test_ks_two_sample_python_model_and_pvalue(spark):
     assert ks_pvalue(0.0, 5, 5) == 1.0
     with pytest.raises(ValueError):
         ks_pvalue(1.5, 5, 5)
+
+
+def test_bh_adjust_statsmodels_reference():
+    from omop2obo_spark.operators.analysis import bh_adjust
+
+    # statsmodels multipletests(method='fdr_bh') reference vector
+    assert bh_adjust([0.01, 0.04, 0.03, 0.005]) == [0.02, 0.04, 0.04, 0.02]
+    assert bh_adjust([]) == []
+    assert bh_adjust([0.5]) == [0.5]
+    # monotone clamp at 1
+    got = bh_adjust([0.9, 0.95, 0.99])
+    assert all(v <= 1.0 for v in got)
+    # adjusted never below raw
+    raw = [0.001, 0.2, 0.04, 0.8]
+    assert all(a >= r for a, r in zip(bh_adjust(raw), raw))
+
+
+def test_welch_posthoc_fdr_bh_mode(spark):
+    import pytest
+
+    from omop2obo_spark.operators.analysis import bh_adjust, welch_posthoc
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 2, 1, 2, 3]]
+    rows += [("b", float(v)) for v in [8, 9, 10, 9, 8, 9, 10]]
+    rows += [("c", float(v)) for v in [1.4, 2.1, 2.9, 1.9, 1.2, 2.2, 3.1]]
+    df = spark.createDataFrame(rows, "grp: string, x: double")
+    bh = welch_posthoc(df, "grp", "x", method="fdr_bh")
+    raw = [r["original_pvalue"] for r in bh]
+    assert [r["corrected_pvalue"] for r in bh] == bh_adjust(raw)
+    for r in bh:
+        assert r["reject_h0"] == (r["corrected_pvalue"] <= 0.05)
+    # BH is never more conservative than Bonferroni
+    bon = {r["comparison"]: r for r in welch_posthoc(df, "grp", "x")}
+    for r in bh:
+        assert r["corrected_pvalue"] <= bon[r["comparison"]]["corrected_pvalue"] + 1e-15
+    with pytest.raises(ValueError):
+        welch_posthoc(df, "grp", "x", method="holm")
