@@ -290,3 +290,46 @@ def ntriple_lines(triples: DataFrame) -> DataFrame:
 def export_ntriples(triples: DataFrame, path: str) -> None:
     """Write the graph as partitioned N-Triples text files."""
     ntriple_lines(triples).write.mode("overwrite").text(path)
+
+
+def dot_lines(
+    edges: DataFrame,
+    src_col: str = "ent_a",
+    dst_col: str = "ent_b",
+    label_col: str | None = None,
+    graph_name: str = "kg",
+) -> DataFrame:
+    """Serialize an edge list as Graphviz DOT — the review-queue
+    visualization boundary next to the N-Triples one. One ``line`` row
+    per edge (``"a" -- "b" [label="..."];``) plus header/footer rows,
+    ordered by ``sort_key`` so ``coalesce(1).write.text`` (or the
+    oracle's string_agg) reproduces a byte-identical file.
+
+    Quotes/backslashes in ids and labels are escaped. Pure native
+    expressions at the scan; DOT output is for dimension-scale curation
+    graphs (a 10^9-edge corpus graph is not a viz artifact).
+    """
+
+    def esc(c):
+        return F.regexp_replace(
+            F.regexp_replace(c.cast("string"), r"\\", r"\\\\"), '"', '\\\\"'
+        )
+
+    lab = (
+        F.concat(F.lit(' [label="'), esc(F.col(label_col)), F.lit('"]'))
+        if label_col
+        else F.lit("")
+    )
+    edge_line = F.concat(
+        F.lit('  "'), esc(F.col(src_col)), F.lit('" -- "'),
+        esc(F.col(dst_col)), F.lit('"'), lab, F.lit(";"),
+    )
+    body = edges.select(
+        edge_line.alias("line"),
+        F.concat(F.lit("1:"), esc(F.col(src_col)), F.lit("|"), esc(F.col(dst_col))).alias("sort_key"),
+    )
+    spark = edges.sparkSession
+    head = spark.createDataFrame(
+        [(f"graph {graph_name} {{", "0:"), ("}", "2:")], "line: string, sort_key: string"
+    )
+    return body.unionByName(head)

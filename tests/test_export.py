@@ -140,3 +140,21 @@ def test_atlas_concept_sets_layout_golden(spark, tmp_path):
     write_atlas_json(atlas_concept_sets(mappings), out2)
     back = spark.read.json(out2)
     assert back.count() == 2 and set(back.columns) >= {"filename", "atlas_json"}
+
+
+def test_dot_lines_escaping_and_structure(spark):
+    from omop2obo_spark.sources.export import dot_lines
+
+    e = spark.createDataFrame(
+        [('a"quote', "b\\slash", "x"), ("plain", "node", 'l"bl')],
+        "ent_a: string, ent_b: string, lab: string",
+    )
+    rows = {r.sort_key: r.line for r in dot_lines(e, label_col="lab").collect()}
+    lines = [rows[k] for k in sorted(rows)]
+    assert lines[0] == "graph kg {"
+    assert lines[-1] == "}"
+    assert '  "a\\"quote" -- "b\\\\slash" [label="x"];' in lines
+    assert '  "plain" -- "node" [label="l\\"bl"];' in lines
+    # label-less mode
+    bare = {r.sort_key: r.line for r in dot_lines(e).collect()}
+    assert '  "plain" -- "node";' in bare.values()
