@@ -97,3 +97,36 @@ def assert_scale_safe(
         plan = df._jdf.queryExecution().executedPlan().toString()
         raise AssertionError(f"plan exceeds scale budgets: {detail}\n{plan}")
     return rep
+
+
+def scan_report(df: DataFrame) -> list[dict]:
+    """Per-scan pushdown/pruning audit: one dict per file scan in
+    ``df``'s physical plan with the pieces that decide 100-TB scan cost
+    — ``pushed_filters`` (predicates the parquet reader skips row
+    groups with), ``read_schema`` (the pruned column set; a scan
+    reading every column for a 2-column projection is a plan bug), and
+    ``partition_filters`` (partition pruning, incl. dynamic). The
+    scan-level complement of :func:`plan_report`'s operator counts —
+    tests pin "the filter reached the scan" instead of eyeballing
+    ``.explain`` output.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for m in re.finditer(r"FileScan \w+ [^\n]*", plan):
+        line = m.group(0)
+
+        def field(name: str) -> str:
+            f = re.search(name + r": \[([^\]]*)\]", line)
+            return f.group(1) if f else ""
+
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", line)
+        out.append(
+            {
+                "pushed_filters": field("PushedFilters"),
+                "partition_filters": field("PartitionFilters"),
+                "read_schema": rs.group(1) if rs else "",
+            }
+        )
+    return out

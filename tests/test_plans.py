@@ -707,3 +707,25 @@ def test_winsorize_fact_never_reshuffles(spark):
     r = plan_report(winsorize(e, "value", ["event_type"]))
     assert r["hash_exchanges"] <= 1, r
     assert r["sort_merge_joins"] == 0, r
+
+
+def test_scan_report_pushdown_and_pruning(spark):
+    """scan_report must show the filter reaching the parquet scan and
+    the column set pruned to the projection — the two properties that
+    decide scan cost at 100 TB."""
+    from omop2obo_spark.plans.guard import scan_report
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "source")
+    )
+    scans = scan_report(df)
+    assert len(scans) == 1, scans
+    s = scans[0]
+    assert "LessThan(doc_id,100)" in s["pushed_filters"], s
+    cols = {c.split(":")[0] for c in s["read_schema"].split(",")}
+    assert cols == {"doc_id", "source"}, s
+    # a full-width scan reads everything — the report makes that visible
+    wide = scan_report(spark.read.parquet(f"{SF}/documents.parquet"))
+    assert len({c.split(":")[0] for c in wide[0]["read_schema"].split(",")}) == 5
