@@ -934,6 +934,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling (operators/textstats.py:script_profile):
+    per-doc script character counts + dominant script — the cheap
+    multilingual router upstream of language ID. Zero-shuffle codegen
+    projections; Java and RE2 spell the script classes differently but
+    agree on values (pinned in tests)."""
+    from omop2obo_spark.operators.textstats import script_profile
+
+    return script_profile(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
 def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-allocation stratified sampling (operators/textstats.py:
     neyman_sample): per-source budgets ∝ N_h·σ_h derived from the
@@ -4054,6 +4065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_test": q_ks_test,
         "q_neyman_sample": q_neyman_sample,
         "q_dot_export": q_dot_export,
+        "q_script_profile": q_script_profile,
     }
 
 
@@ -5218,6 +5230,35 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_script_profile: RE2 script spellings, reverse-order CASE matches
+    # the struct array_max tie-break (alphabetically last wins)
+    sqls["q_script_profile"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^\\p{Arabic}]', '', 'g')) AS BIGINT) AS n_arabic,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^\\p{Cyrillic}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^\\p{Greek}]', '', 'g')) AS BIGINT) AS n_greek,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^\\p{Han}]', '', 'g')) AS BIGINT) AS n_han,
+                   CAST(length(regexp_replace(coalesce(text, ''), '[^\\p{Latin}]', '', 'g')) AS BIGINT) AS n_latin
+            FROM documents
+        ),
+        t AS (
+            SELECT *, n_arabic + n_cyrillic + n_greek + n_han + n_latin AS n_script_chars,
+                   greatest(n_arabic, n_cyrillic, n_greek, n_han, n_latin) AS m
+            FROM c
+        )
+        SELECT doc_id, n_arabic, n_cyrillic, n_greek, n_han, n_latin, n_script_chars,
+               CASE WHEN n_script_chars = 0 THEN 'und'
+                    WHEN n_latin = m THEN 'latin'
+                    WHEN n_han = m THEN 'han'
+                    WHEN n_greek = m THEN 'greek'
+                    WHEN n_cyrillic = m THEN 'cyrillic'
+                    ELSE 'arabic' END AS dominant_script,
+               CASE WHEN n_script_chars = 0 THEN 0.0
+                    ELSE round(m * 1.0 / n_script_chars, 6) END AS script_ratio
+        FROM t
+    """
+
     # q_neyman_sample: exact sum-formula σ, round6-then-floor allocation,
     # per-stratum md5-order row_number replay
     sqls["q_neyman_sample"] = """

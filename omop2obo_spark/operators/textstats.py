@@ -1660,3 +1660,51 @@ def neyman_sample(
             F.col("pos").cast("long").alias("pos"),
         )
     )
+
+
+# (python_name, java_class, re2_class) — Java and RE2 spell Unicode script
+# classes differently ("IsLatin" vs "Latin"); values agree (probed in tests)
+SCRIPT_CLASSES = [
+    ("arabic", "IsArabic"),
+    ("cyrillic", "IsCyrillic"),
+    ("greek", "IsGreek"),
+    ("han", "IsHan"),
+    ("latin", "IsLatin"),
+]
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script profile: per-doc character counts for the major
+    scripts plus the dominant script and its share — the multilingual
+    routing signal upstream of language ID (script is cheap and
+    unambiguous where function-word profiles need text; a Cyrillic doc
+    never reaches the English quality gates). NULL/scriptless docs get
+    dominant ``'und'`` and ratio 0.0.
+
+    Ties break toward the alphabetically LAST script name (the struct
+    array_max order; the oracle's CASE chain checks in reverse order to
+    match). Pure regexp_replace/length projections — zero shuffle,
+    whole-stage codegen.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.length(F.regexp_replace(t, rf"[^\p{{{jcls}}}]", "")).cast("long")
+        for name, jcls in SCRIPT_CLASSES
+    }
+    total = sum(counts.values())
+    structs = F.array(
+        *[
+            F.struct(counts[name].alias("n"), F.lit(name).alias("s"))
+            for name, _ in SCRIPT_CLASSES
+        ]
+    )
+    best = F.array_max(structs)
+    return docs.select(
+        "*",
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_CLASSES],
+        total.alias("n_script_chars"),
+        F.when(total == 0, F.lit("und")).otherwise(best["s"]).alias("dominant_script"),
+        F.when(total == 0, F.lit(0.0))
+        .otherwise(F.round(best["n"] / total, 6))
+        .alias("script_ratio"),
+    )

@@ -2885,3 +2885,27 @@ def test_neyman_sample_allocation_python_model(spark):
     assert {(r.key, r.pos) for r in again} == {(r.key, r.pos) for r in out}
     with pytest.raises(ValueError):
         neyman_sample(df, "src", "x", 0)
+
+
+def test_script_profile_counts_and_dominance(spark):
+    """Script counts vs unicodedata ground truth on mixed-script text;
+    dominance tie-break (alphabetically last), 'und' for scriptless and
+    NULL docs, digits/punct in no script."""
+    from omop2obo_spark.operators.textstats import script_profile
+
+    rows = [
+        (0, "hello мир 你好 مرحبا"),         # latin 5, cyr 3, han 2, ar 5
+        (1, "12345 !!! ..."),                  # scriptless -> und
+        (2, None),                             # NULL -> und
+        (3, "αβ ab"),                          # greek 2 latin 2 tie -> latin
+        (4, "Ελληνικά"),                       # pure greek
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    assert (got[0].n_latin, got[0].n_cyrillic, got[0].n_han, got[0].n_arabic) == (5, 3, 2, 5)
+    # latin/arabic tie at 5 -> alphabetically last wins -> latin
+    assert got[0].dominant_script == "latin"
+    assert got[1].dominant_script == "und" and got[1].script_ratio == 0.0
+    assert got[2].dominant_script == "und" and got[2].n_script_chars == 0
+    assert got[3].dominant_script == "latin"
+    assert got[4].dominant_script == "greek" and got[4].script_ratio == 1.0
