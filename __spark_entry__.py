@@ -353,6 +353,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay aggregates with a 7-day half-life
+    (operators/temporal.py:time_decayed_agg) — the freshness weighting
+    behind activity features. One 1-row bounds broadcast + one map-side
+    combined aggregate; per-row weight rounding erases libm ulp drift."""
+    from omop2obo_spark.operators.temporal import time_decayed_agg
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_decayed_agg(e, half_life_s=7 * 86_400)
+
+
 def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour per-user activity (operators/temporal.py:
     rolling_range_agg): RANGE-frame window on exact epoch micros —
@@ -4066,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neyman_sample": q_neyman_sample,
         "q_dot_export": q_dot_export,
         "q_script_profile": q_script_profile,
+        "q_time_decay": q_time_decay,
     }
 
 
@@ -4625,6 +4637,26 @@ FROM all_t GROUP BY pred"""
                     ELSE round((count(*) * max(ntok) - sum(ntok)) * 1.0
                                / (count(*) * max(ntok)), 6) END AS waste_pct
         FROM a GROUP BY bucket
+    """
+
+    # q_time_decay: identical exp(−ln2·age/hl) chain, per-row round-9
+    # weights (libm-ulp erasure), 4dp sums
+    sqls["q_time_decay"] = """
+        WITH base AS (
+            SELECT user_id AS key, epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v
+            FROM events
+        ),
+        b AS (SELECT max(us) AS mx FROM base),
+        w AS (
+            SELECT key,
+                   round(exp(-ln(2.0) * ((mx - us) / 1000000.0) / 604800.0), 9) AS w,
+                   round(exp(-ln(2.0) * ((mx - us) / 1000000.0) / 604800.0), 9) * v AS wv
+            FROM base, b
+        )
+        SELECT key, count(*) AS n,
+               round(sum(w), 4) AS decayed_n,
+               round(sum(wv), 4) AS decayed_sum
+        FROM w GROUP BY key
     """
 
     # q_rolling_rate: RANGE frame on exact epoch micros — value-based

@@ -568,3 +568,52 @@ def rolling_range_agg(
         F.count("*").over(w).alias("n_win"),
         F.round(F.sum("__v").over(w), 2).alias("sum_win"),
     )
+
+
+def time_decayed_agg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_s: int = 86_400,
+) -> DataFrame:
+    """Exponential time-decay aggregates: per key, the decayed count
+    ``Σ 2^(−age/half_life)`` and decayed value sum — the freshness
+    weighting every ranking/feature system applies (an event loses half
+    its weight every ``half_life_s``). Age is measured from the
+    corpus's own max timestamp (a 1-row broadcast), so the result is a
+    pure function of the data, reproducible in any engine.
+
+    Weights are spelled ``exp(−ln2·age/half_life)`` and rounded to 9dp
+    PER ROW before summation — libm exp implementations differ in the
+    last ulp across engines, and the row-level round erases that before
+    it can accumulate. Output sums round to 4dp. NULL values contribute
+    weight to the decayed count but nothing to the sum.
+
+    Scale shape: one 1-row bounds broadcast + ONE map-side-combined
+    aggregate on the key. Nothing else moves.
+    """
+    if half_life_s < 1:
+        raise ValueError(f"half_life_s must be >= 1, got {half_life_s}")
+    import math
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    base = events.select(
+        F.col(key_col).alias("key"), us.alias("__us"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    bounds = base.agg(F.max("__us").alias("__mx"))
+    age_s = (F.col("__mx") - F.col("__us")) / F.lit(1_000_000.0)
+    w = F.round(
+        F.exp(-F.lit(math.log(2.0)) * age_s / F.lit(float(half_life_s))), 9
+    )
+    return (
+        base.crossJoin(F.broadcast(bounds))
+        .select("key", w.alias("__w"), (w * F.col("__v")).alias("__wv"))
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("__w"), 4).alias("decayed_n"),
+            F.round(F.sum("__wv"), 4).alias("decayed_sum"),
+        )
+    )

@@ -530,3 +530,36 @@ def test_personalized_pagerank_power_method(spark):
     assert all(v == 0.0 for v in ghost.values())
     with pytest.raises(ValueError):
         personalized_pagerank(e, [])
+
+
+def test_time_decayed_agg_python_model(spark):
+    """Decayed count/sum vs a pure-Python exp replay: half-life
+    semantics (weight exactly halves per half-life), NULL values count
+    weight but no sum, partitioning independence."""
+    import datetime as dt
+    import math
+
+    import pytest
+
+    from omop2obo_spark.operators.temporal import time_decayed_agg
+
+    t0 = dt.datetime(2026, 1, 10, 0, 0, 0)
+    hl = 3600
+    rows = [
+        (1, t0, 8.0),                                   # age 0 -> w 1
+        (1, t0 - dt.timedelta(seconds=hl), 8.0),        # w 0.5
+        (1, t0 - dt.timedelta(seconds=2 * hl), 8.0),    # w 0.25
+        (1, t0 - dt.timedelta(seconds=hl), None),       # weight, no sum
+        (2, t0 - dt.timedelta(seconds=3 * hl), 4.0),    # w 0.125
+    ]
+    e = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    for df in (e.repartition(7), e.coalesce(1)):
+        got = {r.key: (r.n, r.decayed_n, r.decayed_sum)
+               for r in time_decayed_agg(df, half_life_s=hl).collect()}
+        assert got[1][0] == 4
+        assert got[1][1] == pytest.approx(1 + 0.5 + 0.25 + 0.5, abs=1e-6)
+        assert got[1][2] == pytest.approx(8 * (1 + 0.5 + 0.25), abs=1e-6)
+        assert got[2] == (1, round(round(math.exp(-math.log(2) * 3), 9), 4),
+                          round(round(math.exp(-math.log(2) * 3), 9) * 4.0, 4))
+    with pytest.raises(ValueError):
+        time_decayed_agg(e, half_life_s=0)
