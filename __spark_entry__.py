@@ -353,6 +353,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe top-3 events per event_type by value (operators/
+    aggregate.py:grouped_topk): the two-level salted formulation for
+    LOW-cardinality fact-scale groups — a plain per-group window would
+    sort each whole group in one task. Exact vs the flat-window oracle."""
+    from omop2obo_spark.operators.aggregate import grouped_topk
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return grouped_topk(e, "event_type", "value", k=3, id_col="event_id")
+
+
 def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential time-decay aggregates with a 7-day half-life
     (operators/temporal.py:time_decayed_agg) — the freshness weighting
@@ -4078,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dot_export": q_dot_export,
         "q_script_profile": q_script_profile,
         "q_time_decay": q_time_decay,
+        "q_grouped_topk": q_grouped_topk,
     }
 
 
@@ -4637,6 +4649,19 @@ FROM all_t GROUP BY pred"""
                     ELSE round((count(*) * max(ntok) - sum(ntok)) * 1.0
                                / (count(*) * max(ntok)), 6) END AS waste_pct
         FROM a GROUP BY bucket
+    """
+
+    # q_grouped_topk: the flat window IS the spec; the engine's salted
+    # two-level plan must reproduce it exactly
+    sqls["q_grouped_topk"] = """
+        SELECT event_type, event_id, value, CAST(rn AS INT) AS grp_rank
+        FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC NULLS LAST,
+                                               event_id ASC) AS rn
+            FROM events
+        ) WHERE rn <= 3
     """
 
     # q_time_decay: identical exp(−ln2·age/hl) chain, per-row round-9

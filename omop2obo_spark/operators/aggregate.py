@@ -154,3 +154,57 @@ def merge_aggregate_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataF
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-k rows per group for LOW-cardinality, fact-scale groups —
+    the case ``Window.partitionBy(group)`` serializes (one task per
+    group sorting millions of rows). Two-level formulation: stage 1
+    takes top-k within each of ``salt_buckets`` deterministic md5 salt
+    slices of every group (parallel, each slice ~1/buckets of the
+    group); stage 2 re-ranks the surviving ``≤ groups·buckets·k`` rows
+    (a bounded dimension). Exact: a global top-k row is top-k within
+    its own slice, so stage 1 never drops a winner.
+
+    The high-cardinality complement of
+    :func:`~omop2obo_spark.operators.curate.group_quota_cap` (small
+    groups → plain window there; few huge groups → this). Ties break by
+    ``id_col``; NULL order values sort last and NULL groups are their
+    own group. Output: the winning rows as (group, id, order value,
+    grp_rank 1..k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    from pyspark.sql.window import Window
+
+    v = F.col(order_col)
+    order = [
+        v.desc_nulls_last() if descending else v.asc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("bigint"),
+        F.lit(int(salt_buckets)),
+    )
+    stage1 = (
+        df.select(group_col, id_col, order_col)
+        .withColumn("__s", salt)
+        .withColumn("__r1", F.row_number().over(Window.partitionBy(group_col, "__s").orderBy(*order)))
+        .filter(F.col("__r1") <= int(k))
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        stage1.withColumn("grp_rank", F.row_number().over(w2))
+        .filter(F.col("grp_rank") <= int(k))
+        .select(group_col, id_col, order_col, "grp_rank")
+    )

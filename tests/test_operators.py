@@ -606,3 +606,42 @@ def test_aggregate_state_merge_equals_union(spark):
     # associativity: (A+B)+C == state(A+B+C)
     m3 = merge_aggregate_states(merged, sc, ["k"])
     assert rows(m3) == rows(aggregate_state(a.unionByName(b).unionByName(c), ["k"], "v"))
+
+
+def test_grouped_topk_equals_flat_window(spark):
+    """The two-level salted top-k must equal the flat window exactly —
+    ties at the cut (id tie-break), NULL order values last, NULL group,
+    k larger than a group, and every salt_buckets setting."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from omop2obo_spark.operators.aggregate import grouped_topk
+
+    rows = []
+    for g in ("a", "b", None):
+        for i in range(40):
+            rows.append((g, (hash((g, i)) % 7) * 1.0, i + (0 if g == "a" else 100)))
+    rows.append(("tiny", 5.0, 999))
+    rows.append(("a", None, 998))
+    df = spark.createDataFrame(rows, "grp: string, v: double, doc_id: long")
+    flat = (
+        df.withColumn(
+            "grp_rank",
+            F.row_number().over(
+                Window.partitionBy("grp").orderBy(F.col("v").desc_nulls_last(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("grp_rank") <= 5)
+        .select("grp", "doc_id", "v", "grp_rank")
+    )
+    want = {(r.grp, r.doc_id, r.v, r.grp_rank) for r in flat.collect()}
+    for buckets in (1, 4, 32):
+        got = {
+            (r.grp, r.doc_id, r.v, r.grp_rank)
+            for r in grouped_topk(df, "grp", "v", k=5, salt_buckets=buckets).collect()
+        }
+        assert got == want, buckets
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_topk(df, "grp", "v", k=0)
