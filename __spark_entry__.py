@@ -967,6 +967,17 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the view and signup value distributions
+    (operators/analysis.py:mann_whitney_u): tie-corrected rank-sum z —
+    the robust two-sample test next to q_ab_test (means) and q_ks_test
+    (CDFs). Value-dim aggregate + prefix-scaffold pooled ranks."""
+    from omop2obo_spark.operators.analysis import mann_whitney_u
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_whitney_u(e, "event_type", "value", "view", "signup")
+
+
 def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman-allocation stratified sampling (operators/textstats.py:
     neyman_sample): per-source budgets ∝ N_h·σ_h derived from the
@@ -4090,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_script_profile": q_script_profile,
         "q_time_decay": q_time_decay,
         "q_grouped_topk": q_grouped_topk,
+        "q_mann_whitney": q_mann_whitney,
     }
 
 
@@ -5314,6 +5326,40 @@ FROM all_t GROUP BY pred"""
                CASE WHEN n_script_chars = 0 THEN 0.0
                     ELSE round(m * 1.0 / n_script_chars, 6) END AS script_ratio
         FROM t
+    """
+
+    # q_mann_whitney: pooled average ranks via flat cumulative window,
+    # identical U/σ arithmetic
+    sqls["q_mann_whitney"] = """
+        WITH base AS (
+            SELECT CAST(value AS DOUBLE) AS v,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+                   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS b
+            FROM events
+            WHERE value IS NOT NULL AND event_type IN ('view', 'signup')
+        ),
+        per_val AS (
+            SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+                   CAST(sum(a) + sum(b) AS BIGINT) AS n
+            FROM base GROUP BY v
+        ),
+        cum AS (
+            SELECT *, CAST(coalesce(sum(n) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+            FROM per_val
+        ),
+        agg AS (
+            SELECT CAST(sum(na) AS BIGINT) AS na, CAST(sum(nb) AS BIGINT) AS nb,
+                   sum(na * (c + (n + 1) / 2.0)) AS ra,
+                   CAST(sum(n * n * n - n) AS BIGINT) AS tt
+            FROM cum
+        )
+        SELECT na AS n_a, nb AS n_b,
+               round(ra - na * (na + 1) / 2.0, 2) AS u_stat,
+               round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                     / sqrt(na * nb / 12.0 * ((na + nb + 1)
+                            - tt * 1.0 / ((na + nb) * (na + nb - 1)))), 6) AS z
+        FROM agg
     """
 
     # q_neyman_sample: exact sum-formula σ, round6-then-floor allocation,

@@ -1131,3 +1131,83 @@ def bh_adjust(pvals: list[float]) -> list[float]:
         running = min(running, pvals[i] * m / (rank + 1))
         adj[i] = running
     return adj
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) statistic with tie-corrected
+    normal approximation — the RANK-based two-sample test completing
+    the family (Welch = means under normality, KS = any distributional
+    difference, M-W = stochastic dominance, robust to outliers and
+    monotone transforms). NULL values excluded.
+
+    Pinned arithmetic (scipy ``mannwhitneyu(method='asymptotic',
+    use_continuity=False)`` semantics): ties take average ranks;
+    ``U_a = R_a − n_a(n_a+1)/2``; ``z = (U_a − n_a n_b/2) / σ`` with
+    the tie-corrected ``σ = sqrt(n_a n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1))))``.
+    Output: one row (n_a, n_b, u_stat, z) — z rounded 6dp, U exact
+    (integer-valued under average ranks ×2; emitted as double). The
+    p-value (normal tail, no closed SQL form) lives in
+    :func:`mw_pvalue`, pytest-gated.
+
+    Scale shape: identical to :func:`ks_two_sample` — one aggregate to
+    the distinct-value dimension, cumulative pooled counts via the
+    two-level prefix scaffold, one final 1-row aggregate.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.filter(v.isNotNull() & g.isin(group_a, group_b)).select(
+        v.alias("__v"),
+        (g == group_a).cast("long").alias("__a"),
+        (g == group_b).cast("long").alias("__b"),
+    )
+    per_val = base.groupBy("__v").agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    ).withColumn("__n", F.col("__na") + F.col("__nb"))
+    bounds = per_val.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / span * n_buckets).cast("bigint"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    keyed = per_val.crossJoin(F.broadcast(bounds)).withColumn("__b_", bucket)
+    cum = two_level_prefix(
+        keyed.withColumnRenamed("__b_", "__b"),
+        [F.col("__v").asc()], "__cum", weight_col="__n", inclusive=False,
+    )
+    # average rank of a tied value = #below + (t + 1)/2
+    rank = F.col("__cum") + (F.col("__n") + 1) / 2.0
+    agg = cum.agg(
+        F.sum("__na").alias("na"),
+        F.sum("__nb").alias("nb"),
+        F.sum(F.col("__na") * rank).alias("ra"),
+        F.sum(F.col("__n") * F.col("__n") * F.col("__n") - F.col("__n")).alias("tt"),
+    )
+    na, nb, ra, tt = F.col("na"), F.col("nb"), F.col("ra"), F.col("tt")
+    n = na + nb
+    u_a = ra - na * (na + 1) / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0 * ((n + 1) - tt / (n * (n - 1)))
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        # U is a multiple of 0.5 under average ranks; round-2 erases the
+        # summation-order ulps of the rank-sum before hashing
+        F.round(u_a, 2).alias("u_stat"),
+        F.round((u_a - na * nb / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+def mw_pvalue(z: float) -> float:
+    """Two-sided normal-approximation p-value for the Mann-Whitney z:
+    ``erfc(|z|/sqrt(2))``."""
+    return math.erfc(abs(z) / math.sqrt(2.0))

@@ -993,3 +993,57 @@ def test_welch_posthoc_fdr_bh_mode(spark):
         assert r["corrected_pvalue"] <= bon[r["comparison"]]["corrected_pvalue"] + 1e-15
     with pytest.raises(ValueError):
         welch_posthoc(df, "grp", "x", method="holm")
+
+
+def test_mann_whitney_u_python_model(spark):
+    """U and tie-corrected z vs a pure-Python rank replay (heavy ties),
+    plus known closed cases: identical samples -> z = 0; complete
+    separation -> U = n_a·n_b."""
+    import math
+
+    import pytest
+
+    from omop2obo_spark.operators.analysis import mann_whitney_u, mw_pvalue
+
+    xa = [1.0, 2.0, 2.0, 3.0, 5.0, 7.0]
+    xb = [2.0, 4.0, 4.0, 6.0]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb] + [("c", 9.9), ("a", None)]
+    df = spark.createDataFrame(rows, "grp: string, x: double")
+    out = mann_whitney_u(df, "grp", "x", "a", "b").collect()[0]
+
+    pooled = sorted(xa + xb)
+    ranks = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    ra = sum(ranks[v] for v in xa)
+    na, nb = len(xa), len(xb)
+    u_a = ra - na * (na + 1) / 2.0
+    n = na + nb
+    tie = sum(
+        t**3 - t for t in __import__("collections").Counter(pooled).values()
+    )
+    sigma = math.sqrt(na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1))))
+    z = (u_a - na * nb / 2.0) / sigma
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert out.u_stat == pytest.approx(u_a, abs=1e-9)
+    assert out.z == pytest.approx(round(z, 6), abs=1e-9)
+    # identical samples -> z = 0
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(8)] + [("b", float(v)) for v in range(8)],
+        "grp: string, x: double",
+    )
+    s = mann_whitney_u(same, "grp", "x", "a", "b").collect()[0]
+    assert s.z == 0.0
+    # complete separation -> U_a = n_a*n_b (a entirely above b)
+    sep = spark.createDataFrame(
+        [("a", float(v + 100)) for v in range(5)] + [("b", float(v)) for v in range(4)],
+        "grp: string, x: double",
+    )
+    assert mann_whitney_u(sep, "grp", "x", "a", "b").collect()[0].u_stat == 20.0
+    # p-value helper: z = 1.959964 -> p ~ 0.05
+    assert mw_pvalue(1.959963985) == pytest.approx(0.05, abs=1e-6)
