@@ -967,6 +967,17 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals (operators/
+    analysis.py:benford_profile) — the fabricated-data smell test as a
+    9-key map-side aggregate; digits absent from the data still appear
+    with n = 0."""
+    from omop2obo_spark.operators.analysis import benford_profile
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_profile(o, "o_totalprice")
+
+
 def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U between the view and signup value distributions
     (operators/analysis.py:mann_whitney_u): tie-corrected rank-sum z —
@@ -4102,6 +4113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_decay": q_time_decay,
         "q_grouped_topk": q_grouped_topk,
         "q_mann_whitney": q_mann_whitney,
+        "q_benford": q_benford,
     }
 
 
@@ -5326,6 +5338,27 @@ FROM all_t GROUP BY pred"""
                CASE WHEN n_script_chars = 0 THEN 0.0
                     ELSE round(m * 1.0 / n_script_chars, 6) END AS script_ratio
         FROM t
+    """
+
+    # q_benford: identical log10 digit extraction (clamped) + digit-dim
+    # completion via range
+    sqls["q_benford"] = """
+        WITH vals AS (
+            SELECT abs(CAST(o_totalprice AS DOUBLE)) AS v FROM orders
+            WHERE o_totalprice IS NOT NULL AND abs(CAST(o_totalprice AS DOUBLE)) > 0
+        ),
+        c AS (
+            SELECT least(greatest(CAST(floor(v / power(10.0, floor(log10(v)))) AS INT), 1), 9) AS digit,
+                   count(*) AS n
+            FROM vals GROUP BY 1
+        ),
+        d AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+        t AS (SELECT sum(n) AS tt FROM c)
+        SELECT d.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+               round(coalesce(c.n, 0) * 1.0 / t.tt, 6) AS share,
+               round(log10(1.0 + 1.0 / d.digit), 6) AS benford_p,
+               round(abs(coalesce(c.n, 0) * 1.0 / t.tt - log10(1.0 + 1.0 / d.digit)), 6) AS abs_dev
+        FROM d LEFT JOIN c USING (digit) CROSS JOIN t
     """
 
     # q_mann_whitney: pooled average ranks via flat cumulative window,

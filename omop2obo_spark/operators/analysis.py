@@ -1211,3 +1211,53 @@ def mw_pvalue(z: float) -> float:
     """Two-sided normal-approximation p-value for the Mann-Whitney z:
     ``erfc(|z|/sqrt(2))``."""
     return math.erfc(abs(z) / math.sqrt(2.0))
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    fabricated-/synthetic-data smell test for numeric columns (organic
+    multiplicative data follows ``P(d) = log10(1 + 1/d)``; uniform
+    generators and hand-entered numbers don't). Zero and NULL values
+    are excluded; negatives profile by |value|.
+
+    Output: one row per digit 1-9 — (digit, n, share, benford_p,
+    abs_dev) rounded 6dp — plus the digit-0 row carrying the totals is
+    NOT emitted; digits absent from the data appear with n = 0 so the
+    profile always has exactly 9 rows.
+
+    Digit extraction is ``floor(v / 10^floor(log10 v))`` clamped to
+    [1, 9]: the clamp absorbs the boundary where log10 of an exact
+    power of ten lands one ulp low. One map-side-combined 9-key
+    aggregate; the digit dimension completes via a literal range.
+    """
+    import math
+
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.least(
+        F.greatest(
+            F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int"),
+            F.lit(1),
+        ),
+        F.lit(9),
+    )
+    counts = (
+        df.filter(v.isNotNull() & (v > 0))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    digits = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    share = F.col("n") / F.col("__t")
+    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        digits.join(counts, on="digit", how="left")
+        .fillna(0, ["n"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(share, 6).alias("share"),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(F.abs(share - bp), 6).alias("abs_dev"),
+        )
+    )

@@ -1047,3 +1047,26 @@ def test_mann_whitney_u_python_model(spark):
     assert mann_whitney_u(sep, "grp", "x", "a", "b").collect()[0].u_stat == 20.0
     # p-value helper: z = 1.959964 -> p ~ 0.05
     assert mw_pvalue(1.959963985) == pytest.approx(0.05, abs=1e-6)
+
+
+def test_benford_profile_hand_computed(spark):
+    """Digit extraction across magnitudes (0.05 → 5, 999 → 9, powers of
+    ten → 1), zero/NULL/negative handling, absent digits with n = 0,
+    and the Benford probabilities."""
+    import math
+
+    import pytest
+
+    from omop2obo_spark.operators.analysis import benford_profile
+
+    rows = [(v,) for v in [1.0, 10.0, 100.0, 0.05, 999.0, -23.0, 0.0, None, 2.5]]
+    df = spark.createDataFrame(rows, "x: double")
+    got = {r.digit: (r.n, r.share, r.benford_p) for r in benford_profile(df, "x").collect()}
+    assert sorted(got) == list(range(1, 10))
+    # digits: 1,1,1 (powers of ten), 5 (0.05), 9 (999), 2 (|-23|), 2 (2.5)
+    assert got[1][0] == 3 and got[2][0] == 2 and got[5][0] == 1 and got[9][0] == 1
+    assert got[3][0] == 0 and got[3][1] == 0.0
+    total = 7
+    assert got[1][1] == pytest.approx(round(3 / total, 6))
+    for d in range(1, 10):
+        assert got[d][2] == pytest.approx(round(math.log10(1 + 1 / d), 6))
