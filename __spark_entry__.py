@@ -967,6 +967,16 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_profile(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
 
 
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit (operators/analysis.py:
+    corpus_concentration): HHI / Gini / entropy of the char-weighted
+    source mix — the diversity gate on a pretraining mixture. One
+    group-dim aggregate; rank + fold at dimension scale."""
+    from omop2obo_spark.operators.analysis import corpus_concentration
+
+    return corpus_concentration(_docs(spark, sf_dir), "source", weight_col="n_chars")
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit profile of order totals (operators/
     analysis.py:benford_profile) — the fabricated-data smell test as a
@@ -4114,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouped_topk": q_grouped_topk,
         "q_mann_whitney": q_mann_whitney,
         "q_benford": q_benford,
+        "q_concentration": q_concentration,
     }
 
 
@@ -5338,6 +5349,26 @@ FROM all_t GROUP BY pred"""
                CASE WHEN n_script_chars = 0 THEN 0.0
                     ELSE round(m * 1.0 / n_script_chars, 6) END AS script_ratio
         FROM t
+    """
+
+    # q_concentration: identical share arithmetic over the group dim
+    sqls["q_concentration"] = """
+        WITH per AS (
+            SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp,
+                   sum(CAST(n_chars AS DOUBLE)) AS w
+            FROM documents GROUP BY 1
+        ),
+        r AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY w ASC, grp ASC) AS BIGINT) AS i
+            FROM per
+        ),
+        t AS (SELECT sum(w) AS tt FROM per)
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               round(sum((w / tt) * (w / tt)), 6) AS hhi,
+               round(2.0 * sum(i * (w / tt)) / count(*)
+                     - (count(*) + 1) * 1.0 / count(*), 6) AS gini,
+               round(-sum((w / tt) * ln(w / tt)), 6) AS entropy
+        FROM r, t
     """
 
     # q_benford: identical log10 digit extraction (clamped) + digit-dim

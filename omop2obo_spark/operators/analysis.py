@@ -1261,3 +1261,43 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
             F.round(F.abs(share - bp), 6).alias("abs_dev"),
         )
     )
+
+
+def corpus_concentration(
+    df: DataFrame, group_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """Concentration/diversity metrics of a categorical mix — the
+    pretraining-mixture audit ("is the corpus one domain wearing a
+    trenchcoat?"): Herfindahl-Hirschman index ``Σ s_i²`` (1/HHI =
+    effective number of sources), Gini coefficient of the share
+    distribution, and Shannon entropy in nats. ``weight_col`` weights
+    by e.g. token counts instead of rows; NULL groups are their own
+    group.
+
+    Output: one row (n_groups, hhi, gini, entropy), floats 6dp.
+    ``gini = (2·Σ i·w_(i)) / (n·Σw) − (n+1)/n`` over ascending-sorted
+    weights (the classic discrete form; 0 = perfectly even).
+
+    Scale shape: ONE map-side-combined aggregate to the group
+    dimension; the rank window and the final fold run over that
+    dimension only (group cardinality, not corpus rows).
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    per = df.groupBy(g.alias("grp")).agg(F.sum(w).alias("__w"))
+    ranked = per.withColumn(
+        "__i", F.row_number().over(Window.orderBy(F.col("__w").asc(), F.col("grp").asc()))
+    )
+    tot = per.agg(F.sum("__w").alias("__t"))
+    joined = ranked.crossJoin(F.broadcast(tot))
+    share = F.col("__w") / F.col("__t")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("__i") * share) / F.count("*")
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini"),
+        F.round(-F.sum(share * F.log(share)), 6).alias("entropy"),
+    )

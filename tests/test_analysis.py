@@ -1070,3 +1070,41 @@ def test_benford_profile_hand_computed(spark):
     assert got[1][1] == pytest.approx(round(3 / total, 6))
     for d in range(1, 10):
         assert got[d][2] == pytest.approx(round(math.log10(1 + 1 / d), 6))
+
+
+def test_corpus_concentration_closed_forms(spark):
+    """HHI/Gini/entropy vs closed forms: uniform mix (HHI=1/n, Gini=0,
+    entropy=ln n), single group (HHI=1, Gini=0, entropy=0), weighted
+    mode vs a python replay, NULL group bucket."""
+    import math
+
+    import pytest
+
+    from omop2obo_spark.operators.analysis import corpus_concentration
+
+    uniform = spark.createDataFrame(
+        [(f"s{i % 4}", 1) for i in range(40)], "src: string, w: int"
+    )
+    u = corpus_concentration(uniform, "src").collect()[0]
+    assert u.n_groups == 4
+    assert u.hhi == pytest.approx(0.25, abs=1e-6)
+    assert u.gini == pytest.approx(0.0, abs=1e-6)
+    assert u.entropy == pytest.approx(round(math.log(4), 6), abs=1e-6)
+
+    single = spark.createDataFrame([("only", 1)] * 5, "src: string, w: int")
+    s = corpus_concentration(single, "src").collect()[0]
+    assert (s.n_groups, s.hhi, s.gini, s.entropy) == (1, 1.0, 0.0, -0.0) or \
+           (s.n_groups, s.hhi, s.gini, s.entropy) == (1, 1.0, 0.0, 0.0)
+
+    weighted = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("b", 60), (None, 20)], "src: string, w: int"
+    )
+    wrow = corpus_concentration(weighted, "src", weight_col="w").collect()[0]
+    shares = sorted([20 / 100, 60 / 100, 20 / 100])
+    hhi = sum(x * x for x in shares)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(shares)) / 3 - 4 / 3
+    ent = -sum(x * math.log(x) for x in shares)
+    assert wrow.n_groups == 3
+    assert wrow.hhi == pytest.approx(round(hhi, 6), abs=1e-6)
+    assert wrow.gini == pytest.approx(round(gini, 6), abs=1e-6)
+    assert wrow.entropy == pytest.approx(round(ent, 6), abs=1e-6)
