@@ -364,6 +364,22 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(e, "event_type", "value", k=3, id_col="event_id")
 
 
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal 80/10/10 split (operators/temporal.py:
+    temporal_split): exact time-quantile cut points, boundary rows in
+    the earlier split — per-split event counts + time ranges as the
+    audit view."""
+    from omop2obo_spark.operators.temporal import temporal_split
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = temporal_split(e)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias("min_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias("max_us"),
+    )
+
+
 def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential time-decay aggregates with a 7-day half-life
     (operators/temporal.py:time_decayed_agg) — the freshness weighting
@@ -4125,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mann_whitney": q_mann_whitney,
         "q_benford": q_benford,
         "q_concentration": q_concentration,
+        "q_temporal_split": q_temporal_split,
     }
 
 
@@ -4697,6 +4714,27 @@ FROM all_t GROUP BY pred"""
                                                event_id ASC) AS rn
             FROM events
         ) WHERE rn <= 3
+    """
+
+    # q_temporal_split: quantile_cont cut points + the same
+    # boundary-in-earlier-split CASE, audited per split
+    sqls["q_temporal_split"] = """
+        WITH base AS (SELECT epoch_us(ts) AS us FROM events),
+        q AS (
+            SELECT quantile_cont(CAST(us AS DOUBLE), [0.8, 0.9]) AS qs
+            FROM base WHERE us IS NOT NULL
+        ),
+        tagged AS (
+            SELECT us,
+                   CASE WHEN us IS NULL THEN 'unsplit'
+                        WHEN us <= qs[1] THEN 'train'
+                        WHEN us <= qs[2] THEN 'val'
+                        ELSE 'test' END AS split
+            FROM base, q
+        )
+        SELECT split, count(*) AS n,
+               CAST(min(us) AS BIGINT) AS min_us, CAST(max(us) AS BIGINT) AS max_us
+        FROM tagged GROUP BY split
     """
 
     # q_time_decay: identical exp(−ln2·age/hl) chain, per-row round-9

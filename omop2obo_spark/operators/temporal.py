@@ -617,3 +617,48 @@ def time_decayed_agg(
             F.round(F.sum("__wv"), 4).alias("decayed_sum"),
         )
     )
+
+
+def temporal_split(
+    events: DataFrame,
+    ts_col: str = "ts",
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe temporal train/val/test split: cut points are the
+    exact interpolated time quantiles, train = earliest ``train_frac``,
+    val = next ``val_frac``, test = the rest — the split a temporal
+    model must use (a random split leaks future information into
+    training; this one never does, by construction). NULL timestamps
+    get split 'unsplit' (surfaced, not silently dropped — the caller
+    decides).
+
+    Pinned rule: epoch-microsecond quantiles (type-7, the oracle twin);
+    a row is train when ``ts_us <= q_train``, val when ``<= q_val`` —
+    boundary rows fall in the EARLIER split.
+
+    Scale shape: one exact-percentile aggregate (1-row broadcast) + a
+    codegen CASE over the scan. Swap percentile_approx in at 100 TB
+    exactly as the other quantile ops do.
+    """
+    if not (0.0 < train_frac and 0.0 < val_frac and train_frac + val_frac < 1.0):
+        raise ValueError(f"need positive fracs with train+val < 1, got ({train_frac}, {val_frac})")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    base = events.withColumn("__us", us)
+    probs = F.array(F.lit(float(train_frac)), F.lit(float(train_frac + val_frac)))
+    qs = base.filter(F.col("__us").isNotNull()).agg(
+        F.percentile(F.col("__us").cast("double"), probs).alias("__qs")
+    )
+    q_train = F.element_at(F.col("__qs"), 1)
+    q_val = F.element_at(F.col("__qs"), 2)
+    split = (
+        F.when(F.col("__us").isNull(), F.lit("unsplit"))
+        .when(F.col("__us") <= q_train, F.lit("train"))
+        .when(F.col("__us") <= q_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        base.crossJoin(F.broadcast(qs))
+        .withColumn("split", split)
+        .drop("__us", "__qs")
+    )

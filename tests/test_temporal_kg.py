@@ -563,3 +563,31 @@ def test_time_decayed_agg_python_model(spark):
                           round(round(math.exp(-math.log(2) * 3), 9) * 4.0, 4))
     with pytest.raises(ValueError):
         time_decayed_agg(e, half_life_s=0)
+
+
+def test_temporal_split_no_leakage_and_fracs(spark):
+    """Every train timestamp precedes every val timestamp precedes
+    every test timestamp (THE property of the split); fractions hit the
+    quantile targets; NULL ts surfaces as 'unsplit'; guards."""
+    import datetime as dt
+
+    import pytest
+
+    from omop2obo_spark.operators.temporal import temporal_split
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i)) for i in range(100)]
+    rows.append((100, None))
+    e = spark.createDataFrame(rows, "event_id: long, ts: timestamp")
+    out = temporal_split(e, train_frac=0.8, val_frac=0.1).collect()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, []).append(r.ts)
+    assert max(by_split["train"]) < min(by_split["val"])
+    assert max(by_split["val"]) < min(by_split["test"])
+    assert len(by_split["train"]) == 80   # boundary row (q at idx 79.2->interp)
+    assert len(by_split["val"]) == 10
+    assert len(by_split["test"]) == 10
+    assert by_split["unsplit"] == [None]
+    with pytest.raises(ValueError):
+        temporal_split(e, train_frac=0.8, val_frac=0.3)
