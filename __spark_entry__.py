@@ -2230,6 +2230,17 @@ def q_dot_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dot_lines(edges, label_col="n_convs")
 
 
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram + discrete power-law MLE alpha (operators/
+    hierarchy.py:degree_distribution) over the co-mention graph —
+    "scale-free or template-flooded" in one frame. Node-dim aggregates
+    only."""
+    from omop2obo_spark.operators.hierarchy import degree_distribution, entity_cooccurrence
+
+    edges = entity_cooccurrence(_pipeline_result(spark, sf_dir).triples)
+    return degree_distribution(edges)
+
+
 def q_hub_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hub-degree capping (operators/hierarchy.py:
     cap_hub_adjacency): the upstream fix the wedge analytics defer to
@@ -4142,6 +4153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_benford": q_benford,
         "q_concentration": q_concentration,
         "q_temporal_split": q_temporal_split,
+        "q_degree_dist": q_degree_dist,
     }
 
 
@@ -7545,6 +7557,23 @@ FROM prs p"""
     # q_dot_export: string assembly replay (the fixture entities carry no
     # quote/backslash chars, so the escape chain is a no-op here; escaping
     # itself is pinned by unit test)
+    sqls["q_degree_dist"] = kg_triples_sql(
+        final_select=_COEDGES
+        + """,
+adj AS (
+    SELECT ent_a AS node, ent_b AS nbr FROM edges
+    UNION ALL SELECT ent_b, ent_a FROM edges
+),
+deg AS (SELECT node, count(*) AS degree FROM adj GROUP BY node),
+hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree),
+st AS (SELECT count(*) AS n, sum(ln(degree / 0.5)) AS s FROM deg)
+SELECT CAST(degree AS BIGINT) AS degree, n_nodes,
+       round(n_nodes * 1.0 / st.n, 6) AS share,
+       round(1.0 + st.n / st.s, 6) AS alpha,
+       CAST(st.n AS BIGINT) AS n_nodes_total
+FROM hist, st"""
+    )
+
     sqls["q_dot_export"] = kg_triples_sql(
         final_select=""", ents AS (
     SELECT DISTINCT conv_id, obj AS ent FROM uri_triples

@@ -1411,3 +1411,36 @@ def sssp(
             f"sssp did not converge in {max_rounds} rounds; raise max_rounds"
         )
     return dist.select("ent", F.round("dist", 9).alias("dist"))
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Degree histogram of the undirected graph plus the discrete
+    power-law exponent MLE ``alpha = 1 + n / Σ ln(d / (d_min − 0.5))``
+    (Clauset-Shalizi-Newman's discrete approximation at d_min = 1) —
+    the one-line answer to "is this co-mention graph scale-free or did
+    a template flood it?". Heavy-tailed alpha ≈ 2-3 is organic;
+    alpha → large means near-regular (template) structure.
+
+    Output: one row per degree (degree, n_nodes, share) with the same
+    (alpha, n_nodes_total) on every row — kept denormalized so the
+    result is one hashable frame. Floats 6dp.
+
+    Scale shape: degree aggregate (node dim) → degree histogram
+    (≤ max-degree rows) → 1-row alpha fold broadcast back.
+    """
+    deg = _adjacency(edges).groupBy("node").agg(F.count("*").alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    stats = deg.agg(
+        F.count("*").alias("__n"),
+        F.sum(F.log(F.col("degree") / F.lit(0.5))).alias("__s"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.col("__n"), 6).alias("share"),
+            F.round(F.lit(1.0) + F.col("__n") / F.col("__s"), 6).alias("alpha"),
+            F.col("__n").cast("long").alias("n_nodes_total"),
+        )
+    )

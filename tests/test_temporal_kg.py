@@ -591,3 +591,24 @@ def test_temporal_split_no_leakage_and_fracs(spark):
     assert by_split["unsplit"] == [None]
     with pytest.raises(ValueError):
         temporal_split(e, train_frac=0.8, val_frac=0.3)
+
+
+def test_degree_distribution_hand_computed(spark):
+    """Histogram + CSN alpha vs hand arithmetic on a star+path graph."""
+    import math
+
+    import pytest
+
+    from omop2obo_spark.operators.hierarchy import degree_distribution
+
+    # star hub h with 3 spokes + path x-y: degrees h=3, spokes=1×3, x=1, y=1... 
+    # x-y: x=1, y=1 -> degree 1 ×5, degree 3 ×1
+    e = _edges(spark, [("h", "s1"), ("h", "s2"), ("h", "s3"), ("x", "y")])
+    got = {r.degree: (r.n_nodes, r.share, r.alpha, r.n_nodes_total)
+           for r in degree_distribution(e).collect()}
+    n = 6
+    s = 5 * math.log(1 / 0.5) + math.log(3 / 0.5)
+    alpha = round(1.0 + n / s, 6)
+    assert got[1] == (5, round(5 / 6, 6), alpha, 6)
+    assert got[3] == (1, round(1 / 6, 6), alpha, 6)
+    assert set(got) == {1, 3}
