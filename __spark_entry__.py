@@ -1038,6 +1038,22 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(e, "event_type", "value", "click", "purchase")
 
 
+def q_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process audit (operators/analysis.py:ks_exponential):
+    one-sample KS of per-user inter-arrival gaps against the fitted
+    exponential — Poisson-arrival sanity for the event stream. Gaps
+    from one lag window; then the value-dim + prefix-scaffold shape."""
+    from omop2obo_spark.operators.analysis import ks_exponential
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(((us - F.lag(us).over(w)) / 1_000_000.0).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    return ks_exponential(gaps, "gap")
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value (operators/
     analysis.py:poisson_bootstrap_ci): 200 deterministic md5-weighted
@@ -4154,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_concentration": q_concentration,
         "q_temporal_split": q_temporal_split,
         "q_degree_dist": q_degree_dist,
+        "q_ks_exponential": q_ks_exponential,
     }
 
 
@@ -5542,6 +5559,29 @@ FROM all_t GROUP BY pred"""
                round(max(abs(ca * 1.0 / (SELECT ta FROM tot)
                              - cb * 1.0 / (SELECT tb FROM tot))), 6) AS ks_stat
         FROM cum
+    """
+
+    # q_ks_exponential: lag gaps + both-sided empirical-step KS vs the
+    # fitted exponential CDF (identical arithmetic)
+    sqls["q_ks_exponential"] = """
+        WITH g AS (
+            SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap
+            FROM events
+        ),
+        per_val AS (
+            SELECT gap AS v, CAST(count(*) AS BIGINT) AS n
+            FROM g WHERE gap IS NOT NULL AND gap >= 0 GROUP BY 1
+        ),
+        st AS (SELECT CAST(sum(n) AS BIGINT) AS t, sum(v * n) AS s FROM per_val),
+        cum AS (
+            SELECT v, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS c FROM per_val
+        )
+        SELECT st.t AS n, round(st.s / st.t, 6) AS mean,
+               round(max(greatest(
+                   abs(c * 1.0 / st.t - (1 - exp(-v / (st.s / st.t)))),
+                   abs((c - n) * 1.0 / st.t - (1 - exp(-v / (st.s / st.t)))))), 6) AS ks_stat
+        FROM cum, st GROUP BY st.t, st.s
     """
 
     # q_bootstrap_ci: identical md5→uniform→inverse-CDF weight chain with

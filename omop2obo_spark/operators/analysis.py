@@ -1301,3 +1301,51 @@ def corpus_concentration(
         ).alias("gini"),
         F.round(-F.sum(share * F.log(share)), 6).alias("entropy"),
     )
+
+
+def ks_exponential(
+    df: DataFrame, value_col: str, n_buckets: int = 256
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov against a FITTED exponential:
+    ``D = sup_x max(|F_n(x) − F(x)|, |F_n(x⁻) − F(x)|)`` with
+    ``F(x) = 1 − e^(−x/mean)`` — the arrival-process sanity check
+    (Poisson arrivals ⇒ exponential inter-arrival gaps; a D far above
+    ~1.36/√n says the event stream is bursty or machine-generated).
+    Both sides of each empirical step are checked, as the one-sample
+    test requires. NULL and negative values are excluded.
+
+    Output: one row (n, mean, ks_stat) — floats 6dp.
+
+    Scale shape: same as :func:`ks_two_sample` — distinct-value
+    dimension, inclusive cumulative counts via the two-level prefix
+    scaffold, one max fold.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & (v >= 0)).select(v.alias("__v"))
+    per_val = base.groupBy("__v").agg(F.count("*").alias("__n"))
+    stats = per_val.agg(
+        F.sum("__n").alias("__t"),
+        F.sum(F.col("__v") * F.col("__n")).alias("__s"),
+    )
+    bounds = per_val.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / span * n_buckets).cast("bigint"),
+            F.lit(n_buckets - 1),
+        )
+    )
+    keyed = per_val.crossJoin(F.broadcast(bounds)).withColumn("__b", bucket)
+    cum = two_level_prefix(keyed, [F.col("__v").asc()], "__c", weight_col="__n", inclusive=True)
+    joined = cum.crossJoin(F.broadcast(stats))
+    mean = F.col("__s") / F.col("__t")
+    f_theo = F.lit(1.0) - F.exp(-F.col("__v") / mean)
+    d = F.greatest(
+        F.abs(F.col("__c") / F.col("__t") - f_theo),
+        F.abs((F.col("__c") - F.col("__n")) / F.col("__t") - f_theo),
+    )
+    return joined.agg(
+        F.max("__t").cast("long").alias("n"),
+        F.round(F.max(F.col("__s") / F.col("__t")), 6).alias("mean"),
+        F.round(F.max(d), 6).alias("ks_stat"),
+    )

@@ -1108,3 +1108,42 @@ def test_corpus_concentration_closed_forms(spark):
     assert wrow.hhi == pytest.approx(round(hhi, 6), abs=1e-6)
     assert wrow.gini == pytest.approx(round(gini, 6), abs=1e-6)
     assert wrow.entropy == pytest.approx(round(ent, 6), abs=1e-6)
+
+
+def test_ks_exponential_python_model(spark):
+    """One-sample KS vs a python ECDF-both-sides replay; true
+    exponential sample scores small, uniform scores large."""
+    import math
+    import random
+
+    import pytest
+
+    from omop2obo_spark.operators.analysis import ks_exponential
+
+    rng = random.Random(3)
+    expo = [rng.expovariate(1 / 5.0) for _ in range(400)]
+    unif = [rng.uniform(0, 10) for _ in range(400)]
+
+    def model(vals):
+        n = len(vals)
+        mean = sum(vals) / n
+        d = 0.0
+        svals = sorted(vals)
+        for i, v in enumerate(svals, 1):
+            ft = 1 - math.exp(-v / mean)
+            d = max(d, abs(i / n - ft), abs((i - 1) / n - ft))
+        return round(d, 6)
+
+    for vals in (expo, unif):
+        df = spark.createDataFrame([(v,) for v in vals], "gap: double")
+        out = ks_exponential(df, "gap").collect()[0]
+        assert out.n == 400
+        assert out.mean == pytest.approx(round(sum(vals) / 400, 6), abs=1e-6)
+        assert out.ks_stat == pytest.approx(model(vals), abs=1e-6)
+    d_expo = ks_exponential(
+        spark.createDataFrame([(v,) for v in expo], "gap: double"), "gap"
+    ).collect()[0].ks_stat
+    d_unif = ks_exponential(
+        spark.createDataFrame([(v,) for v in unif], "gap: double"), "gap"
+    ).collect()[0].ks_stat
+    assert d_expo < 0.08 < d_unif  # ~1.36/sqrt(400)=0.068 vs gross misfit
