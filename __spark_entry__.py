@@ -1038,6 +1038,16 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(e, "event_type", "value", "click", "purchase")
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values (operators/
+    analysis.py:value_histogram) — bounds broadcast, codegen binning,
+    empty bins present. The plain EDA primitive."""
+    from omop2obo_spark.operators.analysis import value_histogram
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_histogram(e, "value", n_bins=20)
+
+
 def q_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrival-process audit (operators/analysis.py:ks_exponential):
     one-sample KS of per-user inter-arrival gaps against the fitted
@@ -4171,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temporal_split": q_temporal_split,
         "q_degree_dist": q_degree_dist,
         "q_ks_exponential": q_ks_exponential,
+        "q_histogram": q_histogram,
     }
 
 
@@ -5559,6 +5570,29 @@ FROM all_t GROUP BY pred"""
                round(max(abs(ca * 1.0 / (SELECT ta FROM tot)
                              - cb * 1.0 / (SELECT tb FROM tot))), 6) AS ks_stat
         FROM cum
+    """
+
+    # q_histogram: identical clamp/edge arithmetic, range-completed bins
+    sqls["q_histogram"] = """
+        WITH base AS (
+            SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+        ),
+        b AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+        c AS (
+            SELECT CASE WHEN hi - lo <= 0 THEN 0
+                        ELSE least(CAST(floor((v - lo) / (hi - lo) * 20) AS INT), 19)
+                   END AS bin,
+                   count(*) AS n
+            FROM base, b GROUP BY 1
+        ),
+        d AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS bin),
+        t AS (SELECT sum(n) AS tt FROM c)
+        SELECT d.bin,
+               round(b.lo + d.bin * (b.hi - b.lo) / 20, 6) AS lo,
+               round(b.lo + (d.bin + 1) * (b.hi - b.lo) / 20, 6) AS hi,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+               round(coalesce(c.n, 0) * 1.0 / t.tt, 6) AS share
+        FROM d LEFT JOIN c USING (bin) CROSS JOIN b CROSS JOIN t
     """
 
     # q_ks_exponential: lag gaps + both-sided empirical-step KS vs the

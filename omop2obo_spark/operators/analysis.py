@@ -1349,3 +1349,53 @@ def ks_exponential(
         F.round(F.max(F.col("__s") / F.col("__t")), 6).alias("mean"),
         F.round(F.max(d), 6).alias("ks_stat"),
     )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of a numeric column — the plain EDA
+    primitive: bins from the column's own [min, max] (1-row broadcast),
+    max value clamped into the last bin, empty bins present with
+    n = 0 so the frame always has exactly ``n_bins`` rows. NULLs
+    excluded; a constant column puts everything in bin 0.
+
+    Output: (bin, lo, hi, n, share) — bounds and share rounded 6dp.
+
+    Scale shape: one bounds aggregate + one codegen bin projection +
+    one n_bins-key map-side-combined count; the bin dimension completes
+    via a literal range.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("__v"))
+    bounds = base.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    b = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__lo")) / span * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    spark = df.sparkSession
+    bins = spark.range(0, n_bins).select(F.col("id").cast("int").alias("bin"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (
+        bins.join(counts, on="bin", how="left")
+        .fillna(0, ["n"])
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / n_bins, 6).alias("lo"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / n_bins, 6).alias("hi"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+        )
+    )

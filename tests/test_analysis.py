@@ -1147,3 +1147,29 @@ def test_ks_exponential_python_model(spark):
         spark.createDataFrame([(v,) for v in unif], "gap: double"), "gap"
     ).collect()[0].ks_stat
     assert d_expo < 0.08 < d_unif  # ~1.36/sqrt(400)=0.068 vs gross misfit
+
+
+def test_value_histogram_hand_computed(spark):
+    """Bin edges/counts vs hand arithmetic: max clamped into the last
+    bin, empty bins present, NULLs excluded, constant column -> bin 0,
+    guard."""
+    import pytest
+
+    from omop2obo_spark.operators.analysis import value_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 1.0, 2.5, 9.9, 10.0, None]], "x: double"
+    )
+    got = {r.bin: (r.lo, r.hi, r.n, r.share) for r in value_histogram(df, "x", n_bins=4).collect()}
+    assert sorted(got) == [0, 1, 2, 3]
+    # span 10, width 2.5: [0,2.5) -> {0,1}; [2.5,5) -> {2.5}; [5,7.5) -> {};
+    # [7.5,10] -> {9.9, 10 (clamped)}
+    assert got[0] == (0.0, 2.5, 2, 0.4)
+    assert got[1] == (2.5, 5.0, 1, 0.2)
+    assert got[2] == (5.0, 7.5, 0, 0.0)
+    assert got[3] == (7.5, 10.0, 2, 0.4)
+    const = spark.createDataFrame([(7.0,)] * 3, "x: double")
+    c = {r.bin: r.n for r in value_histogram(const, "x", n_bins=4).collect()}
+    assert c == {0: 3, 1: 0, 2: 0, 3: 0}
+    with pytest.raises(ValueError):
+        value_histogram(df, "x", n_bins=0)
