@@ -972,6 +972,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + corpus-hapax ratio per doc (operators/
+    textstats.py:lexical_richness) — templated text scores low on both,
+    OCR noise pathologically high on hapax; complements repetition and
+    the LM-xent ladder."""
+    from omop2obo_spark.operators.textstats import lexical_richness
+
+    return lexical_richness(_docs(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
 def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script profiling (operators/textstats.py:script_profile):
     per-doc script character counts + dominant script — the cheap
@@ -4182,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_degree_dist": q_degree_dist,
         "q_ks_exponential": q_ks_exponential,
         "q_histogram": q_histogram,
+        "q_lexical_richness": q_lexical_richness,
     }
 
 
@@ -5400,6 +5411,35 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_lexical_richness: tf/corpus-frequency replay with the same
+    # hapax join and per-doc fold
+    sqls["q_lexical_richness"] = """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+                x -> x <> '')) AS tok
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        corpus AS (SELECT tok, sum(c) AS cc FROM tf GROUP BY 1),
+        per_doc AS (
+            SELECT t.doc_id,
+                   CAST(sum(t.c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN k.cc = 1 THEN t.c ELSE 0 END) AS BIGINT) AS nh
+            FROM tf t JOIN corpus k USING (tok)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+               CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                    ELSE round(n_types * 1.0 / n_tokens, 6) END AS ttr,
+               CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+                    ELSE round(nh * 1.0 / n_tokens, 6) END AS hapax_ratio
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
+
     # q_script_profile: RE2 script spellings, reverse-order CASE matches
     # the struct array_max tie-break (alphabetically last wins)
     sqls["q_script_profile"] = """

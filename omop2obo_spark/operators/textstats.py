@@ -1708,3 +1708,49 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.round(best["n"] / total, 6))
         .alias("script_ratio"),
     )
+
+
+def lexical_richness(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Lexical-richness signals: per-doc type-token ratio and corpus-
+    hapax ratio (fraction of the doc's tokens that occur exactly once
+    in the WHOLE corpus) — generated/templated text shows low TTR and
+    near-zero hapax share, OCR noise shows pathologically high hapax
+    share; both complement the repetition and LM-xent gates.
+
+    Output: (id, n_tokens, n_types, ttr, hapax_ratio) — ratios 6dp;
+    empty/NULL docs get 0 tokens and 0.0 ratios.
+
+    Scale shape: one (doc, token) aggregate, one token-keyed corpus
+    frequency aggregate whose hapax subset joins back on the token key
+    (broadcast when it fits — hapax vocab can be large at web scale, so
+    NOT forced), one per-doc fold.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("__c"))
+    corpus = tf.groupBy("tok").agg(F.sum("__c").alias("__cc"))
+    hapax = corpus.filter(F.col("__cc") == 1).select("tok", F.lit(1).alias("__h"))
+    per_doc = (
+        tf.join(hapax, on="tok", how="left")
+        .groupBy("id")
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.coalesce(F.col("__h"), F.lit(0)) * F.col("__c")).alias("__nh"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("id")).join(per_doc, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+        F.when(F.coalesce(F.col("n_tokens"), F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_types") / F.col("n_tokens"), 6))
+        .alias("ttr"),
+        F.when(F.coalesce(F.col("n_tokens"), F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("__nh") / F.col("n_tokens"), 6))
+        .alias("hapax_ratio"),
+    )

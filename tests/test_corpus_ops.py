@@ -2909,3 +2909,25 @@ def test_script_profile_counts_and_dominance(spark):
     assert got[2].dominant_script == "und" and got[2].n_script_chars == 0
     assert got[3].dominant_script == "latin"
     assert got[4].dominant_script == "greek" and got[4].script_ratio == 1.0
+
+
+def test_lexical_richness_hand_computed(spark):
+    """TTR and corpus-hapax ratio vs hand counts: hapax is CORPUS-level
+    (a token unique in one doc but repeated in another is not hapax),
+    empty/NULL docs pinned to zero."""
+    from omop2obo_spark.operators.textstats import lexical_richness
+
+    rows = [
+        (0, "alpha beta beta gamma"),     # 4 tokens, 3 types
+        (1, "alpha delta"),               # alpha repeats across docs
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.id: (r.n_tokens, r.n_types, r.ttr, r.hapax_ratio)
+           for r in lexical_richness(df).collect()}
+    # corpus freq: alpha 2, beta 2, gamma 1, delta 1
+    assert got[0] == (4, 3, 0.75, 0.25)          # hapax in doc0: gamma (1/4)
+    assert got[1] == (2, 2, 1.0, 0.5)            # hapax: delta
+    assert got[2] == (0, 0, 0.0, 0.0)
+    assert got[3] == (0, 0, 0.0, 0.0)
