@@ -972,6 +972,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(_docs(spark, sf_dir), ["data", "hash", "spark"], k=15)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the top-200 vocabulary (operators/
+    textstats.py:zipf_fit) — corpus-health slope (~−1 organic). One
+    count aggregate + TakeOrdered + a k-row fold."""
+    from omop2obo_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_k=200)
+
+
 def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-token ratio + corpus-hapax ratio per doc (operators/
     textstats.py:lexical_richness) — templated text scores low on both,
@@ -4193,6 +4202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_exponential": q_ks_exponential,
         "q_histogram": q_histogram,
         "q_lexical_richness": q_lexical_richness,
+        "q_zipf_fit": q_zipf_fit,
     }
 
 
@@ -5411,6 +5421,34 @@ FROM all_t GROUP BY pred"""
         ORDER BY score DESC, doc_id ASC
         LIMIT 15
     """
+    # q_zipf_fit: identical rank order (n desc, token asc) and OLS sums
+    sqls["q_zipf_fit"] = """
+        WITH counts AS (
+            SELECT tok, count(*) AS n
+            FROM (SELECT unnest(list_filter(
+                      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9'']+'),
+                      x -> x <> '')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 200
+        ),
+        r AS (
+            SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+            FROM counts
+        ),
+        a AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   sum(ln(CAST(rank AS DOUBLE))) AS sx,
+                   sum(ln(CAST(n AS DOUBLE))) AS sy,
+                   sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxy,
+                   sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+            FROM r
+        )
+        SELECT k,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+               round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6) AS intercept
+        FROM a
+    """
+
     # q_lexical_richness: tf/corpus-frequency replay with the same
     # hapax join and per-doc fold
     sqls["q_lexical_richness"] = """

@@ -1754,3 +1754,52 @@ def lexical_richness(
         .otherwise(F.round(F.col("__nh") / F.col("n_tokens"), 6))
         .alias("hapax_ratio"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame, top_k: int = 1000, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency fit over the top-``top_k`` vocabulary: OLS
+    slope of ``ln(freq)`` against ``ln(rank)`` — organic language sits
+    near slope −1; templated/generated corpora flatten (repetitive
+    head) or steepen (tiny effective vocabulary). The token-law
+    companion of ``hierarchy.degree_distribution``'s graph power law.
+
+    Output: one row (k, slope, intercept) — exact OLS from integer-
+    exact sums over the k-row dimension, rounded 6dp. Rank ties break
+    by token (the vocab_topk order), pinned in both engines.
+
+    Scale shape: one map-side-combined token count, a TakeOrdered
+    top-k (never a full vocabulary sort), then the rank window and OLS
+    fold over the k surviving rows only.
+    """
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(top_k)
+    )
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    agg = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (F.col(c) for c in ("k", "sx", "sy", "sxy", "sxx"))
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return agg.select(
+        k.cast("long").alias("k"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"),
+    )

@@ -2931,3 +2931,33 @@ def test_lexical_richness_hand_computed(spark):
     assert got[1] == (2, 2, 1.0, 0.5)            # hapax: delta
     assert got[2] == (0, 0, 0.0, 0.0)
     assert got[3] == (0, 0, 0.0, 0.0)
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """OLS on a synthetic corpus with exact Zipf counts n(r) = C·r^−1
+    must recover slope ≈ −1 (and a numpy polyfit replay agrees)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from omop2obo_spark.operators.textstats import zipf_fit
+
+    # tokens w1..w30 with counts round(300/r): an explicit Zipf corpus
+    words = []
+    for r in range(1, 31):
+        words += [f"w{r:02d}"] * round(300 / r)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id: long, text: string"
+    )
+    out = zipf_fit(docs, top_k=30).collect()[0]
+    counts = sorted([round(300 / r) for r in range(1, 31)], reverse=True)
+    xs = np.log(np.arange(1, 31, dtype=float))
+    ys = np.log(np.array(counts, dtype=float))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert out.k == 30
+    assert out.slope == pytest.approx(round(slope, 6), abs=1e-6)
+    assert out.intercept == pytest.approx(round(intercept, 6), abs=1e-6)
+    assert -1.1 < out.slope < -0.9
+    with pytest.raises(ValueError):
+        zipf_fit(docs, top_k=1)
