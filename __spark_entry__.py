@@ -364,6 +364,17 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_topk(e, "event_type", "value", k=3, id_col="event_id")
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series
+    (operators/temporal.py:series_autocorr) — the one-number
+    seasonality/burstiness check; empty hours dense-completed so gaps
+    don't splice the series."""
+    from omop2obo_spark.operators.temporal import series_autocorr
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return series_autocorr(e, bucket_s=3600, lag=1)
+
+
 def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe temporal 80/10/10 split (operators/temporal.py:
     temporal_split): exact time-quantile cut points, boundary rows in
@@ -4203,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram": q_histogram,
         "q_lexical_richness": q_lexical_richness,
         "q_zipf_fit": q_zipf_fit,
+        "q_autocorr": q_autocorr,
     }
 
 
@@ -4775,6 +4787,39 @@ FROM all_t GROUP BY pred"""
                                                event_id ASC) AS rn
             FROM events
         ) WHERE rn <= 3
+    """
+
+    # q_autocorr: dense bucket completion + identical Pearson sums
+    sqls["q_autocorr"] = """
+        WITH c AS (
+            SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+        ),
+        bo AS (SELECT min(b) AS lo, max(b) AS hi FROM c),
+        dense AS (
+            SELECT g.b, coalesce(c.n, 0) AS n
+            FROM (SELECT unnest(range(lo, hi + 1)) AS b FROM bo) g
+            LEFT JOIN c USING (b)
+        ),
+        pair AS (
+            SELECT CAST(n AS DOUBLE) AS x,
+                   CAST(lag(n, 1) OVER (ORDER BY b) AS DOUBLE) AS y
+            FROM dense
+        ),
+        a AS (
+            SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pair WHERE y IS NOT NULL
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS nb, avg(CAST(n AS DOUBLE)) AS mn FROM dense)
+        SELECT t.nb AS n_buckets, 1 AS lag,
+               CASE WHEN sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)) = 0 THEN 0.0
+                    ELSE round((m * sxy - sx * sy)
+                               / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+               END AS r,
+               round(t.mn, 6) AS mean_per_bucket
+        FROM a, t
     """
 
     # q_temporal_split: quantile_cont cut points + the same

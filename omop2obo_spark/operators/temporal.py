@@ -662,3 +662,65 @@ def temporal_split(
         .withColumn("split", split)
         .drop("__us", "__qs")
     )
+
+
+def series_autocorr(
+    events: DataFrame, ts_col: str = "ts", bucket_s: int = 3600, lag: int = 1
+) -> DataFrame:
+    """Lag-k autocorrelation of the bucketed event-count series — the
+    one-number seasonality/burstiness check on an ingest stream (r near
+    0 = memoryless arrivals; high positive r = sustained load waves;
+    negative = alternating bursts). Buckets with no events count 0 via
+    dense completion over the [min, max] bucket range, so gaps don't
+    silently splice the series.
+
+    Pinned arithmetic: Pearson r between the series and its lag over
+    the overlapping n−lag points, exact sum formulas, 6dp. Output one
+    row (n_buckets, lag, r, mean_per_bucket).
+
+    Scale shape: one bucket-count aggregate (time-dimension result),
+    dense completion via sequence+explode of the 1-row bounds, one
+    ordered window over the BUCKET dimension (bounded by time range /
+    bucket_s — hours, not events), one fold.
+    """
+    if bucket_s < 1 or lag < 1:
+        raise ValueError(f"bucket_s and lag must be >= 1, got ({bucket_s}, {lag})")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    b = F.floor(us / F.lit(bucket_s * 1_000_000))
+    counts = events.select(b.alias("b")).filter(F.col("b").isNotNull()).groupBy("b").agg(
+        F.count("*").alias("n")
+    )
+    bounds = counts.agg(F.min("b").alias("__lo"), F.max("b").alias("__hi"))
+    dense = (
+        bounds.select(F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("b"))
+        .join(counts, on="b", how="left")
+        .fillna(0, ["n"])
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("b")
+    pair = dense.withColumn("__prev", F.lag("n", lag).over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    x, y = F.col("n").cast("double"), F.col("__prev").cast("double")
+    agg = pair.agg(
+        F.count("*").alias("m"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+    )
+    m, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("m", "sx", "sy", "sxy", "sxx", "syy"))
+    num = m * sxy - sx * sy
+    den = F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    total = dense.agg(
+        F.count("*").alias("__nb"), F.avg(F.col("n").cast("double")).alias("__mean")
+    )
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            F.col("__nb").cast("long").alias("n_buckets"),
+            F.lit(int(lag)).alias("lag"),
+            F.when(den == 0, F.lit(0.0)).otherwise(F.round(num / den, 6)).alias("r"),
+            F.round(F.col("__mean"), 6).alias("mean_per_bucket"),
+        )
+    )

@@ -612,3 +612,42 @@ def test_degree_distribution_hand_computed(spark):
     assert got[1] == (5, round(5 / 6, 6), alpha, 6)
     assert got[3] == (1, round(1 / 6, 6), alpha, 6)
     assert set(got) == {1, 3}
+
+
+def test_series_autocorr_known_patterns(spark):
+    """r vs numpy corrcoef on an alternating series (r ≈ −1), a trend
+    (r > 0), and the dense-completion property (a silent gap bucket
+    enters as 0 and shifts r)."""
+    import datetime as dt
+
+    import numpy as np
+    import pytest
+
+    from omop2obo_spark.operators.temporal import series_autocorr
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def mk(counts):
+        rows = []
+        for i, n in enumerate(counts):
+            rows += [(len(rows) + j, t0 + dt.timedelta(hours=i)) for j in range(n)]
+        return spark.createDataFrame(rows, "event_id: long, ts: timestamp")
+
+    alt = [5, 1, 5, 1, 5, 1, 5, 1]
+    out = series_autocorr(mk(alt), bucket_s=3600, lag=1).collect()[0]
+    xs = np.array(alt, dtype=float)
+    want = np.corrcoef(xs[1:], xs[:-1])[0, 1]
+    assert out.n_buckets == 8 and out.lag == 1
+    assert out.r == pytest.approx(round(want, 6), abs=1e-6)
+    assert out.r < -0.9
+    trend = [1, 2, 3, 4, 5, 6, 7, 8]
+    r_t = series_autocorr(mk(trend), bucket_s=3600, lag=1).collect()[0].r
+    assert r_t > 0.9
+    # gap completion: hours 0,1,3 populated -> hour 2 enters as 0
+    gap = mk([3, 3, 0, 3])
+    g = series_autocorr(gap, bucket_s=3600, lag=1).collect()[0]
+    assert g.n_buckets == 4
+    xs = np.array([3, 3, 0, 3], dtype=float)
+    assert g.r == pytest.approx(round(np.corrcoef(xs[1:], xs[:-1])[0, 1], 6), abs=1e-6)
+    with pytest.raises(ValueError):
+        series_autocorr(gap, lag=0)
