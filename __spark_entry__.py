@@ -7781,9 +7781,10 @@ edges AS (
     FROM ents l JOIN ents r ON l.conv_id = r.conv_id AND l.ent < r.ent
     GROUP BY 1, 2
 )
-SELECT '  "' || ent_a || '" -- "' || ent_b || '" [label="' || n || '"];' AS line,
-       '1:' || ent_a || '|' || ent_b AS sort_key
-FROM edges
+SELECT line, '1:' || line AS sort_key FROM (
+    SELECT '  "' || ent_a || '" -- "' || ent_b || '" [label="' || n || '"];' AS line
+    FROM edges
+)
 UNION ALL SELECT 'graph kg {', '0:'
 UNION ALL SELECT '}', '2:'"""
     )

@@ -918,7 +918,11 @@ def grouped_percent_rank(
         if gcols
         else clean.agg(F.count("*").alias("__n"))
     )
-    out = ranked.join(F.broadcast(vmin), on=[*gcols, value_col]).drop("__rn")
+    # vmin has one row per distinct (group, value) — fact-scale for a
+    # continuous value column, so no broadcast hint: AQE picks the join
+    # strategy from the observed size (contrast n_dim below, which is
+    # group-cardinality-bounded and safe to broadcast).
+    out = ranked.join(vmin, on=[*gcols, value_col]).drop("__rn")
     out = out.join(F.broadcast(n_dim), on=gcols) if gcols else out.crossJoin(F.broadcast(n_dim))
     return (
         out.withColumn(

@@ -549,7 +549,10 @@ def winsorize(
     in ``percentile_approx`` for the bounded-memory 100-TB path.
 
     Scale shape: one grouped quantile aggregate (a group-cardinality
-    dim broadcast back); the fact table never re-shuffles.
+    dim broadcast back); the fact table never re-shuffles. NULL group
+    keys form their own group and ARE clipped against their own
+    quantiles (null-safe join back, matching group_quota_cap /
+    neyman_sample semantics).
     """
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
@@ -566,11 +569,23 @@ def winsorize(
         if gcols
         else docs.filter(v.isNotNull()).agg(pct.alias("__qs"))
     )
-    joined = (
-        docs.join(F.broadcast(dim), on=gcols, how="left")
-        if gcols
-        else docs.crossJoin(F.broadcast(dim))
-    )
+    if gcols:
+        # null-safe join: groupBy keeps the NULL key as its own group, so
+        # the join back must match it too — a plain equi-join would let
+        # NULL-group rows pass through unclipped (groupe-quota/Neyman pin
+        # the same "NULL groups are their own group" semantics)
+        dim_a = dim.select(
+            *[F.col(c).alias(f"__dk_{c}") for c in gcols], "__qs"
+        )
+        cond = None
+        for c in gcols:
+            eq = F.col(c).eqNullSafe(F.col(f"__dk_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        joined = docs.join(F.broadcast(dim_a), on=cond, how="left").drop(
+            *[f"__dk_{c}" for c in gcols]
+        )
+    else:
+        joined = docs.crossJoin(F.broadcast(dim))
     lo = F.element_at(F.col("__qs"), 1)
     hi = F.element_at(F.col("__qs"), 2)
     return joined.select(

@@ -324,9 +324,13 @@ def dot_lines(
         F.lit('  "'), esc(F.col(src_col)), F.lit('" -- "'),
         esc(F.col(dst_col)), F.lit('"'), lab, F.lit(";"),
     )
+    # sort_key carries the full rendered line (not just src|dst) so two
+    # edges with identical endpoints but different labels still have a
+    # deterministic relative order — required for the byte-identical-file
+    # guarantee on multi-edge inputs
     body = edges.select(
         edge_line.alias("line"),
-        F.concat(F.lit("1:"), esc(F.col(src_col)), F.lit("|"), esc(F.col(dst_col))).alias("sort_key"),
+        F.concat(F.lit("1:"), edge_line).alias("sort_key"),
     )
     spark = edges.sparkSession
     head = spark.createDataFrame(

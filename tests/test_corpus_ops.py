@@ -2583,7 +2583,11 @@ def test_winsorize_python_model(spark):
         "b": [10.0, 10.0, 10.0],
     }
     rows = [(f"{g}{i}", g, v) for g, vs in groups.items() for i, v in enumerate(vs)]
-    rows += [("n0", "a", None), ("g0", None, 7.0)]
+    rows += [("n0", "a", None)]
+    # NULL group key: its own group (null-safe join back) — 10 ones plus
+    # one extreme, so the 0.9 quantile clips the outlier
+    null_grp = [1.0] * 10 + [1000.0]
+    rows += [(f"g{i}", None, v) for i, v in enumerate(null_grp)]
     df = spark.createDataFrame(rows, "id: string, grp: string, value: double")
 
     def q7(vals, p):
@@ -2596,12 +2600,9 @@ def test_winsorize_python_model(spark):
     for rid, g, v in rows:
         if v is None:
             want[rid] = (None, False, False)
-        elif g is None:
-            # NULL group key: left join finds no dim row → passthrough?
-            # lo/hi NULL → least/greatest NULL-propagate... pinned below
-            continue
         else:
-            lo, hi = q7(groups[g], 0.1), q7(groups[g], 0.9)
+            vals = null_grp if g is None else groups[g]
+            lo, hi = q7(vals, 0.1), q7(vals, 0.9)
             want[rid] = (min(max(v, lo), hi), v < lo, v > hi)
     got = {
         r.id: (r.value_wins, r.clipped_low, r.clipped_high)
@@ -2613,8 +2614,9 @@ def test_winsorize_python_model(spark):
             assert g[0] is None and g[1:] == exp[1:], (rid, g)
         else:
             assert abs(g[0] - exp[0]) < 1e-9 and g[1:] == (exp[1], exp[2]), (rid, g)
-    # NULL group key: flags pinned false (no dim row)
-    assert got["g0"][1] is False and got["g0"][2] is False
+    # NULL group key forms its own group: the 1000.0 outlier is clipped
+    # high against the NULL group's own 0.9 quantile
+    assert got["g10"][2] is True and got["g10"][0] < 1000.0
     # approx twin: same row count, clip flags consistent with exact at
     # this tiny size (sketch is exact for small groups)
     approx = winsorize(df, "value", ["grp"], lower=0.1, upper=0.9, approx=True)

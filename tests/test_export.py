@@ -158,3 +158,20 @@ def test_dot_lines_escaping_and_structure(spark):
     # label-less mode
     bare = {r.sort_key: r.line for r in dot_lines(e).collect()}
     assert '  "plain" -- "node";' in bare.values()
+
+
+def test_dot_lines_multi_edge_deterministic(spark):
+    """Two edges with identical endpoints but different labels must get
+    distinct sort keys (the rendered line is part of the key), so the
+    byte-identical-file guarantee holds for multi-edge inputs."""
+    from omop2obo_spark.sources.export import dot_lines
+
+    e = spark.createDataFrame(
+        [("a", "b", "x"), ("a", "b", "y")],
+        "ent_a: string, ent_b: string, lab: string",
+    )
+    rows = dot_lines(e, label_col="lab").collect()
+    keys = [r.sort_key for r in rows]
+    assert len(keys) == len(set(keys)) == 4
+    body = [rows_.line for rows_ in sorted(rows, key=lambda r: r.sort_key)][1:-1]
+    assert body == sorted(body)  # label order is deterministic
