@@ -2485,6 +2485,74 @@ def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_metadata(assets)
 
 
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG structure round trip (operators/multimodal.py:jpeg_build/
+    jpeg_parse_meta): synthesize a structurally genuine JPEG per document
+    (w = 16 + id%83, h = 9 + id%59, components = 1 + 2*(id%2),
+    progressive SOF2 when id%5==0, restart markers every 16 scan bytes
+    when id%7==0, scan(i) = (id*7 + i*11) % 256 over n = 50 + id%97
+    bytes — which naturally includes 0xFF bytes, so byte stuffing is
+    exercised), then parse with the full marker walk and report frame
+    metadata + de-stuffed entropy statistics. The oracle recomputes the
+    statistics closed-form: a hash match proves dimensions, SOF variant,
+    stuffing and restart-marker handling are all byte-exact. Payload
+    bytes never shuffle — build + parse run in one mapInPandas chain."""
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import jpeg_build, jpeg_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                scan = bytes((did * 7 + i * 11) % 256 for i in range(50 + did % 97))
+                rows.append((did, jpeg_build(
+                    16 + did % 83, 9 + did % 59, scan,
+                    n_components=1 + 2 * (did % 2),
+                    progressive=did % 5 == 0,
+                    restart_interval=16 if did % 7 == 0 else None,
+                )))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return jpeg_metadata(docs.mapInPandas(gen, "doc_id long, media binary"))
+
+
+def q_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF structure round trip (operators/multimodal.py:
+    mp4_build/mp4_parse_meta): synthesize a structurally genuine MP4 per
+    document (mvhd version = id%2 — both the 32-bit v0 and 64-bit v1
+    layouts occur —, timescale = 600*(1 + id%4), duration units =
+    1000 + id%9999, tracks = 1 + id%3, mdat(i) = (id*17 + i*3) % 256 over
+    n = 64 + id%128 bytes), then parse with the box walk (ftyp brand,
+    moov recursion, mvhd fields, trak count, mdat span) and report
+    metadata + mdat statistics against a closed-form oracle."""
+    import pandas as pd
+
+    from omop2obo_spark.operators.multimodal import mp4_build, mp4_metadata
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mdat = bytes((did * 17 + i * 3) % 256 for i in range(64 + did % 128))
+                rows.append((did, mp4_build(
+                    timescale=600 * (1 + did % 4),
+                    duration=1000 + did % 9999,
+                    n_tracks=1 + did % 3,
+                    mdat=mdat,
+                    version=did % 2,
+                )))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    return mp4_metadata(docs.mapInPandas(gen, "doc_id long, media binary"))
+
+
 def q_atlas_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3C Atlas concept-set export (reference applications/N3C/
     n3c_mapping_conversion.py:46-133 via sources/export.py:
@@ -3985,81 +4053,25 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
-    # materializations to whichever query touches them first.  Round-3 order:
+    # materializations to whichever query touches them first.  Round-4
+    # rotation (see GATE_MANIFEST.md for the query -> gated-round map):
     #   1-2   flagships first, so the pipeline-cache build (exact and
-    #         with-similarity) is attributed to q_kg_triples/_sim, not to a
-    #         cheap downstream graph analytic;
-    #   3-4   the two queries whose oracles were red in r1+r2 (integer-type
-    #         casts fixed this round) — in-window so the driver records the
-    #         green rows;
-    #   5-46  the 42 queries that sat outside the r2 driver window (graph /
-    #         temporal / as-of / salted / curation families) and therefore
-    #         never received a driver oracle row;
-    #   47-50 round-3 additions;
-    #   51+   queries already driver-green in r1/r2 (their CORRECTNESS rows
-    #         are on file), still run by bench + the local strict harness.
-    # The 2026-08-21 session additions (q_edit_join .. q_neyman_sample,
-    # appended at the tail) sit past the window by design: each entered the
-    # registry only after the strict local harness passed it at sf0.001 +
-    # sf0.01 (and sf0.1 in the closing sweeps); they rotate into the driver
-    # window next round.
+    #         with-similarity) is attributed to q_kg_triples/_sim;
+    #   3-48  the next 46 never-driver-gated queries, promoted in registry
+    #         order exactly as round 3's verdict asked (q_rollup_revenue ..
+    #         q_bloom_dedup: semdedup, RDFS entailment, path query, ER,
+    #         DSIR, BPE train, TransE, ANN-PQ, SCD2, heavy hitters, ...);
+    #   49-50 the round-4 additions (real JPEG marker-walk + MP4 box-walk
+    #         round trips) -- the ONLY net-new queries this round; the
+    #         surface is otherwise frozen at 203 until rotation catches up;
+    #   51+   first the remaining never-gated queue (rotates into the
+    #         window in round 5, in this order), then every query already
+    #         driver-green in r1-r3 (rows on file; still run by bench and
+    #         the local strict harness every round).
     return {
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
-        "q_sessionize": q_sessionize,
-        "q_pack_stats": q_pack_stats,
-        # -- previously ungated (after position 50 in r2) ------------------
-        "q_chunk_turns": q_chunk_turns,
-        "q_conv_fingerprint": q_conv_fingerprint,
-        "q_conv_stats": q_conv_stats,
-        "q_contamination": q_contamination,
-        "q_paragraph_dedup": q_paragraph_dedup,
-        "q_stratified_sample": q_stratified_sample,
-        "q_sft_spans": q_sft_spans,
-        "q_unigram_xent": q_unigram_xent,
-        "q_assign_shards": q_assign_shards,
-        "q_training_export": q_training_export,
-        "q_hashed_embedding": q_hashed_embedding,
-        "q_entity_cooccurrence": q_entity_cooccurrence,
-        "q_sameas_bridge": q_sameas_bridge,
-        "q_pagerank": q_pagerank,
-        "q_hits": q_hits,
-        "q_propagate_sameas": q_propagate_sameas,
-        "q_canonical_graph": q_canonical_graph,
-        "q_k_hop": q_k_hop,
-        "q_bpe_pairs": q_bpe_pairs,
-        "q_binary_dedup": q_binary_dedup,
-        "q_ntriples": q_ntriples,
-        "q_hash_split": q_hash_split,
-        "q_quality_model": q_quality_model,
-        "q_dedup_against": q_dedup_against,
-        "q_wide_mappings": q_wide_mappings,
-        "q_graph_stats": q_graph_stats,
-        "q_mentions_per_role": q_mentions_per_role,
-        "q_triple_validity": q_triple_validity,
-        "q_graph_asof": q_graph_asof,
-        "q_asof_diff": q_asof_diff,
-        "q_entity_cohorts": q_entity_cohorts,
-        "q_entity_bursts": q_entity_bursts,
-        "q_triangles": q_triangles,
-        "q_entity_jaccard": q_entity_jaccard,
-        "q_communities": q_communities,
-        "q_graph_walks": q_graph_walks,
-        "q_cooccurrence_drift": q_cooccurrence_drift,
-        "q_semantic_similarity": q_semantic_similarity,
-        "q_triple_diff": q_triple_diff,
-        "q_salted_umls_link": q_salted_umls_link,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        # -- round-3 additions (positions 47-50; q_rollup_revenue yields its
-        #    slot to q_wav_meta — it is the window's most standard-SQL entry,
-        #    tri-scale green in the strict local harness) -------------------
-        "q_chi_square": q_chi_square,
-        "q_minmax_scale": q_minmax_scale,
-        "q_png_meta": q_png_meta,
-        "q_wav_meta": q_wav_meta,
-        # -- round-3 additions past the 50-row window (driver-gated on the
-        #    next rotation; strict local harness + pytest gate them now) ----
+        # -- never-driver-gated tail, promoted into the window (r4) ------
         "q_rollup_revenue": q_rollup_revenue,
         "q_semdedup": q_semdedup,
         "q_blocking_quality": q_blocking_quality,
@@ -4106,57 +4118,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_agg": q_incremental_agg,
         "q_heavy_hitters": q_heavy_hitters,
         "q_bloom_dedup": q_bloom_dedup,
+        # -- round-4 additions: real JPEG/MP4 structure parsers ----------
+        "q_jpeg_meta": q_jpeg_meta,
+        "q_mp4_meta": q_mp4_meta,
+        # -- remaining never-gated queue (window rotation, round 5) ------
         "q_context_spans": q_context_spans,
         "q_topic_segments": q_topic_segments,
         "q_bm25_search": q_bm25_search,
-        # -- already driver-green in r1/r2 ---------------------------------
-        "q_pricing_summary": q_pricing_summary,
-        "q_broadcast_join_chain": q_broadcast_join_chain,
-        "q_topk_orders_per_customer": q_topk_orders_per_customer,
-        "q_exact_percentile": q_exact_percentile,
-        "q_sketch_quantile": q_sketch_quantile,
-        "q_ordered_concat": q_ordered_concat,
-        "q_pivot_wide": q_pivot_wide,
-        "q_unpivot_stack": q_unpivot_stack,
-        "q_semi_anti_joins": q_semi_anti_joins,
-        "q_window_events": q_window_events,
-        "q_normalize_codes": q_normalize_codes,
-        "q_mention_exact_link": q_mention_exact_link,
-        "q_dbxref_link": q_dbxref_link,
-        "q_negated_mentions": q_negated_mentions,
-        "q_mapping_category": q_mapping_category,
-        "q_category_matrix": q_category_matrix,
-        "q_dedup_exact": q_dedup_exact,
-        "q_minhash_signatures": q_minhash_signatures,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_set_similarity": q_set_similarity,
-        "q_bpe_encode": q_bpe_encode,
-        "q_corpus_profile": q_corpus_profile,
-        "q_pack_sequences": q_pack_sequences,
-        "q_hash_sample": q_hash_sample,
-        "q_corpus_curation": q_corpus_curation,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_simhash": q_simhash,
-        "q_text_quality": q_text_quality,
-        "q_lang_id": q_lang_id,
-        "q_repetition": q_repetition,
-        "q_boilerplate": q_boilerplate,
-        "q_token_counts": q_token_counts,
-        "q_fingerprint": q_fingerprint,
-        "q_tfidf_similarity": q_tfidf_similarity,
-        "q_pii_redact": q_pii_redact,
-        "q_vocab_topk": q_vocab_topk,
-        "q_ann_bruteforce": q_ann_bruteforce,
-        "q_embedding_dedup": q_embedding_dedup,
-        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "q_ann_quantized": q_ann_quantized,
-        "q_ann_quantized_recall": q_ann_quantized_recall,
-        "q_sketch_distinct": q_sketch_distinct,
-        "q_hierarchy_rollup": q_hierarchy_rollup,
-        "q_ancestor_closure": q_ancestor_closure,
-        # -- new in round 3, after the driver window ------------------------
         "q_cycle_check": q_cycle_check,
         "q_star_join": q_star_join,
         "q_tool_transitions": q_tool_transitions,
@@ -4215,6 +4183,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lexical_richness": q_lexical_richness,
         "q_zipf_fit": q_zipf_fit,
         "q_autocorr": q_autocorr,
+        # -- already driver-green in r1/r2/r3 (rows on file) -------------
+        "q_sessionize": q_sessionize,
+        "q_pack_stats": q_pack_stats,
+        "q_chunk_turns": q_chunk_turns,
+        "q_conv_fingerprint": q_conv_fingerprint,
+        "q_conv_stats": q_conv_stats,
+        "q_contamination": q_contamination,
+        "q_paragraph_dedup": q_paragraph_dedup,
+        "q_stratified_sample": q_stratified_sample,
+        "q_sft_spans": q_sft_spans,
+        "q_unigram_xent": q_unigram_xent,
+        "q_assign_shards": q_assign_shards,
+        "q_training_export": q_training_export,
+        "q_hashed_embedding": q_hashed_embedding,
+        "q_entity_cooccurrence": q_entity_cooccurrence,
+        "q_sameas_bridge": q_sameas_bridge,
+        "q_pagerank": q_pagerank,
+        "q_hits": q_hits,
+        "q_propagate_sameas": q_propagate_sameas,
+        "q_canonical_graph": q_canonical_graph,
+        "q_k_hop": q_k_hop,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_binary_dedup": q_binary_dedup,
+        "q_ntriples": q_ntriples,
+        "q_hash_split": q_hash_split,
+        "q_quality_model": q_quality_model,
+        "q_dedup_against": q_dedup_against,
+        "q_wide_mappings": q_wide_mappings,
+        "q_graph_stats": q_graph_stats,
+        "q_mentions_per_role": q_mentions_per_role,
+        "q_triple_validity": q_triple_validity,
+        "q_graph_asof": q_graph_asof,
+        "q_asof_diff": q_asof_diff,
+        "q_entity_cohorts": q_entity_cohorts,
+        "q_entity_bursts": q_entity_bursts,
+        "q_triangles": q_triangles,
+        "q_entity_jaccard": q_entity_jaccard,
+        "q_communities": q_communities,
+        "q_graph_walks": q_graph_walks,
+        "q_cooccurrence_drift": q_cooccurrence_drift,
+        "q_semantic_similarity": q_semantic_similarity,
+        "q_triple_diff": q_triple_diff,
+        "q_salted_umls_link": q_salted_umls_link,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_chi_square": q_chi_square,
+        "q_minmax_scale": q_minmax_scale,
+        "q_png_meta": q_png_meta,
+        "q_wav_meta": q_wav_meta,
+        "q_pricing_summary": q_pricing_summary,
+        "q_broadcast_join_chain": q_broadcast_join_chain,
+        "q_topk_orders_per_customer": q_topk_orders_per_customer,
+        "q_exact_percentile": q_exact_percentile,
+        "q_sketch_quantile": q_sketch_quantile,
+        "q_ordered_concat": q_ordered_concat,
+        "q_pivot_wide": q_pivot_wide,
+        "q_unpivot_stack": q_unpivot_stack,
+        "q_semi_anti_joins": q_semi_anti_joins,
+        "q_window_events": q_window_events,
+        "q_normalize_codes": q_normalize_codes,
+        "q_mention_exact_link": q_mention_exact_link,
+        "q_dbxref_link": q_dbxref_link,
+        "q_negated_mentions": q_negated_mentions,
+        "q_mapping_category": q_mapping_category,
+        "q_category_matrix": q_category_matrix,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_set_similarity": q_set_similarity,
+        "q_bpe_encode": q_bpe_encode,
+        "q_corpus_profile": q_corpus_profile,
+        "q_pack_sequences": q_pack_sequences,
+        "q_hash_sample": q_hash_sample,
+        "q_corpus_curation": q_corpus_curation,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_simhash": q_simhash,
+        "q_text_quality": q_text_quality,
+        "q_lang_id": q_lang_id,
+        "q_repetition": q_repetition,
+        "q_boilerplate": q_boilerplate,
+        "q_token_counts": q_token_counts,
+        "q_fingerprint": q_fingerprint,
+        "q_tfidf_similarity": q_tfidf_similarity,
+        "q_pii_redact": q_pii_redact,
+        "q_vocab_topk": q_vocab_topk,
+        "q_ann_bruteforce": q_ann_bruteforce,
+        "q_embedding_dedup": q_embedding_dedup,
+        "q_embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "q_ann_quantized": q_ann_quantized,
+        "q_ann_quantized_recall": q_ann_quantized_recall,
+        "q_sketch_distinct": q_sketch_distinct,
+        "q_hierarchy_rollup": q_hierarchy_rollup,
+        "q_ancestor_closure": q_ancestor_closure,
     }
 
 
@@ -8213,6 +8276,44 @@ HAVING max(CASE WHEN pred = 'omop2obo:hasMappingCategory'
                CAST(sum((doc_id * 13 + i * 5) % 1000 - 500) AS BIGINT) AS sum_amp,
                CAST(sum(abs((doc_id * 13 + i * 5) % 1000 - 500)) * 1000000
                     // count(*) AS BIGINT) AS mean_abs_e6
+        FROM samp
+        GROUP BY doc_id
+    """
+
+    # JPEG / MP4 structure round trips: the oracle replays the synthesis
+    # closed form (never the parser), so a hash match proves the marker /
+    # box walk recovered exactly what the builder encoded — including
+    # byte stuffing and restart-marker handling for the JPEG scan.
+    sqls["q_jpeg_meta"] = """
+        WITH samp AS (
+            SELECT doc_id, unnest(range(0, 50 + doc_id % 97)) AS i FROM documents
+        )
+        SELECT doc_id,
+               CAST(16 + doc_id % 83 AS BIGINT) AS width,
+               CAST(9 + doc_id % 59 AS BIGINT) AS height,
+               CAST(8 AS BIGINT) AS prec_bits,
+               CAST(1 + 2 * (doc_id % 2) AS BIGINT) AS n_components,
+               CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS progressive,
+               CAST(count(*) AS BIGINT) AS n_scan,
+               CAST(sum((doc_id * 7 + i * 11) % 256) AS BIGINT) AS sum_scan
+        FROM samp
+        GROUP BY doc_id
+    """
+
+    sqls["q_mp4_meta"] = """
+        WITH samp AS (
+            SELECT doc_id, unnest(range(0, 64 + doc_id % 128)) AS i FROM documents
+        )
+        SELECT doc_id,
+               'isom' AS brand,
+               CAST(doc_id % 2 AS BIGINT) AS version,
+               CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+               CAST(1000 + doc_id % 9999 AS BIGINT) AS duration,
+               CAST((1000 + doc_id % 9999) * 1000
+                    // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+               CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+               CAST(count(*) AS BIGINT) AS n_mdat,
+               CAST(sum((doc_id * 17 + i * 3) % 256) AS BIGINT) AS sum_mdat
         FROM samp
         GROUP BY doc_id
     """

@@ -1173,3 +1173,101 @@ def test_value_histogram_hand_computed(spark):
     assert c == {0: 3, 1: 0, 2: 0, 3: 0}
     with pytest.raises(ValueError):
         value_histogram(df, "x", n_bins=0)
+
+
+# ---------------------------------------------------------------------------
+# real JPEG / MP4 structure codecs (round-4: marker walk + box walk)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_round_trip_stuffing_and_restarts():
+    from omop2obo_spark.operators.multimodal import jpeg_build, jpeg_parse_meta
+
+    # scan deliberately includes 0xFF runs -> byte stuffing must be exact
+    scan = bytes([0xFF, 0x00, 0xFF, 0xFF, 0x7F] * 40)
+    for ncomp, prog, rst in [(1, False, None), (3, True, None), (3, False, 16), (1, True, 7)]:
+        blob = jpeg_build(321, 123, scan, n_components=ncomp,
+                          progressive=prog, restart_interval=rst)
+        w, h, prec, nc, got_prog, out = jpeg_parse_meta(blob)
+        assert (w, h, prec, nc, got_prog) == (321, 123, 8, ncomp, prog)
+        assert out == scan
+    # empty scan + max dimensions
+    w, h, *_rest, out = jpeg_parse_meta(jpeg_build(65535, 65535, b"", n_components=1))
+    assert (w, h, out) == (65535, 65535, b"")
+
+
+def test_jpeg_parse_rejects_corruption():
+    from omop2obo_spark.operators.multimodal import jpeg_build, jpeg_parse_meta
+
+    blob = jpeg_build(10, 10, bytes(range(50)))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_parse_meta(b"\x00\x00" + blob)
+    with pytest.raises(ValueError, match="truncated|no EOI|bad segment"):
+        jpeg_parse_meta(blob[:-2])  # EOI cut off
+    with pytest.raises(ValueError, match="bad segment length"):
+        bad = bytearray(blob)
+        bad[4:6] = b"\xff\xff"  # APP0 length far past end
+        jpeg_parse_meta(bytes(bad))
+    with pytest.raises(ValueError, match="EOI before SOF"):
+        jpeg_parse_meta(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError):
+        jpeg_build(0, 10, b"")
+    with pytest.raises(ValueError):
+        jpeg_build(10, 10, b"", n_components=2)
+
+
+def test_mp4_round_trip_v0_v1_and_box_variants():
+    import struct as _struct
+
+    from omop2obo_spark.operators.multimodal import (
+        _mp4_box, mp4_build, mp4_parse_meta, mp4_walk_boxes,
+    )
+
+    mdat = bytes(range(256))
+    for ver in (0, 1):
+        blob = mp4_build(90000, 123456789 if ver else 45000, n_tracks=2,
+                         mdat=mdat, version=ver, brand=b"mp42")
+        brand, v, ts, dur, nt, out = mp4_parse_meta(blob)
+        assert (brand, v, ts, nt) == (b"mp42", ver, 90000, 2)
+        assert dur == (123456789 if ver else 45000) and out == mdat
+    # largesize (size==1) and to-end (size==0) boxes through the walker
+    body = b"payload-bytes"
+    large = _struct.pack(">I", 1) + b"mdat" + _struct.pack(">Q", 16 + len(body)) + body
+    toend = _struct.pack(">I", 0) + b"free" + b"xyz"
+    boxes = list(mp4_walk_boxes(large + toend))
+    assert [t for t, *_ in boxes] == [b"mdat", b"free"]
+    t, b0, b1 = boxes[0]
+    assert (large + toend)[b0:b1] == body
+
+
+def test_mp4_parse_rejects_corruption():
+    from omop2obo_spark.operators.multimodal import mp4_build, mp4_parse_meta
+
+    blob = mp4_build(1000, 5000, n_tracks=1, mdat=b"abc")
+    with pytest.raises(ValueError, match="no moov/mvhd"):
+        mp4_parse_meta(blob[:20])  # ftyp box only (8 hdr + 12 body)
+    with pytest.raises(ValueError, match="bad box size|trailing"):
+        mp4_parse_meta(blob[:-2])  # truncated mdat
+    with pytest.raises(ValueError):
+        mp4_build(1000, 1, version=2)
+
+
+def test_jpeg_mp4_metadata_spark_totality(spark):
+    """The Arrow kernels stay total: one corrupt asset in a batch yields a
+    NULL-metadata row while valid neighbours decode."""
+    from omop2obo_spark.operators.multimodal import (
+        jpeg_build, jpeg_metadata, mp4_build, mp4_metadata,
+    )
+
+    good_j = jpeg_build(20, 10, bytes([0xFF, 1, 2, 3]), n_components=3)
+    good_m = mp4_build(600, 1200, n_tracks=3, mdat=b"\x01\x02", version=1)
+    df = spark.createDataFrame(
+        [(0, bytearray(good_j)), (1, bytearray(b"garbage")), (2, bytearray(good_m))],
+        "doc_id long, media binary",
+    )
+    j = {r.doc_id: r for r in jpeg_metadata(df).collect()}
+    assert (j[0].width, j[0].height, j[0].n_scan, j[0].sum_scan) == (20, 10, 4, 261)
+    assert j[1].width is None and j[2].width is None  # MP4 is not a JPEG
+    m = {r.doc_id: r for r in mp4_metadata(df).collect()}
+    assert (m[2].timescale, m[2].duration_ms, m[2].n_tracks, m[2].n_mdat) == (600, 2000, 3, 2)
+    assert m[0].timescale is None and m[1].timescale is None

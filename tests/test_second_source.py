@@ -1,0 +1,433 @@
+"""Independent second-source oracles for the algorithm-mirror queries.
+
+Round 3's verdict flagged that for iterative operators the DuckDB oracle
+*replays the same algorithm* (PageRank/HITS recursion, TransE distance,
+bootstrap weight chain, BPE merge loop), so a green driver hash proves
+determinism and engine portability, not algorithmic correctness.  These
+tests close that gap with genuinely independent implementations:
+
+* **networkx** (graph family): convergence-mode comparisons against
+  ``nx.pagerank`` / ``nx.hits`` / ``nx.strongly_connected_components`` /
+  ``nx.k_core`` / ``nx.single_source_dijkstra_path_length`` /
+  ``nx.adamic_adar_index`` / ``nx.triangles`` — a mature third-party
+  library sharing zero code with the operators.
+* **numpy power iteration** over the networkx adjacency/google matrix for
+  the FIXED-iteration contracts (our operators round after exactly N
+  rounds; nx iterates to tolerance, so the fixed-N twin is dense linear
+  algebra).
+* **hashlib/numpy replays** of the md5-derived deterministic constructs
+  (TransE pseudo-embeddings, Poisson bootstrap weights): Python's md5 vs
+  the JVM's md5 — same spec, independent implementations — plus
+  independently recomputed Poisson(1) CDF thresholds.
+* **a dict/tuple-based Sennrich BPE trainer** for ``bpe_train`` — the
+  textbook formulation (symbol tuples, pair dict, per-word merge scan)
+  vs the DataFrame segment-string-replace formulation.
+
+networkx is an optional dependency of the TEST SUITE only — every test
+degrades to a documented skip if it is absent (the package itself never
+imports it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+
+nx = pytest.importorskip("networkx")
+
+
+# ---------------------------------------------------------------------------
+# shared fixture graph: deterministic, non-trivial (hub, triangles, chains)
+# ---------------------------------------------------------------------------
+
+
+def _und_edges(n_nodes: int = 26, seed: int = 7, n_edges: int = 60):
+    """Canonical (ent_a < ent_b) undirected edge list, deduplicated."""
+    rng = np.random.default_rng(seed)
+    nodes = [f"n{i:02d}" for i in range(n_nodes)]
+    seen = set()
+    for _ in range(n_edges * 3):
+        a, b = rng.integers(0, n_nodes, size=2)
+        if a == b:
+            continue
+        lo, hi = sorted((nodes[a], nodes[b]))
+        seen.add((lo, hi))
+        if len(seen) >= n_edges:
+            break
+    return sorted(seen)
+
+
+def _dir_edges(n_nodes: int = 22, seed: int = 11, n_edges: int = 55):
+    rng = np.random.default_rng(seed)
+    nodes = [f"d{i:02d}" for i in range(n_nodes)]
+    seen = set()
+    for _ in range(n_edges * 3):
+        a, b = rng.integers(0, n_nodes, size=2)
+        if a != b:
+            seen.add((nodes[a], nodes[b]))
+        if len(seen) >= n_edges:
+            break
+    return sorted(seen)
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_converged_matches_power_iteration(spark):
+    """At convergence the fixed-iteration operator must agree with an
+    independent numpy power iteration over nx.google_matrix, run to its
+    OWN 1e-13 fixpoint (nx.pagerank itself requires scipy, absent here;
+    the google-matrix formulation is the same algorithm it wraps)."""
+    from omop2obo_spark.operators.hierarchy import pagerank
+
+    edges = _und_edges()
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {r.ent: r.rank for r in pagerank(df, iterations=60).collect()}
+
+    g = nx.DiGraph()
+    for a, b in edges:
+        g.add_edge(a, b)
+        g.add_edge(b, a)
+    nodelist = sorted(g.nodes)
+    G = np.asarray(nx.google_matrix(g, alpha=0.85, nodelist=nodelist))
+    r = np.full(len(nodelist), 1.0 / len(nodelist))
+    for _ in range(1000):
+        nxt = r @ G
+        if np.abs(nxt - r).sum() < 1e-13:
+            r = nxt
+            break
+        r = nxt
+    assert set(got) == set(nodelist)
+    for i, n_ in enumerate(nodelist):
+        assert abs(got[n_] - r[i]) < 1e-6, (n_, got[n_], r[i])
+
+
+def test_pagerank_fixed_iterations_match_numpy_google_matrix(spark):
+    """The exact 3-iteration contract vs dense numpy power iteration over
+    nx.google_matrix — validates each round's update, not just the fixed
+    point."""
+    from omop2obo_spark.operators.hierarchy import pagerank
+
+    edges = _und_edges(seed=13)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {r.ent: r.rank for r in pagerank(df, iterations=3).collect()}
+
+    g = nx.DiGraph()
+    for a, b in edges:
+        g.add_edge(a, b)
+        g.add_edge(b, a)
+    nodelist = sorted(g.nodes)
+    G = np.asarray(nx.google_matrix(g, alpha=0.85, nodelist=nodelist))
+    r = np.full(len(nodelist), 1.0 / len(nodelist))
+    for _ in range(3):
+        r = r @ G
+    for i, n_ in enumerate(nodelist):
+        assert abs(got[n_] - r[i]) < 2e-9, (n_, got[n_], r[i])
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_converged_matches_power_iteration(spark):
+    """At convergence: independent numpy hub/authority power iteration
+    over the nx adjacency matrix, run to its own fixpoint (nx.hits
+    requires scipy, absent here; this is the same mutual-reinforcement
+    recursion it implements)."""
+    from omop2obo_spark.operators.hierarchy import hits
+
+    edges = _dir_edges()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.ent: (r.hub, r.auth) for r in hits(df, iterations=60).collect()}
+
+    g = nx.DiGraph(edges)
+    nodelist = sorted(g.nodes)
+    A = nx.to_numpy_array(g, nodelist=nodelist, dtype=float)
+    h = np.where(A.sum(axis=1) > 0, 1.0, 0.0)
+    a = np.zeros_like(h)
+    for _ in range(5000):
+        a_n = A.T @ h
+        a_n = a_n / a_n.sum()
+        h_n = A @ a_n
+        h_n = h_n / h_n.sum()
+        if np.abs(h_n - h).sum() + np.abs(a_n - a).sum() < 1e-14:
+            h, a = h_n, a_n
+            break
+        h, a = h_n, a_n
+    assert set(got) == set(nodelist)
+    for i, n_ in enumerate(nodelist):
+        assert abs(got[n_][0] - h[i]) < 1e-6, ("hub", n_, got[n_][0], h[i])
+        assert abs(got[n_][1] - a[i]) < 1e-6, ("auth", n_, got[n_][1], a[i])
+
+
+def test_hits_fixed_iterations_match_numpy(spark):
+    """Exact 3-iteration L1-normalized HITS vs dense numpy over the nx
+    adjacency matrix."""
+    from omop2obo_spark.operators.hierarchy import hits
+
+    edges = _dir_edges(seed=3)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.ent: (r.hub, r.auth) for r in hits(df, iterations=3).collect()}
+
+    g = nx.DiGraph(edges)
+    nodelist = sorted(g.nodes)
+    A = nx.to_numpy_array(g, nodelist=nodelist, dtype=float)
+    h = np.where(A.sum(axis=1) > 0, 1.0, 0.0)  # hubs start 1.0 on sources
+    for _ in range(3):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    for i, n_ in enumerate(nodelist):
+        assert abs(got[n_][0] - h[i]) < 2e-9, ("hub", n_, got[n_][0], h[i])
+        assert abs(got[n_][1] - a[i]) < 2e-9, ("auth", n_, got[n_][1], a[i])
+
+
+# ---------------------------------------------------------------------------
+# SCC / k-core / SSSP
+# ---------------------------------------------------------------------------
+
+
+def test_scc_partition_matches_networkx(spark):
+    from omop2obo_spark.operators.hierarchy import scc_components
+
+    # random digraph + a planted 4-cycle and 2-cycle so non-trivial SCCs exist
+    edges = _dir_edges(seed=23) + [
+        ("s0", "s1"), ("s1", "s2"), ("s2", "s3"), ("s3", "s0"),
+        ("t0", "t1"), ("t1", "t0"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = scc_components(df).collect()
+    by_id: dict[str, set[str]] = {}
+    for r in rows:
+        by_id.setdefault(r.scc_id, set()).add(r.node)
+        assert r.scc_size == len([x for x in rows if x.scc_id == r.scc_id])
+    got = {frozenset(m) for m in by_id.values()}
+
+    want = {frozenset(c) for c in nx.strongly_connected_components(nx.DiGraph(edges))}
+    assert got == want
+
+
+def test_k_core_matches_networkx(spark):
+    from omop2obo_spark.operators.hierarchy import k_core
+
+    edges = _und_edges(seed=29, n_edges=70)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    g = nx.Graph(edges)
+    for k in (2, 3):
+        got = {r.ent: r.core_deg for r in k_core(df, k=k).collect()}
+        core = nx.k_core(g, k)
+        assert set(got) == set(core.nodes)
+        for n_, d_ in core.degree:
+            assert got[n_] == d_, (k, n_, got[n_], d_)
+
+
+def test_sssp_matches_networkx_dijkstra(spark):
+    from omop2obo_spark.operators.hierarchy import sssp
+
+    rng = np.random.default_rng(31)
+    base = _dir_edges(seed=17, n_edges=60)
+    edges = [(a, b, float(round(rng.uniform(0.5, 5.0), 3))) for a, b in base]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    seeds = spark.createDataFrame([("d00",)], "ent string")
+    got = {r.ent: r.dist for r in sssp(df, seeds).collect()}
+
+    g = nx.DiGraph()
+    g.add_weighted_edges_from(edges)
+    want = nx.single_source_dijkstra_path_length(g, "d00", weight="weight")
+    assert set(got) == set(want)
+    for n_, d_ in want.items():
+        assert abs(got[n_] - d_) < 1e-8, (n_, got[n_], d_)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar / triangles
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_matches_networkx(spark):
+    from omop2obo_spark.operators.hierarchy import adamic_adar
+
+    edges = _und_edges(seed=37)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {(r.ent_a, r.ent_b): (r.aa_score, r.linked)
+           for r in adamic_adar(df).collect()}
+
+    g = nx.Graph(edges)
+    # nx computes AA for given non-edges; ask for every pair with >=1
+    # common neighbor (the operator's output domain)
+    pairs = sorted(got)
+    want = {(u, v): p for u, v, p in nx.adamic_adar_index(g, pairs)}
+    assert set(got) == set(want)
+    for uv, p in want.items():
+        assert abs(got[uv][0] - p) < 1e-5, (uv, got[uv][0], p)
+        assert got[uv][1] == g.has_edge(*uv)
+
+
+def test_triangles_match_networkx(spark):
+    from omop2obo_spark.operators.hierarchy import triangle_counts
+
+    edges = _und_edges(seed=41, n_edges=80)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {r.ent: (r.degree, r.n_triangles, r.clustering)
+           for r in triangle_counts(df).collect()}
+
+    g = nx.Graph(edges)
+    tri = nx.triangles(g)
+    clus = nx.clustering(g)
+    assert set(got) == set(g.nodes)
+    for n_ in g.nodes:
+        assert got[n_][0] == g.degree[n_]
+        assert got[n_][1] == tri[n_], (n_, got[n_][1], tri[n_])
+        assert abs(got[n_][2] - clus[n_]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# TransE distance: hashlib/numpy replay of the md5 pseudo-embeddings
+# ---------------------------------------------------------------------------
+
+
+def _np_component(x: str, d: int, salt: str) -> float:
+    h = hashlib.md5(f"{salt}{x}|{d}".encode()).hexdigest()
+    return (int(h[:8], 16) + 0.5) / float(2**31) - 1.0
+
+
+def test_transe_distance_matches_hashlib_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from omop2obo_spark.operators.kg_train import transe_distance
+
+    triples = [("ent:a", "rel:p", "ent:b"), ("ent:x", "rel:q", "ent:y"),
+               ("c", "r", "c")]
+    df = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = {
+        (r.subj, r.pred, r.obj): r.d
+        for r in df.select(
+            "subj", "pred", "obj",
+            transe_distance(F.col("subj"), F.col("pred"), F.col("obj"), dim=16).alias("d"),
+        ).collect()
+    }
+    for s, p, o in triples:
+        es = np.array([_np_component(s, d, "emb0e|") for d in range(16)])
+        ep = np.array([_np_component(p, d, "emb0r|") for d in range(16)])
+        eo = np.array([_np_component(o, d, "emb0e|") for d in range(16)])
+        want = float(np.abs(es + ep - eo).sum())
+        assert abs(got[(s, p, o)] - want) < 2e-9, ((s, p, o), got[(s, p, o)], want)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: hashlib/numpy replay + coverage sanity
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_bootstrap_matches_hashlib_numpy(spark):
+    from omop2obo_spark.operators.analysis import poisson_bootstrap_ci
+
+    rng = np.random.default_rng(43)
+    vals = rng.normal(10.0, 2.0, size=120).round(4)
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, x double")
+    got = poisson_bootstrap_ci(df, "x", n_replicates=80, alpha=0.1).collect()[0]
+
+    # independently recomputed Poisson(1) CDF thresholds (math, not the
+    # package's poisson1_thresholds)
+    th = []
+    cum = 0.0
+    for k in range(6):
+        cum += math.exp(-1.0) / math.factorial(k)
+        th.append(cum)
+
+    means = []
+    for b in range(1, 81):
+        ws = np.array([
+            sum(
+                1
+                for t in th
+                if int(hashlib.md5(f"boot|{b}|{i}".encode()).hexdigest()[:15], 16)
+                / float(16**15)
+                >= t
+            )
+            for i, _ in rows
+        ])
+        means.append(round(float((ws * vals).sum() / ws.sum()), 9))
+    lo, hi = np.percentile(np.array(means), [5.0, 95.0], method="linear")
+    assert got.n == 120
+    assert abs(got.mean - float(vals.mean())) < 1e-6
+    assert abs(got.ci_lo - round(float(lo), 6)) < 1e-6, (got.ci_lo, lo)
+    assert abs(got.ci_hi - round(float(hi), 6)) < 1e-6, (got.ci_hi, hi)
+    # statistical sanity: the 90% CI straddles the SAMPLE mean (the
+    # bootstrap's estimand) and is a few standard errors wide (SE ~ 0.18
+    # here), not degenerate
+    assert got.ci_lo < got.mean < got.ci_hi
+    assert 0.05 < got.ci_hi - got.ci_lo < 2.0
+
+
+# ---------------------------------------------------------------------------
+# BPE train: textbook dict/tuple Sennrich trainer
+# ---------------------------------------------------------------------------
+
+
+def _naive_bpe(texts: list[str], n_merges: int, min_token_chars: int = 2):
+    """Classic Sennrich learn_bpe over symbol TUPLES (no segment strings,
+    no regex replace): pair counts via zip (overlaps counted), merge by a
+    left-to-right non-overlapping scan, tie-break = (count desc, marked
+    '_l _r' pair string asc) to match the operator's documented order."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9']+", t.lower()):
+            if len(w) >= min_token_chars:
+                key = tuple(w)
+                vocab[key] = vocab.get(key, 0) + 1
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        best = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], f"_{kv[0][0]} _{kv[0][1]}"),
+        )
+        (l_, r_), n_ = best
+        if n_ < 2:
+            break
+        merges.append((l_, r_, n_))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l_ and syms[i + 1] == r_:
+                    out.append(l_ + r_)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_naive_sennrich(spark):
+    from omop2obo_spark.operators.textstats import bpe_train
+
+    texts = [
+        "the cat sat on the mat with another cat",
+        "the banana and the bandana in the band",
+        "low lower lowest newer newest wide widest",
+        "aaa aaaa abab ababab the theory there then",
+    ] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = bpe_train(df, n_merges=18)
+    want = _naive_bpe(texts, 18)
+    assert got == want, (got[:5], want[:5])
