@@ -46,3 +46,30 @@ def test_entry_module_parses_and_exports_driver_surface():
     tree = ast.parse(ENTRY.read_text())
     top = {n.name for n in tree.body if isinstance(n, (ast.FunctionDef,))}
     assert {"entry", "queries", "oracle_sql"} <= top
+
+
+def test_r4_driver_window_promotes_only_ungated_queries():
+    """Round-4 rotation invariant: the driver hashes the FIRST 50 registry
+    entries; besides the two cache-attribution flagships, every window
+    slot must go to a query with NO driver CORRECTNESS row from rounds
+    1-3 (GATE_MANIFEST.md is generated from the same inputs)."""
+    import json
+
+    keys = _registry_keys_from_source()
+    assert keys[:2] == ["q_kg_triples", "q_kg_triples_sim"]
+    gated = set()
+    root = ENTRY.parent
+    for r in (1, 2, 3):
+        f = root / f"CORRECTNESS_r0{r}.json"
+        if f.exists():
+            gated |= set(json.loads(f.read_text()).keys())
+    window_tail = keys[2:50]
+    regated = [k for k in window_tail if k in gated]
+    assert not regated, f"window slots wasted on already-gated queries: {regated}"
+
+
+def test_gate_manifest_lists_every_registry_entry():
+    manifest = (ENTRY.parent / "GATE_MANIFEST.md").read_text()
+    keys = _registry_keys_from_source()
+    missing = [k for k in keys if f"`{k}`" not in manifest]
+    assert not missing, f"GATE_MANIFEST.md missing entries: {missing}"

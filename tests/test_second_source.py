@@ -431,3 +431,98 @@ def test_bpe_train_matches_naive_sennrich(spark):
     got = bpe_train(df, n_merges=18)
     want = _naive_bpe(texts, 18)
     assert got == want, (got[:5], want[:5])
+
+
+# ---------------------------------------------------------------------------
+# PPR / k-hop / ancestor closure (round-4 extension of the twin suite)
+# ---------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """Fixed-3-iteration PPR vs dense numpy over the nx adjacency with a
+    seed-concentrated teleport vector (same update the operator documents:
+    r' = (1-d)·s + d·P^T r with P the degree-normalized adjacency)."""
+    from omop2obo_spark.operators.hierarchy import personalized_pagerank
+
+    edges = _und_edges(seed=47)
+    seeds = ["n00", "n03"]
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {r.ent: r.rank for r in
+           personalized_pagerank(df, seeds, iterations=3).collect()}
+
+    g = nx.DiGraph()
+    for a, b in edges:
+        g.add_edge(a, b)
+        g.add_edge(b, a)
+    nodelist = sorted(g.nodes)
+    A = nx.to_numpy_array(g, nodelist=nodelist, dtype=float)
+    P = A / A.sum(axis=1, keepdims=True)
+    s = np.array([1.0 / len(seeds) if n_ in seeds else 0.0 for n_ in nodelist])
+    r = s.copy()
+    for _ in range(3):
+        r = 0.15 * s + 0.85 * (P.T @ r)
+    for i, n_ in enumerate(nodelist):
+        assert abs(got[n_] - r[i]) < 2e-9, (n_, got[n_], r[i])
+
+
+def test_k_hop_matches_networkx_bfs(spark):
+    from omop2obo_spark.operators.hierarchy import k_hop
+
+    edges = _und_edges(seed=53, n_edges=50)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    seeds = spark.createDataFrame([("n01",), ("n17",)], "ent string")
+    for k in (1, 2, 3):
+        got = {r.ent: r.hop for r in k_hop(df, seeds, k=k).collect()}
+        g = nx.Graph(edges)
+        want = {}
+        for s in ("n01", "n17"):
+            for n_, d_ in nx.single_source_shortest_path_length(g, s, cutoff=k).items():
+                want[n_] = min(want.get(n_, k + 1), d_)
+        # seeds are hop 0 even if absent from the graph
+        want.setdefault("n01", 0)
+        want.setdefault("n17", 0)
+        assert got == want, (k, {x: (got.get(x), want.get(x))
+                                 for x in set(got) ^ set(want) or set(got)
+                                 if got.get(x) != want.get(x)})
+
+
+def test_ancestor_closure_matches_networkx_descendants(spark):
+    """Iterative-doubling transitive closure vs nx.descendants over a
+    random DAG (reachability semantics, node-by-node)."""
+    from omop2obo_spark.operators.hierarchy import ancestor_closure
+
+    rng = np.random.default_rng(59)
+    n = 24
+    nodes = [f"c{i:02d}" for i in range(n)]
+    edges = sorted({
+        (nodes[i], nodes[j])
+        for i, j in rng.integers(0, n, size=(90, 2))
+        if i < j  # DAG: edges point to higher ids ("ancestors")
+    })
+    df = spark.createDataFrame(edges, "uri string, parent_uri string")
+    got = {(r.uri, r.ancestor_uri) for r in ancestor_closure(df).collect()}
+
+    g = nx.DiGraph(edges)
+    want = {(u, a) for u in g.nodes for a in nx.descendants(g, u)}
+    assert got == want
+
+
+def test_ancestor_closure_cyclic_matches_networkx(spark):
+    """The closure is documented cycle-safe (fixpoint termination, nodes
+    on cycles become their own ancestors): compare reachability on a
+    graph WITH cycles. nx.descendants excludes the source, so self-
+    reachability is added via has_path over the successors."""
+    from omop2obo_spark.operators.hierarchy import ancestor_closure
+
+    edges = sorted(set(_dir_edges(seed=61, n_edges=40) + [
+        ("d01", "d02"), ("d02", "d03"), ("d03", "d01"),
+    ]))
+    df = spark.createDataFrame(edges, "uri string, parent_uri string")
+    got = {(r.uri, r.ancestor_uri) for r in ancestor_closure(df).collect()}
+    g = nx.DiGraph(edges)
+    want = {(u, a) for u in g.nodes for a in nx.descendants(g, u)}
+    want |= {
+        (u, u) for u in g.nodes
+        if any(nx.has_path(g, s, u) for s in g.successors(u))
+    }
+    assert got == want
