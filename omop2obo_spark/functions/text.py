@@ -79,6 +79,22 @@ _LEMMA_EXCEPTIONS = {
     "syntheses": "synthesis", "prognoses": "prognosis", "bases": "basis",
     "anastomoses": "anastomosis", "apoptoses": "apoptosis",
     "kyphoses": "kyphosis", "scolioses": "scoliosis", "ecchymoses": "ecchymosis",
+    # -us -> -uses plurals: morphy's 's'-strip yields an invalid '-use'
+    # stem ('viruses' -> 'viruse'), so real WordNet falls through to the
+    # 'ses'->'s' detachment; without the lexicon these ride the table
+    # (found live: 'viruses' in the sf-corpus vocabulary drifted)
+    "viruses": "virus", "sinuses": "sinus", "bonuses": "bonus",
+    "statuses": "status", "campuses": "campus", "buses": "bus",
+    "censuses": "census", "fetuses": "fetus", "foetuses": "foetus",
+    "plexuses": "plexus", "thymuses": "thymus", "calluses": "callus",
+    "syllabuses": "syllabus", "apparatuses": "apparatus",
+    "hiatuses": "hiatus", "meniscuses": "meniscus",
+    "octopuses": "octopus", "walruses": "walrus", "circuses": "circus",
+    "consensuses": "consensus", "surpluses": "surplus",
+    # vocabulary/source-code tokens: s-strip would corrupt them and the
+    # stripped form is not a WordNet lemma ('umls' found live in the
+    # corpus vocabulary drifting to 'uml')
+    "umls": "umls",
     # -us -> -i plurals
     "fungi": "fungus", "nuclei": "nucleus", "foci": "focus",
     "bronchi": "bronchus", "alveoli": "alveolus", "glomeruli": "glomerulus",

@@ -135,3 +135,58 @@ def test_normalizes_source_codes_regex_metachars_and_quote_escape(spark):
     out = [r.n for r in df.select(normalize_source_codes(F.col("CODE"), {}).alias("n")).collect()]
     for (_raw, want), got in zip(cases, out):
         assert got == want, (got, want)
+
+
+def test_lemma_zero_drift_on_live_pipeline_vocabulary(spark):
+    """F6 drift closure (round 4): ZERO lemma drift vs hand-labeled
+    WordNet outputs over the FULL live vocabulary the TF-IDF tier
+    actually lemmatizes — every token of the sf0.001 transcript corpus
+    plus the ontology lexicon strings, after the real preprocessing
+    chain. Every token the lemmatizer CHANGES must match its labeled
+    WordNetLemmatizer output, and every s-final token it leaves
+    unchanged must be a labeled WordNet invariant. Two live drifts were
+    found and fixed by this gate: 'viruses' -> 'viruse' (WordNet:
+    'virus', via the ses->s detachment after the s-strip candidate
+    fails the lexicon check) and 'umls' -> 'uml' (WordNet: unchanged —
+    neither candidate is a lemma)."""
+    import re
+
+    from omop2obo_spark.fixtures.generators import (
+        lexicon_df, transcripts_from_documents,
+    )
+    from omop2obo_spark.functions.text import (
+        _STOPWORD_RE, _TOKEN_RE, _lemma_lite_py,
+    )
+
+    # WordNetLemmatizer().lemmatize(w) hand labels for every vocabulary
+    # token the lite lemmatizer rewrites
+    wordnet_changed = {
+        "arteries": "artery", "cells": "cell", "levels": "level",
+        "lungs": "lung", "viruses": "virus",
+    }
+    # s-final tokens real morphy leaves unchanged (stripped form fails
+    # the lexicon check, or the token itself is the lemma)
+    wordnet_invariant = {
+        "blindness", "cutaneous", "dermatitis", "ebolavirus",
+        "eczematous", "infectious", "mucous", "myocarditis",
+        "snomedct_us", "umls", "virus",
+    }
+
+    texts = [r.text for r in transcripts_from_documents(
+        spark, "/root/testdata/sf0.001").select("text").collect()]
+    texts += [r.norm_string for r in lexicon_df(spark).collect()]
+    vocab = set()
+    for t in texts:
+        folded = re.sub(r"\s+", " ", t.encode("ascii", "ignore").decode())
+        vocab.update(_TOKEN_RE.findall(_STOPWORD_RE.sub("", folded).lower()))
+    assert len(vocab) > 150  # the corpus must actually feed the gate
+
+    drift = {}
+    for w in sorted(vocab):
+        got = _lemma_lite_py(w)
+        if got != w:
+            if wordnet_changed.get(w) != got:
+                drift[w] = (got, wordnet_changed.get(w, "<unlabeled>"))
+        elif w.endswith("s") and w not in wordnet_invariant:
+            drift[w] = (got, "<unlabeled s-final passthrough>")
+    assert not drift, f"lemma drift vs WordNet on live vocabulary: {drift}"
