@@ -526,3 +526,80 @@ def test_ancestor_closure_cyclic_matches_networkx(spark):
         if any(nx.has_path(g, s, u) for s in g.successors(u))
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# neighbor Jaccard / cycle members / degree-distribution MLE
+# ---------------------------------------------------------------------------
+
+
+def test_neighbor_jaccard_matches_networkx(spark):
+    from omop2obo_spark.operators.hierarchy import neighbor_jaccard
+
+    edges = _und_edges(seed=67, n_edges=70)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {(r.ent_a, r.ent_b): (r.shared, r.jaccard)
+           for r in neighbor_jaccard(df).collect()}
+
+    g = nx.Graph(edges)
+    # operator domain: pairs sharing >= 1 neighbor; nx scores given pairs
+    want = {(u, v): j for u, v, j in nx.jaccard_coefficient(g, sorted(got))}
+    for uv, j in want.items():
+        shared = len(set(g[uv[0]]) & set(g[uv[1]]))
+        assert got[uv][0] == shared, (uv, got[uv][0], shared)
+        assert abs(got[uv][1] - j) < 1e-5, (uv, got[uv][1], j)
+    # completeness: every >=1-shared-neighbor pair is present
+    import itertools
+
+    for u, v in itertools.combinations(sorted(g.nodes), 2):
+        if set(g[u]) & set(g[v]):
+            assert (u, v) in got, (u, v)
+
+
+def test_cycle_members_matches_networkx(spark):
+    """Cycle membership = nodes in a non-trivial SCC; shortest per-node
+    cycle length cross-checked with a BFS back to the node itself."""
+    from omop2obo_spark.operators.hierarchy import cycle_members
+
+    edges = sorted(set(_dir_edges(seed=71, n_edges=30) + [
+        ("x0", "x1"), ("x1", "x2"), ("x2", "x0"),   # 3-cycle
+        ("y0", "y1"), ("y1", "y0"),                  # 2-cycle
+        ("x2", "y0"),                                # bridge, no new cycle
+    ]))
+    df = spark.createDataFrame(edges, "uri string, parent_uri string")
+    got = {r.uri: r.cycle_len for r in cycle_members(df).collect()}
+
+    g = nx.DiGraph(edges)
+    on_cycle = {n_ for scc in nx.strongly_connected_components(g)
+                if len(scc) > 1 for n_ in scc}
+    assert set(got) == on_cycle
+    for n_ in on_cycle:
+        shortest = min(
+            nx.shortest_path_length(g, s, n_) + 1
+            for s in g.successors(n_)
+            if nx.has_path(g, s, n_)
+        )
+        assert got[n_] == shortest, (n_, got[n_], shortest)
+
+
+def test_degree_distribution_matches_numpy_mle(spark):
+    """Histogram vs nx degree counts; alpha vs an independent numpy
+    evaluation of the Clauset-Shalizi-Newman discrete MLE at d_min=1."""
+    from omop2obo_spark.operators.hierarchy import degree_distribution
+
+    edges = _und_edges(seed=73, n_edges=80)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    rows = degree_distribution(df).collect()
+
+    g = nx.Graph(edges)
+    degs = np.array([d for _, d in g.degree], dtype=float)
+    want_hist = {}
+    for d in degs:
+        want_hist[int(d)] = want_hist.get(int(d), 0) + 1
+    alpha = 1.0 + len(degs) / np.log(degs / 0.5).sum()
+    got_hist = {r.degree: r.n_nodes for r in rows}
+    assert got_hist == want_hist
+    for r in rows:
+        assert abs(r.alpha - alpha) < 1e-5, (r.alpha, alpha)
+        assert r.n_nodes_total == len(degs)
+        assert abs(r.share - want_hist[r.degree] / len(degs)) < 1e-5
