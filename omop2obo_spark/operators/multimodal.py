@@ -466,6 +466,8 @@ def jpeg_parse_meta(payload: bytes) -> tuple[int, int, int, int, bool, bytes]:
         body = payload[pos + 2 : pos + seg_len]
         pos += seg_len
         if marker in _SOF_MARKERS:
+            if len(body) < 6:
+                raise ValueError(f"truncated SOF body ({len(body)} bytes)")
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             progressive = marker == 0xC2
         elif marker == _SOS:
@@ -617,6 +619,11 @@ def mp4_parse_meta(payload: bytes) -> tuple[bytes, int, int, int, int, bytes]:
             for ctype, c0, _c1 in mp4_walk_boxes(payload, b0, b1):
                 if ctype == b"mvhd":
                     version = payload[c0]
+                    need = 20 if version == 0 else 32
+                    if _c1 - c0 < need:
+                        raise ValueError(
+                            f"truncated mvhd v{version} body ({_c1 - c0} bytes)"
+                        )
                     if version == 0:
                         timescale, duration = struct.unpack(
                             ">II", payload[c0 + 12 : c0 + 20]
