@@ -482,6 +482,12 @@ def jpeg_parse_meta(payload: bytes) -> tuple[int, int, int, int, bool, bytes]:
                 if nxt == 0x00:
                     scan.append(0xFF)  # stuffed data byte
                     pos += 2
+                elif nxt == 0xFF:
+                    # fill byte: spec B.1.1.2 allows any number of 0xFF
+                    # before ANY marker, including in-scan RSTn — a data
+                    # 0xFF is always stuffed as FF 00, so FF FF can only
+                    # be fill + (marker prefix); drop one and re-examine
+                    pos += 1
                 elif nxt is not None and 0xD0 <= nxt <= 0xD7:
                     pos += 2  # restart marker
                 else:

@@ -1271,3 +1271,19 @@ def test_jpeg_mp4_metadata_spark_totality(spark):
     m = {r.doc_id: r for r in mp4_metadata(df).collect()}
     assert (m[2].timescale, m[2].duration_ms, m[2].n_tracks, m[2].n_mdat) == (600, 2000, 3, 2)
     assert m[0].timescale is None and m[1].timescale is None
+
+
+def test_jpeg_fill_bytes_before_in_scan_restart_marker():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may precede ANY marker,
+    including RSTn inside entropy data (a data 0xFF is always stuffed as
+    FF 00, so raw FF FF can only be fill + marker prefix). A crawled file
+    with ...FF FF D0... in the scan must parse, not NULL out."""
+    from omop2obo_spark.operators.multimodal import jpeg_build, jpeg_parse_meta
+
+    base = jpeg_build(12, 8, b"", n_components=1, restart_interval=4)
+    head, eoi = base[:-2], base[-2:]
+    # hand-assemble: 4 data bytes, a fill 0xFF, then RST0 (FF D0), 2 bytes
+    blob = head + bytes([1, 2, 3, 4]) + b"\xff" + b"\xff\xd0" + bytes([5, 6]) + eoi
+    w, h, _p, _nc, _prog, out = jpeg_parse_meta(blob)
+    assert (w, h) == (12, 8)
+    assert out == bytes([1, 2, 3, 4, 5, 6])

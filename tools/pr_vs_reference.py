@@ -318,7 +318,9 @@ def main_fixture(n_concepts: int, seed: int = 20260821) -> dict:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--fixture":
+    if len(sys.argv) > 1 and sys.argv[1] == "--fixture":
+        if len(sys.argv) < 3 or not sys.argv[2].isdigit():
+            sys.exit("usage: pr_vs_reference.py [sf_dir | --fixture N_CONCEPTS]")
         print(json.dumps(main_fixture(int(sys.argv[2]))))
     else:
         sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
