@@ -603,3 +603,66 @@ def test_degree_distribution_matches_numpy_mle(spark):
         assert abs(r.alpha - alpha) < 1e-5, (r.alpha, alpha)
         assert r.n_nodes_total == len(degs)
         assert abs(r.share - want_hist[r.degree] / len(degs)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# connected components (both execution paths) / Fellegi-Sunter weights
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_clusters_both_paths_match_networkx(spark):
+    """Connected components — the backbone of dedup/ER resolution — vs
+    nx.connected_components, through BOTH execution paths: the driver
+    union-find (default cutover) and the distributed min-label
+    pointer-jumping loop (forced with driver_max_edges=0). The fixture
+    includes a 40-node chain so the O(log diameter) jump is actually
+    exercised across multiple rounds."""
+    from omop2obo_spark.operators.dedup import dedup_clusters
+
+    pairs = [(f"p{a[1:]:>03s}", f"p{b[1:]:>03s}") for a, b in _und_edges(
+        n_nodes=60, seed=79, n_edges=55)]
+    # long chain: c000-c001-...-c039 (diameter 39 → pointer jumping matters)
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(39)]
+    all_pairs = sorted(set(pairs + chain))
+    df = spark.createDataFrame(all_pairs, "a string, b string")
+
+    g = nx.Graph(all_pairs)
+    want = {}
+    for comp in nx.connected_components(g):
+        rep = min(comp)
+        for n_ in comp:
+            want[n_] = rep
+
+    for kwargs in ({}, {"driver_max_edges": 0}):
+        got = {r.doc_id: r.component
+               for r in dedup_clusters(df, **kwargs).collect()}
+        assert got == want, (kwargs, {k: (got.get(k), want.get(k))
+                                      for k in set(got) ^ set(want) or
+                                      [k for k in got if got[k] != want.get(k)][:5]})
+
+
+def test_fs_score_matches_python_log_odds(spark):
+    """Fellegi-Sunter weights vs an independent Python evaluation of the
+    log2 m/u odds over every agreement pattern of 3 fields."""
+    import itertools
+
+    from omop2obo_spark.operators.er import fs_score
+
+    params = {"name": (0.95, 0.05), "dob": (0.9, 0.01), "zip": (0.8, 0.1)}
+    rows = [
+        (i, bool(a), bool(b), bool(c))
+        for i, (a, b, c) in enumerate(itertools.product([0, 1], repeat=3))
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, agree_name boolean, agree_dob boolean, agree_zip boolean"
+    )
+    got = {r.pair_id: (r.weight, r.decision)
+           for r in fs_score(df, params, upper=5.0, lower=-5.0).collect()}
+    for pid, a, b, c in rows:
+        w = 0.0
+        for agree, (m, u) in zip((a, b, c), params.values()):
+            w += round(math.log2(m / u), 9) if agree else round(
+                math.log2((1 - m) / (1 - u)), 9)
+        w = round(w, 6)
+        dec = "link" if w >= 5.0 else ("non_link" if w <= -5.0 else "possible")
+        assert abs(got[pid][0] - w) < 1e-9 and got[pid][1] == dec, (pid, got[pid], w, dec)
