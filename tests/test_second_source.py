@@ -666,3 +666,93 @@ def test_fs_score_matches_python_log_odds(spark):
         w = round(w, 6)
         dec = "link" if w >= 5.0 else ("non_link" if w <= -5.0 else "possible")
         assert abs(got[pid][0] - w) < 1e-9 and got[pid][1] == dec, (pid, got[pid], w, dec)
+
+
+# ---------------------------------------------------------------------------
+# link-prediction metrics / label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_metrics_match_hashlib_numpy(spark):
+    """Full hashlib/numpy replay of the sampled link-prediction eval:
+    dense entity index (md5 rank order), tail-corruption candidates,
+    filtered protocol, TransE L1 distances, optimistic ranks, per-pred
+    MRR/Hits@N — a third engine executing the documented spec end to
+    end (Spark and DuckDB being the first two)."""
+    from omop2obo_spark.operators.kg_train import link_prediction_metrics
+
+    trip = [
+        (f"e{i % 7}", f"r{i % 3}", f"e{(i * 5 + 2) % 11}") for i in range(40)
+    ]
+    df = spark.createDataFrame(sorted(set(trip)), "subj string, pred string, obj string")
+    got = {r.pred: r.asDict() for r in
+           link_prediction_metrics(df, k=8, hits_at=(1, 3)).collect()}
+
+    pos = sorted(set(trip))
+    objs = sorted({o for _, _, o in pos})
+    order = sorted(objs, key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e))
+    truth = set(pos)
+
+    def dist(s, p, o):
+        es = np.array([_np_component(s, d, "emb0e|") for d in range(16)])
+        ep = np.array([_np_component(p, d, "emb0r|") for d in range(16)])
+        eo = np.array([_np_component(o, d, "emb0e|") for d in range(16)])
+        return round(float(np.abs(es + ep - eo).sum()), 9)
+
+    per_pred: dict = {}
+    for s, p, o in pos:
+        negs = []
+        for i in range(8):
+            h = hashlib.md5(f"neg0|{s}|{p}|{o}|{i}".encode()).hexdigest()
+            cand = order[int(h[:15], 16) % len(order)]
+            if cand != o and (s, p, cand) not in truth:
+                negs.append(cand)
+        rec = per_pred.setdefault(p, {"ranks": [], "n_negs": [], "skipped": 0})
+        if not negs:
+            rec["skipped"] += 1
+            continue
+        pd_ = dist(s, p, o)
+        rank = 1 + sum(1 for c in negs if dist(s, p, c) < pd_)
+        rec["ranks"].append(rank)
+        rec["n_negs"].append(len(negs))
+
+    assert set(got) == set(per_pred)
+    for p, rec in per_pred.items():
+        g = got[p]
+        assert g["n_scored"] == len(rec["ranks"])
+        assert g["n_skipped"] == rec["skipped"]
+        if rec["ranks"]:
+            assert abs(g["mrr"] - round(float(np.mean([1.0 / r for r in rec["ranks"]])), 9)) < 1e-9
+            assert abs(g["avg_n_neg"] - round(float(np.mean(rec["n_negs"])), 9)) < 1e-9
+            for h in (1, 3):
+                want = round(float(np.mean([1.0 if r <= h else 0.0 for r in rec["ranks"]])), 9)
+                assert abs(g[f"hits{h}"] - want) < 1e-9, (p, h, g[f"hits{h}"], want)
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Synchronous deterministic label propagation vs an independent
+    dict-based Python implementation of the documented spec (most
+    frequent neighbor label per round, smallest-label tie-break)."""
+    from omop2obo_spark.operators.hierarchy import label_propagation
+
+    edges = _und_edges(seed=83, n_edges=65)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    for iters in (1, 3, 5):
+        got = {r.ent: r.community
+               for r in label_propagation(df, iterations=iters).collect()}
+
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {n_: n_ for n_ in adj}
+        for _ in range(iters):
+            new = {}
+            for n_, nbrs in adj.items():
+                counts: dict = {}
+                for m in nbrs:
+                    counts[labels[m]] = counts.get(labels[m], 0) + 1
+                new[n_] = min(counts, key=lambda lbl: (-counts[lbl], lbl))
+            labels = new
+        assert got == labels, (iters, {k: (got[k], labels[k])
+                                       for k in got if got[k] != labels[k]})
