@@ -756,3 +756,122 @@ def test_label_propagation_matches_python_replay(spark):
             labels = new
         assert got == labels, (iters, {k: (got[k], labels[k])
                                        for k in got if got[k] != labels[k]})
+
+
+# ---------------------------------------------------------------------------
+# deterministic walks / entity co-occurrence PMI / Resnik similarity
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_walks_match_hashlib_replay(spark):
+    """Hash-seeded walks vs an independent dict replay of the documented
+    spec: hop s from node v = v's ascending neighbor at
+    md5(v:s)[:15] mod degree(v)."""
+    from omop2obo_spark.operators.hierarchy import deterministic_walks
+
+    edges = _und_edges(seed=89, n_edges=45)
+    df = spark.createDataFrame(edges, "ent_a string, ent_b string")
+    got = {r.start: r.path for r in deterministic_walks(df, walk_len=4).collect()}
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nbrs = {n_: sorted(v) for n_, v in adj.items()}
+    for start in nbrs:
+        cur, path = start, [start]
+        for s in range(4):
+            h = int(hashlib.md5(f"{cur}:{s}".encode()).hexdigest()[:15], 16)
+            cur = nbrs[cur][h % len(nbrs[cur])]
+            path.append(cur)
+        assert got[start] == "->".join(path), (start, got[start], path)
+    assert set(got) == set(nbrs)
+
+
+def _tiny_mapping_triples():
+    """(conv, ent) mapping assertions + a small ancestor forest."""
+    convs = {
+        "c1": ["A1", "A2"], "c2": ["A1", "B1"], "c3": ["A2", "B1", "B2"],
+        "c4": ["A1"], "c5": ["B2", "A2"], "c6": ["B1", "B2"],
+    }
+    rows = [
+        (c, i, f"m:{c}:{i}", "omop2obo:hasExactMapping", e)
+        for c, ents in convs.items() for i, e in enumerate(ents)
+    ]
+    # forest: A1,A2 under PA; B1,B2 under PB; PA,PB under ROOT
+    closure = [
+        ("A1", "PA"), ("A2", "PA"), ("B1", "PB"), ("B2", "PB"),
+        ("A1", "ROOT"), ("A2", "ROOT"), ("B1", "ROOT"), ("B2", "ROOT"),
+        ("PA", "ROOT"), ("PB", "ROOT"),
+    ]
+    return convs, rows, closure
+
+
+def test_entity_cooccurrence_pmi_matches_python(spark):
+    from omop2obo_spark.operators.hierarchy import entity_cooccurrence
+
+    convs, rows, _ = _tiny_mapping_triples()
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+    got = {(r.ent_a, r.ent_b): (r.n_convs, r.pmi)
+           for r in entity_cooccurrence(df).collect()}
+
+    n_total = len(convs)
+    per_ent: dict = {}
+    pair_n: dict = {}
+    for ents in convs.values():
+        s = sorted(set(ents))
+        for e in s:
+            per_ent[e] = per_ent.get(e, 0) + 1
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] = pair_n.get((s[i], s[j]), 0) + 1
+    assert set(got) == set(pair_n)
+    for uv, n_ in pair_n.items():
+        pmi = round(math.log(n_ * n_total / (per_ent[uv[0]] * per_ent[uv[1]])), 6)
+        assert got[uv][0] == n_ and abs(got[uv][1] - pmi) < 1e-9, (uv, got[uv], n_, pmi)
+
+
+def test_resnik_similarity_matches_python(spark):
+    """Resnik IC similarity vs an independent Python computation of
+    IC(c) = -ln(n_c/N) with reflexive descendant rollup and max over
+    common ancestors."""
+    from omop2obo_spark.operators.hierarchy import resnik_similarity
+
+    convs, rows, closure = _tiny_mapping_triples()
+    tri = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+    cl = spark.createDataFrame(closure, "ent string, anc string")
+    got = {(r.ent_a, r.ent_b): r.resnik for r in resnik_similarity(tri, cl).collect()}
+
+    assertions = [e for ents in convs.values() for e in ents]
+    n_total = len(assertions)
+    anc_of: dict = {}
+    for e, a in closure:
+        anc_of.setdefault(e, set()).add(a)
+    for e in set(assertions):
+        anc_of.setdefault(e, set()).add(e)
+    for e in list(anc_of):
+        anc_of[e].add(e)  # reflexive
+    count: dict = {}
+    for e in assertions:
+        for a in anc_of[e]:
+            count[a] = count.get(a, 0) + 1
+    ic = {a: round(-math.log(c / n_total), 6) for a, c in count.items()}
+
+    pairs = set()
+    for ents in convs.values():
+        s = sorted(set(ents))
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pairs.add((s[i], s[j]))
+    want = {}
+    for a, b in pairs:
+        common = anc_of[a] & anc_of[b]
+        if common:
+            want[(a, b)] = max(ic[x] for x in common if x in ic)
+    assert set(got) == set(want)
+    for uv, v in want.items():
+        assert abs(got[uv] - v) < 1e-9, (uv, got[uv], v)
