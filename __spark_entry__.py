@@ -76,6 +76,51 @@ def _xref_rows() -> list[tuple[str, str, str]]:
 XREFS = _xref_rows()
 
 
+def _ananke_dims() -> tuple[list[str], list[tuple[str, str]], list[tuple[str, str, str]], list[tuple[str, str]]]:
+    """Driver-side twins of the J5 ananke-bridge dimensions (for oracle SQL).
+
+    Mirrors prepare_mrconso (linking.py:159-174: ENG/NOCODE filter,
+    SAB:code.lower(), >2-colon collapse, charset-rstrip normalization —
+    reference data_utils.py:236-275) and dbxref_link's ont side
+    (linking.py:281: uri_to_code over the dbxref dim, data_utils.py:327).
+    Computed independently in plain Python from the same fixture constants
+    the Spark side reads as DataFrames, so a drift in either derivation
+    hash-mismatches at the gate.
+    """
+    import re as _re
+
+    vm = vocab_map_dict()
+
+    def norm(c: str) -> str:
+        segs = [s for s in _re.split(r"[:|/]", c) if s]
+        seg = segs[-1]
+        prefix = c.rstrip(seg)[:-1]  # Python rstrip == charset semantics
+        return f"{vm.get(prefix, prefix)}:{seg.lower()}"
+
+    ont_keys = {c[0] for c in LD.CONCEPTS}
+    cui_obo = set()
+    for cui, lang, sab, code in LD.MRCONSO_ROWS:
+        if lang != "ENG" or code == "NOCODE":
+            continue
+        c = f"{sab}:{code.lower()}"
+        parts = c.split(":")
+        if len(parts) > 2:  # HPO:hp:0008181 -> hp:0008181 collapse quirk
+            c = ":".join(parts[1:])
+        nc = norm(c)
+        if nc.split(":")[0] in ont_keys:
+            cui_obo.add((cui, nc))
+    ont_side = sorted(
+        {(c[1].lower().replace("_", ":"), LD.OBO + c[1], c[1].split("_")[0])
+         for c in LD.CONCEPTS if c[5]}
+    )
+    labels = sorted({(LD.OBO + c[1], c[2]) for c in LD.CONCEPTS if c[5]})
+    cuis = sorted({r[0] for r in LD.MRCONSO_ROWS})
+    return cuis, sorted(cui_obo), ont_side, labels
+
+
+ANANKE_CUIS, ANANKE_CUI_OBO, ANANKE_ONT, ANANKE_LABELS = _ananke_dims()
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -507,6 +552,37 @@ def q_dbxref_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_links"))
         .orderBy("uri")
     )
+
+
+def q_ananke_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 standalone gate: the OHDSI-Ananke UMLS-CUI bridge — the umls
+    branch of dbxref_link (operators/linking.py:278-300; reference
+    semantics utils/data_utils.py:305-348). A deterministic CUI per doc_id
+    feeds the REAL operator: MRCONSO is filtered/normalized by
+    prepare_mrconso (ENG/NOCODE filter + >2-colon collapse quirk), CUIs
+    bridge to OBO codes, then to the dbxref ont side keyed by
+    uri_to_code(URI). Both dims broadcast (LocalTableScan); the fact side
+    never shuffles. Oracle replays the two joins in SQL over inline dims
+    derived independently in plain Python (see _ananke_dims)."""
+    from omop2obo_spark.fixtures.generators import lexicon_df, mrconso_df
+    from omop2obo_spark.operators.linking import LexiconDims, dbxref_link, prepare_mrconso
+
+    docs = _docs(spark, sf_dir)
+    cuis = F.array(*[F.lit(c) for c in ANANKE_CUIS])
+    stacked = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) < 2).select(
+        "doc_id",
+        F.element_at(
+            cuis, (F.pmod(F.col("doc_id"), F.lit(len(ANANKE_CUIS))) + 1).cast("int")
+        ).alias("CODE"),
+        F.lit("UMLS_CUI").alias("CODE_COLUMN"),
+        F.lit(0).alias("src_rank"),
+    )
+    dims = LexiconDims.from_lexicon(lexicon_df(spark), vocab_map_dict())
+    umls = prepare_mrconso(mrconso_df(spark), vocab_map_dict())
+    out = dbxref_link(stacked, dims, ["doc_id"], "concept", umls=umls)
+    return out.select(
+        "doc_id", "CODE", "URI", "ONT_TYPE", "LABEL", "EVIDENCE"
+    ).orderBy("doc_id", "URI")
 
 
 def q_mapping_category(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4053,75 +4129,25 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters twice: the driver's CORRECTNESS gate hashes the
     # FIRST 50 entries, and the bench attributes one-time cache
-    # materializations to whichever query touches them first.  Round-4
+    # materializations to whichever query touches them first.  Round-5
     # rotation (see GATE_MANIFEST.md for the query -> gated-round map):
     #   1-2   flagships first, so the pipeline-cache build (exact and
     #         with-similarity) is attributed to q_kg_triples/_sim;
-    #   3-48  the next 46 never-driver-gated queries, promoted in registry
-    #         order exactly as round 3's verdict asked (q_rollup_revenue ..
-    #         q_bloom_dedup: semdedup, RDFS entailment, path query, ER,
-    #         DSIR, BPE train, TransE, ANN-PQ, SCD2, heavy hitters, ...);
-    #   49-50 the round-4 additions (real JPEG marker-walk + MP4 box-walk
-    #         round trips) -- the ONLY net-new queries this round; the
-    #         surface is otherwise frozen at 203 until rotation catches up;
-    #   51+   first the remaining never-gated queue (rotates into the
-    #         window in round 5, in this order), then every query already
-    #         driver-green in r1-r3 (rows on file; still run by bench and
-    #         the local strict harness every round).
+    #   3-50  the next 48 never-driver-gated queries, promoted in registry
+    #         order exactly as round 4's verdict asked (q_context_spans ..
+    #         q_dot_export: BM25/retrieval, trajectory family, k-core, SCC,
+    #         SSSP, PPR, edit-join, n3c container, triple-PRF, cube, ...);
+    #   51+   first the final never-gated tail (13 queries; would have
+    #         rotated in a round 6 -- each is green in the driver-strict
+    #         local harness at three scales, see GATE_MANIFEST.md), then
+    #         q_ananke_bridge (round-5 verdict task 7; behind the queue so
+    #         it displaces nothing), then every query already driver-green
+    #         in r1-r4 (rows on file; still run by bench and the local
+    #         strict harness every round).
     return {
         "q_kg_triples": q_kg_triples,
         "q_kg_triples_sim": q_kg_triples_sim,
-        # -- never-driver-gated tail, promoted into the window (r4) ------
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_semdedup": q_semdedup,
-        "q_blocking_quality": q_blocking_quality,
-        "q_rdfs_entail": q_rdfs_entail,
-        "q_shacl_validate": q_shacl_validate,
-        "q_path_query": q_path_query,
-        "q_dsir_weights": q_dsir_weights,
-        "q_dsir_sample": q_dsir_sample,
-        "q_er_link": q_er_link,
-        "q_er_graded": q_er_graded,
-        "q_er_resolve": q_er_resolve,
-        "q_coref_chain": q_coref_chain,
-        "q_closure_delta": q_closure_delta,
-        "q_atlas_export": q_atlas_export,
-        "q_weighted_sample": q_weighted_sample,
-        "q_weighted_sample_group": q_weighted_sample_group,
-        "q_dup_span": q_dup_span,
-        "q_zorder": q_zorder,
-        "q_auc": q_auc,
-        "q_calibration": q_calibration,
-        "q_psi": q_psi,
-        "q_curriculum": q_curriculum,
-        "q_token_mixture": q_token_mixture,
-        "q_bpe_train": q_bpe_train,
-        "q_negative_sampling": q_negative_sampling,
-        "q_transe": q_transe,
-        "q_scd2_user_state": q_scd2_user_state,
-        "q_unicode_clean": q_unicode_clean,
-        "q_bigram_xent": q_bigram_xent,
-        "q_ann_pq": q_ann_pq,
-        "q_temperature_mix": q_temperature_mix,
-        "q_funnel": q_funnel,
-        "q_epoch_shuffle": q_epoch_shuffle,
-        "q_mad_outliers": q_mad_outliers,
-        "q_preference_pairs": q_preference_pairs,
-        "q_skew_profile": q_skew_profile,
-        "q_table_profile": q_table_profile,
-        "q_grouping_sets": q_grouping_sets,
-        "q_resample_ffill": q_resample_ffill,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_link_prediction": q_link_prediction,
-        "q_image_resize": q_image_resize,
-        "q_audio_downsample": q_audio_downsample,
-        "q_incremental_agg": q_incremental_agg,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_bloom_dedup": q_bloom_dedup,
-        # -- round-4 additions: real JPEG/MP4 structure parsers ----------
-        "q_jpeg_meta": q_jpeg_meta,
-        "q_mp4_meta": q_mp4_meta,
-        # -- remaining never-gated queue (window rotation, round 5) ------
+        # -- never-driver-gated queue, promoted into the window (r5) -----
         "q_context_spans": q_context_spans,
         "q_topic_segments": q_topic_segments,
         "q_bm25_search": q_bm25_search,
@@ -4170,6 +4196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ks_test": q_ks_test,
         "q_neyman_sample": q_neyman_sample,
         "q_dot_export": q_dot_export,
+        # -- final never-gated tail (13; would rotate in a round 6) ------
         "q_script_profile": q_script_profile,
         "q_time_decay": q_time_decay,
         "q_grouped_topk": q_grouped_topk,
@@ -4183,6 +4210,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lexical_richness": q_lexical_richness,
         "q_zipf_fit": q_zipf_fit,
         "q_autocorr": q_autocorr,
+        # -- round-5 addition (verdict task 7): J5 Ananke bridge ---------
+        "q_ananke_bridge": q_ananke_bridge,
+        # -- already driver-green in r4 (rows on file) -------------------
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_semdedup": q_semdedup,
+        "q_blocking_quality": q_blocking_quality,
+        "q_rdfs_entail": q_rdfs_entail,
+        "q_shacl_validate": q_shacl_validate,
+        "q_path_query": q_path_query,
+        "q_dsir_weights": q_dsir_weights,
+        "q_dsir_sample": q_dsir_sample,
+        "q_er_link": q_er_link,
+        "q_er_graded": q_er_graded,
+        "q_er_resolve": q_er_resolve,
+        "q_coref_chain": q_coref_chain,
+        "q_closure_delta": q_closure_delta,
+        "q_atlas_export": q_atlas_export,
+        "q_weighted_sample": q_weighted_sample,
+        "q_weighted_sample_group": q_weighted_sample_group,
+        "q_dup_span": q_dup_span,
+        "q_zorder": q_zorder,
+        "q_auc": q_auc,
+        "q_calibration": q_calibration,
+        "q_psi": q_psi,
+        "q_curriculum": q_curriculum,
+        "q_token_mixture": q_token_mixture,
+        "q_bpe_train": q_bpe_train,
+        "q_negative_sampling": q_negative_sampling,
+        "q_transe": q_transe,
+        "q_scd2_user_state": q_scd2_user_state,
+        "q_unicode_clean": q_unicode_clean,
+        "q_bigram_xent": q_bigram_xent,
+        "q_ann_pq": q_ann_pq,
+        "q_temperature_mix": q_temperature_mix,
+        "q_funnel": q_funnel,
+        "q_epoch_shuffle": q_epoch_shuffle,
+        "q_mad_outliers": q_mad_outliers,
+        "q_preference_pairs": q_preference_pairs,
+        "q_skew_profile": q_skew_profile,
+        "q_table_profile": q_table_profile,
+        "q_grouping_sets": q_grouping_sets,
+        "q_resample_ffill": q_resample_ffill,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_link_prediction": q_link_prediction,
+        "q_image_resize": q_image_resize,
+        "q_audio_downsample": q_audio_downsample,
+        "q_incremental_agg": q_incremental_agg,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_bloom_dedup": q_bloom_dedup,
+        "q_jpeg_meta": q_jpeg_meta,
+        "q_mp4_meta": q_mp4_meta,
         # -- already driver-green in r1/r2/r3 (rows on file) -------------
         "q_sessionize": q_sessionize,
         "q_pack_stats": q_pack_stats,
@@ -4594,6 +4672,29 @@ FROM all_t GROUP BY pred"""
         FROM norm JOIN {DBX_SQL.replace('t(', 'dbx(')} ON norm.code = dbx.code
         GROUP BY dbx.uri
         ORDER BY dbx.uri
+    """
+
+    _ananke_cuis_arr = "[" + ", ".join(_sql_quote(c) for c in ANANKE_CUIS) + "]"
+    sqls["q_ananke_bridge"] = f"""
+        WITH stacked AS (
+            SELECT doc_id,
+                   ({_ananke_cuis_arr})[(doc_id % {len(ANANKE_CUIS)}) + 1] AS cui
+            FROM documents WHERE doc_id % 3 < 2
+        ),
+        cui_obo AS (SELECT * FROM {_values(ANANKE_CUI_OBO, ["cui", "ont_code"])}),
+        ont_side AS (SELECT * FROM {_values(ANANKE_ONT, ["ont_code", "uri", "ont_type"])}),
+        lab AS (SELECT * FROM {_values(ANANKE_LABELS, ["uri", "label"])})
+        SELECT DISTINCT s.doc_id AS doc_id,
+               'umls:' || s.cui AS CODE,
+               o.uri AS URI,
+               o.ont_type AS ONT_TYPE,
+               lab.label AS LABEL,
+               'CONCEPT_DBXREF_umls:' || s.cui AS EVIDENCE
+        FROM stacked s
+        JOIN cui_obo c ON s.cui = c.cui
+        JOIN ont_side o ON c.ont_code = o.ont_code
+        JOIN lab ON o.uri = lab.uri
+        ORDER BY doc_id, URI
     """
 
     sqls["q_dedup_exact"] = """

@@ -427,7 +427,7 @@ def jpeg_build(
 def jpeg_parse_meta(payload: bytes) -> tuple[int, int, int, int, bool, bytes]:
     """Real JPEG marker walk: SOI check, segment iteration with exact
     2-byte lengths, fill-byte tolerance, SOF0–SOF15 frame-header parse
-    (precision, height, width, components; SOF2 ⇒ progressive), and an
+    (precision, height, width, components; SOF2/6/10/14 ⇒ progressive), and an
     entropy-data scan that un-stuffs 0xFF00 and skips RSTn restart
     markers until the next true marker. Returns
     ``(width, height, precision, n_components, progressive, scan_bytes)``
@@ -469,7 +469,10 @@ def jpeg_parse_meta(payload: bytes) -> tuple[int, int, int, int, bool, bytes]:
             if len(body) < 6:
                 raise ValueError(f"truncated SOF body ({len(body)} bytes)")
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            progressive = marker == 0xC2
+            # all four progressive SOF variants: baseline-progressive (C2),
+            # differential progressive (C6), progressive arithmetic (CA),
+            # differential progressive arithmetic (CE) — not just SOF2
+            progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
         elif marker == _SOS:
             # entropy-coded data follows until the next real marker
             while pos < n:
@@ -620,10 +623,17 @@ def mp4_parse_meta(payload: bytes) -> tuple[bytes, int, int, int, int, bytes]:
         if btype == b"ftyp":
             brand = payload[b0 : b0 + 4]
         elif btype == b"mdat":
-            mdat = payload[b0:b1]
+            # multiple mdat boxes are legal in ISO-BMFF: accumulate bodies
+            # so byte-count/byte-sum statistics cover every box
+            mdat += payload[b0:b1]
         elif btype == b"moov":
             for ctype, c0, _c1 in mp4_walk_boxes(payload, b0, b1):
                 if ctype == b"mvhd":
+                    if _c1 - c0 < 1:
+                        # guard BEFORE indexing: an empty mvhd body ending
+                        # exactly at end-of-payload must raise the documented
+                        # ValueError, not IndexError
+                        raise ValueError("truncated mvhd body (0 bytes)")
                     version = payload[c0]
                     need = 20 if version == 0 else 32
                     if _c1 - c0 < need:

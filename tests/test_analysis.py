@@ -1196,6 +1196,43 @@ def test_jpeg_round_trip_stuffing_and_restarts():
     assert (w, h, out) == (65535, 65535, b"")
 
 
+def test_jpeg_progressive_sof_variants():
+    """All four progressive SOF markers (C2, C6, CA, CE) report
+    progressive=True; the sequential variants (C0, C1, C3, ...) do not
+    (round-5 advisory fix: only SOF2 was flagged before)."""
+    from omop2obo_spark.operators.multimodal import jpeg_build, jpeg_parse_meta
+
+    blob = bytearray(jpeg_build(64, 32, bytes(range(20)), progressive=True))
+    at = blob.index(b"\xff\xc2")
+    for marker, want in [(0xC2, True), (0xC6, True), (0xCA, True), (0xCE, True),
+                         (0xC0, False), (0xC1, False), (0xC3, False),
+                         (0xC5, False), (0xC9, False), (0xCD, False)]:
+        blob[at + 1] = marker
+        w, h, _prec, _nc, prog, scan = jpeg_parse_meta(bytes(blob))
+        assert (w, h, prog) == (64, 32, want), f"marker {marker:#x}"
+        assert scan == bytes(range(20))
+
+
+def test_mp4_empty_mvhd_body_and_multiple_mdat():
+    """Round-5 advisory fixes: an empty mvhd body ending at end-of-payload
+    raises the documented ValueError (not IndexError), and statistics
+    cover EVERY mdat box, not just the last."""
+    import struct as _struct
+
+    from omop2obo_spark.operators.multimodal import _mp4_box, mp4_build, mp4_parse_meta
+
+    # moov containing a zero-length mvhd body, file ends right there
+    bad = _mp4_box(b"moov", _mp4_box(b"mvhd", b""))
+    with pytest.raises(ValueError, match="truncated mvhd"):
+        mp4_parse_meta(bad)
+
+    base = mp4_build(1000, 5000, n_tracks=1, mdat=b"abc")
+    extra = _mp4_box(b"mdat", bytes([200, 201]))
+    brand, _v, ts, dur, nt, mdat = mp4_parse_meta(base + extra)
+    assert (ts, dur, nt) == (1000, 5000, 1)
+    assert mdat == b"abc" + bytes([200, 201])  # both boxes accumulated
+
+
 def test_jpeg_parse_rejects_corruption():
     from omop2obo_spark.operators.multimodal import jpeg_build, jpeg_parse_meta
 

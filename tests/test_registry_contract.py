@@ -48,18 +48,18 @@ def test_entry_module_parses_and_exports_driver_surface():
     assert {"entry", "queries", "oracle_sql"} <= top
 
 
-def test_r4_driver_window_promotes_only_ungated_queries():
-    """Round-4 rotation invariant: the driver hashes the FIRST 50 registry
+def test_r5_driver_window_promotes_only_ungated_queries():
+    """Round-5 rotation invariant: the driver hashes the FIRST 50 registry
     entries; besides the two cache-attribution flagships, every window
     slot must go to a query with NO driver CORRECTNESS row from rounds
-    1-3 (GATE_MANIFEST.md is generated from the same inputs)."""
+    1-4 (GATE_MANIFEST.md is generated from the same inputs)."""
     import json
 
     keys = _registry_keys_from_source()
     assert keys[:2] == ["q_kg_triples", "q_kg_triples_sim"]
     gated = set()
     root = ENTRY.parent
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         f = root / f"CORRECTNESS_r0{r}.json"
         if f.exists():
             gated |= set(json.loads(f.read_text()).keys())
