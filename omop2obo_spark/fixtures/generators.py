@@ -225,7 +225,9 @@ def portable_hash_sql(doc_id: str, turn_idx: str, salt: int) -> str:
     )
 
 
-def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transcripts_from_documents(
+    spark: SparkSession, sf_dir: str, rich_mentions: bool = False
+) -> DataFrame:
     """Derive a transcripts-shaped table from the driver's documents.parquet.
 
     Used by bench/entry so the fact-table size tracks the driver's scale
@@ -235,6 +237,14 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     work to do. All selection hashes are :func:`portable_hash` so the
     driver's DuckDB oracle can rebuild identical text (see
     ``__spark_entry__.oracle_sql()['q_kg_triples']``).
+
+    ``rich_mentions=True`` (the corpus P/R mode, tools/pr_vs_reference.py
+    --rich; NOT used by the gated flagship, whose oracle mirrors the
+    default text) additionally makes sel==5 turns carry TWO distinct
+    same-ontology labels, so per-turn aggregation sees multi-concept keys
+    (→ ``Automatic Constructor - Concept``); combined with the
+    cross-ontology ancestor overlay this populates all four AGGREGATED
+    category branches end-to-end through mention detection.
     """
     labels = [c[2].lower() for c in L.CONCEPTS]
     codes = [d.lower() for c in L.CONCEPTS for (d, _t) in c[5]]
@@ -258,6 +268,16 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(sel == 3, F.concat(F.lit(" coded as "), _pick(h(2), codes)))
         .otherwise(F.lit(""))
     )
+    if rich_mentions:
+        hp_labels = [c[2].lower() for c in L.CONCEPTS if c[0] == "hp"]
+        arr = F.array(*[F.lit(v) for v in hp_labels])
+        j = F.pmod(h(4), F.lit(len(hp_labels)))
+        pair = F.concat(
+            F.lit(" patient reported "), F.element_at(arr, (j + 1).cast("int")),
+            F.lit(" and also "),
+            F.element_at(arr, (F.pmod(j + 1, F.lit(len(hp_labels))) + 1).cast("int")),
+        )
+        mention = F.when(sel == 5, pair).otherwise(mention)
     chunk = F.concat(F.concat_ws(" ", F.slice(F.col("toks"), F.col("turn_idx") * 12 + 1, 12)), mention)
     # near-miss turns carry ONLY the scrambled label (short text, like the
     # reference's clinical strings) so the TF-IDF tier sees signal
@@ -265,6 +285,45 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel == 4,
         F.concat(F.lit("patient note "), _pick(h(3), near_miss)),
     ).otherwise(chunk)
+    if rich_mentions:
+        # family-history turns (pure constructed text — the FH cue scopes
+        # the whole turn to the ancestor channel, run_pipeline
+        # context_channels=True; stray document tokens would add unplanned
+        # concept hits). sel==6: label+synonym+code of ONE concept →
+        # Automatic Exact - Ancestor; sel==7: surfaces of THREE same-ont
+        # concepts → Automatic Constructor - Ancestor.
+        fh = L.fh_context_triples()
+
+        def fh_text(one_concept: bool) -> Column:
+            ont_keys = sorted(fh)
+            branches = []
+            for ont in ont_keys:
+                trip = fh[ont]
+                n = len(trip)
+                labs = F.array(*[F.lit(t[0]) for t in trip])
+                syns = F.array(*[F.lit(t[1]) for t in trip])
+                cods = F.array(*[F.lit(t[2]) for t in trip])
+                i1 = F.pmod(h(8), F.lit(n))
+                i2 = i1 if one_concept else F.pmod(i1 + 1, F.lit(n))
+                i3 = i1 if one_concept else F.pmod(i1 + 2, F.lit(n))
+                branches.append(
+                    F.concat(
+                        F.lit("family history of "), F.element_at(labs, (i1 + 1).cast("int")),
+                        F.lit(" also known as "), F.element_at(syns, (i2 + 1).cast("int")),
+                        F.lit(" coded as "), F.element_at(cods, (i3 + 1).cast("int")),
+                    )
+                )
+            pick_ont = F.pmod(h(9), F.lit(len(ont_keys)))
+            expr = branches[0]
+            for k in range(1, len(ont_keys)):
+                expr = F.when(pick_ont == k, branches[k]).otherwise(expr)
+            return expr
+
+        text = (
+            F.when(sel == 6, fh_text(one_concept=True))
+            .when(sel == 7, fh_text(one_concept=False))
+            .otherwise(text)
+        )
     return turns.select(
         F.format_string("conv_%08d", F.col("doc_id")).alias("conv_id"),
         F.col("turn_idx").cast("int").alias("turn_idx"),

@@ -271,6 +271,77 @@ def near_miss_labels() -> list[str]:
     ]
 
 
+def fh_context_triples() -> dict[str, list[tuple[str, str, str]]]:
+    """Per-ontology ``(label, synonym, code)`` surface triples eligible for
+    the rich-mode family-history turns (generators.transcripts_from_documents
+    rich_mentions): all three surfaces resolve UNIQUELY to the same concept
+    (label unique among labels and not also a synonym; synonym unique and
+    not a label; dbxref code unique, non-UMLS, and absent from MRCONSO so
+    the UMLS/ananke tiers cannot add URIs). A turn carrying such a triple
+    under the family-history cue yields an ancestor-only group with all
+    three ANCESTOR_{CODE,LABEL,SYNONYM} evidence markers and exactly one
+    URI — the end-to-end trigger for ``Automatic Exact - Ancestor``
+    (reference assigns_mapping_category, data_utils.py:537-546)."""
+    from collections import Counter
+
+    vm = {alias: primary for primary, aliases in VOCAB_MAP_ROWS for alias in aliases}
+
+    def norm(code: str) -> str:
+        p, r = code.split(":", 1)
+        return f"{vm.get(p, p)}:{r.lower()}"
+
+    mr = set()
+    for _cui, lang, sab, code in MRCONSO_ROWS:
+        if lang == "ENG" and code != "NOCODE":
+            c = f"{sab}:{code.lower()}"
+            parts = c.split(":")
+            if len(parts) > 2:
+                c = ":".join(parts[1:])
+            mr.add(norm(c))
+    lab_ct = Counter(c[2].lower() for c in CONCEPTS)
+    syn_ct = Counter(s.lower() for c in CONCEPTS for s, _t in c[4])
+    labels = {c[2].lower() for c in CONCEPTS}
+    code_ct = Counter(norm(d) for c in CONCEPTS for d, _t in c[5])
+    out: dict[str, list[tuple[str, str, str]]] = {}
+    for c in CONCEPTS:
+        lab = c[2].lower()
+        if lab_ct[lab] != 1 or lab in syn_ct:
+            continue
+        syns = [s.lower() for s, _t in c[4]
+                if syn_ct[s.lower()] == 1 and s.lower() not in labels]
+        codes = [d for d, _t in c[5]
+                 if not d.upper().startswith("UMLS:")
+                 and norm(d) not in mr and code_ct[norm(d)] == 1]
+        if syns and codes:
+            out.setdefault(c[0], []).append((lab, syns[0], codes[0].lower()))
+    return out
+
+
+def cross_ontology_overlay() -> list[tuple[str, str]]:
+    """Deterministic cross-ontology ``(uri, ancestor_uri)`` pairs: hp
+    concept i is asserted a subclass of 1–2 mondo concepts and vice versa —
+    the imported-superclass pattern real MONDO releases contain (MONDO
+    imports/cross-references the HP disease hierarchy). NOT part of
+    :func:`closure_pairs` (which the flagship oracles mirror); used only by
+    the rich corpus P/R mode (``tools/pr_vs_reference.py --rich``) so that
+    turns linking concept-level in one ontology acquire ancestor-ONLY
+    evidence in the other — the end-to-end trigger for the reference's
+    ``Automatic {Exact,Constructor} - Ancestor`` branches
+    (data_utils.py:518-548)."""
+    hp = [OBO + sid for ont, sid, *_ in CONCEPTS if ont == "hp"]
+    mondo = [OBO + sid for ont, sid, *_ in CONCEPTS if ont == "mondo"]
+    out: list[tuple[str, str]] = []
+    for i, u in enumerate(hp):
+        out.append((u, mondo[i % len(mondo)]))
+        if i % 2:  # every other hp concept gets a SECOND mondo ancestor
+            out.append((u, mondo[(i + 3) % len(mondo)]))
+    for i, u in enumerate(mondo):
+        out.append((u, hp[i % len(hp)]))
+        if i % 3 == 1:
+            out.append((u, hp[(i + 5) % len(hp)]))
+    return out
+
+
 def closure_pairs() -> list[tuple[str, str]]:
     """Transitive ``(uri, ancestor_uri)`` closure over CONCEPTS' parent
     lists (BFS, discovery order preserved). ONE definition shared by the

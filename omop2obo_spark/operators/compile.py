@@ -57,6 +57,18 @@ def format_exact_evidence(links: DataFrame, level_col: str = "LEVEL") -> DataFra
         F.lit("OBO_"), obo_side, F.lit("-OMOP_"), lvl, F.lit("_"), omop_side, F.lit(":"),
         F.element_at(F.split(ev, ":"), -1),
     )
+    # Reference evidence validation (formats_mapping_evidence,
+    # data_utils.py:497-507): label/synonym evidence only counts when the
+    # clinical surface is in THIS ontology's label/synonym dict resolving to
+    # a URI in the result list. Direct links satisfy that by construction
+    # (the surface's dict URI IS the link URI, which joins the list);
+    # closure-EXPANDED links (marked ``__expanded`` by the pipeline) map
+    # their surface to the CHILD concept, which is absent exactly when the
+    # group is ancestor-only (concept rows otherwise displace expansions) —
+    # so expanded STR evidence never validates and is nulled here. DbXref
+    # evidence has no dictionary check in the reference and always counts.
+    if "__expanded" in links.columns:
+        str_fmt = F.when(F.col("__expanded"), F.lit(None)).otherwise(str_fmt)
     return links.withColumn(
         "FMT_EVIDENCE", F.when(F.col("MATCH_KIND") == "dbxref", dbx_fmt).otherwise(str_fmt)
     )
@@ -145,7 +157,11 @@ def compile_exact_mappings(links: DataFrame, key_cols: list[str], level_col: str
         joined("label").alias("AGG_LABEL"),
         joined("fmt").alias("AGG_EVIDENCE"),
         category.alias("AGG_MAPPING"),
-    )
+        # a group whose every evidence element failed validation emits
+        # nothing — the reference's `if ext_evid != ''` gate
+        # (data_utils.py:597-600). No-op unless expanded-STR suppression
+        # fired (every direct link always carries formatted evidence).
+    ).filter(F.col("AGG_EVIDENCE") != "")
 
 
 def compile_similarity_mappings(

@@ -243,6 +243,45 @@ NEGATION_CUES = (
     "no", "not", "without", "denies", "denied", "never", "negative", "absent",
 )
 
+# context-channel cue phrases (rich/corpus P-R mode, run_pipeline
+# context_channels=True): the transcript analogs of the reference's
+# clinical input channels. "also known as <surface>" marks the mention as
+# an alternative clinical name (the reference's CONCEPT_SYNONYM column);
+# a turn containing "family history of" scopes its mentions to the
+# hereditary/broader context (the reference's ANCESTOR_* columns —
+# clinically an FH section asserts the family's condition, i.e. the
+# ancestor-level channel, not the patient's own concept-level finding).
+SYNONYM_CUE_PHRASE = "also known as"
+ANCESTOR_CUE_PHRASE = "family history of"
+
+
+def flag_phrase_context(
+    transcripts: DataFrame,
+    mentions: DataFrame,
+    phrase: str,
+    flag_col: str,
+) -> DataFrame:
+    """Flag mentions whose span is IMMEDIATELY preceded by ``phrase``.
+
+    Same co-keyed join + tokenizer as :func:`flag_negated_mentions` (one
+    skew-free (conv_id, turn_idx) hash join, native array ops, no UDF),
+    but the cue test is exact-phrase equality of the k tokens before the
+    mention rather than any-cue-in-window overlap.
+    """
+    ptoks = [t for t in phrase.lower().split() if t]
+    k = len(ptoks)
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9']+"), lambda x: x != "")
+    turns = transcripts.select("conv_id", "turn_idx", toks.alias("__toks"))
+    start = F.greatest(F.col("pos") - F.lit(k) + F.lit(1), F.lit(1))
+    n_prev = F.least(F.lit(k), F.col("pos"))
+    prev = F.slice(F.col("__toks"), start, n_prev)
+    cue = F.array(*[F.lit(t) for t in ptoks])
+    return (
+        mentions.join(turns, on=["conv_id", "turn_idx"])
+        .withColumn(flag_col, prev == cue)
+        .drop("__toks")
+    )
+
 
 def flag_negated_mentions(
     transcripts: DataFrame,

@@ -134,6 +134,12 @@ def _expand_ancestors(exact_links: DataFrame, ancestors: DataFrame, labels: Data
             "CODE_COLUMN", F.regexp_replace("CODE_COLUMN", "^(TURN|MENTION|CONCEPT)_", "ANCESTOR_")
         )
         .withColumn("LEVEL", F.lit("ancestor"))
+        # closure-derived rows are marked: their string-match surface maps
+        # to the CHILD concept, so their label/synonym evidence can never
+        # validate under the reference's dictionary check when the group
+        # keeps only ancestor rows (formats_mapping_evidence,
+        # data_utils.py:497-507) — compile nulls their STR evidence
+        .withColumn("__expanded", F.lit(True))
         .drop("ancestor_uri", "__anc_label")
         # no distinct here: the compile stage's sorted first-occurrence
         # aggregation is invariant to duplicate link rows, and the deduped
@@ -157,6 +163,7 @@ def run_pipeline(
     double_merge: bool = True,
     checkpoint_dir: str | None = None,
     assume_unique_turns: bool = True,
+    context_channels: bool = False,
 ) -> PipelineResult:
     """Run the full transcripts→triples pipeline.
 
@@ -267,15 +274,82 @@ def run_pipeline(
     # triples-only run never pays for it.
     dbx = dbxref_link(code_stack, dims, KEY_COLS, "concept", umls=umls_prepped, dedup=False)
 
-    term_stack = mentions.filter(F.col("kind") == "term").select(
+    term_mentions = mentions.filter(F.col("kind") == "term")
+    if context_channels:
+        # synonym channel: a mention introduced by "also known as" is an
+        # alternative clinical name — the transcript analog of the
+        # reference's CONCEPT_SYNONYM input column. Per-mention cue check
+        # (co-keyed join, no UDF); CODE_COLUMN drives both our evidence
+        # formatting (OMOP_<LVL>_SYNONYM) and the reference packer.
+        from omop2obo_spark.plans.mention import (
+            SYNONYM_CUE_PHRASE,
+            flag_phrase_context,
+        )
+
+        term_mentions = flag_phrase_context(
+            transcripts, term_mentions, SYNONYM_CUE_PHRASE, "__syn_ctx"
+        )
+        code_col = F.when(F.col("__syn_ctx"), F.lit("MENTION_SYNONYM")).otherwise(
+            F.lit("MENTION_LABEL")
+        )
+    else:
+        code_col = F.lit("MENTION_LABEL")
+    term_stack = term_mentions.select(
         *KEY_COLS, F.col("surface").alias("CODE"),
-        F.lit("MENTION_LABEL").alias("CODE_COLUMN"), F.lit(0).alias("src_rank"),
+        code_col.alias("CODE_COLUMN"), F.lit(0).alias("src_rank"),
     )
     strs = exact_string_link(term_stack, dims, KEY_COLS, "concept", dedup=False)
 
     exact = dbx.unionByName(strs).withColumn("LEVEL", F.lit("concept"))
+    if context_channels:
+        # ancestor channel: a turn containing the family-history cue scopes
+        # ALL its mentions to the hereditary context — the transcript analog
+        # of the reference's clinical ANCESTOR_* input columns, whose codes/
+        # strings run through the same linking tiers AT ancestor level (and,
+        # exactly like the reference's ancestor channel, are NOT further
+        # closure-expanded). Turn-scoped (an FH section governs its clause),
+        # mirroring sectioned clinical notes.
+        from omop2obo_spark.plans.mention import ANCESTOR_CUE_PHRASE
+
+        fh = transcripts.select(
+            "conv_id", "turn_idx",
+            F.lower(F.col("text")).contains(ANCESTOR_CUE_PHRASE).alias("__fh"),
+        )
+        exact = exact.join(fh, on=["conv_id", "turn_idx"], how="left")
+        is_fh = F.coalesce(F.col("__fh"), F.lit(False))
+        exact = (
+            exact.withColumn(
+                "LEVEL", F.when(is_fh, F.lit("ancestor")).otherwise(F.col("LEVEL"))
+            )
+            .withColumn(
+                "EVIDENCE",
+                F.when(
+                    is_fh, F.regexp_replace("EVIDENCE", "^CONCEPT_", "ANCESTOR_")
+                ).otherwise(F.col("EVIDENCE")),
+            )
+            .withColumn(
+                "CODE_COLUMN",
+                F.when(
+                    is_fh,
+                    F.regexp_replace(
+                        "CODE_COLUMN", "^(TURN|MENTION|CONCEPT)_", "ANCESTOR_"
+                    ),
+                ).otherwise(F.col("CODE_COLUMN")),
+            )
+            .drop("__fh")
+        )
+    # direct links (concept-level or ancestor-CHANNEL): surface maps to the
+    # link's own URI, so their evidence always validates — unlike expanded
+    exact = exact.withColumn("__expanded", F.lit(False))
     if ancestors is not None:
-        exact = exact.unionByName(_expand_ancestors(exact, ancestors, dims.labels))
+        # only concept-level rows expand through the closure: the ancestor
+        # CHANNEL is already at its asserted level (reference parity — the
+        # clinical ancestor columns are not re-expanded)
+        exact = exact.unionByName(
+            _expand_ancestors(
+                exact.filter(F.col("LEVEL") == "concept"), ancestors, dims.labels
+            )
+        )
     if persist and with_similarity:
         # exact feeds two consumers only when the sim tier runs (compile +
         # the unlinked anti-join); with sim off it has a single consumer

@@ -116,18 +116,31 @@ def pack_reference_input(links_pdf, sims_pdf):
     for _, r in sims_pdf.iterrows():
         cell(key(r))["sims"].append(r)
 
+    def clin_suffix(lk):
+        # the clinical channel a string surface came from: CODE_COLUMN
+        # carries MENTION_SYNONYM / ANCESTOR_SYNONYM for "also known as"
+        # mentions (run_pipeline context_channels) — the reference's
+        # CONCEPT_SYNONYM / ANCESTOR_SYNONYM input columns
+        return "SYNONYM" if "SYNONYM" in str(lk["CODE_COLUMN"]).upper() else "LABEL"
+
     rows = []
     for k in sorted(by_key):
         links, sims = by_key[k]["links"], by_key[k]["sims"]
         row = {"CONCEPT_ID": k}
-        # clin string columns per level (distinct surfaces, first-seen order)
+        # clin string columns per level+channel (distinct surfaces,
+        # first-seen order)
         for lvl_name, lvl in [("CONCEPT", "concept"), ("ANCESTOR", "ancestor")]:
-            surfs = []
-            for lk in links:
-                if lk["LEVEL"] == lvl and lk["MATCH_KIND"] != "dbxref":
-                    if lk["CODE"] not in surfs:
-                        surfs.append(lk["CODE"])
-            row[f"{lvl_name}_LABEL"] = " | ".join(surfs)
+            for suffix in ("LABEL", "SYNONYM"):
+                surfs = []
+                for lk in links:
+                    if (
+                        lk["LEVEL"] == lvl
+                        and lk["MATCH_KIND"] != "dbxref"
+                        and clin_suffix(lk) == suffix
+                    ):
+                        if lk["CODE"] not in surfs:
+                            surfs.append(lk["CODE"])
+                row[f"{lvl_name}_{suffix}"] = " | ".join(surfs)
         for ont in ONTS:
             for lvl_name, lvl in [("CONCEPT", "concept"), ("ANCESTOR", "ancestor")]:
                 for blk_name, is_dbx in [("DBXREF", True), ("STR", False)]:
@@ -144,10 +157,11 @@ def pack_reference_input(links_pdf, sims_pdf):
                     for lk in sel:
                         ev = lk["EVIDENCE"]
                         if not is_dbx:
-                            # schema adapter: level-prefix the string-match
-                            # evidence (reference reads the level from
-                            # evidence.split('_')[0])
-                            ev = f"{lvl_name}_LABEL:{ev.split(':')[-1]}"
+                            # schema adapter: level+channel-prefix the
+                            # string-match evidence (reference reads the
+                            # level from evidence.split('_')[0] and the
+                            # clinical channel from the LABEL/SYNONYM token)
+                            ev = f"{lvl_name}_{clin_suffix(lk)}:{ev.split(':')[-1]}"
                         evs.append(ev)
                     row[base + "_URI"] = " | ".join(lk["URI"] for lk in sel)
                     row[base + "_LABEL"] = " | ".join(lk["LABEL"] for lk in sel)
@@ -189,7 +203,7 @@ def triples(frame):
     return out
 
 
-def main(sf_dir: str) -> dict:
+def main(sf_dir: str, rich: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from omop2obo_spark import fixtures as FX
@@ -200,7 +214,33 @@ def main(sf_dir: str) -> dict:
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     import __spark_entry__ as entry
 
-    res = entry._pipeline_result(spark, sf_dir, with_similarity=True)
+    if rich:
+        # rich corpus mode: two-label turns (multi-concept keys) + the
+        # cross-ontology ancestor overlay, so ALL FOUR AGGREGATED category
+        # branches (Exact/Constructor x Concept/Ancestor) fire end-to-end
+        # through mention detection (round-5 verdict task 4). The flagship
+        # text/oracle is untouched — this path builds its own pipeline run.
+        from omop2obo_spark.fixtures import lexicon_data as LD
+        from omop2obo_spark.fixtures.generators import (
+            transcripts_from_documents,
+            vocab_map_dict,
+        )
+        from omop2obo_spark.plans.pipeline import run_pipeline
+
+        transcripts = transcripts_from_documents(spark, sf_dir, rich_mentions=True)
+        ancestors = FX.ancestors_df(spark).unionByName(
+            spark.createDataFrame(
+                LD.cross_ontology_overlay(), "uri string, ancestor_uri string"
+            )
+        )
+        res = run_pipeline(
+            spark, transcripts, FX.lexicon_df(spark), vocab_map_dict(),
+            mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+            ancestors=ancestors, with_similarity=True, dims=FX.cached_dims(spark),
+            context_channels=True,
+        )
+    else:
+        res = entry._pipeline_result(spark, sf_dir, with_similarity=True)
     links_pdf = res.exact_links.toPandas()
     sim = res.sim_matches
     lab_dim = FX.lexicon_df(spark).filter(F.col("kind") == "label").select(
@@ -224,7 +264,18 @@ def main(sf_dir: str) -> dict:
         [(k.rsplit(":", 1)[0], int(k.rsplit(":", 1)[1])) for k in keys["CONCEPT_ID"]],
         "conv_id string, turn_idx int",
     )
-    ours = wide_mapping_layout(res.mappings, ["conv_id", "turn_idx"], ONTS, base=base).toPandas()
+    # compile at TURN granularity for the comparison: the reference's
+    # CONCEPT_ID is the turn, so a multi-mention turn aggregates ALL its
+    # links/sims into one evidence set (compile_mappings is generic over
+    # key_cols — the pipeline's own mention-level compile serves the triple
+    # graph, this turn-level pass serves reference parity)
+    from omop2obo_spark.operators.compile import compile_mappings
+
+    mappings_turn = compile_mappings(
+        res.exact_links, res.sim_matches, FX.cached_dims(spark).labels,
+        ["conv_id", "turn_idx"], 0.25,
+    )
+    ours = wide_mapping_layout(mappings_turn, ["conv_id", "turn_idx"], ONTS, base=base).toPandas()
     ours["CONCEPT_ID"] = ours["conv_id"] + ":" + ours["turn_idx"].astype(str)
     ours = ours.set_index("CONCEPT_ID")
 
@@ -248,8 +299,14 @@ def main(sf_dir: str) -> dict:
                     same += 1
         return same / total if total else 1.0
 
+    cats: dict[str, int] = {}
+    for _, p, o in ref_t:
+        if p.startswith("hasMappingCategory:AGGREGATED"):
+            cats[o] = cats.get(o, 0) + 1
+
     out = {
         "sf_dir": sf_dir,
+        "mode": "rich" if rich else "default",
         "n_keys": int(len(ref_in)),
         "ref_triples": len(ref_t),
         "our_triples": len(our_t),
@@ -258,6 +315,7 @@ def main(sf_dir: str) -> dict:
         "recall": round(recall, 6),
         "uri_mapping_cell_agreement": round(agreement(cell_cols), 6),
         "evidence_cell_agreement": round(agreement(evid_cols), 6),
+        "aggregated_category_distribution": cats,
         "ours_only_sample": sorted(our_t - ref_t)[:5],
         "ref_only_sample": sorted(ref_t - our_t)[:5],
     }
@@ -320,8 +378,10 @@ def main_fixture(n_concepts: int, seed: int = 20260821) -> dict:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--fixture":
         if len(sys.argv) < 3 or not sys.argv[2].isdigit():
-            sys.exit("usage: pr_vs_reference.py [sf_dir | --fixture N_CONCEPTS]")
+            sys.exit("usage: pr_vs_reference.py [--rich] [sf_dir | --fixture N_CONCEPTS]")
         print(json.dumps(main_fixture(int(sys.argv[2]))))
     else:
-        sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-        print(json.dumps(main(sf)))
+        args = [a for a in sys.argv[1:] if a != "--rich"]
+        rich = "--rich" in sys.argv[1:]
+        sf = args[0] if args else "/root/testdata/sf0.01"
+        print(json.dumps(main(sf, rich=rich)))
