@@ -63,7 +63,10 @@ def test_read_transcripts_catalog_table_routing(spark, tmp_path):
     reason="iceberg-spark-runtime jar not on the classpath in this sandbox; "
     "the Iceberg-native write path (writeTo().create / overwritePartitions) "
     "is exercised in deployments that ship the jar — parquet twin covered "
-    "by tests/test_checkpoint.py",
+    "by tests/test_checkpoint.py. Re-attempted round 5 (2026-08-21): no jar "
+    "under pyspark/jars or anywhere on disk, and the sandbox has no network "
+    "(Maven Central DNS resolution fails), so the jar cannot be fetched; "
+    "skip stands, documented per the round-4 verdict's task 6.",
 )
 def test_iceberg_catalog_round_trip(tmp_path):
     """Real Iceberg catalog smoke: create, dynamic partition overwrite,
