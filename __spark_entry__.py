@@ -79,35 +79,21 @@ XREFS = _xref_rows()
 def _ananke_dims() -> tuple[list[str], list[tuple[str, str]], list[tuple[str, str, str]], list[tuple[str, str]]]:
     """Driver-side twins of the J5 ananke-bridge dimensions (for oracle SQL).
 
-    Mirrors prepare_mrconso (linking.py:159-174: ENG/NOCODE filter,
-    SAB:code.lower(), >2-colon collapse, charset-rstrip normalization —
-    reference data_utils.py:236-275) and dbxref_link's ont side
-    (linking.py:281: uri_to_code over the dbxref dim, data_utils.py:327).
-    Computed independently in plain Python from the same fixture constants
-    the Spark side reads as DataFrames, so a drift in either derivation
-    hash-mismatches at the gate.
+    The MRCONSO side reuses the ONE established Python replica of
+    prepare_mrconso (fixtures/kg_oracle.prepared_mrconso — ENG/NOCODE
+    filter, SAB:code.lower(), >2-colon collapse, charset-rstrip
+    normalization, reference data_utils.py:236-275); the ont side mirrors
+    dbxref_link's uri_to_code keying (linking.py:281, data_utils.py:327).
+    Plain-Python derivation from the fixture constants the Spark side reads
+    as DataFrames, so a drift in either derivation hash-mismatches at the
+    gate.
     """
-    import re as _re
-
-    vm = vocab_map_dict()
-
-    def norm(c: str) -> str:
-        segs = [s for s in _re.split(r"[:|/]", c) if s]
-        seg = segs[-1]
-        prefix = c.rstrip(seg)[:-1]  # Python rstrip == charset semantics
-        return f"{vm.get(prefix, prefix)}:{seg.lower()}"
+    from omop2obo_spark.fixtures.kg_oracle import prepared_mrconso
 
     ont_keys = {c[0] for c in LD.CONCEPTS}
     cui_obo = set()
-    for cui, lang, sab, code in LD.MRCONSO_ROWS:
-        if lang != "ENG" or code == "NOCODE":
-            continue
-        c = f"{sab}:{code.lower()}"
-        parts = c.split(":")
-        if len(parts) > 2:  # HPO:hp:0008181 -> hp:0008181 collapse quirk
-            c = ":".join(parts[1:])
-        nc = norm(c)
-        if nc.split(":")[0] in ont_keys:
+    for cui, _sab, nc in prepared_mrconso():
+        if nc and nc.split(":")[0] in ont_keys:
             cui_obo.add((cui, nc))
     ont_side = sorted(
         {(c[1].lower().replace("_", ":"), LD.OBO + c[1], c[1].split("_")[0])
@@ -564,8 +550,9 @@ def q_ananke_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     uri_to_code(URI). Both dims broadcast (LocalTableScan); the fact side
     never shuffles. Oracle replays the two joins in SQL over inline dims
     derived independently in plain Python (see _ananke_dims)."""
-    from omop2obo_spark.fixtures.generators import lexicon_df, mrconso_df
-    from omop2obo_spark.operators.linking import LexiconDims, dbxref_link, prepare_mrconso
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.fixtures.generators import mrconso_df
+    from omop2obo_spark.operators.linking import dbxref_link, prepare_mrconso
 
     docs = _docs(spark, sf_dir)
     cuis = F.array(*[F.lit(c) for c in ANANKE_CUIS])
@@ -577,7 +564,7 @@ def q_ananke_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("UMLS_CUI").alias("CODE_COLUMN"),
         F.lit(0).alias("src_rank"),
     )
-    dims = LexiconDims.from_lexicon(lexicon_df(spark), vocab_map_dict())
+    dims = FX.cached_dims(spark)
     umls = prepare_mrconso(mrconso_df(spark), vocab_map_dict())
     out = dbxref_link(stacked, dims, ["doc_id"], "concept", umls=umls)
     return out.select(

@@ -325,9 +325,14 @@ def cross_ontology_overlay() -> list[tuple[str, str]]:
     :func:`closure_pairs` (which the flagship oracles mirror); used only by
     the rich corpus P/R mode (``tools/pr_vs_reference.py --rich``) so that
     turns linking concept-level in one ontology acquire ancestor-ONLY
-    evidence in the other — the end-to-end trigger for the reference's
-    ``Automatic {Exact,Constructor} - Ancestor`` branches
-    (data_utils.py:518-548)."""
+    evidence in the OTHER ontology. Those groups exercise the reference's
+    evidence-validation + partial-marker paths: a cross-ontology STR-only
+    group emits NOTHING (the surface fails the other ontology's dictionary
+    check, data_utils.py:497-507 — mirrored by the ``__expanded``
+    suppression in compile), and a dbxref-fed group carries ANCESTOR_CODE
+    alone → the quirk routes it to the ``- Concept`` categories
+    (data_utils.py:537-541). The actual ``- Ancestor`` category triggers
+    are the family-history turns built from :func:`fh_context_triples`."""
     hp = [OBO + sid for ont, sid, *_ in CONCEPTS if ont == "hp"]
     mondo = [OBO + sid for ont, sid, *_ in CONCEPTS if ont == "mondo"]
     out: list[tuple[str, str]] = []

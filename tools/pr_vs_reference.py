@@ -376,12 +376,12 @@ def main_fixture(n_concepts: int, seed: int = 20260821) -> dict:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--fixture":
-        if len(sys.argv) < 3 or not sys.argv[2].isdigit():
+    argv = [a for a in sys.argv[1:] if a != "--rich"]
+    rich = "--rich" in sys.argv[1:]
+    if argv and argv[0] == "--fixture":
+        if len(argv) < 2 or not argv[1].isdigit():
             sys.exit("usage: pr_vs_reference.py [--rich] [sf_dir | --fixture N_CONCEPTS]")
-        print(json.dumps(main_fixture(int(sys.argv[2]))))
+        print(json.dumps(main_fixture(int(argv[1]))))
     else:
-        args = [a for a in sys.argv[1:] if a != "--rich"]
-        rich = "--rich" in sys.argv[1:]
-        sf = args[0] if args else "/root/testdata/sf0.01"
+        sf = argv[0] if argv else "/root/testdata/sf0.01"
         print(json.dumps(main(sf, rich=rich)))
