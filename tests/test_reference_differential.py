@@ -435,3 +435,88 @@ def test_triple_pr_vs_reference_code(differential):
     )
     # and in fact the sets are identical
     assert precision == 1.0 and recall == 1.0
+
+
+def test_context_channel_triples_match_reference_code(spark):
+    """Round-5 CI pin for the context channels (the --rich tool run's core
+    claim): the pipeline with ``context_channels=True`` over hand-built
+    family-history / synonym / two-label / cross-ontology turns, packed
+    into the reference's wide layout and aggregated by the REFERENCE'S OWN
+    ``aggregates_mapping_results``, emits the identical triple set — and
+    the reference output contains all four AGGREGATED categories, so the
+    Exact/Constructor x Concept/Ancestor branch parity is exercised
+    end-to-end through real mention detection, not via constructed links."""
+    import importlib.util as ilu
+    import os
+
+    tool_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "pr_vs_reference.py"
+    )
+    spec = ilu.spec_from_file_location("pr_tool", tool_path)
+    tool = ilu.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    from omop2obo_spark import fixtures as FX
+    from omop2obo_spark.fixtures import lexicon_data as L
+    from omop2obo_spark.fixtures.generators import vocab_map_dict
+    from omop2obo_spark.operators.compile import compile_mappings, wide_mapping_layout
+    from omop2obo_spark.plans.pipeline import run_pipeline
+
+    fh = L.fh_context_triples()
+    h1, h2, h3 = fh["hp"][:3]
+    m1 = fh["mondo"][0]
+    rows = [
+        ("c1", 0, f"family history of {h1[0]} also known as {h1[1]} coded as {h1[2]}"),
+        ("c2", 0, f"family history of {h1[0]} also known as {h2[1]} coded as {h3[2]}"),
+        ("c3", 0, f"patient reported {h1[0]} and also {h2[0]}"),
+        ("c4", 0, f"patient reported {m1[0]}"),
+        ("c5", 0, f"coded as {h1[2]}"),
+        ("c6", 0, "no clinical content in this turn"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    ancestors = FX.ancestors_df(spark).unionByName(
+        spark.createDataFrame(
+            L.cross_ontology_overlay(), "uri string, ancestor_uri string"
+        )
+    )
+    res = run_pipeline(
+        spark, t, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=ancestors, with_similarity=False, persist=False,
+        dims=FX.cached_dims(spark), context_channels=True,
+    )
+
+    links_pdf = res.exact_links.toPandas()
+    sims_pdf = pd.DataFrame(
+        columns=["conv_id", "turn_idx", "mention_id", "sim_uri", "score", "rank"]
+    )
+    lex_pdf = FX.lexicon_df(spark).toPandas()
+    ref_in = tool.pack_reference_input(links_pdf, sims_pdf)
+    ref_out = ref.aggregates_mapping_results(
+        ref_in.copy(), [o.lower() for o in ONTS], tool.build_ont_data(lex_pdf), {}, 0.25
+    ).set_index("CONCEPT_ID")
+
+    empty_sim = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, sim_uri string, score double, rank int"
+    )
+    mappings = compile_mappings(
+        res.exact_links, empty_sim, FX.cached_dims(spark).labels,
+        ["conv_id", "turn_idx"],
+    )
+    base = spark.createDataFrame(
+        [(k.rsplit(":", 1)[0], int(k.rsplit(":", 1)[1])) for k in ref_in["CONCEPT_ID"]],
+        "conv_id string, turn_idx int",
+    )
+    ours = wide_mapping_layout(mappings, ["conv_id", "turn_idx"], ONTS, base=base).toPandas()
+    ours["CONCEPT_ID"] = ours["conv_id"] + ":" + ours["turn_idx"].astype(str)
+    ours = ours.set_index("CONCEPT_ID")
+
+    ref_t, our_t = tool.triples(ref_out), tool.triples(ours)
+    assert ref_t == our_t, (
+        f"ours-only={sorted(our_t - ref_t)[:5]} ref-only={sorted(ref_t - our_t)[:5]}"
+    )
+    cats = {o for _c, p, o in ref_t if p.startswith("hasMappingCategory:AGGREGATED")}
+    assert {
+        "Automatic Exact - Concept", "Automatic Constructor - Concept",
+        "Automatic Exact - Ancestor", "Automatic Constructor - Ancestor",
+    } <= cats, cats
