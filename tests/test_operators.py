@@ -141,6 +141,21 @@ def test_umls_annotate_double_merge_expands(spark):
     assert {r.UMLS_SEM_TYPE for r in double.collect()} == {"Disease or Syndrome"}
 
 
+def test_prepared_mrconso_python_replica_matches_spark(spark):
+    """kg_oracle.prepared_mrconso is the ONE driver-side replica of
+    prepare_mrconso (consumed by the flagship oracle AND, since r5, by
+    q_ananke_bridge's oracle dims via __spark_entry__._ananke_dims) — pin
+    it row-for-row against the real Spark operator so a drift in either
+    derivation fails here instead of as an opaque gate hash mismatch."""
+    from omop2obo_spark.fixtures.kg_oracle import prepared_mrconso
+
+    spark_rows = {
+        (r.CUI, r.SAB, r.CODE)
+        for r in prepare_mrconso(mrconso_df(spark), vocab_map_dict()).collect()
+    }
+    assert spark_rows == set(prepared_mrconso())
+
+
 def test_dbxref_link_direct_and_ananke(spark):
     vocab = vocab_map_dict()
     dims = LexiconDims.from_lexicon(lexicon_df(spark), vocab)
