@@ -34,6 +34,35 @@ def test_kg_pipeline_joins_all_broadcast(spark):
     assert "LocalTableScan" in plan
 
 
+def test_context_channel_pipeline_plan_stays_scale_safe(spark):
+    """The r5 context channels must not change the pipeline's scale shape:
+    with ``context_channels=True`` (synonym-cue flagging + FH relabel +
+    cross-ontology overlay expansion) the triples plan still has zero
+    sort-merge joins, zero nested-loop joins, and zero row-at-a-time
+    Python evals — the cue checks are codegen array ops inside the
+    existing co-keyed joins, and the relabel is pure CASE expressions."""
+    from omop2obo_spark.fixtures import lexicon_data as L
+    from omop2obo_spark.plans.guard import plan_report
+
+    tr = transcripts_df(spark, n_convs=20, turns_per_conv=5)
+    ancestors = FX.ancestors_df(spark).unionByName(
+        spark.createDataFrame(
+            L.cross_ontology_overlay(), "uri string, ancestor_uri string"
+        )
+    )
+    res = run_pipeline(
+        spark, tr, FX.lexicon_df(spark), vocab_map_dict(),
+        mrconso=FX.mrconso_df(spark), mrsty=FX.mrsty_df(spark),
+        ancestors=ancestors, with_similarity=False, persist=False,
+        context_channels=True,
+    )
+    rep = plan_report(res.triples)
+    assert rep["sort_merge_joins"] == 0, rep
+    assert rep["nested_loop_joins"] == 0, rep
+    assert rep["row_python_evals"] == 0, rep
+    assert rep["broadcast_joins"] > 0, rep
+
+
 def test_parquet_filter_pushdown(spark):
     """A doc_id predicate must reach the parquet scan as a pushed filter,
     not a post-scan Filter over a full read."""
